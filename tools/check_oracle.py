@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle at a given
+sf dir, then compares row count, column names, and order-insensitive
+values (exact match after the catalog's own normalization). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from umn_eda_kafka_stream_processing_spark.plans.catalog import REGISTRY
+from umn_eda_kafka_stream_processing_spark.session import get_spark
+from umn_eda_kafka_stream_processing_spark.sources.parquet import TESTDATA_TABLES
+
+
+def norm_rows(cols, rows):
+    """Sort columns by name, then rows — the driver's order-insensitive
+    compare sorts columns by name before hashing values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = spec.spark(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        if spec.oracle is None:
+            print(f"  {name:34s} rows-only: {len(srows)} rows [{spark_s:.1f}s]")
+            continue
+        t0 = time.time()
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        duck_s = time.time() - t0
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = False
+        if ok_cols and ok_count:
+            ok_vals = norm_rows(scols, srows) == norm_rows(dcols, drows)
+        status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        print(
+            f"  {name:34s} {status} rows={len(srows)}/{len(drows)} "
+            f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"vals={'ok' if ok_vals else 'MISMATCH'} "
+            f"[spark {spark_s:.1f}s duck {duck_s:.1f}s]"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and ok_count:
+                a = norm_rows(scols, srows)
+                b = norm_rows(dcols, drows)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diffs:
+                    print(f"      spark={x}\n      duck ={y}")
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

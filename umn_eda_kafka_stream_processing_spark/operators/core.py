@@ -1,0 +1,171 @@
+"""Core relational operator library.
+
+Each operator is a thin, composable function over DataFrames that
+re-expresses one Kafka Streams DSL construct from the reference
+(SURVEY.md §2) in Catalyst-optimizable form. Nothing here collects to
+the driver; every operator is a pure logical-plan transformation, so
+predicate pushdown / column pruning / broadcast selection all apply.
+
+Scale notes are inline per operator — every one of these must hold at
+1000 executors over 100 TB, not just on local[32].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str = "event_seq",
+) -> DataFrame:
+    """Last-write-wins-by-key view — the reference's KTable.
+
+    reference: builder.table(topic, Materialized.as(
+    persistentKeyValueStore(...))), e.g.
+    samples/PurchaseEventTicket.java:44-51. A KTable holds the latest
+    value per key; re-piping a key overwrites (upsert).
+
+    Implementation: max_by over the arrival-order column — a single
+    hash aggregation (partial + final, map-side combined by Catalyst).
+    This beats the window/row_number formulation at scale: row_number
+    needs a full shuffle + per-partition sort of *all* versions, while
+    max_by reduces each map partition to one candidate row per key
+    before the shuffle, so shuffle volume is ~|distinct keys| not
+    |rows|.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in df.columns if c not in keys]
+    agg = [F.max_by(F.struct(*payload), F.col(order_col)).alias("_latest")]
+    out = df.groupBy(*keys).agg(*agg)
+    return out.select(*keys, "_latest.*")
+
+
+def rekey(df: DataFrame, key_expr: Column | str, key_name: str = "key") -> DataFrame:
+    """Replace the record key — the reference's selectKey.
+
+    reference: .selectKey((k, v) -> ...), e.g.
+    samples/PurchaseEventTicket.java:61. In Kafka Streams this marks a
+    repartition through the broker; in Spark the shuffle happens
+    implicitly (and only if needed) at the next key-based operator,
+    so rekey itself is free.
+    """
+    col = F.col(key_expr) if isinstance(key_expr, str) else key_expr
+    if key_name in df.columns:
+        df = df.drop(key_name)
+    return df.withColumn(key_name, col)
+
+
+def merge(*dfs: DataFrame) -> DataFrame:
+    """Union streams of identical schema — the reference's merge().
+
+    reference: exercises/stateless/TargetCustomerFilter.java:16-18
+    ("merge the legacy customers into data-demo-customers").
+    unionByName keeps this safe under column reordering.
+    """
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def branch(
+    df: DataFrame, *predicates: Column, with_default: bool = False
+) -> list[DataFrame]:
+    """Split a stream into disjoint sub-streams by predicate order —
+    the reference's split().branch(...).branch(...).
+
+    reference: samples/PurchaseEventTicket.java:97-158 (3-way:
+    sold-out / ≤20% remaining / >20%);
+    exercises/stateless/AddressSortAndStringify.java:18-20 (MN vs
+    default). Kafka Streams routes each record to the FIRST matching
+    branch; we reproduce that by conjoining the negations of all
+    earlier predicates. Catalyst folds each branch to a simple
+    conjunctive filter over the shared parent plan (cache the parent
+    if all branches are consumed).
+
+    Returns one DataFrame per predicate, plus (if ``with_default``)
+    a final DataFrame of records matching no predicate
+    (noDefaultBranch() in the reference = with_default=False:
+    unmatched records are dropped).
+    """
+    branches: list[DataFrame] = []
+    seen_any: Column | None = None
+    for pred in predicates:
+        cond = pred if seen_any is None else (~seen_any) & pred
+        branches.append(df.filter(cond))
+        seen_any = pred if seen_any is None else seen_any | pred
+    if with_default:
+        branches.append(df.filter(~seen_any) if seen_any is not None else df)
+    return branches
+
+
+def grouped_count(
+    df: DataFrame, group_cols: str | Sequence[str], count_name: str = "count"
+) -> DataFrame:
+    """Count per key — the reference's groupBy(...).count().
+
+    reference: exercises/stateful/CustomerStreamCount.java:14-16 (spec)
+    and CustomerStreamCounterTest.java:70-96 (behavior: the final
+    count per key is what batch recomputation yields; the streaming
+    runner reproduces the running emission in update mode).
+
+    Hash aggregation with map-side partial combine — the canonical
+    scale-safe count.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group — the reference's SortedCounterMap.top(k).
+
+    reference: samples/TopCustomerArtists.java:87,125-129 (top-3
+    artists per customer); phase3/TopSellingGenreByVenue.java:173
+    (top-3 genres per venue).
+
+    Tie-break: the reference's stable re-sort makes ties
+    arrival-order-dependent (SURVEY.md §2.4); this engine defines the
+    deterministic rule *count DESC, then key ASC* — callers pass the
+    full deterministic ordering in ``order_cols``.
+
+    Scale: row_number over (group, order) is a single shuffle; with
+    AQE skew handling a hot group splits fine. For extreme k<<group
+    cardinality a partial top-k per map partition could pre-prune,
+    but Catalyst already pushes a WindowGroupLimit when filtering on
+    row_number <= k (Spark 3.5+), which does exactly that.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def running_count(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str = "event_seq",
+    count_name: str = "count",
+) -> DataFrame:
+    """Per-record running count within key, in arrival order — the
+    per-record emission sequence of the reference's stateful counts.
+
+    reference: CustomerStreamCounterTest.java:70-96 asserts outputs
+    1,2,3 for three successive records of one key. Batch equivalent:
+    cumulative count over the arrival-order window.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    return df.withColumn(count_name, F.row_number().over(w).cast("long"))
