@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from umn_eda_kafka_stream_processing_spark.plans.catalog import REGISTRY  # noqa: E402
+from umn_eda_kafka_stream_processing_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

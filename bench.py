@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from umn_eda_kafka_stream_processing_spark.plans.catalog import REGISTRY
+from umn_eda_kafka_stream_processing_spark.plans import REGISTRY
 from umn_eda_kafka_stream_processing_spark.session import get_spark
 
 

@@ -1,0 +1,118 @@
+"""Unit tests for the training-data pipeline operators: dedup,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.text import lang_predict, quality_score
+from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
+from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", 43),
+        (2, "The quick brown fox jumps over the lazy dog  ", "en", 45),  # case/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en", 43),    # near-dup of 1
+        (4, "der hund ist nicht ein kleiner vogel und das ist gut", "de", 52),
+        (5, "completely different text about spark engines and shuffles", "en", 58),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+
+def test_exact_dedup_groups(spark, docs):
+    got = {r["fp"]: (r["keeper_doc_id"], r["n_copies"])
+           for r in dd.exact_dedup_groups(docs).collect()}
+    sizes = sorted(v[1] for v in got.values())
+    assert sizes == [1, 1, 1, 2]  # docs 1+2 collapse
+    dup_group = [v for v in got.values() if v[1] == 2][0]
+    assert dup_group[0] == 1  # keeper = min doc_id
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.7)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got  # high-jaccard pair survives LSH + verification
+
+
+def test_simhash_identical_text_hamming_zero(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "unrelated words entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+             for r in dd.simhash_near_pairs(df, max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lang_predict_and_tiebreak(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),          # en stopwords
+        (2, "der hund und die katze ist nicht da"),       # de stopwords
+        (3, "xyzzy plugh quux"),                          # no stopwords → tie → 'en'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_predict().alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "en"}
+
+
+def test_quality_score_bounded(spark, docs):
+    vals = [r["q"] for r in docs.select(quality_score().alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+        (4, [0.1, 0.0, 0.9], 1),   # closest to 3
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = sim.cosine_topk(vectors.filter(F.col("vec_id") == 0), vectors, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (4, 2)]
+
+
+def test_ivf_topk_prunes_to_probed_buckets(spark, vectors):
+    corpus = vectors.withColumn("bucket", F.col("label"))
+    centroids = spark.createDataFrame(
+        [(0, [0.63, 0.37, 0.0]), (1, [0.05, 0.0, 0.95])],
+        "bucket int, embedding array<float>",
+    )
+    out = sim.ivf_topk(
+        vectors.filter(F.col("vec_id") == 0), corpus, centroids, k=3, n_probe=1
+    )
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert got == {1, 2}  # only bucket 0 probed; bucket-1 vectors pruned
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    out = sim.embedding_near_dup_pairs(vectors, threshold=0.9, block_col="label")
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in out.collect()}
+    assert got == {(0, 1), (3, 4)}
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    row = mm.extract_features(mm.text_as_media(df)).collect()[0]
+    assert row["media_id"] == 7
+    assert row["n_bytes"] == 3
+    assert row["byte_sum"] == ord("a") + ord("b") + ord("c")
+    import hashlib
+    assert row["head_md5"] == hashlib.md5(b"abc").hexdigest()

@@ -9,6 +9,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_half_up(col: Column, scale: int) -> Column:
+    """Engine-portable half-up rounding of a double.
+
+    ``floor(x * 10^s + 0.5) / 10^s`` — plain IEEE ops that evaluate
+    bit-identically in any engine, unlike round(): Spark rounds
+    doubles via their shortest decimal repr HALF_UP while DuckDB
+    rounds half-to-even, so values landing exactly on a .5 boundary
+    (common for ratios of small integers) diverge between engines.
+    The DuckDB twin is the same SQL expression (see plans/catalog*).
+    """
+    factor = float(10 ** scale)
+    return F.floor(col * factor + F.lit(0.5)) / factor
+
+
 def stringify_address(
     line1="line1", line2="line2", citynm="citynm", state="state",
     zip5="zip5", zip4="zip4", countrycd="countrycd",

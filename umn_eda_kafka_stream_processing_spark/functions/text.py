@@ -1,0 +1,112 @@
+"""Text-analysis function library for large-scale training-data
+pipelines: tokenization, quality scoring, language-ID, and document
+fingerprinting.
+
+All of these are Catalyst column expressions (JVM-side, codegen'd,
+whole-stage) — no Python in the hot path, so they run at full scan
+speed over 100 TB of documents. Each has an exact DuckDB-SQL twin in
+plans/catalog.py; hashing is built on md5 (bit-identical across
+engines), never engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Order matters: it is the deterministic
+# tie-break (first language with the max score wins).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "y", "que", "los", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人"],
+}
+
+
+def tokens(text: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def token_count(text: str = "text") -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_count(lang: str, text: str = "text") -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(words))).cast("long")
+
+
+def lang_scores(text: str = "text") -> dict[str, Column]:
+    return {lang: stopword_count(lang, text) for lang in LANG_STOPWORDS}
+
+
+def lang_predict(text: str = "text") -> Column:
+    """Heuristic language-ID: argmax stopword overlap, ties broken by
+    LANG_STOPWORDS declaration order (lang_i wins if its score >= all
+    later langs' scores)."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr: Column = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for later in langs[i + 1:]:
+            c = scores[lang] >= scores[later]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(text: str = "text") -> Column:
+    """Count of common punctuation chars (explicit class — regex
+    character-class semantics differ across engines)."""
+    stripped = F.regexp_replace(F.col(text), r"[.,!?;:'\"()-]", "")
+    return (F.length(F.col(text)) - F.length(stripped)).cast("long")
+
+
+def fingerprint_md5(text: str = "text") -> Column:
+    """Normalized-content fingerprint: md5(lower(trim(text))).
+
+    The exact-dedup key: identical modulo case/outer whitespace."""
+    return F.md5(F.lower(F.trim(F.col(text))))
+
+
+def char_shingles(text: str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Distinct character n-gram shingle set of a document.
+
+    Basis for n-gram Jaccard similarity and MinHash signatures.
+    Pure JVM expression: transform over a position sequence.
+    """
+    inner = (
+        f"transform(sequence(1, greatest(length({text}) - {n - 1}, 1)), "
+        f"i -> substring({text}, i, {n}))"
+    )
+    return F.expr(f"array_distinct({inner})" if distinct else inner)
+
+
+def quality_score(text: str = "text") -> Column:
+    """Composite document quality in [0,1]:
+    0.5 * min(n_tokens/100, 1)           (length credit)
+    + 0.3 * (1 - stop_ratio)             (informativeness)
+    + 0.2 * (1 - min(punct_ratio*5, 1))  (cleanliness)
+    Deterministic and portable (least/greatest + double arithmetic).
+    """
+    ntok = token_count(text).cast("double")
+    stop_en = stopword_count("en", text).cast("double")
+    stop_ratio = stop_en / F.greatest(ntok, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(
+        F.length(F.col(text)).cast("double"), F.lit(1.0)
+    )
+    return round_half_up(
+        F.least(ntok / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - stop_ratio) * 0.3
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2,
+        4,
+    )

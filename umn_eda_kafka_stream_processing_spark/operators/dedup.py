@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact_dedup_groups   — hash-groupBy on a normalized fingerprint.
+   One shuffle on the md5 key; at 100 TB the md5 shrinks shuffle
+   rows to (16-byte key, id), and near-perfect key uniformity means
+   no skew.
+2. ngram_jaccard_pairs  — exact set-similarity on char-shingles with
+   cheap blocking (language + length-band). Quadratic within a
+   block; the CORRECTNESS baseline, for modest blocks only.
+3. minhash_lsh_pairs    — MinHash signatures + banded LSH: the scale
+   path. Cost is linear in corpus size (k md5-mins per doc), then a
+   self-join on tiny band-bucket keys. Candidates are verified with
+   the exact jaccard, so output precision is 1.0 — recall is
+   1-(1-j^r)^b per pair.
+4. simhash64            — 64-bit SimHash from token hashes; near-dups
+   differ in few bits. Pairs via bucketing on 4 16-bit chunks
+   (Hamming distance <= 3 guarantees >= 1 identical chunk).
+
+All hashing is md5-based (engine-portable, deterministic); no
+engine-private hash functions, so every tier is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+from umn_eda_kafka_stream_processing_spark.functions.text import char_shingles, fingerprint_md5
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by normalized-content fingerprint; keeper =
+    min id. Output: (fp, keeper_<id>, n_copies)."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _jaccard(a: str, b: str) -> Column:
+    inter = F.size(F.array_intersect(F.col(a), F.col(b))).cast("double")
+    union = (
+        F.size(F.col(a)).cast("double") + F.size(F.col(b)).cast("double") - inter
+    )
+    return round_half_up(inter / F.greatest(union, F.lit(1.0)), 4)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_col: str | None = "n_chars",
+    max_length_diff: int = 50,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs with blocking.
+
+    Blocking: equal ``block_cols`` plus |length difference| <=
+    ``max_length_diff`` (near-dups have near-equal length). The
+    equi-join part of the condition keeps Spark on a hash join; the
+    length predicate is a post-join filter evaluated before the
+    expensive set intersection.
+    """
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        *( [F.col(length_col)] if length_col else [] ),
+        char_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a = sh.select(*[F.col(c).alias(f"a_{c}") for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
+    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    joined = a.join(b, cond, "inner")
+    if length_col:
+        joined = joined.filter(
+            F.abs(F.col(f"a_{length_col}") - F.col(f"b_{length_col}"))
+            <= max_length_diff
+        )
+    return (
+        joined.withColumn("jaccard", _jaccard("a_sh", "b_sh"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a_{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b_{id_col}").alias(f"{id_col}_b"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for hash i, min over shingles
+    of md5('<i>|' || shingle) — a lexicographic min over a portable
+    hash, identical in any engine.
+
+    Output: (id, h0..h{k-1}). One explode + one groupBy(id): linear
+    scan cost, shuffle keyed on the (unique) doc id.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded LSH over minhash signatures → distinct candidate pairs.
+
+    Band key = md5 of the band's signature rows; docs sharing any
+    band key become a candidate pair. The band-explode + self-join
+    runs on (band_idx, band_key) — tiny keys, linear output in the
+    number of true collisions.
+    """
+    bands = num_hashes // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band_idx", "bk.band_key")
+    a = melted.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band_idx", "band_key"
+    )
+    b = melted.select(
+        F.col(id_col).alias(f"{id_col}_b"), "band_idx", "band_key"
+    )
+    pairs = a.join(b, ["band_idx", "band_key"], "inner").filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    )
+    return pairs.select(f"{id_col}_a", f"{id_col}_b").distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded
+    candidates → exact-jaccard verification (precision 1.0).
+    Output: (id_a, id_b, jaccard) for verified pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
+    verified = (
+        cands.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
+        .withColumn("jaccard", _jaccard("a_sh", "b_sh"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Token hash = first 16 hex chars of md5(token) (64 bits). Each
+    bit votes +1/-1 weighted by token occurrence; simhash bit = 1 if
+    the vote sum > 0. Built from 16 hex-nibble columns so the whole
+    computation stays in JVM integer arithmetic (nibble value =
+    position in '0123456789abcdef').
+
+    Output: (id, simhash (long), plus 4 16-bit chunk columns c0..c3
+    for Hamming-bucket joins).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    hashed = toks.withColumn("th", F.substring(F.md5(F.col("tok")), 1, 16))
+    # nibble value columns n0..n15 (0..15 each)
+    for i in range(16):
+        hashed = hashed.withColumn(
+            f"n{i}",
+            (F.instr(F.lit("0123456789abcdef"), F.substring("th", i + 1, 1)) - 1)
+            .cast("int"),
+        )
+    # per-bit votes: bit j of nibble i (j=3 is MSB of the nibble)
+    vote_aggs = []
+    for i in range(16):
+        for j in range(4):
+            bit = F.shiftright(F.col(f"n{i}"), 3 - j).bitwiseAND(F.lit(1))
+            vote_aggs.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i * 4 + j}")
+            )
+    votes = hashed.groupBy(id_col).agg(*vote_aggs)
+    # assemble the 64-bit simhash (bit 0 = MSB) and 4 16-bit chunks
+    sim = F.lit(0).cast("long")
+    for k in range(64):
+        sim = sim + F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** (63 - k) if k > 0 else -(2 ** 63)).cast("long")
+    out = votes.withColumn("simhash", sim)
+    for c in range(4):
+        chunk = F.lit(0).cast("long")
+        for k in range(16):
+            bit_idx = c * 16 + k
+            chunk = chunk + F.when(
+                F.col(f"v{bit_idx}") > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")) * F.lit(2 ** (15 - k)).cast("long")
+        out = out.withColumn(f"c{c}", chunk)
+    return out.select(id_col, "simhash", "c0", "c1", "c2", "c3")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on each of the 4 16-bit chunks
+    (pigeonhole: Hamming <= 3 over 64 bits ⇒ at least one chunk
+    equal), then verify the exact Hamming distance as the sum of
+    per-chunk popcounts of XOR (chunk arithmetic only — portable,
+    no signed-64 assembly).
+    Output: (id_a, id_b, hamming)."""
+    sigs = simhash64(df, text_col, id_col)
+    chunk_cols = [f"c{c}" for c in range(4)]
+    melted = sigs.select(
+        F.col(id_col), *chunk_cols,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_idx"), F.col(f"c{c}").alias("chunk_key"))
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select(id_col, *chunk_cols, "ck.chunk_idx", "ck.chunk_key")
+    a = melted.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        *[F.col(c).alias(f"a_{c}") for c in chunk_cols],
+        "chunk_idx", "chunk_key",
+    )
+    b = melted.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        *[F.col(c).alias(f"b_{c}") for c in chunk_cols],
+        "chunk_idx", "chunk_key",
+    )
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_key"], "inner")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(
+            f"{id_col}_a", f"{id_col}_b",
+            *[f"a_{c}" for c in chunk_cols], *[f"b_{c}" for c in chunk_cols],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in chunk_cols
+    ).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+    )

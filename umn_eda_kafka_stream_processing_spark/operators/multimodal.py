@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched
+``mapInPandas`` — the engine's pattern for any per-item Python-side
+media work (decode, resize, frame-sample, feature-extract).
+
+The heavy codecs (PIL/libav/etc.) are NOT in this environment, so
+the decode step is stubbed: ``decode_stub`` raises
+NotImplementedError unless ``deterministic_fake=True``, in which
+case it derives a fake "decoded" representation from the bytes
+themselves (deterministic, test/oracle-friendly). Everything around
+the stub — schema, Arrow batching, partition flow, UDF signatures —
+is real and is what a production deployment would keep while
+swapping the stub for a codec.
+
+Scale notes: mapInPandas streams Arrow record batches; media bytes
+never materialize on the driver. Partition sizing should target
+~64-256 MB of binary payload per task (set
+spark.sql.files.maxPartitionBytes accordingly when reading media
+parquet; for hot shuffles carry (id, uri) and late-materialize bytes
+with a second join-free scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("media_type", T.StringType(), True),   # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("byte_sum", T.LongType(), True),
+    T.StructField("byte_mean", T.DoubleType(), True),
+    T.StructField("head_md5", T.StringType(), True),
+])
+
+
+def decode_stub(content: bytes, deterministic_fake: bool = True) -> Any:
+    """Stand-in for a real media decode (PIL.Image.open /
+    libav / torchaudio.load — not installed in this container).
+
+    deterministic_fake=True returns the raw byte values as the
+    "decoded" sample array, so downstream feature math is exact and
+    test/oracle-checkable.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "install PIL/av and replace decode_stub"
+        )
+    return bytearray(content or b"")
+
+
+def text_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat a text column as opaque media bytes (UTF-8) so
+    the multimodal path is exercisable on the synthetic tables."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit("image").alias("media_type"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    The pandas function receives an iterator of record batches —
+    the canonical mapInPandas shape: constant memory per task,
+    vectorized inside each batch via numpy.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_stub(bytes(content) if content is not None else b"")
+                arr = np.frombuffer(bytes(decoded), dtype=np.uint8)
+                n = int(arr.size)
+                s = int(arr.sum()) if n else 0
+                out.append({
+                    "media_id": int(media_id),
+                    "n_bytes": n,
+                    "byte_sum": s,
+                    "byte_mean": round(s / n, 6) if n else 0.0,
+                    "head_md5": hashlib.md5(bytes(decoded[:64])).hexdigest(),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(feats, FEATURE_SCHEMA)

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* cosine_topk      — exact brute-force top-k: query set × corpus
+  with a broadcast of the (small) query side; the dot product is a
+  JVM ``aggregate(zip_with(...))`` expression — no Python, no UDF.
+  At 100 TB this is the correct baseline when |queries| is small:
+  the corpus streams through one scan, queries ride along broadcast.
+* ivf_topk         — IVF-style pruned search: corpus pre-bucketed by
+  a coarse quantizer (any int column — here a cluster/label id, in
+  production a KMeans assignment); each query probes only its
+  nearest ``n_probe`` centroid buckets. Turns the scan into a
+  partition-pruned join keyed on bucket id.
+
+Scores are computed in double precision sequentially over the vector
+(deterministic) and rounded, so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+
+
+def dot_product(a: str | Column, b: str | Column) -> Column:
+    """Σ a_i * b_i in double precision, sequential over the array
+    (deterministic): aggregate(zip_with(a, b, *), 0.0, +)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    ac = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(ac, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity(a: str | Column, b: str | Column, precision: int = 6) -> Column:
+    return round_half_up(
+        dot_product(a, b) / (l2_norm(a) * l2_norm(b)), precision
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the queries (small side) against the corpus scan, rank
+    per query by (similarity DESC, neighbor id ASC — deterministic),
+    keep k. Self-matches excluded.
+    Output: (query_id, neighbor_id, sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"), "inner")
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """IVF-pruned approximate top-k.
+
+    ``corpus`` carries ``bucket_col`` (coarse assignment);
+    ``centroids`` is (bucket, centroid-vector). Each query scores
+    all centroids (tiny), keeps its ``n_probe`` nearest buckets, and
+    scans only those corpus buckets. The corpus-side join is a hash
+    join on the bucket id, so Catalyst prunes everything else.
+    Output: (query_id, neighbor_id, sim, rank).
+    """
+    cent = centroids.select(
+        F.col(bucket_col), F.col(vec_col).alias("cent_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col(bucket_col).asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", cosine_similarity("q_vec", "cent_vec"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", bucket_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        F.col(bucket_col),
+    )
+    scored = (
+        c.join(F.broadcast(probes), bucket_col, "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a<b) pairs with
+    cosine >= threshold, blocked on ``block_col`` (near-dups land in
+    the same coarse bucket; drop the block for exact quadratic).
+    Output: (id_a, id_b, sim)."""
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = df.select(*cols)
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    join_keys = []
+    if block_col:
+        join_keys = [a[f"a_{block_col}"] == b[f"b_{block_col}"]]
+    joined = a.join(b, join_keys + [cond] if join_keys else cond, "inner")
+    return (
+        joined.withColumn("sim", cosine_similarity(f"a_{vec_col}", f"b_{vec_col}"))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a_{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b_{id_col}").alias(f"{id_col}_b"),
+            "sim",
+        )
+    )

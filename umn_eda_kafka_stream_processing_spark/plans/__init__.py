@@ -1,3 +1,5 @@
-from umn_eda_kafka_stream_processing_spark.plans.catalog import REGISTRY, QuerySpec
+import umn_eda_kafka_stream_processing_spark.plans.catalog  # noqa: F401  (registers star-schema queries)
+import umn_eda_kafka_stream_processing_spark.plans.catalog_data  # noqa: F401  (registers data-pipeline queries)
+from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -23,33 +23,14 @@ ones bench.py measures.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec, register as _register
 
 from umn_eda_kafka_stream_processing_spark.functions.scalar import composite_key, remaining_percentage
 from umn_eda_kafka_stream_processing_spark.operators.core import branch, grouped_count, grouped_topk, merge
 from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    doc: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL over the same tables; None → rows-only check
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def _register(name: str, doc: str, oracle: str | None):
-    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, doc=doc, spark=fn, oracle=oracle)
-        return fn
-    return wrap
 
 
 def _dec(col: str) -> Column:

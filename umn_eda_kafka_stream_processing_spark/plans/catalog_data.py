@@ -1,0 +1,384 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal — the operators a 100 TB LLM-data pipeline
+needs, over the synthetic ``documents`` and ``embeddings`` tables.
+
+Oracle construction notes:
+* All hashing is md5 (bit-identical across engines).
+* Shingle/token lists mirror exactly: Spark ``sequence(1, greatest(
+  L-2, 1))`` (inclusive) == DuckDB ``range(1, greatest(L-2, 1) + 1)``
+  (exclusive end).
+* The MinHash and SimHash oracles are generated from the same
+  (num_hashes, bands, chunk) parameters as the Spark operators so
+  the two can't drift.
+* Similarity scores: double-precision sequential reductions rounded
+  to 6 dp on both sides; ranks are computed on the *rounded* score
+  with an id tie-break, so ordering is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    lang_predict,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
+from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
+from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
+from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+# DuckDB SQL fragments kept in lockstep with functions/text.py
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), "
+    "i -> substr(text, CAST(i AS INT), 3)))"
+)
+_DUCK_PUNCT = (
+    "length(text) - length(regexp_replace(text, '[.,!?;:''\"()-]', '', 'g'))"
+)
+
+
+def _duck_stop_count(lang: str) -> str:
+    in_list = ", ".join("'" + w + "'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_DUCK_TOKENS}, t -> t IN ({in_list})))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact_groups",
+    "Exact dedup via hash-groupBy on normalized md5 fingerprint; keeper = min "
+    "doc_id (operators/dedup.py:exact_dedup_groups).",
+    """
+    SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    "Near-dup pairs by exact 3-gram Jaccard >= 0.8, blocked on (lang, "
+    "|n_chars diff| <= 50) (operators/dedup.py:ngram_jaccard_pairs). The "
+    "quadratic correctness baseline; minhash_lsh_pairs is the scale path.",
+    f"""
+    WITH sets AS (SELECT doc_id, lang, n_chars, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             floor(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                   / greatest(CAST(len(a.sh) + len(b.sh)
+                              - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE),
+                              1.0) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 50
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(k: int = 16, r: int = 2) -> str:
+    b = k // r
+    mins = ",\n           ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(k)
+    )
+    bands = ",\n           ".join(
+        "md5(" + " || '|' || ".join(f"h{band * r + j}" for j in range(r)) + f") AS band{band}"
+        for band in range(b)
+    )
+    any_band = " OR ".join(f"a.band{i} = b.band{i}" for i in range(b))
+    return f"""
+    WITH sets AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    sigs AS (SELECT doc_id,
+           {mins}
+      FROM exploded GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+           {bands}
+      FROM sigs),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({any_band}))
+    SELECT * FROM (
+      SELECT c.doc_id_a, c.doc_id_b,
+             floor(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                   / greatest(CAST(len(sa.sh) + len(sb.sh)
+                              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE),
+                              1.0) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM cands c JOIN sets sa ON sa.doc_id = c.doc_id_a
+                   JOIN sets sb ON sb.doc_id = c.doc_id_b
+    ) WHERE jaccard >= 0.8
+    """
+
+
+@_register(
+    "minhash_lsh_pairs",
+    "MinHash(16) + banded LSH (8 bands × 2 rows) near-dup candidates, "
+    "verified by exact jaccard >= 0.8 (operators/dedup.py:minhash_lsh_pairs). "
+    "Linear-scan scale path for corpus dedup.",
+    _minhash_oracle(16, 2),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    nibs = ",\n           ".join(
+        f"instr('0123456789abcdef', substr(th, {i + 1}, 1)) - 1 AS n{i}"
+        for i in range(16)
+    )
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((n{i} >> {3 - j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i * 4 + j}"
+        for i in range(16) for j in range(4)
+    )
+    chunks = ",\n           ".join(
+        " + ".join(
+            f"(CASE WHEN v{c * 16 + k} > 0 THEN {2 ** (15 - k)} ELSE 0 END)"
+            for k in range(16)
+        ) + f" AS c{c}"
+        for c in range(4)
+    )
+    any_chunk = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    hamming = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    hashed AS (SELECT doc_id, substr(md5(tok), 1, 16) AS th FROM toks),
+    nibs AS (SELECT doc_id,
+           {nibs}
+      FROM hashed),
+    votes AS (SELECT doc_id,
+           {votes}
+      FROM nibs GROUP BY doc_id),
+    chunks AS (SELECT doc_id,
+           {chunks}
+      FROM votes)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST({hamming} AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id AND ({any_chunk})
+    WHERE {hamming} <= {max_hamming}
+    """
+
+
+@_register(
+    "simhash_near_pairs",
+    "64-bit SimHash near-dup pairs, Hamming <= 3, candidates by 16-bit chunk "
+    "pigeonhole buckets (operators/dedup.py:simhash_near_pairs).",
+    _simhash_oracle(3),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "doc_fingerprints",
+    "Per-document normalized fingerprint (functions/text.py:fingerprint_md5).",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5().alias("fp"))
+
+
+@_register(
+    "token_stats",
+    "Token counting + length stats, all JVM-side expressions "
+    "(functions/text.py:token_count).",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           floor(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(len({_DUCK_TOKENS}) AS DOUBLE), 1.0)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count()
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+            / F.greatest(ntok.cast("double"), F.lit(1.0)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@_register(
+    "text_quality",
+    "Composite quality score: length credit + informativeness + cleanliness "
+    "(functions/text.py:quality_score).",
+    f"""
+    SELECT doc_id,
+           floor((least(CAST(len({_DUCK_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (1.0 - CAST({_duck_stop_count('en')} AS DOUBLE)
+                          / greatest(CAST(len({_DUCK_TOKENS}) AS DOUBLE), 1.0)) * 0.3
+                 + (1.0 - least(CAST({_DUCK_PUNCT} AS DOUBLE)
+                                / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0,
+                                1.0)) * 0.2)
+                 * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score().alias("quality"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    scores = ",\n           ".join(
+        f"{_duck_stop_count(lang)} AS s_{lang}" for lang in langs
+    )
+    clauses = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1:]
+        if not later:
+            clauses.append(f"ELSE '{lang}'")
+        else:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+            clauses.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(clauses) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang,
+           {scores}
+      FROM documents)
+    SELECT doc_id, lang, {case} AS lang_pred FROM scored
+    """
+
+
+@_register(
+    "lang_id",
+    "Heuristic stopword-overlap language ID with deterministic argmax "
+    "(functions/text.py:lang_predict); returns actual + predicted.",
+    _lang_id_oracle(),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_predict().alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@_register(
+    "ann_cosine_topk",
+    "Exact brute-force cosine top-5 for 10 query vectors against the corpus — "
+    "the ANN baseline (operators/similarity.py:cosine_topk); rank on rounded "
+    "sim with id tie-break.",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_DUCK_DVEC} AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_DUCK_DVEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             floor(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM q JOIN c ON query_id <> neighbor_id),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    "Embedding-cosine near-dup pairs within label blocks, sim >= 0.45 "
+    "(operators/similarity.py:embedding_near_dup_pairs).",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DUCK_DVEC} AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             floor(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.45
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+@_register(
+    "ann_ivf_topk",
+    "IVF-pruned ANN: corpus bucketed by label, centroid = per-label mean "
+    "vector, 2 probes per query (operators/similarity.py:ivf_topk). "
+    "Iterative/centroid computation — no SQL oracle; rows-only check.",
+    None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.col("label")
+    )
+    # centroids: per-bucket mean vector via posexplode → positional avg
+    pos = emb.select("bucket", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        pos.groupBy("bucket", "pos").agg(F.avg("v").alias("m"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("embedding")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, emb, cent, k=5, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_features",
+    "Arrow-batched mapInPandas feature extraction over binary media columns "
+    "(operators/multimodal.py; decode stubbed deterministically — docs text "
+    "as UTF-8 bytes). Exercises the Pandas-UDF path end-to-end.",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
+           floor(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                / length(text) * 1000000.0 + 0.5) / 1000000.0 AS byte_mean,
+           md5(substr(text, 1, 64)) AS head_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.text_as_media(docs))

@@ -1,0 +1,34 @@
+"""Query registry shared by the catalog modules.
+
+Each entry pairs a Spark implementation (spark_fn(spark, sf_dir) ->
+DataFrame) with a DuckDB oracle SQL string producing identical
+columns and normalized values (see catalog.py docstring for the
+normalization rules). ``oracle=None`` marks genuinely
+non-SQL-expressible ops — the driver records a weaker rows-only
+check for those.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, doc: str, oracle: str | None):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, doc=doc, spark=fn, oracle=oracle)
+        return fn
+    return wrap
