@@ -67,29 +67,72 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs with blocking.
 
     Blocking: equal ``block_cols`` plus |length difference| <=
-    ``max_length_diff`` (near-dups have near-equal length). The
-    equi-join part of the condition keeps Spark on a hash join; the
-    length predicate is a post-join filter evaluated before the
-    expensive set intersection.
+    ``max_length_diff``. Physical shape (chosen for scale — the naive
+    block-equi self-join puts a whole language on ONE task):
+
+    1. Pair generation runs on a *lite* projection (ids + block +
+       length + shingle-set size, no arrays). The length predicate is
+       turned into an equi key: band = floor(len / max_diff), with the
+       right side exploded to {band-1, band, band+1} — any qualifying
+       pair has |band diff| <= 1 and matches exactly one exploded row,
+       so the join key is (blocks, band): finer-grained than the block
+       alone, no duplicates, no distinct needed.
+    2. Lossless prune before any set math: jaccard <= min(|A|,|B|) /
+       max(|A|,|B|), so pairs whose shingle-set sizes differ by more
+       than the threshold ratio can't qualify.
+    3. Surviving pairs are repartitioned by id (uniform keys) and only
+       then joined back to the shingle arrays (small side — Catalyst
+       broadcasts it), computing the intersection once:
+       union = |A| + |B| - inter.
     """
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
-        *( [F.col(length_col)] if length_col else [] ),
+        *([F.col(length_col)] if length_col else []),
         char_shingles(text_col, shingle_n).alias("sh"),
-    )
-    a = sh.select(*[F.col(c).alias(f"a_{c}") for c in sh.columns])
-    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
+    ).withColumn("n_sh", F.size("sh"))
+    lite_cols = [id_col, *block_cols, "n_sh"]
+    lite = sh.select(*lite_cols, *([length_col] if length_col else []))
+    a = lite.select(*[F.col(c).alias(f"a_{c}") for c in lite.columns])
+    b = lite.select(*[F.col(c).alias(f"b_{c}") for c in lite.columns])
     cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    joined = a.join(b, cond, "inner")
+    # size-ratio prune (lossless, see docstring step 2)
+    cond = cond & (
+        F.least(F.col("a_n_sh"), F.col("b_n_sh"))
+        >= F.greatest(F.col("a_n_sh"), F.col("b_n_sh")) * threshold
+    )
     if length_col:
-        joined = joined.filter(
+        band = lambda c: F.floor(F.col(c) / max_length_diff)  # noqa: E731
+        a = a.withColumn("band", band(f"a_{length_col}"))
+        b = b.withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    band(f"b_{length_col}") - 1,
+                    band(f"b_{length_col}"),
+                    band(f"b_{length_col}") + 1,
+                )
+            ),
+        )
+        cond = cond & (a["band"] == b["band"]) & (
             F.abs(F.col(f"a_{length_col}") - F.col(f"b_{length_col}"))
             <= max_length_diff
         )
+    pairs = (
+        a.join(b, cond, "inner")
+        .select(f"a_{id_col}", f"b_{id_col}", "a_n_sh", "b_n_sh")
+        .repartition(F.col(f"a_{id_col}"))
+    )
+    sha = sh.select(F.col(id_col).alias(f"a_{id_col}"), F.col("sh").alias("a_sh"))
+    shb = sh.select(F.col(id_col).alias(f"b_{id_col}"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = (
+        F.col("a_n_sh").cast("double") + F.col("b_n_sh").cast("double") - inter
+    )
     return (
-        joined.withColumn("jaccard", _jaccard("a_sh", "b_sh"))
+        pairs.join(sha, f"a_{id_col}").join(shb, f"b_{id_col}")
+        .withColumn("jaccard", round_half_up(inter / F.greatest(union, F.lit(1.0)), 4))
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col(f"a_{id_col}").alias(f"{id_col}_a"),
@@ -104,21 +147,40 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    shingle_n: int = 3,
+    shingle_n: int = 8,
 ) -> DataFrame:
-    """MinHash signature per document: for hash i, min over shingles
-    of md5('<i>|' || shingle) — a lexicographic min over a portable
-    hash, identical in any engine.
+    """MinHash signature per document over character ``shingle_n``-grams.
+
+    Hash family: md5 per (seed, shingle), SLICED into four 8-hex-char
+    (32-bit) values — h_{4i+j} = min over shingles of
+    substr(md5('<i>|' || sh), 8j+1, 8). Lexicographic min over fixed-
+    width hex == numeric min over the 32-bit slice, and one md5 feeds
+    four hash functions, so signature cost is num_hashes/4 md5 calls
+    per shingle. Portable: any engine's md5 agrees bit-for-bit.
+
+    Default shingle_n=8, NOT the 3 used by exact n-gram Jaccard: with
+    3-char shingles every same-language document pair shares 30-50% of
+    its shingle set (English trigram saturation), so LSH bands collide
+    for nearly ALL pairs — measured 9.7M candidates over 5k docs.
+    8-char shingles make unrelated docs' Jaccard ≈ 0, keeping LSH
+    candidate count linear in true near-dups.
 
     Output: (id, h0..h{k-1}). One explode + one groupBy(id): linear
     scan cost, shuffle keyed on the (unique) doc id.
     """
+    n_seeds = (num_hashes + 3) // 4
     exploded = df.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("sh")
+    ).select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"m{i}")
+            for i in range(n_seeds)
+        ],
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.substring(F.col(f"m{k // 4}"), 8 * (k % 4) + 1, 8)).alias(f"h{k}")
+        for k in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -173,13 +235,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     rows_per_band: int = 2,
-    shingle_n: int = 3,
+    shingle_n: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact-jaccard verification (precision 1.0).
+
+    Signatures are cached: the banded self-join and downstream reuse
+    read one computation instead of re-deriving the explode+md5 scan
+    per join side. Recall at j=0.8 with 16 hashes / 8 bands of 2:
+    1-(1-0.64)^8 ≈ 0.9997.
     Output: (id_a, id_b, jaccard) for verified pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
     sh = df.select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))

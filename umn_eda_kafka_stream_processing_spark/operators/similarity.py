@@ -63,13 +63,20 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm("q_vec"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_norm", l2_norm("c_vec"))
+    # norms precomputed per row (not per pair): corpus norms cost one
+    # pass over the scan instead of one per query
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"), "inner")
-        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .withColumn(
+            "sim",
+            round_half_up(
+                dot_product("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -105,7 +112,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm("q_vec"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cent_sim").desc(), F.col(bucket_col).asc()
     )
@@ -114,16 +121,21 @@ def ivf_topk(
         .withColumn("cent_sim", cosine_similarity("q_vec", "cent_vec"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", bucket_col)
+        .select("query_id", "q_vec", "q_norm", bucket_col)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         F.col(bucket_col),
-    )
+    ).withColumn("c_norm", l2_norm("c_vec"))
     scored = (
         c.join(F.broadcast(probes), bucket_col, "inner")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+        .withColumn(
+            "sim",
+            round_half_up(
+                dot_product("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -145,20 +157,43 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: all (a<b) pairs with
     cosine >= threshold, blocked on ``block_col`` (near-dups land in
     the same coarse bucket; drop the block for exact quadratic).
+
+    Physical shape: pairs are generated on a lite (id, block)
+    projection — a block column has few distinct values, so a join
+    carrying vectors would put each whole block on one task — then
+    repartitioned by id (uniform) before the vectors are attached
+    (broadcast-sized side) and the cosine evaluated. Norms are
+    precomputed per row, not per pair.
     Output: (id_a, id_b, sim)."""
-    cols = [F.col(id_col), F.col(vec_col)] + (
-        [F.col(block_col)] if block_col else []
-    )
-    base = df.select(*cols)
-    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
-    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    base = df.select(
+        F.col(id_col), F.col(vec_col),
+        *([F.col(block_col)] if block_col else []),
+    ).withColumn("nrm", l2_norm(vec_col))
+    lite = base.select(id_col, *([block_col] if block_col else []))
+    a = lite.select(*[F.col(c).alias(f"a_{c}") for c in lite.columns])
+    b = lite.select(*[F.col(c).alias(f"b_{c}") for c in lite.columns])
     cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
-    join_keys = []
     if block_col:
-        join_keys = [a[f"a_{block_col}"] == b[f"b_{block_col}"]]
-    joined = a.join(b, join_keys + [cond] if join_keys else cond, "inner")
+        cond = (F.col(f"a_{block_col}") == F.col(f"b_{block_col}")) & cond
+    pairs = a.join(b, cond, "inner").select(
+        f"a_{id_col}", f"b_{id_col}"
+    ).repartition(F.col(f"a_{id_col}"))
+    va = base.select(
+        F.col(id_col).alias(f"a_{id_col}"),
+        F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    vb = base.select(
+        F.col(id_col).alias(f"b_{id_col}"),
+        F.col(vec_col).alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
     return (
-        joined.withColumn("sim", cosine_similarity(f"a_{vec_col}", f"b_{vec_col}"))
+        pairs.join(va, f"a_{id_col}").join(vb, f"b_{id_col}")
+        .withColumn(
+            "sim",
+            round_half_up(
+                dot_product("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")), 6
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select(
             F.col(f"a_{id_col}").alias(f"{id_col}_a"),

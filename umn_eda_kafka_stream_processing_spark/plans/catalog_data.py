@@ -37,10 +37,16 @@ from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
 
 # DuckDB SQL fragments kept in lockstep with functions/text.py
 _DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), "
-    "i -> substr(text, CAST(i AS INT), 3)))"
-)
+
+
+def _duck_shingles(n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length(text) - {n - 1}, 1) + 1), "
+        f"i -> substr(text, CAST(i AS INT), {n})))"
+    )
+
+
+_DUCK_SHINGLES = _duck_shingles(3)
 _DUCK_PUNCT = (
     "length(text) - length(regexp_replace(text, '[.,!?;:''\"()-]', '', 'g'))"
 )
@@ -92,10 +98,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(k: int = 16, r: int = 2) -> str:
+def _minhash_oracle(k: int = 16, r: int = 2, shingle_n: int = 8) -> str:
     b = k // r
     mins = ",\n           ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(k)
+        f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(k)
     )
     bands = ",\n           ".join(
         "md5(" + " || '|' || ".join(f"h{band * r + j}" for j in range(r)) + f") AS band{band}"
@@ -103,7 +110,7 @@ def _minhash_oracle(k: int = 16, r: int = 2) -> str:
     )
     any_band = " OR ".join(f"a.band{i} = b.band{i}" for i in range(b))
     return f"""
-    WITH sets AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    WITH sets AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS sh FROM documents),
     exploded AS (SELECT doc_id, unnest(sh) AS s FROM sets),
     sigs AS (SELECT doc_id,
            {mins}
@@ -127,10 +134,11 @@ def _minhash_oracle(k: int = 16, r: int = 2) -> str:
 
 @_register(
     "minhash_lsh_pairs",
-    "MinHash(16) + banded LSH (8 bands × 2 rows) near-dup candidates, "
-    "verified by exact jaccard >= 0.8 (operators/dedup.py:minhash_lsh_pairs). "
-    "Linear-scan scale path for corpus dedup.",
-    _minhash_oracle(16, 2),
+    "MinHash(16, md5-sliced) over 8-char shingles + banded LSH (8 bands × 2 "
+    "rows), verified by exact jaccard >= 0.8 "
+    "(operators/dedup.py:minhash_lsh_pairs). Linear-scan scale path for "
+    "corpus dedup.",
+    _minhash_oracle(16, 2, 8),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
