@@ -1,0 +1,136 @@
+"""Streaming-mode tests: the TopologyTestDriver analogue.
+
+Each test appends parquet files to a watched directory (one file ==
+one pipeInput burst), lets the query process all available input, and
+asserts on an in-memory sink table — mirroring how the reference
+tests pipe records and read output topics
+(reference: samples/PurchaseEventTicketTest.java:49-87).
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import functions as F
+
+from tests import fixtures as fx
+from umn_eda_kafka_stream_processing_spark import schemas
+from umn_eda_kafka_stream_processing_spark.sources.memory import rows_df
+from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+    file_stream_source,
+    start_memory_sink,
+)
+from umn_eda_kafka_stream_processing_spark.streaming.stateful import (
+    event_status_stream,
+    latest_by_key_stream,
+    topk_counter_stream,
+)
+
+
+def _pipe(spark, schema, rows, path, start_seq=0):
+    """Append one burst of records as a single parquet file."""
+    rows_df(spark, schema, rows, start_seq=start_seq).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_event_status_stream_capacity_lifecycle(spark, tmp_path):
+    """Confirm→sell-out→reject lifecycle, per-record emission.
+
+    Mirrors samples/PurchaseEventTicketTest.java:76-139: capacity 5;
+    tickets 1-5 CONFIRMED (5th at remaining exactly 0), 6-8 REJECTED.
+    """
+    src_dir, name = str(tmp_path / "tickets"), "confirmations"
+    _pipe(spark, schemas.TICKET, [fx.ticket(f"t{i}", "c1", "e1") for i in range(1, 4)], src_dir)
+
+    tickets = file_stream_source(spark, src_dir, schemas.TICKET, max_files_per_trigger=None)
+    events_dim = fx.df(spark, "event", [fx.event("e1", "a1", "v1", 5)])
+    joined = tickets.select(
+        F.col("id").alias("ticketid"), "customerid", "eventid", "event_seq"
+    ).join(
+        F.broadcast(events_dim.select(F.col("id").alias("eventid"), "capacity")),
+        "eventid",
+    )
+    q = start_memory_sink(event_status_stream(joined), name)
+    try:
+        q.processAllAvailable()
+        got = {r["ticketid"]: r for r in spark.sql(f"select * from {name}").collect()}
+        assert len(got) == 3
+        assert all(r["confirmation_status"] == "CONFIRMED" for r in got.values())
+
+        # second burst crosses capacity: t4/t5 confirmed, t6-t8 rejected
+        _pipe(spark, schemas.TICKET,
+              [fx.ticket(f"t{i}", "c1", "e1") for i in range(4, 9)], src_dir, start_seq=3)
+        q.processAllAvailable()
+        got = {r["ticketid"]: r for r in spark.sql(f"select * from {name}").collect()}
+        assert len(got) == 8
+        assert got["t5"]["confirmation_status"] == "CONFIRMED"
+        assert got["t5"]["remaining_tickets"] == 0.0  # exactly-0 is confirmed
+        assert got["t5"]["branch"] == "limited"
+        for t in ("t6", "t7", "t8"):
+            assert got[t]["confirmation_status"] == "REJECTED"
+            assert got[t]["branch"] == "sold-out"
+    finally:
+        q.stop()
+
+
+def test_topk_counter_stream_running_evolution(spark, tmp_path):
+    """Running top-3 evolution across microbatches
+    (mirrors samples/TopCustomerArtistsTest.java:63-114)."""
+    src_dir, name = str(tmp_path / "streams"), "topk"
+    _pipe(spark, schemas.STREAM,
+          [fx.stream(f"s{i}", "c1", a) for i, a in enumerate(["a1", "a1", "a2"])],
+          src_dir)
+    streams = file_stream_source(spark, src_dir, schemas.STREAM, max_files_per_trigger=None)
+    q = start_memory_sink(topk_counter_stream(streams, k=3), name)
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        by_rank = {r["rank"]: (r["artistid"], r["count"]) for r in rows}
+        assert by_rank[1] == ("a1", 2) and by_rank[2] == ("a2", 1)
+
+        # a2 overtakes a1
+        _pipe(spark, schemas.STREAM,
+              [fx.stream(f"s{i+3}", "c1", "a2") for i in range(2)], src_dir, start_seq=3)
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        assert ("a2", 3, 1) in {(r["artistid"], r["count"], r["rank"]) for r in rows}
+    finally:
+        q.stop()
+
+
+def test_latest_by_key_stream_upsert(spark, tmp_path):
+    """KTable last-write-wins changelog across batches."""
+    src_dir, name = str(tmp_path / "events"), "latest"
+    _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v1", 100)], src_dir)
+    events = file_stream_source(spark, src_dir, schemas.EVENT, max_files_per_trigger=None)
+    q = start_memory_sink(latest_by_key_stream(events, "id"), name)
+    try:
+        q.processAllAvailable()
+        # re-pipe e1 with new capacity: upsert overwrites
+        _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v2", 250)], src_dir, start_seq=1)
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name} order by event_seq").collect()
+        assert rows[-1]["capacity"] == 250 and rows[-1]["venueid"] == "v2"
+    finally:
+        q.stop()
+
+
+def test_native_running_count_update_mode(spark, tmp_path):
+    """Plain streaming count in update mode — the reference's
+    CustomerStreamCount (exercises/stateful/CustomerStreamCounterTest
+    .java:70-96: successive records re-emit growing counts)."""
+    src_dir, name = str(tmp_path / "streams2"), "counts"
+    _pipe(spark, schemas.STREAM,
+          [fx.stream("s1", "c1", "a1"), fx.stream("s2", "c1", "a1"),
+           fx.stream("s3", "c2", "a1")], src_dir)
+    streams = file_stream_source(spark, src_dir, schemas.STREAM, max_files_per_trigger=None)
+    counted = streams.groupBy("customerid").count()
+    q = start_memory_sink(counted, name)
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.STREAM, [fx.stream("s4", "c1", "a2")], src_dir, start_seq=3)
+        q.processAllAvailable()
+        rows = [(r["customerid"], r["count"]) for r in spark.sql(f"select * from {name}").collect()]
+        assert ("c1", 2) in rows and ("c1", 3) in rows and ("c2", 1) in rows
+    finally:
+        q.stop()

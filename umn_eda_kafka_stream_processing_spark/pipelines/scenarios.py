@@ -1,0 +1,173 @@
+"""The reference readme's stream-processing scenario catalog
+(reference: readme.md:150-208) as Spark logical plans over the
+entity DataFrames — the queries a user of the reference is asked to
+build beyond the shipped samples.
+
+Same conventions as pipelines/reference.py: batch form computes final
+state; every plan is collect-free and keyed so Catalyst chooses
+broadcast vs shuffle; dimension sides are marked broadcast where the
+domain guarantees smallness. The streaming twins run these same plans
+in update mode (plain counts) or via streaming/stateful.py (top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.operators.core import grouped_count, grouped_topk, latest_by_key
+
+
+def top_artists_global(streams: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k streamed artists across all customers
+    (reference: readme.md "MOST STREAMED ARTISTS" goal 2).
+    Output: (artistid, count, rank)."""
+    counts = grouped_count(streams, "artistid")
+    w = Window.orderBy(F.col("count").desc(), F.col("artistid").asc())
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def customers_by_top_artist(streams: DataFrame) -> DataFrame:
+    """Group customers sharing the same top streamed artist
+    (reference: readme.md "MOST STREAMED ARTISTS" bonus).
+    Output: (artistid, n_customers, customerids sorted array)."""
+    counts = grouped_count(streams, ["customerid", "artistid"])
+    top1 = grouped_topk(
+        counts, ["customerid"],
+        [F.col("count").desc(), F.col("artistid").asc()], 1,
+    )
+    return top1.groupBy("artistid").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_sort(F.collect_list("customerid")).alias("customerids"),
+    )
+
+
+def sold_out_event_alerts(
+    tickets: DataFrame, events: DataFrame, alert_pct: float = 10.0
+) -> DataFrame:
+    """Capacity alerts per event: 'sold-out' when requested >=
+    capacity, else 'near-capacity' when remaining <= ``alert_pct``%
+    (reference: readme.md "SOLD OUT EVENT": alert within 10% of max
+    capacity; alert when sold out).
+    Output: (eventid, capacity, requested, remaining_pct, alert)."""
+    events_tbl = latest_by_key(events, "id").select(
+        F.col("id").alias("eventid"), "capacity"
+    )
+    requested = grouped_count(tickets, "eventid", "requested")
+    status = (
+        requested.join(F.broadcast(events_tbl), "eventid", "inner")
+        .withColumn(
+            "remaining_pct",
+            F.greatest(
+                F.col("capacity").cast("double") - F.col("requested"), F.lit(0.0)
+            )
+            / F.col("capacity").cast("double") * 100.0,
+        )
+        .withColumn(
+            "alert",
+            F.when(F.col("requested") >= F.col("capacity"), F.lit("sold-out"))
+            .when(F.col("remaining_pct") <= alert_pct, F.lit("near-capacity")),
+        )
+    )
+    return status.filter(F.col("alert").isNotNull()).select(
+        "eventid", "capacity", "requested", "remaining_pct", "alert"
+    )
+
+
+def must_see_venue_by_events(events: DataFrame, k: int = 1) -> DataFrame:
+    """Venue(s) hosting the most events
+    (reference: readme.md "MUST SEE VENUE" goal 1).
+    Output: (venueid, n_events, rank)."""
+    counts = grouped_count(latest_by_key(events, "id"), "venueid", "n_events")
+    w = Window.orderBy(F.col("n_events").desc(), F.col("venueid").asc())
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def must_see_venue_by_customers(
+    tickets: DataFrame, events: DataFrame, k: int = 1
+) -> DataFrame:
+    """Venue(s) hosting the most distinct ticket-holding customers
+    (reference: readme.md "MUST SEE VENUE" goal 2).
+    Output: (venueid, n_customers, rank)."""
+    events_tbl = latest_by_key(events, "id").select(
+        F.col("id").alias("eventid"), "venueid"
+    )
+    per_venue = (
+        tickets.select("customerid", "eventid")
+        .join(F.broadcast(events_tbl), "eventid", "inner")
+        .groupBy("venueid")
+        .agg(F.count_distinct("customerid").alias("n_customers"))
+    )
+    w = Window.orderBy(F.col("n_customers").desc(), F.col("venueid").asc())
+    return per_venue.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def suggested_events_by_genre(
+    streams: DataFrame, artists: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Suggest to each customer the events in their most-streamed
+    genre (reference: readme.md "SUGGESTED EVENTS - GENRE": alert
+    customer when an event is created in their most streamed genre).
+    Output: (customerid, top_genre, eventid, artistid).
+
+    Scale: the per-customer top-genre table is fact-sized — the final
+    suggestion join is genre-keyed (low cardinality), so it shuffles
+    on genre with AQE skew splitting; the genre dim join onto events
+    broadcasts.
+    """
+    artists_tbl = latest_by_key(artists, "id").select(
+        F.col("id").alias("artistid"), "genre"
+    )
+    genre_counts = grouped_count(
+        streams.join(F.broadcast(artists_tbl), "artistid", "inner"),
+        ["customerid", "genre"],
+    )
+    top_genre = grouped_topk(
+        genre_counts, ["customerid"],
+        [F.col("count").desc(), F.col("genre").asc()], 1,
+    ).select("customerid", F.col("genre").alias("top_genre"))
+    event_genre = (
+        latest_by_key(events, "id")
+        .select(F.col("id").alias("eventid"), "artistid")
+        .join(F.broadcast(artists_tbl), "artistid", "inner")
+        .select("eventid", "artistid", F.col("genre").alias("top_genre"))
+    )
+    return top_genre.join(event_genre, "top_genre", "inner").select(
+        "customerid", "top_genre", "eventid", "artistid"
+    )
+
+
+def global_totals(**entity_dfs: DataFrame) -> DataFrame:
+    """Running total record count per entity across all partitions
+    (reference: readme.md "GLOBAL TOTALS" — the readme warns totals
+    are 'split across processing tasks' in Kafka Streams; in Spark a
+    global aggregate is just a two-stage partial+final count).
+    Output: (entity, total), one row per input DataFrame."""
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("total")).select(
+            F.lit(name).alias("entity"), "total"
+        )
+        for name, df in sorted(entity_dfs.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tickets_by_zip(tickets: DataFrame, addresses: DataFrame) -> DataFrame:
+    """Ticket count per customer zipcode (reference: readme.md
+    "SUGGESTED EVENTS - LOCATION" goal 1: all tickets purchased by
+    customers in each zipcode).
+    Output: (zip5, n_tickets)."""
+    addr_tbl = latest_by_key(addresses, "customerid").select("customerid", "zip5")
+    return grouped_count(
+        tickets.join(F.broadcast(addr_tbl), "customerid", "inner"),
+        "zip5", "n_tickets",
+    )
