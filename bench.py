@@ -13,6 +13,7 @@ startup isn't attributed to the first query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -41,6 +42,10 @@ def main() -> None:
         t0 = time.time()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop DataFrame refs so the ContextCleaner unpersists any
+        # checkpointed/cached RDDs a query materialized (the dedup
+        # pipelines localCheckpoint signatures) before the next query
+        gc.collect()
 
     print(
         json.dumps(

@@ -28,7 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
-from umn_eda_kafka_stream_processing_spark.functions.text import char_shingles, fingerprint_md5
+from umn_eda_kafka_stream_processing_spark.functions.text import (
+    char_shingles,
+    char_shingles_packed,
+    fingerprint_md5,
+)
 
 
 def exact_dedup_groups(
@@ -84,11 +88,19 @@ def ngram_jaccard_pairs(
        then joined back to the shingle arrays (small side — Catalyst
        broadcasts it), computing the intersection once:
        union = |A| + |B| - inter.
+    4. For n <= 3 the shingles are packed codepoints (one long per
+       shingle, functions/text.py:char_shingles_packed): exact same
+       set cardinalities, but the hot array_intersect runs on longs.
     """
+    shingles = (
+        char_shingles_packed(text_col, shingle_n)
+        if shingle_n * 21 <= 63
+        else char_shingles(text_col, shingle_n)
+    )
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         *([F.col(length_col)] if length_col else []),
-        char_shingles(text_col, shingle_n).alias("sh"),
+        shingles.alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     lite_cols = [id_col, *block_cols, "n_sh"]
     lite = sh.select(*lite_cols, *([length_col] if length_col else []))
@@ -119,10 +131,18 @@ def ngram_jaccard_pairs(
             F.abs(F.col(f"a_{length_col}") - F.col(f"b_{length_col}"))
             <= max_length_diff
         )
+    # repartition the probe side by id: a single-file scan would
+    # otherwise run the whole candidate generation on one task (the
+    # lite rows are tiny, so this shuffle is ~free at any scale)
+    # explicit partition count: repartition(col) alone lets AQE
+    # coalesce the tiny lite-row shuffle to ~1 partition, which would
+    # serialize the quadratic candidate work that hangs off it
+    par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        a.join(b, cond, "inner")
+        a.repartition(par, F.col(f"a_{id_col}"))
+        .join(b, cond, "inner")
         .select(f"a_{id_col}", f"b_{id_col}", "a_n_sh", "b_n_sh")
-        .repartition(F.col(f"a_{id_col}"))
+        .repartition(par, F.col(f"a_{id_col}"))
     )
     sha = sh.select(F.col(id_col).alias(f"a_{id_col}"), F.col("sh").alias("a_sh"))
     shb = sh.select(F.col(id_col).alias(f"b_{id_col}"), F.col("sh").alias("b_sh"))
@@ -169,7 +189,15 @@ def minhash_signatures(
     scan cost, shuffle keyed on the (unique) doc id.
     """
     n_seeds = (num_hashes + 3) // 4
-    exploded = df.select(
+    # repartition by id so hashing parallelism doesn't depend on the
+    # scan's file splits (a small single-file corpus reads as ONE
+    # partition and would md5 single-threaded). groupBy(id) below
+    # reuses this partitioning, so it adds no extra shuffle — it
+    # *moves* the shuffle before the md5 work.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(
+        par, F.col(id_col)
+    ).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("sh")
     ).select(
         id_col,
@@ -241,13 +269,22 @@ def minhash_lsh_pairs(
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact-jaccard verification (precision 1.0).
 
-    Signatures are cached: the banded self-join and downstream reuse
-    read one computation instead of re-deriving the explode+md5 scan
-    per join side. Recall at j=0.8 with 16 hashes / 8 bands of 2:
-    1-(1-0.64)^8 ≈ 0.9997.
+    Signatures are materialized once (eager localCheckpoint): the
+    banded self-join reads both sides from the stored result instead
+    of racing to recompute the explode+md5 lineage per side (lazy
+    .cache() does NOT dedupe concurrent first computations). Recall
+    at j=0.8 with 16 hashes / 8 bands of 2: 1-(1-0.64)^8 ≈ 0.9997.
     Output: (id_a, id_b, jaccard) for verified pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()
+    # explicit-count repartition before verification: AQE would
+    # coalesce the small candidate shuffle to ~1 partition and run
+    # every exact-jaccard intersect single-threaded
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band).repartition(
+        par, F.col(f"{id_col}_a")
+    )
     sh = df.select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
@@ -273,7 +310,12 @@ def simhash64(
     Output: (id, simhash (long), plus 4 16-bit chunk columns c0..c3
     for Hamming-bucket joins).
     """
-    toks = df.select(
+    # repartition by id: decouple token-hash parallelism from file
+    # splits (see minhash_signatures); the groupBy(id) vote
+    # aggregation reuses the partitioning.
+    toks = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )

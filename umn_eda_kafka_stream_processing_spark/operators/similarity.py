@@ -177,7 +177,9 @@ def embedding_near_dup_pairs(
         cond = (F.col(f"a_{block_col}") == F.col(f"b_{block_col}")) & cond
     pairs = a.join(b, cond, "inner").select(
         f"a_{id_col}", f"b_{id_col}"
-    ).repartition(F.col(f"a_{id_col}"))
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(f"a_{id_col}")
+    )
     va = base.select(
         F.col(id_col).alias(f"a_{id_col}"),
         F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"),

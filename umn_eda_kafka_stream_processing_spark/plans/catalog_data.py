@@ -47,6 +47,16 @@ def _duck_shingles(n: int = 3) -> str:
 
 
 _DUCK_SHINGLES = _duck_shingles(3)
+
+# packed-codepoint twin of functions/text.py:char_shingles_packed —
+# one BIGINT per 3-gram; greatest(ord,0) clamps DuckDB's ord('')=-1
+# to Spark's ascii('')=0
+_DUCK_SHINGLES_PACKED = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), "
+    "i -> greatest(ord(substr(text, CAST(i AS INT), 1)), 0) * 4398046511104 "
+    "+ greatest(ord(substr(text, CAST(i + 1 AS INT), 1)), 0) * 2097152 "
+    "+ greatest(ord(substr(text, CAST(i + 2 AS INT), 1)), 0)))"
+)
 _DUCK_PUNCT = (
     "length(text) - length(regexp_replace(text, '[.,!?;:''\"()-]', '', 'g'))"
 )
@@ -81,7 +91,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|n_chars diff| <= 50) (operators/dedup.py:ngram_jaccard_pairs). The "
     "quadratic correctness baseline; minhash_lsh_pairs is the scale path.",
     f"""
-    WITH sets AS (SELECT doc_id, lang, n_chars, {_DUCK_SHINGLES} AS sh FROM documents)
+    WITH sets AS (SELECT doc_id, lang, n_chars, {_DUCK_SHINGLES_PACKED} AS sh FROM documents)
     SELECT * FROM (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              floor(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
