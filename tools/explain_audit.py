@@ -1,0 +1,69 @@
+"""Physical-plan audit for every catalog query.
+
+Prints, per query, the operators Catalyst chose — join strategies,
+exchange (shuffle) count, scan pushdown — and flags patterns that
+would hurt at 100 TB:
+
+* CartesianProduct / BroadcastNestedLoopJoin on non-trivial inputs
+* parquet scans with no ReadSchema pruning (SELECT *)
+* more exchanges than expected for the query shape
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from umn_eda_kafka_stream_processing_spark.plans import REGISTRY
+from umn_eda_kafka_stream_processing_spark.session import get_spark
+
+INTERESTING = (
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+    "Exchange", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "Window", "WindowGroupLimit", "Generate", "Sort ",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="explain-audit")
+    warn = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        df = spec.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        counts = Counter()
+        for marker in INTERESTING:
+            n = plan.count(marker)
+            if n:
+                counts[marker.strip()] = n
+        flags = []
+        if counts.get("CartesianProduct"):
+            flags.append("CARTESIAN")
+        if counts.get("SortMergeJoin"):
+            flags.append("SMJ")
+        # scans reading every column of a wide table
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            if m.group(1).count(",") >= 7:
+                flags.append("WIDE-SCAN")
+                break
+        line = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        mark = " !! " + ",".join(flags) if flags else ""
+        print(f"  {name:34s} {line}{mark}")
+        if flags:
+            warn += 1
+    print(f"{warn} queries flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
