@@ -1,0 +1,86 @@
+"""Unit tests for temporal operators: as-of join, interval join,
+event-time windows (operators/joins.py, operators/windows.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.operators.joins import asof_join, interval_join
+from umn_eda_kafka_stream_processing_spark.operators.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    facts = spark.createDataFrame(
+        [("k1", _ts("2024-01-01T10:00:00"), "f1"),
+         ("k1", _ts("2024-01-01T12:00:00"), "f2"),
+         ("k1", _ts("2024-01-01T09:00:00"), "f0"),   # before any update
+         ("k2", _ts("2024-01-01T12:00:00"), "f3")],
+        "k string, t timestamp, fact_id string",
+    )
+    updates = spark.createDataFrame(
+        [("k1", _ts("2024-01-01T10:00:00"), "u-a"),   # == f1's time → inclusive
+         ("k1", _ts("2024-01-01T11:30:00"), "u-b"),
+         ("k2", _ts("2024-01-01T11:00:00"), "u-c")],
+        "k string, ut timestamp, val string",
+    )
+    got = {r["fact_id"]: r["val"]
+           for r in asof_join(facts, updates, "k", "t", "ut", ["val"]).collect()}
+    assert got == {"f1": "u-a", "f2": "u-b", "f3": "u-c"}  # f0 dropped (inner)
+
+    left = asof_join(facts, updates, "k", "t", "ut", ["val"], how="left")
+    got_left = {r["fact_id"]: r["val"] for r in left.collect()}
+    assert got_left["f0"] is None and len(got_left) == 4
+
+
+def test_interval_join(spark):
+    facts = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 10, "b"), ("k1", 15, "c"), ("k2", 5, "d")],
+        "k string, t long, fid string",
+    )
+    ivals = spark.createDataFrame(
+        [("k1", 0, 10, "early"), ("k1", 10, 20, "late")],
+        "k string, s long, e long, label string",
+    )
+    got = {(r["fid"], r["label"])
+           for r in interval_join(facts, ivals, "k", "t", "s", "e").collect()}
+    # right-open: t=10 falls in [10,20), not [0,10); k2 has no interval
+    assert got == {("a", "early"), ("b", "late"), ("c", "late")}
+
+
+def test_tumbling_and_sliding_windows(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01T10:05:00"), "x"), (_ts("2024-01-01T10:20:00"), "x"),
+         (_ts("2024-01-01T10:40:00"), "x")],
+        "t timestamp, g string",
+    )
+    tum = {(r["window_start"].minute, r["count"])
+           for r in tumbling_agg(df, "t", "30 minutes", ["g"]).collect()}
+    assert tum == {(0, 2), (30, 1)}
+    # 30m window sliding 15m: each event in 2 windows
+    sli = sliding_agg(df, "t", "30 minutes", "15 minutes", ["g"])
+    assert sum(r["count"] for r in sli.collect()) == 6
+
+
+def test_session_windows_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01T10:00:00"), "u"),
+         (_ts("2024-01-01T10:10:00"), "u"),    # within 30m → same session
+         (_ts("2024-01-01T11:00:00"), "u")],   # 50m gap → new session
+        "t timestamp, g string",
+    )
+    rows = sorted(
+        session_agg(df, "t", "30 minutes", ["g"]).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [r["count"] for r in rows] == [2, 1]
+    assert rows[0]["session_end"] == _ts("2024-01-01T10:40:00")  # last + gap

@@ -1,0 +1,98 @@
+"""Event-time windowed aggregation helpers.
+
+The reference uses NO event time at all — no watermarks, no windowed
+aggregations (SURVEY.md §2.8) — but a complete engine needs them, and
+they're the scale-correct way to bound streaming state. These are
+thin declarative wrappers over Spark's window/session_window so every
+windowed catalog query and streaming pipeline goes through one
+audited code path.
+
+All helpers accept either a TimestampType column name or an
+epoch-nanos long (the driver's events.ts — see sources/parquet.py)
+via ``ts_from_nanos``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ts_from_nanos(col: str | Column) -> Column:
+    """Epoch-nanos long → TimestampType (µs precision, truncating)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+
+
+def tumbling_agg(
+    df: DataFrame,
+    time_col: str | Column,
+    duration: str,
+    group_cols: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Fixed non-overlapping windows: one row per (window, groups).
+    Output includes window_start/window_end columns."""
+    tc = F.col(time_col) if isinstance(time_col, str) else time_col
+    w = F.window(tc, duration)
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("count")]
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    time_col: str | Column,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Overlapping windows of ``duration`` every ``slide``: each event
+    lands in duration/slide windows (Spark expands them map-side)."""
+    tc = F.col(time_col) if isinstance(time_col, str) else time_col
+    w = F.window(tc, duration, slide)
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("count")]
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    time_col: str | Column,
+    gap: str,
+    group_cols: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Session windows: events of a group closer than ``gap`` merge
+    into one session [first_event, last_event + gap)."""
+    tc = F.col(time_col) if isinstance(time_col, str) else time_col
+    w = F.session_window(tc, gap)
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("count")]
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def with_watermark(df: DataFrame, time_col: str, delay: str) -> DataFrame:
+    """Late-data bound for streaming windowed aggs: state for windows
+    older than max(event_time) - delay is finalized and dropped —
+    this is what keeps streaming window state finite; the reference's
+    unwindowed stores grow forever (SURVEY.md §2.8)."""
+    return df.withWatermark(time_col, delay)
