@@ -104,6 +104,20 @@ def branch(
     return branches
 
 
+def peek(df: DataFrame, *metrics: Column, name: str = "peek") -> DataFrame:
+    """Observe a stream without transforming it — the reference's
+    ``peek((k, v) -> log.info(...))`` (27 call sites, e.g.
+    samples/TopCustomerArtists.java:60,88).
+
+    Row-at-a-time logging is driver-hostile at scale, so this maps to
+    ``df.observe``: named aggregate metrics collected as a side effect
+    of the next action, readable via QueryExecutionListener /
+    StreamingQueryListener. Default metric: row count.
+    """
+    metrics = metrics or (F.count(F.lit(1)).alias("rows"),)
+    return df.observe(name, *metrics)
+
+
 def grouped_count(
     df: DataFrame, group_cols: str | Sequence[str], count_name: str = "count"
 ) -> DataFrame:
