@@ -41,3 +41,18 @@ def test_peek_is_passthrough(spark):
     df = spark.createDataFrame([(1,), (2,)], "x long")
     observed = peek(df, F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
     assert sorted(r["x"] for r in observed.collect()) == [1, 2]
+
+
+def test_topk_as_ordered_map(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.core import grouped_topk, topk_as_ordered_map
+
+    df = spark.createDataFrame(
+        [("c1", "a1", 5), ("c1", "a2", 9), ("c1", "a3", 1), ("c2", "a1", 2)],
+        "customerid string, artistid string, count long",
+    )
+    topk = grouped_topk(
+        df, ["customerid"], [F.col("count").desc(), F.col("artistid").asc()], 2
+    )
+    got = {r["customerid"]: [(s["name"], s["count"]) for s in r["top"]]
+           for r in topk_as_ordered_map(topk, "customerid", "artistid").collect()}
+    assert got == {"c1": [("a2", 9), ("a1", 5)], "c2": [("a1", 2)]}

@@ -167,6 +167,41 @@ def grouped_topk(
     )
 
 
+def topk_as_ordered_map(
+    topk: DataFrame,
+    group_cols: str | Sequence[str],
+    name_col: str,
+    count_col: str = "count",
+    rank_col: str = "rank",
+    out_col: str = "top",
+) -> DataFrame:
+    """Collapse grouped_topk rows into ONE row per group carrying an
+    ordered array<struct<name,count>> — the output shape of the
+    reference's LinkedHashMap<String,Long> aggregate
+    (samples/TopCustomerArtists.java:36-42). MapType would lose the
+    rank ordering, which is semantically significant (SURVEY.md §1.4);
+    array_sort on the (rank, name, count) struct keeps it.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return (
+        topk.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(rank_col, name_col, count_col))
+            ).alias("_sorted")
+        )
+        .select(
+            *keys,
+            F.transform(
+                "_sorted",
+                lambda s: F.struct(
+                    s[name_col].alias("name"), s[count_col].alias("count")
+                ),
+            ).alias(out_col),
+        )
+    )
+
+
 def running_count(
     df: DataFrame,
     key_cols: str | Sequence[str],
