@@ -134,3 +134,43 @@ def test_native_running_count_update_mode(spark, tmp_path):
         assert ("c1", 2) in rows and ("c1", 3) in rows and ("c2", 1) in rows
     finally:
         q.stop()
+
+
+def test_watermarked_tumbling_window_stream(spark, tmp_path):
+    """Event-time tumbling count with a watermark in update mode —
+    the windowed-agg streaming path (engine extension; the reference
+    has no event time, SURVEY.md §2.8). Late data within the
+    watermark still lands in its window."""
+    import datetime as dt
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        tumbling_agg,
+        with_watermark,
+    )
+
+    src_dir, name = str(tmp_path / "tevents"), "windowed"
+
+    def write(rows, fname):
+        spark.createDataFrame(rows, "t timestamp, k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write([(t0, "x"), (t0 + dt.timedelta(minutes=40), "x")], "b1")
+    stream = (
+        spark.readStream.schema("t timestamp, k string").parquet(src_dir)
+    )
+    windowed = tumbling_agg(with_watermark(stream, "t", "2 hours"), "t", "30 minutes", ["k"])
+    q = start_memory_sink(windowed, name)
+    try:
+        q.processAllAvailable()
+        # late event for the FIRST window, inside the watermark
+        write([(t0 + dt.timedelta(minutes=5), "x")], "b2")
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        counts = {}
+        for r in rows:  # update mode re-emits; keep the latest count per window
+            counts[r["window_start"].minute] = r["count"]
+        assert counts[0] == 2 and counts[30] == 1
+    finally:
+        q.stop()

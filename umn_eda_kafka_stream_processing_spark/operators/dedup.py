@@ -366,7 +366,10 @@ def simhash_near_pairs(
     per-chunk popcounts of XOR (chunk arithmetic only — portable,
     no signed-64 assembly).
     Output: (id_a, id_b, hamming)."""
-    sigs = simhash64(df, text_col, id_col)
+    # materialize once: both sides of the chunk self-join read the
+    # stored signatures instead of re-running the token explode +
+    # 64-way vote aggregation per side (see minhash_lsh_pairs)
+    sigs = simhash64(df, text_col, id_col).localCheckpoint()
     chunk_cols = [f"c{c}" for c in range(4)]
     melted = sigs.select(
         F.col(id_col), *chunk_cols,
