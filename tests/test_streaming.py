@@ -174,3 +174,47 @@ def test_watermarked_tumbling_window_stream(spark, tmp_path):
         assert counts[0] == 2 and counts[30] == 1
     finally:
         q.stop()
+
+
+def test_run_stream_matches_batch_final_state(spark, tmp_path):
+    """Streaming execution of named topologies converges to the batch
+    result on the same data (TopSellingGenreByVenue via the stateful
+    top-k twin; OutOfStateSales via native update-mode counts)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_batch, run_stream
+
+    dims = {
+        "artist": fx.df(spark, "artist", [
+            fx.artist("a1", genre="Rock"), fx.artist("a2", genre="Jazz"),
+        ]),
+        "event": fx.df(spark, "event", [
+            fx.event("e1", "a1", "v1", 100), fx.event("e2", "a2", "v1", 100),
+            fx.event("e3", "a1", "v2", 100),
+        ]),
+    }
+    tick_rows = [
+        fx.ticket(f"t{i}", "c1", e)
+        for i, e in enumerate(["e1", "e1", "e2", "e3", "e1", "e2", "e2", "e2"])
+    ]
+    src_dir = str(tmp_path / "tix")
+    _pipe(spark, schemas.TICKET, tick_rows, src_dir)
+    tickets_stream = file_stream_source(
+        spark, src_dir, schemas.TICKET, max_files_per_trigger=None
+    )
+    out = run_stream(
+        "TopSellingGenreByVenue", {"ticket": tickets_stream}, dims
+    )
+    q = start_memory_sink(out, "genre_topk")
+    try:
+        q.processAllAvailable()
+        got = {(r["venueid"], r["genre"]): (r["count"], r["rank"])
+               for r in spark.sql("select * from genre_topk").collect()}
+    finally:
+        q.stop()
+    batch = run_batch(
+        "TopSellingGenreByVenue",
+        {"ticket": fx.df(spark, "ticket", tick_rows), "event": dims["event"],
+         "artist": dims["artist"]},
+    )
+    want = {(r["venueid"], r["genre"]): (r["count"], r["rank"])
+            for r in batch.collect()}
+    assert got == want  # single microbatch → final emission == batch state

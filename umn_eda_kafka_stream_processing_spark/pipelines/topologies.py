@@ -154,3 +154,79 @@ def run_batch(
     in sink-topic order."""
     topo = TOPOLOGIES[name]
     return topo.build(*[tables[k] for k in topo.inputs])
+
+
+def run_stream(
+    name: str,
+    streams: dict[str, DataFrame],
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame | tuple[DataFrame, ...]:
+    """Run a named topology in Structured Streaming mode.
+
+    ``streams``: streaming DataFrames for the topology's fact
+    entities (from stream_topic / file_stream_source). ``dims``:
+    static snapshot DataFrames for the entities the reference
+    materializes as KTables — the stream-static join model (the
+    faithful equivalent: reference tests always pipe dims before
+    facts, SURVEY.md §2.3). Stateless topologies and plain counts
+    reuse the batch plans directly (update output mode); the
+    window-based constructs (top-k, running capacity) switch to their
+    applyInPandasWithState twins from streaming/stateful.py, because
+    relational window functions aren't defined on unbounded input.
+
+    Sink the result with streaming/runner.py (update mode) against
+    TOPOLOGIES[name].outputs.
+    """
+    from pyspark.sql import functions as F
+
+    from umn_eda_kafka_stream_processing_spark.operators.core import latest_by_key
+    from umn_eda_kafka_stream_processing_spark.pipelines import reference as r
+    from umn_eda_kafka_stream_processing_spark.streaming.stateful import (
+        event_status_stream,
+        topk_counter_stream,
+    )
+
+    dims = dims or {}
+
+    if name == "CustomerStreamCount":
+        return r.customer_stream_count(streams["stream"])
+    if name == "ArtistTicketCount":
+        return r.artist_ticket_count(streams["ticket"], dims["event"])
+    if name == "TargetCustomerFilter":
+        return r.target_customer_filter(streams["customer"])
+    if name == "AddressSortAndStringify":
+        return r.address_sort_and_stringify(streams["address"])
+    if name == "TopStreamingArtistByState":
+        return r.top_streaming_artist_by_state(
+            streams["stream"], dims["artist"], dims["customer"], dims["address"]
+        )
+    if name == "OutOfStateSales":
+        return r.out_of_state_sales(
+            streams["ticket"], dims["event"], dims["venue"], dims["address"]
+        )
+    if name == "TopCustomerArtists":
+        return topk_counter_stream(
+            streams["stream"], "customerid", "artistid", k=3
+        )
+    if name == "PurchaseEventTicket":
+        events_tbl = latest_by_key(dims["event"], "id").select(
+            F.col("id").alias("eventid"), "capacity"
+        )
+        joined = streams["ticket"].select(
+            F.col("id").alias("ticketid"), "customerid", "eventid", "event_seq"
+        ).join(F.broadcast(events_tbl), "eventid", "inner")
+        return event_status_stream(joined)
+    if name == "TopSellingGenreByVenue":
+        artists_tbl = latest_by_key(dims["artist"], "id").select(
+            F.col("id").alias("artistid"), "genre"
+        )
+        event_artist = (
+            latest_by_key(dims["event"], "id")
+            .select(F.col("id").alias("eventid"), "artistid", "venueid")
+            .join(F.broadcast(artists_tbl), "artistid", "inner")
+        )
+        enriched = streams["ticket"].select("eventid", "event_seq").join(
+            F.broadcast(event_artist), "eventid", "inner"
+        )
+        return topk_counter_stream(enriched, "venueid", "genre", k=3)
+    raise KeyError(f"unknown topology {name!r}")
