@@ -42,10 +42,14 @@ def main() -> None:
         t0 = time.time()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        # drop DataFrame refs so the ContextCleaner unpersists any
-        # checkpointed/cached RDDs a query materialized (the dedup
-        # pipelines localCheckpoint signatures) before the next query
+        # release the checkpointed/cached RDDs a query materialized
+        # (the dedup pipelines localCheckpoint signatures) before the
+        # next query: explicit unpersist beats waiting on the async
+        # ContextCleaner, and keeps executor memory flat over the run
         gc.collect()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

@@ -108,11 +108,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(k: int = 16, r: int = 2, shingle_n: int = 8) -> str:
+def _minhash_oracle(
+    k: int = 16, r: int = 2, shingle_n: int = 8, gate: float = 0.5
+) -> str:
     b = k // r
     mins = ",\n           ".join(
         f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
         for i in range(k)
+    )
+    est_matches = " + ".join(
+        f"(CASE WHEN sga.h{i} = sgb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
     bands = ",\n           ".join(
         "md5(" + " || '|' || ".join(f"h{band * r + j}" for j in range(r)) + f") AS band{band}"
@@ -128,8 +133,12 @@ def _minhash_oracle(k: int = 16, r: int = 2, shingle_n: int = 8) -> str:
     bands AS (SELECT doc_id,
            {bands}
       FROM sigs),
-    cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({any_band}))
+    cands0 AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({any_band})),
+    cands AS (SELECT c.doc_id_a, c.doc_id_b
+      FROM cands0 c JOIN sigs sga ON sga.doc_id = c.doc_id_a
+                    JOIN sigs sgb ON sgb.doc_id = c.doc_id_b
+      WHERE ({est_matches}) / {float(k)} >= {gate})
     SELECT * FROM (
       SELECT c.doc_id_a, c.doc_id_b,
              floor(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
@@ -148,7 +157,7 @@ def _minhash_oracle(k: int = 16, r: int = 2, shingle_n: int = 8) -> str:
     "rows), verified by exact jaccard >= 0.8 "
     "(operators/dedup.py:minhash_lsh_pairs). Linear-scan scale path for "
     "corpus dedup.",
-    _minhash_oracle(16, 2, 8),
+    _minhash_oracle(16, 2, 8, 0.5),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
