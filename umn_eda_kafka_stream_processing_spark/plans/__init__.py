@@ -2,6 +2,7 @@ import umn_eda_kafka_stream_processing_spark.plans.catalog  # noqa: F401  (regis
 import umn_eda_kafka_stream_processing_spark.plans.catalog_data  # noqa: F401  (registers data-pipeline queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_scenarios  # noqa: F401  (registers scenario-catalog queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_windows  # noqa: F401  (registers temporal-operator queries)
+import umn_eda_kafka_stream_processing_spark.plans.catalog_analytics  # noqa: F401  (registers analytics-surface queries)
 from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec
 
 __all__ = ["REGISTRY", "QuerySpec"]
