@@ -116,3 +116,17 @@ def test_multimodal_features_deterministic(spark):
     assert row["byte_sum"] == ord("a") + ord("b") + ord("c")
     import hashlib
     assert row["head_md5"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_kmeans_buckets_converges_and_ivf_works(spark, vectors):
+    assign, cent = sim.kmeans_buckets(vectors, k=2, iters=3)
+    got = {r["vec_id"]: r["bucket"] for r in assign.collect()}
+    # vectors 0,1 (x-axis-ish) should share a bucket; 3,4 (z-axis-ish) share
+    assert got[0] == got[1] and got[3] == got[4] and got[0] != got[3]
+    assert cent.count() == 2
+    # the kmeans buckets drive ivf_topk end-to-end
+    corpus = vectors.join(assign, "vec_id")
+    out = sim.ivf_topk(
+        vectors.filter(F.col("vec_id") == 0), corpus, cent, k=2, n_probe=1
+    )
+    assert {r["neighbor_id"] for r in out.collect()} <= {1, 2, 3, 4}

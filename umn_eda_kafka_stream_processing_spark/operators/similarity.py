@@ -147,6 +147,73 @@ def ivf_topk(
     )
 
 
+def kmeans_buckets(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer for IVF: Lloyd's k-means entirely in
+    DataFrame ops (no MLlib dependency, no collect of vectors).
+
+    Deterministic init: the k rows with smallest ids. Per iteration:
+    assign each vector to its max-cosine centroid (broadcast
+    centroids, JVM dot products), then recompute centroids as
+    positional means (posexplode → avg). Each round materializes via
+    localCheckpoint — the standard way to cut exponentially growing
+    lineage in iterative Spark jobs.
+
+    Returns (assignments (id, bucket), centroids (bucket, vec)).
+    Scale: per iteration one broadcast-join pass over the corpus and
+    one aggregation keyed by (bucket, pos); centroids stay tiny.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", l2_norm(vec_col)
+    )
+    w_init = Window.orderBy(F.col(id_col).asc())
+    cent = (
+        base.withColumn("_r", F.row_number().over(w_init))
+        .filter(F.col("_r") <= k)
+        .select(
+            (F.col("_r") - 1).alias("bucket"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cent)).withColumn(
+            "sim",
+            dot_product(vec_col, "cent_vec")
+            / (F.col("nrm") * l2_norm("cent_vec")),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("sim").desc(), F.col("bucket").asc()
+        )
+        assign = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, vec_col, "bucket")
+        )
+        cent = (
+            assign.select("bucket", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m.cast("float"),
+                ).alias("cent_vec")
+            )
+            .localCheckpoint()
+        )
+    return assign.select(id_col, "bucket"), cent.select(
+        "bucket", F.col("cent_vec").alias(vec_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -385,6 +385,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries, emb, cent, k=5, n_probe=2)
 
 
+@_register(
+    "ann_ivf_kmeans_topk",
+    "IVF ANN with a learned coarse quantizer: 5 Lloyd iterations of "
+    "DataFrame-only k-means (operators/similarity.py:kmeans_buckets) build "
+    "the buckets+centroids, then 2-probe pruned search. Iterative algorithm "
+    "— no SQL oracle; rows-only check.",
+    None,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cent = sim.kmeans_buckets(emb, k=8, iters=5)
+    corpus = emb.join(assign, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, corpus, cent, k=5, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
