@@ -109,13 +109,22 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    # size-ratio prune (lossless, see docstring step 2)
+    # size-ratio prune (lossless, see docstring step 2). The final
+    # filter tests the jaccard ROUNDED half-up to 4 dp, so a true
+    # J just under `threshold` can still round up and pass — widen
+    # the prune bound by half an ulp of that scale to stay lossless.
+    prune_bound = threshold - 0.5 * 10 ** -4
     cond = cond & (
         F.least(F.col("a_n_sh"), F.col("b_n_sh"))
-        >= F.greatest(F.col("a_n_sh"), F.col("b_n_sh")) * threshold
+        >= F.greatest(F.col("a_n_sh"), F.col("b_n_sh")) * prune_bound
     )
     if length_col:
-        band = lambda c: F.floor(F.col(c) / max_length_diff)  # noqa: E731
+        # width floor of 1: max_length_diff=0 means equal lengths
+        # only — floor(len/0) would be NULL and silently drop ALL
+        # pairs; with width 1 the |diff| <= 0 filter below still
+        # enforces exact equality
+        width = max(max_length_diff, 1)
+        band = lambda c: F.floor(F.col(c) / width)  # noqa: E731
         a = a.withColumn("band", band(f"a_{length_col}"))
         b = b.withColumn(
             "band",

@@ -52,6 +52,12 @@ def asof_join(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     fact_payload = [c for c in facts.columns if c not in keys and c != fact_time]
+    clash = set(fact_payload) & set(payload_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join output would contain duplicate columns {sorted(clash)}; "
+            "rename one side before joining"
+        )
     u = updates.select(
         *[F.col(k) for k in keys],
         F.col(update_time).alias("_t"),
@@ -112,8 +118,10 @@ def interval_join(
     on both sides, like dedup.ngram_jaccard_pairs' length bands).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    cond = (F.col(fact_time) >= F.col(start_col)) & (
-        F.col(fact_time) < F.col(end_col)
+    # qualify through the parent DataFrames: unqualified F.col would be
+    # ambiguous whenever both sides carry a column with the same name
+    cond = (facts[fact_time] >= intervals[start_col]) & (
+        facts[fact_time] < intervals[end_col]
     )
     for k in keys:
         cond = (facts[k] == intervals[k]) & cond

@@ -155,7 +155,8 @@ def kmeans_buckets(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse quantizer for IVF: Lloyd's k-means entirely in
-    DataFrame ops (no MLlib dependency, no collect of vectors).
+    DataFrame ops (no MLlib dependency; only the k seed vectors
+    ever reach the driver).
 
     Deterministic init: the k rows with smallest ids. Per iteration:
     assign each vector to its max-cosine centroid (broadcast
@@ -171,22 +172,25 @@ def kmeans_buckets(
     base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "nrm", l2_norm(vec_col)
     )
-    w_init = Window.orderBy(F.col(id_col).asc())
+    # k smallest ids via distributed TakeOrderedAndProject — an
+    # unpartitioned row_number window would sort the whole corpus
+    # through one task
+    init = base.orderBy(F.col(id_col).asc()).limit(k).collect()
     cent = (
-        base.withColumn("_r", F.row_number().over(w_init))
-        .filter(F.col("_r") <= k)
-        .select(
-            (F.col("_r") - 1).alias("bucket"),
-            F.col(vec_col).alias("cent_vec"),
+        df.sparkSession.createDataFrame(
+            [(i, row[vec_col]) for i, row in enumerate(init)],
+            f"bucket int, cent_vec {df.schema[vec_col].dataType.simpleString()}",
         )
+        .withColumn("c_nrm", l2_norm("cent_vec"))
         .localCheckpoint()
     )
     assign = None
     for _ in range(iters):
+        # centroid norms precomputed on the tiny cent side — not
+        # re-derived per (row x centroid) pair
         scored = base.crossJoin(F.broadcast(cent)).withColumn(
             "sim",
-            dot_product(vec_col, "cent_vec")
-            / (F.col("nrm") * l2_norm("cent_vec")),
+            dot_product(vec_col, "cent_vec") / (F.col("nrm") * F.col("c_nrm")),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("sim").desc(), F.col("bucket").asc()
@@ -207,6 +211,7 @@ def kmeans_buckets(
                     lambda s: s.m.cast("float"),
                 ).alias("cent_vec")
             )
+            .withColumn("c_nrm", l2_norm("cent_vec"))
             .localCheckpoint()
         )
     return assign.select(id_col, "bucket"), cent.select(

@@ -15,9 +15,13 @@ explicit, plannable alternative when AQE's heuristics aren't enough.
 * ``salted_agg`` — the same two-stage shape for any distributive
   aggregate pair (e.g. partial sum → sum, partial max → max).
 
-The salt is ``pmod(hash(row-identity cols), buckets)`` when identity
-columns are given (deterministic, replay-stable) or a uniform random
-otherwise (counts don't care which bucket a row lands in).
+The salt is ``pmod(hash(salt cols), buckets)`` — deterministic and
+replay-stable. ``F.rand()`` is deliberately NOT used: random values
+depend on within-partition row order, which is nondeterministic
+downstream of a shuffle, so a retried map task could re-salt its rows
+differently and double-count/drop them across salt buckets. With no
+``salt_cols`` given, every column is hashed (identical rows co-bucket,
+which is harmless for distributive aggregates).
 """
 
 from __future__ import annotations
@@ -28,10 +32,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(salt_cols: Sequence[str] | None, buckets: int) -> Column:
-    if salt_cols:
-        return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(buckets))
-    return (F.rand() * buckets).cast("int")
+def _salt(df: DataFrame, salt_cols: Sequence[str] | None, buckets: int) -> Column:
+    cols = list(salt_cols) if salt_cols else list(df.columns)
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets))
 
 
 def salted_grouped_count(
@@ -45,7 +48,7 @@ def salted_grouped_count(
     result, hot keys spread over ``salt_buckets`` reducers."""
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     partial = (
-        df.withColumn("_salt", _salt(salt_cols, salt_buckets))
+        df.withColumn("_salt", _salt(df, salt_cols, salt_buckets))
         .groupBy(*keys, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
@@ -68,7 +71,7 @@ def salted_agg(
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     partial = (
-        df.withColumn("_salt", _salt(salt_cols, salt_buckets))
+        df.withColumn("_salt", _salt(df, salt_cols, salt_buckets))
         .groupBy(*keys, "_salt")
         .agg(*partial_aggs)
     )

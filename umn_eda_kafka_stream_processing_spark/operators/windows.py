@@ -21,9 +21,20 @@ from pyspark.sql import functions as F
 
 
 def ts_from_nanos(col: str | Column) -> Column:
-    """Epoch-nanos long → TimestampType (µs precision, truncating)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+    """Epoch-nanos long → TimestampType (µs precision, truncating).
+
+    Integer `div`, NOT float division: epoch-nanos (~1.8e18) exceed
+    double's 2^53 exact range (ulp there is 256 ns), so `/ 1000`
+    would mis-bucket values within ~128 ns of a boundary and diverge
+    from the DuckDB oracles' exact TIMESTAMP_NS casts. For Column
+    inputs the exact path routes through DECIMAL division (truncating
+    cast to long == floor-div for non-negative epochs).
+    """
+    if isinstance(col, str):
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+    return F.timestamp_micros(
+        (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    )
 
 
 def tumbling_agg(

@@ -27,7 +27,9 @@ Kafka's per-partition arrival order (a key lives in one partition).
 
 from __future__ import annotations
 
+import base64
 import json
+import pickle
 from collections.abc import Iterator
 from typing import Any
 
@@ -39,11 +41,25 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def _state_json(state: GroupState) -> dict[str, Any]:
-    """Read this key's state dict (stored as one JSON string)."""
+    """Read this key's state dict (stored as one JSON string). Use
+    only for JSON-safe state (strings/ints) — generic row payloads go
+    through _state_pickle, which round-trips timestamps/binary/
+    decimals that json.dumps would reject or mangle."""
     if state.exists:
         (raw,) = state.get
         return json.loads(raw)
     return {}
+
+
+def _state_pickle(state: GroupState) -> dict[str, Any]:
+    if state.exists:
+        (raw,) = state.get
+        return pickle.loads(base64.b64decode(raw))
+    return {}
+
+
+def _pickle_state(payload: dict[str, Any]) -> str:
+    return base64.b64encode(pickle.dumps(payload)).decode("ascii")
 
 
 def latest_by_key_stream(
@@ -65,7 +81,7 @@ def latest_by_key_stream(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        st = _state_json(state)
+        st = _state_pickle(state)
         best_seq = st.get("seq")
         best_row = st.get("row")
         for pdf in pdfs:
@@ -75,19 +91,14 @@ def latest_by_key_stream(
             last = pdf.iloc[-1]
             if best_seq is None or int(last[order_col]) >= best_seq:
                 best_seq = int(last[order_col])
-                best_row = {c: _py(last[c]) for c in payload_cols}
-        state.update((json.dumps({"seq": best_seq, "row": best_row}),))
+                best_row = {c: last[c] for c in payload_cols}
+        state.update((_pickle_state({"seq": best_seq, "row": best_row}),))
         if best_row is not None:
             yield pd.DataFrame([best_row], columns=payload_cols)
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-
-
-def _py(v: Any) -> Any:
-    """numpy scalar → plain python for JSON round-tripping."""
-    return v.item() if hasattr(v, "item") else v
 
 
 EVENT_STATUS_SCHEMA = T.StructType([
