@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from umn_eda_kafka_stream_processing_spark.operators.joins import asof_join
+from umn_eda_kafka_stream_processing_spark.operators.joins import asof_join, interval_join
 from umn_eda_kafka_stream_processing_spark.operators.windows import (
     session_agg,
     sliding_agg,
@@ -148,3 +148,76 @@ def session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
         "count",
     )
+
+
+@_register(
+    "first_week_event_counts",
+    "Interval join: each user's events falling inside [first event, first "
+    "event + 7 days), counted per user (operators/joins.py:interval_join — "
+    "key-equi hash join with the range as a probe predicate).",
+    """
+    WITH f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ets FROM events),
+    iv AS (SELECT user_id, min(ets) AS s, min(ets) + INTERVAL '7 days' AS e
+           FROM f GROUP BY user_id)
+    SELECT iv.user_id, CAST(count(*) AS BIGINT) AS n_first_week
+    FROM f JOIN iv ON f.user_id = iv.user_id AND f.ets >= iv.s AND f.ets < iv.e
+    GROUP BY iv.user_id
+    """,
+)
+def first_week_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    facts = events.select(
+        "user_id", "event_id", ts_from_nanos("ts").alias("ets")
+    )
+    # intervals from an independent scan: deriving them from `facts`
+    # would make the interval join an ambiguous self-join
+    intervals = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", ts_from_nanos("ts").alias("ets"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ets").alias("s"),
+            (F.min("ets") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+        )
+    )
+    joined = interval_join(facts, intervals, "user_id", "ets", "s", "e")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_week")
+    )
+
+
+@_register(
+    "user_prop_gaps",
+    "Anti-join / EXCEPT set semantics over a derived domain: per user, how "
+    "many observed prop-k values (extracted from the events JSON props "
+    "column) the user has never produced — distinct users x distinct ks "
+    "minus observed pairs (engine set-operation surface beyond the "
+    "reference's merge, SURVEY.md §2.5).",
+    r"""
+    WITH obs AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      FROM events
+    ),
+    gaps AS (
+      SELECT u.user_id, ks.k
+      FROM (SELECT DISTINCT user_id FROM obs) u
+      CROSS JOIN (SELECT DISTINCT k FROM obs) ks
+      EXCEPT
+      SELECT user_id, k FROM obs
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_missing
+    FROM gaps GROUP BY user_id
+    """,
+)
+def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select(
+        "user_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"),
+    ).distinct()
+    universe = obs.select("user_id").distinct().crossJoin(
+        obs.select("k").distinct()
+    )
+    gaps = universe.join(obs, ["user_id", "k"], "left_anti")
+    return gaps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_missing"))
