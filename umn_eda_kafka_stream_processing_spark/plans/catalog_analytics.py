@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
 from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
-from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table, spread
 
 # GPT-2-style pre-tokenizer classes, RE2/Java-regex-portable subset:
 # contraction suffixes, letter runs (Latin + ext, Greek, Cyrillic,
@@ -36,7 +36,7 @@ _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-zÀ-ɏͰ-ϿЀ-ӿ一-鿿]+|[0-9]+|[^A-Za-
     """,
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
@@ -74,7 +74,7 @@ _FOLD = f"(h, c) -> (h * {_B} + c) % {_M}"
     """,
 )
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     with_cp = docs.select(
         "doc_id",
         "text",

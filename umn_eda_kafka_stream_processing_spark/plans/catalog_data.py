@@ -33,7 +33,7 @@ from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
 from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
 from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
 from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
-from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table, spread
 
 # DuckDB SQL fragments kept in lockstep with functions/text.py
 _DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
@@ -270,7 +270,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", quality_score().alias("quality"))
 
 
@@ -303,7 +303,7 @@ def _lang_id_oracle() -> str:
     _lang_id_oracle(),
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", "lang", lang_predict().alias("lang_pred"))
 
 
@@ -423,5 +423,5 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.extract_features(mm.text_as_media(docs))

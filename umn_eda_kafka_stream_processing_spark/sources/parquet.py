@@ -33,6 +33,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df, key_col: str):
+    """Hash-repartition to full parallelism by ``key_col``.
+
+    For heavy per-row computation (hashing, regex, HOF folds) over a
+    SMALL file: a one-file scan is ONE partition, so the work would
+    run single-threaded regardless of cores; explicit count keeps AQE
+    from re-coalescing. At cluster scale a multi-file scan is already
+    parallel and this becomes one cheap narrow-ish shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.col(key_col))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
