@@ -218,3 +218,47 @@ def test_run_stream_matches_batch_final_state(spark, tmp_path):
     want = {(r["venueid"], r["genre"]): (r["count"], r["rank"])
             for r in batch.collect()}
     assert got == want  # single microbatch → final emission == batch state
+
+
+def test_checkpoint_recovery_continues_state(spark, tmp_path):
+    """Stopping a streaming query and restarting it against the same
+    checkpoint resumes aggregation state instead of recounting from
+    zero — the durability story the reference explicitly lacks
+    (cleanUp() wipes state on every start, Streams.java:116)."""
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    src_dir = str(tmp_path / "cstreams")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def run_query():
+        streams = file_stream_source(
+            spark, src_dir, schemas.STREAM, max_files_per_trigger=None
+        )
+        counted = streams.groupBy("customerid").count()
+        return start_foreach_batch_sink(
+            counted,
+            lambda batch, _id: collected.extend(
+                (r["customerid"], r["count"]) for r in batch.collect()
+            ),
+            checkpoint_dir=ckpt,
+        )
+
+    _pipe(spark, schemas.STREAM,
+          [fx.stream("s1", "c1", "a1"), fx.stream("s2", "c1", "a2")], src_dir)
+    q = run_query()
+    q.processAllAvailable()
+    q.stop()
+    assert ("c1", 2) in collected
+
+    # restart against the same checkpoint; new data continues the count
+    _pipe(spark, schemas.STREAM, [fx.stream("s3", "c1", "a3")], src_dir, start_seq=2)
+    q2 = run_query()
+    try:
+        q2.processAllAvailable()
+        assert ("c1", 3) in collected  # 2 (recovered) + 1, not a reset to 1
+        assert ("c1", 1) not in collected
+    finally:
+        q2.stop()
