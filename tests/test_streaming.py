@@ -262,3 +262,30 @@ def test_checkpoint_recovery_continues_state(spark, tmp_path):
         assert ("c1", 1) not in collected
     finally:
         q2.stop()
+
+
+def test_latest_by_key_stream_with_ttl(spark, tmp_path):
+    """TTL-bounded KTable state: operation is unchanged while keys
+    are live (expiry itself is wall-clock dependent — this pins the
+    mechanism wiring, not the timing). Uses an availableNow trigger:
+    with processing-time timeouts enabled the engine schedules
+    timeout-check batches, so processAllAvailable would never settle.
+    """
+    src_dir, name = str(tmp_path / "ttl_events"), "ttl_latest"
+    _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v1", 100)], src_dir)
+    _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v2", 250)], src_dir, start_seq=1)
+    events = file_stream_source(spark, src_dir, schemas.EVENT, max_files_per_trigger=None)
+    q = (
+        latest_by_key_stream(events, "id", ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        rows = spark.sql(f"select * from {name} order by event_seq").collect()
+        assert rows and rows[-1]["capacity"] == 250 and rows[-1]["venueid"] == "v2"
+    finally:
+        q.stop()

@@ -147,3 +147,69 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "total",
         )
     )
+
+
+@_register(
+    "q6_forecast_revenue",
+    "TPC-H Q6 forecasting revenue change: single-scan filter + aggregate — "
+    "the pushdown showcase (PushedFilters on shipdate/discount/quantity "
+    "reach the parquet scan; whole-stage codegen end to end).",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "customer_table_profile",
+    "Data-quality profile of the customer table: per-column null count, "
+    "exact distinct count, min/max (as strings) — the profiling sweep a "
+    "pipeline runs before training-data ingestion; one row per column via "
+    "a single multi-aggregate pass per column, unioned.",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+    FROM customer"""
+        for c in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    ),
+)
+def customer_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    parts = []
+    for c in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"):
+        parts.append(
+            cust.agg(
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            ).select(F.lit(c).alias("col"), "n_null", "n_distinct", "min_s", "max_s")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -66,21 +66,35 @@ def latest_by_key_stream(
     df: DataFrame,
     key_cols: str | list[str],
     order_col: str = "event_seq",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming KTable: emits, per microbatch and key, the current
     last-write-wins row (update-mode changelog).
 
     Output schema == input schema. State per key: (max seq, latest
-    payload as JSON).
+    payload, pickled).
+
+    ``ttl_ms`` bounds the otherwise-unbounded keyspace: keys idle
+    longer than the TTL are dropped from the store (processing-time
+    timeout). The reference's stores grow forever (SURVEY.md §2.8);
+    this is the engine's retention knob for 100 TB keyspaces where
+    dead keys dominate.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     out_schema = df.schema
     payload_cols = [f.name for f in out_schema.fields]
     state_schema = T.StructType([T.StructField("js", T.StringType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
         st = _state_pickle(state)
         best_seq = st.get("seq")
         best_row = st.get("row")
@@ -93,11 +107,13 @@ def latest_by_key_stream(
                 best_seq = int(last[order_col])
                 best_row = {c: last[c] for c in payload_cols}
         state.update((_pickle_state({"seq": best_seq, "row": best_row}),))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if best_row is not None:
             yield pd.DataFrame([best_row], columns=payload_cols)
 
     return df.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "update", timeout
     )
 
 
