@@ -289,3 +289,35 @@ def test_latest_by_key_stream_with_ttl(spark, tmp_path):
         assert rows and rows[-1]["capacity"] == 250 and rows[-1]["venueid"] == "v2"
     finally:
         q.stop()
+
+
+def test_sold_out_alerts_stream_fires_on_threshold(spark, tmp_path):
+    """Streaming capacity alerts (readme SOLD OUT EVENT scenario):
+    near-capacity fires when <=10% remains, sold-out when full."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.scenarios import (
+        sold_out_event_alerts_stream,
+    )
+
+    src_dir, name = str(tmp_path / "alert_tix"), "alerts"
+    events_dim = fx.df(spark, "event", [fx.event("e1", "a1", "v1", 10)])
+    _pipe(spark, schemas.TICKET,
+          [fx.ticket(f"t{i}", "c1", "e1") for i in range(5)], src_dir)
+    tickets = file_stream_source(spark, src_dir, schemas.TICKET, max_files_per_trigger=None)
+    q = start_memory_sink(
+        sold_out_event_alerts_stream(tickets, events_dim), name,
+        output_mode="update",
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"select * from {name}").count() == 0  # 5/10: no alert
+        _pipe(spark, schemas.TICKET,
+              [fx.ticket(f"t{i}", "c1", "e1") for i in range(5, 9)], src_dir, start_seq=5)
+        q.processAllAvailable()
+        alerts = {r["alert"] for r in spark.sql(f"select * from {name}").collect()}
+        assert alerts == {"near-capacity"}  # 9/10 = 10% left
+        _pipe(spark, schemas.TICKET, [fx.ticket("t9", "c1", "e1")], src_dir, start_seq=9)
+        q.processAllAvailable()
+        alerts = {r["alert"] for r in spark.sql(f"select * from {name}").collect()}
+        assert "sold-out" in alerts
+    finally:
+        q.stop()

@@ -171,3 +171,40 @@ def tickets_by_zip(tickets: DataFrame, addresses: DataFrame) -> DataFrame:
         tickets.join(F.broadcast(addr_tbl), "customerid", "inner"),
         "zip5", "n_tickets",
     )
+
+
+def sold_out_event_alerts_stream(
+    tickets_stream: DataFrame, events: DataFrame, alert_pct: float = 10.0
+) -> DataFrame:
+    """Streaming twin of sold_out_event_alerts.
+
+    Streaming-legal operator order: the static capacity dim joins the
+    ticket stream BEFORE the aggregation (Structured Streaming
+    disallows stream-static joins after a streaming aggregate), then
+    one update-mode count per (event, capacity) derives the alert in
+    the post-aggregation projection. Each microbatch re-emits the
+    updated rows — the alert firing as soon as the threshold crosses.
+    """
+    events_tbl = latest_by_key(events, "id").select(
+        F.col("id").alias("eventid"), "capacity"
+    )
+    requested = (
+        tickets_stream.select("eventid")
+        .join(F.broadcast(events_tbl), "eventid", "inner")
+        .groupBy("eventid", "capacity")
+        .agg(F.count(F.lit(1)).alias("requested"))
+    )
+    status = requested.withColumn(
+        "remaining_pct",
+        F.greatest(
+            F.col("capacity").cast("double") - F.col("requested"), F.lit(0.0)
+        )
+        / F.col("capacity").cast("double") * 100.0,
+    ).withColumn(
+        "alert",
+        F.when(F.col("requested") >= F.col("capacity"), F.lit("sold-out"))
+        .when(F.col("remaining_pct") <= alert_pct, F.lit("near-capacity")),
+    )
+    return status.filter(F.col("alert").isNotNull()).select(
+        "eventid", "capacity", "requested", "remaining_pct", "alert"
+    )

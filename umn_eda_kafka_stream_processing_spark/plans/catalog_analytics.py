@@ -213,3 +213,58 @@ def customer_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "q10_returned_items",
+    "TPC-H Q10 returned-item reporting: customer x orders x lineitem x "
+    "nation, one quarter, returnflag R, top-20 customers by lost revenue "
+    "(deterministic tail: revenue DESC then custkey ASC).",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, revenue,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+          FROM rev)
+    WHERE rank <= 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return rev.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 20
+    )
