@@ -194,3 +194,38 @@ def test_top_selling_genre_by_venue(spark):
     for v in venues:
         sub = [(r["genre"], r["count"], r["rank"]) for r in got if r["venueid"] == v]
         assert sub == [("Rock", 3, 1), ("Pop", 2, 2), ("Jazz", 1, 3)]
+
+
+def test_top_selling_genre_eighteen_tickets_three_venues(spark):
+    """Mirror of the reference's largest aggregate test
+    (phase3/TopSellingGenreByVenueTest.java:309-372): 3 venues x 3
+    artists, 9 events (artist i%3 at venue i//3), 18 tickets giving
+    per-venue genre counts 3/2/1 — batch asserts the final state the
+    reference's per-record emission converges to."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.reference import top_selling_genre_by_venue
+
+    genres = ["Rock", "Jazz", "Pop"]
+    artists = fx.df(spark, "artist", [
+        fx.artist(f"artist-{i+1}", genre=genres[i]) for i in range(3)
+    ])
+    events = fx.df(spark, "event", [
+        fx.event(f"event-{i+1}", f"artist-{i % 3 + 1}", f"venue-{i // 3 + 1}", 50)
+        for i in range(9)
+    ])
+    ticket_events = [
+        "event-1", "event-1", "event-1", "event-2", "event-2", "event-3",
+        "event-4", "event-4", "event-4", "event-5", "event-5", "event-6",
+        "event-7", "event-7", "event-7", "event-8", "event-8", "event-9",
+    ]
+    tickets = fx.df(spark, "ticket", [
+        fx.ticket(f"ticket-{i+1}", f"customer-{i+1}", e)
+        for i, e in enumerate(ticket_events)
+    ])
+    got = {
+        (r["venueid"], r["rank"]): (r["genre"], r["count"])
+        for r in top_selling_genre_by_venue(tickets, events, artists).collect()
+    }
+    for v in ("venue-1", "venue-2", "venue-3"):
+        assert got[(v, 1)] == ("Rock", 3)
+        assert got[(v, 2)] == ("Jazz", 2)
+        assert got[(v, 3)] == ("Pop", 1)
