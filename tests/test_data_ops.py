@@ -51,7 +51,7 @@ def test_simhash_identical_text_hamming_zero(spark):
             (3, "unrelated words entirely different")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
-             for r in dd.simhash_near_pairs(df, max_hamming=64).collect()}
+             for r in dd.simhash_near_pairs(df, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
 
 

@@ -33,6 +33,10 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(REGISTRY)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

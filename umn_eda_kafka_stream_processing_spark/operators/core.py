@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 def latest_by_key(
     df: DataFrame,
     key_cols: str | Sequence[str],
-    order_col: str = "event_seq",
+    order_col: str | Column = "event_seq",
 ) -> DataFrame:
     """Last-write-wins-by-key view — the reference's KTable.
 
@@ -39,8 +39,9 @@ def latest_by_key(
     |rows|.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
     payload = [c for c in df.columns if c not in keys]
-    agg = [F.max_by(F.struct(*payload), F.col(order_col)).alias("_latest")]
+    agg = [F.max_by(F.struct(*payload), order).alias("_latest")]
     out = df.groupBy(*keys).agg(*agg)
     return out.select(*keys, "_latest.*")
 
@@ -96,6 +97,11 @@ def branch(
     branches: list[DataFrame] = []
     seen_any: Column | None = None
     for pred in predicates:
+        # NULL-safe: a predicate evaluating to NULL must mean "does
+        # not match" (like a Java predicate returning false), not
+        # "drop the record from every branch including the default" —
+        # which is what raw three-valued filters would do
+        pred = F.coalesce(pred, F.lit(False))
         cond = pred if seen_any is None else (~seen_any) & pred
         branches.append(df.filter(cond))
         seen_any = pred if seen_any is None else seen_any | pred

@@ -407,6 +407,12 @@ def simhash_near_pairs(
     per-chunk popcounts of XOR (chunk arithmetic only — portable,
     no signed-64 assembly).
     Output: (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole candidates guarantee recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); pairs farther apart "
+            "may share no 16-bit chunk and would be silently missed"
+        )
     # materialize once: both sides of the chunk self-join read the
     # stored signatures instead of re-running the token explode +
     # 64-way vote aggregation per side (see minhash_lsh_pairs)

@@ -54,16 +54,19 @@ def decode_stub(content: bytes, deterministic_fake: bool = True) -> Any:
     """Stand-in for a real media decode (PIL.Image.open /
     libav / torchaudio.load — not installed in this container).
 
-    deterministic_fake=True returns the raw byte values as the
-    "decoded" sample array, so downstream feature math is exact and
-    test/oracle-checkable.
+    deterministic_fake=True "decodes" the bytes as UTF-8 text and
+    returns the sequence of Unicode codepoints as the sample array —
+    deterministic, oracle-checkable with plain SQL string functions
+    for ANY input text (byte-level features would diverge from
+    character-level SQL the moment a multi-byte character appears).
     """
     if not deterministic_fake:
         raise NotImplementedError(
             "media codecs not available in this environment; "
             "install PIL/av and replace decode_stub"
         )
-    return bytearray(content or b"")
+    text = (content or b"").decode("utf-8")
+    return [ord(ch) for ch in text]
 
 
 def text_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -88,23 +91,26 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     vectorized inside each batch via numpy.
     """
     import hashlib
-
-    import numpy as np
+    import math
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                decoded = decode_stub(bytes(content) if content is not None else b"")
-                arr = np.frombuffer(bytes(decoded), dtype=np.uint8)
-                n = int(arr.size)
-                s = int(arr.sum()) if n else 0
+                units = decode_stub(bytes(content) if content is not None else b"")
+                n = len(units)
+                s = sum(units)
+                # half-up, matching functions/scalar.py:round_half_up
+                # (Python round() is half-even and would diverge on
+                # exact .5 boundaries)
+                mean = math.floor(s / n * 1e6 + 0.5) / 1e6 if n else 0.0
+                head = "".join(chr(u) for u in units[:64])
                 out.append({
                     "media_id": int(media_id),
                     "n_bytes": n,
                     "byte_sum": s,
-                    "byte_mean": round(s / n, 6) if n else 0.0,
-                    "head_md5": hashlib.md5(bytes(decoded[:64])).hexdigest(),
+                    "byte_mean": mean,
+                    "head_md5": hashlib.md5(head.encode("utf-8")).hexdigest(),
                 })
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec, register as _register
 
-from umn_eda_kafka_stream_processing_spark.functions.scalar import composite_key, remaining_percentage
-from umn_eda_kafka_stream_processing_spark.operators.core import branch, grouped_count, grouped_topk, merge
+from umn_eda_kafka_stream_processing_spark.functions.scalar import composite_key, remaining_percentage, round_half_up
+from umn_eda_kafka_stream_processing_spark.operators.core import branch, grouped_count, grouped_topk, latest_by_key, merge
 from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
 
 
@@ -70,18 +70,19 @@ def user_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_event_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # single hash-agg (map-side combined) rather than window+sort:
-    # shuffle volume is |users|, not |events| — the 100 TB-safe shape.
-    return events.groupBy("user_id").agg(
-        F.max_by(
-            F.struct("event_id", "event_type", "value"),
-            F.struct("ts", "event_id"),
-        ).alias("_last")
-    ).select(
+    # the engine's KTable operator: single hash-agg (map-side
+    # combined) rather than window+sort — shuffle volume is |users|,
+    # not |events|, the 100 TB-safe shape.
+    latest = latest_by_key(
+        events.select("user_id", "event_id", "event_type", "value", "ts"),
         "user_id",
-        F.col("_last.event_id").alias("last_event_id"),
-        F.col("_last.event_type").alias("last_event_type"),
-        F.col("_last.value").alias("last_value"),
+        F.struct("ts", "event_id"),
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
     )
 
 
@@ -381,9 +382,9 @@ def order_capacity_confirmation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
                           * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           floor(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+           floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+           floor(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -401,9 +402,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money_sum(price, "sum_base_price"),
         _money_sum(price * (1 - disc), "sum_disc_price"),
         _money_sum(price * (1 - disc) * (1 + tax), "sum_charge"),
-        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-        F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
-        F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+        round_half_up(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        round_half_up(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+        round_half_up(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -508,7 +509,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine extension — reference has no event-time windows, SURVEY.md §2.8).",
     """
     SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
-           count(*) AS n, round(CAST(SUM(value) AS DOUBLE), 4) AS value_sum
+           count(*) AS n, floor(CAST(SUM(value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS value_sum
     FROM events GROUP BY hour, event_type
     """,
 )
@@ -520,5 +521,5 @@ def hourly_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_hour.groupBy("hour", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        round_half_up(F.sum("value"), 4).alias("value_sum"),
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
 from umn_eda_kafka_stream_processing_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint_md5,
@@ -245,7 +246,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ntok.alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_text"),
-        F.round(
+        round_half_up(
             F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
             / F.greatest(ntok.cast("double"), F.lit(1.0)),
             4,

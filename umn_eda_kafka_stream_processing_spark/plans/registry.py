@@ -29,6 +29,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, doc: str, oracle: str | None):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite would drop the first query from the
+            # driver's correctness gate and the bench unnoticed
+            raise ValueError(f"duplicate catalog query name {name!r}")
         REGISTRY[name] = QuerySpec(name=name, doc=doc, spark=fn, oracle=oracle)
         return fn
     return wrap
