@@ -321,3 +321,59 @@ def test_sold_out_alerts_stream_fires_on_threshold(spark, tmp_path):
         assert "sold-out" in alerts
     finally:
         q.stop()
+
+
+def test_exact_dedup_stream_emits_first_only(spark, tmp_path):
+    """Streaming exact dedup: the first document per fingerprint is
+    emitted once; later duplicates (same batch or later batches) are
+    suppressed by the fingerprint state."""
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import exact_dedup_stream
+
+    src_dir, name = str(tmp_path / "docs"), "dedup_stream"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_docs([(1, "hello world"), (2, "Hello World  "), (3, "other text")])
+    docs = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = start_memory_sink(exact_dedup_stream(docs), name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql(f"select * from {name}").collect()}
+        assert 3 in got and len(got) == 2  # 1 xor 2 survives, 3 survives
+        write_docs([(4, "hello world"), (5, "brand new")])  # 4 is a late dup
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql(f"select * from {name}").collect()}
+        assert 5 in got and 4 not in got and len(got) == 3
+    finally:
+        q.stop()
+
+
+def test_exact_dedup_stream_watermarked(spark, tmp_path):
+    """Watermarked variant: same-content docs at different event
+    times still dedup (state keyed on fingerprint alone, expiring at
+    the watermark)."""
+    import datetime as dt
+
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import exact_dedup_stream
+
+    src_dir, name = str(tmp_path / "wdocs"), "dedup_wm"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [(1, "same text", t0), (2, "same text", t0 + dt.timedelta(minutes=5)),
+         (3, "different", t0)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    docs = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src_dir)
+    q = start_memory_sink(
+        exact_dedup_stream(docs, event_time_col="ts", watermark_delay="1 hour"),
+        name, output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql(f"select * from {name}").collect()}
+        assert len(got) == 2 and 3 in got  # one of 1/2 plus 3
+    finally:
+        q.stop()
