@@ -377,3 +377,54 @@ def test_exact_dedup_stream_watermarked(spark, tmp_path):
         assert len(got) == 2 and 3 in got  # one of 1/2 plus 3
     finally:
         q.stop()
+
+
+def test_run_stream_native_agg_and_stateless_topologies(spark, tmp_path):
+    """run_stream equivalence for a native update-mode aggregation
+    with a 4-hop dim join (OutOfStateSales) and a stateless filter
+    topology (TargetCustomerFilter, append mode)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_batch, run_stream
+
+    dims = {
+        "event": fx.df(spark, "event", [fx.event("e1", "a1", "v1", 50),
+                                        fx.event("e2", "a1", "v2", 50)]),
+        "venue": fx.df(spark, "venue", [fx.venue("v1", "ad-v1"), fx.venue("v2", "ad-v2")]),
+        "address": fx.df(spark, "address", [
+            fx.address("ad-v1", "none", state="MN"), fx.address("ad-v2", "none", state="WI"),
+            fx.address("ad1", "c1", state="MN"), fx.address("ad2", "c2", state="IA"),
+        ]),
+    }
+    tick_rows = [fx.ticket(f"t{i}", c, e) for i, (c, e) in enumerate(
+        [("c1", "e1"), ("c2", "e1"), ("c1", "e2"), ("c2", "e2"), ("c2", "e1")])]
+    src = str(tmp_path / "oos_tix")
+    _pipe(spark, schemas.TICKET, tick_rows, src)
+    tickets_stream = file_stream_source(spark, src, schemas.TICKET, max_files_per_trigger=None)
+    out = run_stream("OutOfStateSales", {"ticket": tickets_stream}, dims)
+    q = start_memory_sink(out, "oos_stream")
+    try:
+        q.processAllAvailable()
+        got = {(r["venueid"], r["count"])
+               for r in spark.sql("select * from oos_stream").collect()}
+    finally:
+        q.stop()
+    batch = run_batch("OutOfStateSales", {
+        "ticket": fx.df(spark, "ticket", tick_rows), **dims})
+    want = {(r["venueid"], r["count"]) for r in batch.collect()}
+    assert got == want and got  # non-empty and equal
+
+    # stateless topology in append mode
+    cust_rows = [fx.customer("c-90", birthdt="1994-01-01"),
+                 fx.customer("c-80", birthdt="1985-01-01")]
+    csrc = str(tmp_path / "custs")
+    _pipe(spark, schemas.CUSTOMER, cust_rows, csrc)
+    cust_stream = file_stream_source(spark, csrc, schemas.CUSTOMER, max_files_per_trigger=None)
+    q2 = start_memory_sink(
+        run_stream("TargetCustomerFilter", {"customer": cust_stream}),
+        "target_stream", output_mode="append",
+    )
+    try:
+        q2.processAllAvailable()
+        ids = {r["id"] for r in spark.sql("select * from target_stream").collect()}
+        assert ids == {"c-90"}
+    finally:
+        q2.stop()
