@@ -130,3 +130,11 @@ def test_kmeans_buckets_converges_and_ivf_works(spark, vectors):
         vectors.filter(F.col("vec_id") == 0), corpus, cent, k=2, n_probe=1
     )
     assert {r["neighbor_id"] for r in out.collect()} <= {1, 2, 3, 4}
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, vectors):
+    jvm = sim.cosine_topk(vectors.filter(F.col("vec_id") < 2), vectors, k=3)
+    pdu = sim.cosine_topk_pandas(vectors.filter(F.col("vec_id") < 2), vectors, k=3)
+    as_set = lambda df: {(r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+                         for r in df.collect()}
+    assert as_set(jvm) == as_set(pdu)
