@@ -65,7 +65,10 @@ def decode_stub(content: bytes, deterministic_fake: bool = True) -> Any:
             "media codecs not available in this environment; "
             "install PIL/av and replace decode_stub"
         )
-    text = (content or b"").decode("utf-8")
+    # errors='replace' keeps the stub total over arbitrary binary
+    # (deterministic U+FFFD substitution) instead of crashing the
+    # task on non-UTF8 media bytes
+    text = (content or b"").decode("utf-8", errors="replace")
     return [ord(ch) for ch in text]
 
 

@@ -310,6 +310,11 @@ def cosine_topk_pandas(
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if not q_rows:
         raise ValueError("cosine_topk_pandas: empty query set")
+    if not all(isinstance(r[id_col], int) for r in q_rows):
+        raise TypeError(
+            "cosine_topk_pandas requires integer ids (LongType output); "
+            "use cosine_topk for other id types"
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -330,7 +335,16 @@ def cosine_topk_pandas(
             top = min(k + 1, len(ids))            # +1 absorbs self-match
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
-                cand = np.argpartition(-col, top - 1)[:top] if len(ids) > top else np.arange(len(ids))
+                if len(ids) > top:
+                    # tie-safe cutoff: keep everything within one
+                    # rounding ulp (1e-6) of the top-th raw score, so
+                    # a neighbor that ROUNDS equal to the k-th can't
+                    # be pruned here and lose to the global
+                    # (sim DESC, id ASC) tie-break
+                    kth = np.partition(-col, top - 1)[top - 1]
+                    cand = np.flatnonzero(-col <= kth + 1.5e-6)
+                else:
+                    cand = np.arange(len(ids))
                 for ci in cand:
                     if ids[ci] == q_ids[qi]:
                         continue

@@ -44,6 +44,26 @@ def customers_by_top_artist(streams: DataFrame) -> DataFrame:
     )
 
 
+def _capacity_alerts(requested: DataFrame, alert_pct: float) -> DataFrame:
+    """Shared alert projection over a (eventid, capacity, requested)
+    frame — one definition of the threshold semantics for the batch
+    and streaming twins."""
+    status = requested.withColumn(
+        "remaining_pct",
+        F.greatest(
+            F.col("capacity").cast("double") - F.col("requested"), F.lit(0.0)
+        )
+        / F.col("capacity").cast("double") * 100.0,
+    ).withColumn(
+        "alert",
+        F.when(F.col("requested") >= F.col("capacity"), F.lit("sold-out"))
+        .when(F.col("remaining_pct") <= alert_pct, F.lit("near-capacity")),
+    )
+    return status.filter(F.col("alert").isNotNull()).select(
+        "eventid", "capacity", "requested", "remaining_pct", "alert"
+    )
+
+
 def sold_out_event_alerts(
     tickets: DataFrame, events: DataFrame, alert_pct: float = 10.0
 ) -> DataFrame:
@@ -55,25 +75,10 @@ def sold_out_event_alerts(
     events_tbl = latest_by_key(events, "id").select(
         F.col("id").alias("eventid"), "capacity"
     )
-    requested = grouped_count(tickets, "eventid", "requested")
-    status = (
-        requested.join(F.broadcast(events_tbl), "eventid", "inner")
-        .withColumn(
-            "remaining_pct",
-            F.greatest(
-                F.col("capacity").cast("double") - F.col("requested"), F.lit(0.0)
-            )
-            / F.col("capacity").cast("double") * 100.0,
-        )
-        .withColumn(
-            "alert",
-            F.when(F.col("requested") >= F.col("capacity"), F.lit("sold-out"))
-            .when(F.col("remaining_pct") <= alert_pct, F.lit("near-capacity")),
-        )
+    requested = grouped_count(tickets, "eventid", "requested").join(
+        F.broadcast(events_tbl), "eventid", "inner"
     )
-    return status.filter(F.col("alert").isNotNull()).select(
-        "eventid", "capacity", "requested", "remaining_pct", "alert"
-    )
+    return _capacity_alerts(requested, alert_pct)
 
 
 def must_see_venue_by_events(events: DataFrame, k: int = 1) -> DataFrame:
@@ -194,17 +199,4 @@ def sold_out_event_alerts_stream(
         .groupBy("eventid", "capacity")
         .agg(F.count(F.lit(1)).alias("requested"))
     )
-    status = requested.withColumn(
-        "remaining_pct",
-        F.greatest(
-            F.col("capacity").cast("double") - F.col("requested"), F.lit(0.0)
-        )
-        / F.col("capacity").cast("double") * 100.0,
-    ).withColumn(
-        "alert",
-        F.when(F.col("requested") >= F.col("capacity"), F.lit("sold-out"))
-        .when(F.col("remaining_pct") <= alert_pct, F.lit("near-capacity")),
-    )
-    return status.filter(F.col("alert").isNotNull()).select(
-        "eventid", "capacity", "requested", "remaining_pct", "alert"
-    )
+    return _capacity_alerts(requested, alert_pct)

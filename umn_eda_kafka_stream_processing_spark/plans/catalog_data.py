@@ -414,11 +414,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(range(1, length(text) + 1),
-                i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
-           floor(CAST(list_sum(list_transform(range(1, length(text) + 1),
-                i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
-                / length(text) * 1000000.0 + 0.5) / 1000000.0 AS byte_mean,
+           CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS byte_sum,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE floor(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                     / length(text) * 1000000.0 + 0.5) / 1000000.0 END AS byte_mean,
            md5(substr(text, 1, 64)) AS head_md5
     FROM documents
     """,

@@ -198,6 +198,7 @@ def first_week_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       FROM events
+      WHERE regexp_matches(props, '"k": (\d+)')
     ),
     gaps AS (
       SELECT u.user_id, ks.k
@@ -215,7 +216,7 @@ def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = events.select(
         "user_id",
         F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"),
-    ).distinct()
+    ).filter(F.col("k").isNotNull()).distinct()
     universe = obs.select("user_id").distinct().crossJoin(
         obs.select("k").distinct()
     )
