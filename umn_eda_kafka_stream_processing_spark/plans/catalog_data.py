@@ -427,3 +427,56 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.extract_features(mm.text_as_media(docs))
+
+
+@_register(
+    "lang_id_confusion",
+    "Language-ID evaluation matrix: per (actual, predicted) cell count and "
+    "mean quality score — the accuracy/quality audit a data pipeline runs "
+    "over its heuristic classifiers (functions/text.py:lang_predict + "
+    "quality_score).",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_duck_stop_count('en')} AS s_en, {_duck_stop_count('de')} AS s_de,
+             {_duck_stop_count('es')} AS s_es, {_duck_stop_count('fr')} AS s_fr,
+             {_duck_stop_count('zh')} AS s_zh,
+             floor((least(CAST(len({_DUCK_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + (1.0 - CAST({_duck_stop_count('en')} AS DOUBLE)
+                            / greatest(CAST(len({_DUCK_TOKENS}) AS DOUBLE), 1.0)) * 0.3
+                   + (1.0 - least(CAST({_DUCK_PUNCT} AS DOUBLE)
+                                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0,
+                                  1.0)) * 0.2)
+                   * 10000.0 + 0.5) / 10000.0 AS q
+      FROM documents
+    ), pred AS (
+      SELECT lang, q,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(q AS DECIMAL(14,4))) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_quality
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "lang", lang_predict().alias("lang_pred"), quality_score().alias("q")
+    )
+    # mean via exact decimal SUM / count: float avg is summation-
+    # order-dependent across partitions and could diverge from the
+    # oracle's sequential average on a rounding boundary
+    return scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(
+            F.sum(F.col("q").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+    )
