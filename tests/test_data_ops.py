@@ -40,6 +40,33 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(a < b for a, b in got)
 
 
+def test_ngram_jaccard_quadratic_guard_raises(spark, docs):
+    # 4 en docs in one (lang, band) neighborhood → est >= 16 pairs;
+    # a cap of 5 must trip before any shingle work is planned
+    with pytest.raises(ValueError, match="candidate pairs exceeds"):
+        dd.ngram_jaccard_pairs(docs, max_candidate_pairs=5)
+
+
+def test_ngram_jaccard_quadratic_guard_delegates(spark, docs):
+    out = dd.ngram_jaccard_pairs(
+        docs, threshold=0.7, max_candidate_pairs=5, on_explosion="delegate"
+    )
+    # delegated to minhash_lsh_pairs: same output contract, and the
+    # case/whitespace dup pair (1,2) — jaccard 1.0 at any shingle
+    # width — must survive the swap
+    assert set(out.columns) == {"doc_id_a", "doc_id_b", "jaccard"}
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_ngram_jaccard_guard_not_tripped_when_under_cap(spark, docs):
+    got = {(r["doc_id_a"], r["doc_id_b"])
+           for r in dd.ngram_jaccard_pairs(
+               docs, threshold=0.7, max_candidate_pairs=10_000).collect()}
+    assert (1, 3) in got
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
     got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}

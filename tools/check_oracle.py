@@ -22,12 +22,25 @@ from umn_eda_kafka_stream_processing_spark.session import get_spark
 from umn_eda_kafka_stream_processing_spark.sources.parquet import TESTDATA_TABLES
 
 
+def _hash_str(v):
+    """The driver hashes STRINGIFIED values, so two numerically-equal
+    values with different reprs (Decimal('1.40') vs 1.4, Decimal scale
+    drift between engines) are a driver-level MISMATCH. Round-1 blind
+    spot: comparing raw Python objects let Decimal('1.40') ==
+    Decimal('1.4') pass locally while the driver failed the hash."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 def norm_rows(cols, rows):
     """Sort columns by name, then rows — the driver's order-insensitive
-    compare sorts columns by name before hashing values."""
+    compare sorts columns by name before hashing stringified values."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+    out = [tuple(_hash_str(r[i]) for i in order) for r in rows]
+    return sorted(out)
 
 
 def main() -> int:

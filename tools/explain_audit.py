@@ -7,6 +7,8 @@ would hurt at 100 TB:
 * CartesianProduct / BroadcastNestedLoopJoin on non-trivial inputs
 * parquet scans with no ReadSchema pruning (SELECT *)
 * more exchanges than expected for the query shape
+* unpartitioned Window nodes (global single-task sort — the
+  "No Partition Defined for Window operation" runtime warning)
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
@@ -31,6 +33,30 @@ INTERESTING = (
 )
 
 
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window physical nodes with an empty partition spec.
+
+    WindowExec's simple string is ``Window [exprs], [partSpec],
+    [orderSpec]`` — with no partitioning the middle group is omitted,
+    leaving exactly one ``], [`` separator instead of two. Such a node
+    moves ALL rows to one task (Spark warns "No Partition Defined for
+    Window operation"); the engine's rule is that any global ranking
+    goes through operators.core.global_topk instead.
+    """
+    n = 0
+    # Window [exprs], [partSpec], [orderSpec] — partitioned has two
+    # "], [" separators, unpartitioned one.
+    for m in re.finditer(r"\bWindow (\[.*)$", plan, re.M):
+        if m.group(1).count("], [") < 2:
+            n += 1
+    # WindowGroupLimit [partSpec], [orderSpec], rankFn, k, mode —
+    # partitioned has one separator, unpartitioned none.
+    for m in re.finditer(r"\bWindowGroupLimit (\[.*)$", plan, re.M):
+        if m.group(1).count("], [") < 1:
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -51,6 +77,8 @@ def main() -> int:
             flags.append("CARTESIAN")
         if counts.get("SortMergeJoin"):
             flags.append("SMJ")
+        if unpartitioned_windows(plan):
+            flags.append("UNPART-WINDOW")
         # scans reading every column of a wide table
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
             if m.group(1).count(",") >= 7:

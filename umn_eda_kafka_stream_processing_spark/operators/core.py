@@ -173,6 +173,60 @@ def grouped_topk(
     )
 
 
+def global_topk(
+    df: DataFrame,
+    order_by: Sequence[tuple[str, bool]],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Global top-k with a dense 1..k rank — scale-safe replacement for
+    ``row_number() OVER (ORDER BY ...)`` + ``rank <= k``.
+
+    An unpartitioned ranking window is a single-task sort of the ENTIRE
+    input (Spark warns "No Partition Defined for Window operation") —
+    at 100× customer/supplier scale that one task is the job. Instead:
+
+    1. ``orderBy(...).limit(k)`` — planned as TakeOrderedAndProject, a
+       distributed partial top-k: every map partition keeps only its
+       own best k rows, and the driver merges |partitions|·k rows.
+    2. rank the ≤k survivors with NO window at all: collect them into
+       one array, ``array_sort`` by the ordering, ``posexplode`` so
+       position+1 is the rank. The aggregate sees ≤k rows by
+       construction, so the single final row is trivially cheap and no
+       WindowExec (hence no single-partition-sort path) ever exists.
+
+    ``order_by`` is ``[(column_name, ascending)]`` and must be a total
+    order (tie-break to a unique key) with non-null sort keys —
+    DESC columns are negated for the array sort, so they must be
+    numeric (every global ranking in this engine orders by a count or
+    a money sum, then a unique key ASC).
+    """
+    order_cols = [
+        F.col(name).asc() if asc else F.col(name).desc() for name, asc in order_by
+    ]
+    top = df.orderBy(*order_cols).limit(k)
+    sort_fields = []
+    for i, (name, asc) in enumerate(order_by):
+        col = F.col(name)
+        if not asc:
+            dt = dict(df.dtypes)[name]
+            if dt in ("string", "date", "timestamp", "timestamp_ntz", "boolean"):
+                raise ValueError(
+                    f"global_topk: DESC on non-numeric column {name!r} ({dt}) "
+                    "is not expressible as an array-sort negation"
+                )
+            col = -col
+        sort_fields.append(col.alias(f"_k{i}"))
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*sort_fields, F.struct(*df.columns).alias("_row")))
+        ).alias("_sorted")
+    )
+    return packed.select(
+        F.posexplode("_sorted").alias("_pos", "_e")
+    ).select("_e._row.*", (F.col("_pos") + 1).cast("long").alias(rank_name))
+
+
 def topk_as_ordered_map(
     topk: DataFrame,
     group_cols: str | Sequence[str],

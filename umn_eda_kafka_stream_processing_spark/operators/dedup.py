@@ -58,6 +58,46 @@ def _jaccard(a: str, b: str) -> Column:
     return round_half_up(inter / F.greatest(union, F.lit(1.0)), 4)
 
 
+def _estimate_block_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    length_col: str | None,
+    max_length_diff: int,
+) -> int:
+    """Exact candidate-join row count for the blocked pair generation
+    in ngram_jaccard_pairs: Σ over matching (block, band) key pairs of
+    n_a · n_b (band match = |band diff| <= 1, mirroring the explode).
+
+    One groupBy over a (blocks, length) projection — no shingles are
+    computed — then a self-join of the tiny per-block size table
+    (localCheckpoint'd: deriving both join sides from one lazy plan
+    recomputes the lineage per side and risks ambiguous references).
+    """
+    keys = [F.col(c) for c in block_cols]
+    if length_col is not None:
+        width = max(max_length_diff, 1)
+        keys.append(F.floor(F.col(length_col) / width).alias("_band"))
+    sizes = (
+        df.select(*block_cols, *([length_col] if length_col else []))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint()
+    )
+    sa = sizes.select(*[F.col(c).alias(f"a_{c}") for c in sizes.columns])
+    sb = sizes.select(*[F.col(c).alias(f"b_{c}") for c in sizes.columns])
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    if length_col is not None:
+        cond = cond & (F.abs(F.col("a__band") - F.col("b__band")) <= 1)
+    row = (
+        sa.join(sb, cond, "inner")
+        .agg(F.sum(F.col("a__n") * F.col("b__n")).alias("est"))
+        .first()
+    )
+    return int(row["est"] or 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -67,6 +107,8 @@ def ngram_jaccard_pairs(
     max_length_diff: int = 50,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_candidate_pairs: int | None = 100_000_000,
+    on_explosion: str = "raise",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs with blocking.
 
@@ -91,7 +133,36 @@ def ngram_jaccard_pairs(
     4. For n <= 3 the shingles are packed codepoints (one long per
        shingle, functions/text.py:char_shingles_packed): exact same
        set cardinalities, but the hot array_intersect runs on longs.
+
+    QUADRATIC GUARD: within-block cost is O(block²) — on a 100 TB
+    monolingual corpus one block is astronomically large, and this
+    correctness baseline must NOT be the path that runs it. Before
+    building the pair join, the per-(block, band) sizes are aggregated
+    (a tiny table, one row per block) and the exact candidate-join row
+    count is computed from them; if it exceeds ``max_candidate_pairs``
+    the operator raises (``on_explosion="raise"``) or auto-delegates
+    to ``minhash_lsh_pairs`` (``on_explosion="delegate"`` — same
+    (id_a, id_b, jaccard) output contract, linear cost, jaccard
+    verified exactly over its own 8-gram shingles). The size
+    aggregation is a deliberate driver-side planning action — the
+    same runtime-statistics move AQE makes — over |blocks| rows, not
+    data rows. ``max_candidate_pairs=None`` disables the guard.
     """
+    if on_explosion not in ("raise", "delegate"):
+        raise ValueError(f"on_explosion must be 'raise' or 'delegate', got {on_explosion!r}")
+    if max_candidate_pairs is not None:
+        est = _estimate_block_pairs(df, block_cols, length_col, max_length_diff)
+        if est > max_candidate_pairs:
+            if on_explosion == "delegate":
+                return minhash_lsh_pairs(
+                    df, text_col=text_col, id_col=id_col, threshold=threshold
+                )
+            raise ValueError(
+                f"ngram_jaccard_pairs: estimated {est:,} candidate pairs exceeds "
+                f"max_candidate_pairs={max_candidate_pairs:,}; this operator is the "
+                "quadratic correctness baseline — use minhash_lsh_pairs for large "
+                "corpora, or pass on_explosion='delegate' to switch automatically"
+            )
     shingles = (
         char_shingles_packed(text_col, shingle_n)
         if shingle_n * 21 <= 63

@@ -165,6 +165,13 @@ def kmeans_buckets(
     localCheckpoint — the standard way to cut exponentially growing
     lineage in iterative Spark jobs.
 
+    Engine-portable determinism: assignment sims AND centroid
+    components are rounded half-up to 6 dp each iteration, so an
+    independent engine (the DuckDB oracle unrolls the same Lloyd
+    steps in SQL) converges to bit-identical buckets — raw
+    floating-point avg/dot results differ across engines in the last
+    ulp, which would otherwise compound over iterations.
+
     Returns (assignments (id, bucket), centroids (bucket, vec)).
     Scale: per iteration one broadcast-join pass over the corpus and
     one aggregation keyed by (bucket, pos); centroids stay tiny.
@@ -190,7 +197,9 @@ def kmeans_buckets(
         # re-derived per (row x centroid) pair
         scored = base.crossJoin(F.broadcast(cent)).withColumn(
             "sim",
-            dot_product(vec_col, "cent_vec") / (F.col("nrm") * F.col("c_nrm")),
+            round_half_up(
+                dot_product(vec_col, "cent_vec") / (F.col("nrm") * F.col("c_nrm")), 6
+            ),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("sim").desc(), F.col("bucket").asc()
@@ -208,7 +217,7 @@ def kmeans_buckets(
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m.cast("float"),
+                    lambda s: round_half_up(s.m, 6),
                 ).alias("cent_vec")
             )
             .withColumn("c_nrm", l2_norm("cent_vec"))

@@ -12,10 +12,10 @@ in update mode (plain counts) or via streaming/stateful.py (top-k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from umn_eda_kafka_stream_processing_spark.operators.core import grouped_count, grouped_topk, latest_by_key
+from umn_eda_kafka_stream_processing_spark.operators.core import global_topk, grouped_count, grouped_topk, latest_by_key
 
 
 def top_artists_global(streams: DataFrame, k: int = 3) -> DataFrame:
@@ -23,10 +23,7 @@ def top_artists_global(streams: DataFrame, k: int = 3) -> DataFrame:
     (reference: readme.md "MOST STREAMED ARTISTS" goal 2).
     Output: (artistid, count, rank)."""
     counts = grouped_count(streams, "artistid")
-    w = Window.orderBy(F.col("count").desc(), F.col("artistid").asc())
-    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return global_topk(counts, [("count", False), ("artistid", True)], k)
 
 
 def customers_by_top_artist(streams: DataFrame) -> DataFrame:
@@ -86,10 +83,7 @@ def must_see_venue_by_events(events: DataFrame, k: int = 1) -> DataFrame:
     (reference: readme.md "MUST SEE VENUE" goal 1).
     Output: (venueid, n_events, rank)."""
     counts = grouped_count(latest_by_key(events, "id"), "venueid", "n_events")
-    w = Window.orderBy(F.col("n_events").desc(), F.col("venueid").asc())
-    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return global_topk(counts, [("n_events", False), ("venueid", True)], k)
 
 
 def must_see_venue_by_customers(
@@ -107,10 +101,7 @@ def must_see_venue_by_customers(
         .groupBy("venueid")
         .agg(F.count_distinct("customerid").alias("n_customers"))
     )
-    w = Window.orderBy(F.col("n_customers").desc(), F.col("venueid").asc())
-    return per_venue.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return global_topk(per_venue, [("n_customers", False), ("venueid", True)], k)
 
 
 def suggested_events_by_genre(

@@ -127,19 +127,22 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sum exactly in decimal (order-independent), emit DOUBLE: DECIMAL
+    # stringifies with engine-dependent trailing-zero scale, which the
+    # driver's value hash treats as a mismatch even when values agree.
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -155,7 +158,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the pushdown showcase (PushedFilters on shipdate/discount/quantity "
     "reach the parquet scan; whole-stage codegen end to end).",
     """
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
                AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
@@ -175,8 +178,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
-            .cast("decimal(18,4)").alias("revenue"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")), 4
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -223,8 +227,8 @@ def customer_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT c.c_custkey, c.c_name, n.n_name,
-             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-                  AS DECIMAL(18,4)) AS revenue
+             CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 4)
+                  AS DOUBLE) AS revenue
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -242,7 +246,7 @@ def customer_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
 
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -259,12 +263,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).cast("decimal(18,4)").alias("revenue")
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+                ),
+                4,
+            ).cast("double").alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return rev.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 20
-    )
+    return global_topk(rev, [("revenue", False), ("c_custkey", True)], 20)

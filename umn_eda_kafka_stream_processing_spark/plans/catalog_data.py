@@ -360,25 +360,73 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+def _duck_cos(a: str, b: str) -> str:
+    """Rounded-6dp cosine in DuckDB SQL — the twin of
+    operators/similarity.py:cosine_similarity (floor half-up, same as
+    round_half_up on the Spark side)."""
+    return (
+        f"floor(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))) * 1000000.0 + 0.5) / 1000000.0"
+    )
+
+
+# positional mean of list column v grouped by bucket, components rounded
+# half-up 6dp — the twin of the posexplode→avg→round centroid build
+_DUCK_CENTROID = (
+    "SELECT bucket, list(floor(m * 1000000.0 + 0.5) / 1000000.0 ORDER BY pos) AS cv"
+    " FROM (SELECT bucket, pos, avg(val) AS m FROM"
+    " (SELECT bucket, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM {src})"
+    " GROUP BY bucket, pos) GROUP BY bucket"
+)
+
+# 2-probe IVF search against centroids {cent} over corpus {corpus}
+# (both must expose (bucket, ...) with vectors named cv / v)
+_DUCK_IVF_SEARCH = f"""
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    ps AS (SELECT query_id, qv, bucket, {_duck_cos('qv', 'cv')} AS cent_sim
+           FROM q CROSS JOIN {{cent}}),
+    probe AS (SELECT query_id, qv, bucket FROM
+      (SELECT query_id, qv, bucket,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cent_sim DESC, bucket ASC) AS pr
+       FROM ps) WHERE pr <= 2),
+    scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                      {_duck_cos('p.qv', 'c.v')} AS sim
+               FROM probe p JOIN {{corpus}} c
+                 ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 @_register(
     "ann_ivf_topk",
     "IVF-pruned ANN: corpus bucketed by label, centroid = per-label mean "
-    "vector, 2 probes per query (operators/similarity.py:ivf_topk). "
-    "Iterative/centroid computation — no SQL oracle; rows-only check.",
-    None,
+    "vector (components rounded half-up 6dp for engine portability), 2 "
+    "probes per query (operators/similarity.py:ivf_topk).",
+    f"""
+    WITH e AS (SELECT vec_id, label AS bucket, {_DUCK_DVEC} AS v FROM embeddings),
+    cent AS ({_DUCK_CENTROID.format(src='e')}),
+    {_DUCK_IVF_SEARCH.format(cent='cent', corpus='e')}
+    """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", F.col("label")
     )
-    # centroids: per-bucket mean vector via posexplode → positional avg
+    # centroids: per-bucket mean vector via posexplode → positional avg,
+    # components rounded half-up 6dp so the DuckDB twin is bit-identical
     pos = emb.select("bucket", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         pos.groupBy("bucket", "pos").agg(F.avg("v").alias("m"))
         .groupBy("bucket")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: round_half_up(s.m, 6),
             ).alias("embedding")
         )
     )
@@ -386,13 +434,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries, emb, cent, k=5, n_probe=2)
 
 
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """Unrolled DuckDB twin of kmeans_buckets + ivf_topk: the same
+    deterministic Lloyd iterations (init = k smallest ids; assignment
+    sim and centroid components rounded half-up 6dp — see
+    operators/similarity.py:kmeans_buckets) expressed as ``iters``
+    chained CTE stages, then the standard 2-probe IVF search."""
+    ctes = [
+        f"e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings)",
+        # init: buckets 0..k-1 over the k smallest vec_ids
+        (
+            "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1"
+            " AS INT) AS bucket, v AS cv FROM"
+            f" (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {k}))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"score{i} AS (SELECT e.vec_id, e.v, c.bucket,"
+            f" {_duck_cos('e.v', 'c.cv')} AS sim FROM e CROSS JOIN cent{i - 1} c)"
+        )
+        ctes.append(
+            f"assign{i} AS (SELECT vec_id, v, bucket FROM"
+            f" (SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY sim DESC, bucket ASC) AS rk FROM score{i}) WHERE rk = 1)"
+        )
+        ctes.append(f"cent{i} AS ({_DUCK_CENTROID.format(src=f'assign{i}')})")
+    search = _DUCK_IVF_SEARCH.format(cent=f"cent{iters}", corpus=f"assign{iters}")
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + search
+
+
 @_register(
     "ann_ivf_kmeans_topk",
     "IVF ANN with a learned coarse quantizer: 5 Lloyd iterations of "
-    "DataFrame-only k-means (operators/similarity.py:kmeans_buckets) build "
-    "the buckets+centroids, then 2-probe pruned search. Iterative algorithm "
-    "— no SQL oracle; rows-only check.",
-    None,
+    "DataFrame-only k-means (operators/similarity.py:kmeans_buckets; "
+    "sims + centroid components rounded half-up 6dp per iteration for "
+    "engine-portable convergence) build the buckets+centroids, then "
+    "2-probe pruned search. Oracle: the same Lloyd steps unrolled in SQL.",
+    _ivf_kmeans_oracle(),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

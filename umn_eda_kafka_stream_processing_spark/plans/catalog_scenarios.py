@@ -21,10 +21,10 @@ event_value_branch and order_capacity_confirmation in catalog.py.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from umn_eda_kafka_stream_processing_spark.operators.core import grouped_count, grouped_topk
+from umn_eda_kafka_stream_processing_spark.operators.core import global_topk, grouped_count, grouped_topk
 from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
 from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
 
@@ -43,10 +43,7 @@ from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
 def top_event_types_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     counts = grouped_count(events, "event_type")
-    w = Window.orderBy(F.col("count").desc(), F.col("event_type").asc())
-    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 3
-    )
+    return global_topk(counts, [("count", False), ("event_type", True)], 3)
 
 
 @_register(
@@ -178,7 +175,4 @@ def top_supplier_by_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count_distinct("o_custkey").alias("n_customers"))
     )
-    w = Window.orderBy(F.col("n_customers").desc(), F.col("l_suppkey").asc())
-    return per_supp.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 5
-    )
+    return global_topk(per_supp, [("n_customers", False), ("l_suppkey", True)], 5)
