@@ -9,6 +9,11 @@ Execution is forced with the noop sink (full pipeline runs, nothing
 serialized back to Python) — measures the engine, not driver-side
 collect. One warm-up run of a trivial query first so JVM/codegen
 startup isn't attributed to the first query.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the per-query MEDIAN — single-run walls on a shared box jitter enough
+that round-over-round regression claims need it. "value" is the sum
+of medians; "runs" records the repeat count.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,19 +43,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # release the checkpointed/cached RDDs a query materialized
-        # (the dedup pipelines localCheckpoint signatures) before the
-        # next query: explicit unpersist beats waiting on the async
-        # ContextCleaner, and keeps executor memory flat over the run
-        gc.collect()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
-        spark.sparkContext._jvm.System.gc()
+        walls = []
+        for _ in range(runs):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+            # release the checkpointed/cached RDDs a query materialized
+            # (the dedup pipelines localCheckpoint signatures) before
+            # the next run: explicit unpersist beats waiting on the
+            # async ContextCleaner, and keeps executor memory flat
+            gc.collect()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(statistics.median(walls), 3)
 
     print(
         json.dumps(
@@ -58,6 +68,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

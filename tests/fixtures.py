@@ -33,6 +33,11 @@ def address(id, customerid, state="MN", **kw):
     return (id, base)
 
 
+def email(id, customerid, address=None):
+    return (id, dict(id=id, customerid=customerid,
+                     email=address or f"{customerid}@utopia.test"))
+
+
 def artist(id, name=None, genre="Rock"):
     return (id, dict(id=id, name=name or f"artist-{id}", genre=genre))
 

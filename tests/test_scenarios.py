@@ -80,6 +80,80 @@ def test_global_totals(spark):
     assert got == {"customers": 2, "streams": 1}
 
 
+def test_event_artist_top_streamer_alerts_with_email(spark):
+    # reference readme.md SOLD OUT EVENT BONUS + DOUBLE BONUS
+    events = fx.df(spark, "event", [fx.event("e1", "a1", "v1", 10)])
+    streams = fx.df(spark, "stream", [
+        fx.stream("s1", "c1", "a1"), fx.stream("s2", "c1", "a1"),
+        fx.stream("s3", "c2", "a1"), fx.stream("s4", "c3", "a2"),  # other artist
+    ])
+    emails = fx.df(spark, "email", [
+        fx.email("m1", "c1", "c1@x.io"), fx.email("m2", "c2", "old@x.io"),
+        fx.email("m3", "c2", "c2@x.io"),  # latest per customer wins
+    ])
+    got = {(r["customerid"], r["rank"], r["email"]) for r in
+           sc.event_artist_top_streamer_alerts(events, streams, emails, k=2).collect()}
+    assert got == {("c1", 1, "c1@x.io"), ("c2", 2, "c2@x.io")}
+    assert all(r["eventid"] == "e1" for r in
+               sc.event_artist_top_streamer_alerts(events, streams, emails).collect())
+
+
+def test_event_alert_missing_email_is_null_not_dropped(spark):
+    events = fx.df(spark, "event", [fx.event("e1", "a1", "v1", 10)])
+    streams = fx.df(spark, "stream", [fx.stream("s1", "c1", "a1")])
+    emails = fx.df(spark, "email", [])
+    rows = sc.event_artist_top_streamer_alerts(events, streams, emails).collect()
+    assert len(rows) == 1 and rows[0]["email"] is None
+
+
+def test_popular_events_and_genre_bonus(spark):
+    # e1 sold out, e2 within 10%, e3 comfortably available
+    events = fx.df(spark, "event", [
+        fx.event("e1", "a1", "v1", 5), fx.event("e2", "a1", "v1", 10),
+        fx.event("e3", "a2", "v1", 10),
+    ])
+    tickets = fx.df(spark, "ticket",
+        [fx.ticket(f"t1{i}", "c1", "e1") for i in range(5)]
+        + [fx.ticket(f"t2{i}", "c1", "e2") for i in range(9)]
+        + [fx.ticket(f"t3{i}", "c1", "e3") for i in range(3)],
+    )
+    assert {r["eventid"] for r in sc.popular_events(tickets, events).collect()} == {"e1", "e2"}
+    artists = fx.df(spark, "artist", [
+        fx.artist("a1", genre="Rock"), fx.artist("a2", genre="Jazz"),
+    ])
+    streams = fx.df(spark, "stream", [
+        fx.stream("s1", "c1", "a1"), fx.stream("s2", "c2", "a2"),
+    ])
+    got = {(r["customerid"], r["eventid"]) for r in
+           sc.suggested_popular_events_by_genre(streams, artists, events, tickets).collect()}
+    # c1's genre (Rock) has popular events e1+e2; c2's Jazz e3 is not popular
+    assert got == {("c1", "e1"), ("c1", "e2")}
+
+
+def test_popular_event_zip_alerts(spark):
+    events = fx.df(spark, "event", [fx.event("e1", "a1", "v1", 2)])
+    addresses = fx.df(spark, "address", [
+        fx.address("ad1", "c1", zip5="55111"), fx.address("ad2", "c2", zip5="55111"),
+        fx.address("ad3", "c3", zip5="55999"),
+    ])
+    tickets = fx.df(spark, "ticket", [
+        fx.ticket("t1", "c1", "e1"), fx.ticket("t2", "c1", "e1"),  # e1 sold out by c1
+    ])
+    got = {(r["customerid"], r["eventid"]) for r in
+           sc.popular_event_zip_alerts(tickets, addresses, events).collect()}
+    # both 55111 customers get the alert (incl. the buyer); 55999 silent
+    assert got == {("c1", "e1"), ("c2", "e1")}
+
+
+def test_events_occurred_total(spark):
+    events = fx.df(spark, "event", [
+        fx.event("e1", "a1", "v1", 10, eventdate="2024-01-01"),
+        fx.event("e2", "a1", "v1", 10, eventdate="2024-06-01"),
+        fx.event("e3", "a1", "v1", 10, eventdate="2025-01-01"),
+    ])
+    assert sc.events_occurred_total(events, "2024-07-01").collect()[0]["n_occurred"] == 2
+
+
 def test_tickets_by_zip(spark):
     addresses = fx.df(spark, "address", [
         fx.address("ad1", "c1", zip5="55111"), fx.address("ad2", "c2", zip5="55222"),

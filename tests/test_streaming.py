@@ -379,6 +379,245 @@ def test_exact_dedup_stream_watermarked(spark, tmp_path):
         q.stop()
 
 
+def test_customer_stream_count_topology_evolution(spark, tmp_path):
+    """run_stream('CustomerStreamCount') re-emits the growing count per
+    input record across microbatches (reference:
+    exercises/stateful/CustomerStreamCounterTest.java:70-96 pins
+    outputs 1,2,... for successive records of one key)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    src = str(tmp_path / "csc")
+    _pipe(spark, schemas.STREAM, [fx.stream("s1", "c1", "a1")], src)
+    streams = file_stream_source(spark, src, schemas.STREAM, max_files_per_trigger=None)
+    q = start_memory_sink(run_stream("CustomerStreamCount", {"stream": streams}), "csc_out")
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.STREAM, [fx.stream("s2", "c1", "a2")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["customerid"], r["count"])
+                   for r in spark.sql("select * from csc_out").collect()]
+        assert ("c1", 1) in emitted and ("c1", 2) in emitted  # one emission per input
+    finally:
+        q.stop()
+
+
+def test_artist_ticket_count_topology_evolution(spark, tmp_path):
+    """run_stream('ArtistTicketCount'): ticket stream ⋈ event KTable,
+    per-record count re-emission (reference ArtistTicketCount.java)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    dims = {"event": fx.df(spark, "event", [fx.event("e1", "a1", "v1", 100)])}
+    src = str(tmp_path / "atc")
+    _pipe(spark, schemas.TICKET, [fx.ticket("t1", "c1", "e1")], src)
+    tickets = file_stream_source(spark, src, schemas.TICKET, max_files_per_trigger=None)
+    q = start_memory_sink(run_stream("ArtistTicketCount", {"ticket": tickets}, dims), "atc_out")
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.TICKET, [fx.ticket("t2", "c2", "e1")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["artistid"], r["count"])
+                   for r in spark.sql("select * from atc_out").collect()]
+        assert ("a1", 1) in emitted and ("a1", 2) in emitted
+    finally:
+        q.stop()
+
+
+def test_target_customer_filter_topology_evolution(spark, tmp_path):
+    """run_stream('TargetCustomerFilter') in append mode: each
+    microbatch appends exactly its matching records (stateless — one
+    output per qualifying input, reference TargetCustomerFilterTest)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    src = str(tmp_path / "tcf")
+    _pipe(spark, schemas.CUSTOMER,
+          [fx.customer("c-90", birthdt="1994-01-01"),
+           fx.customer("c-80", birthdt="1985-01-01")], src)
+    custs = file_stream_source(spark, src, schemas.CUSTOMER, max_files_per_trigger=None)
+    q = start_memory_sink(
+        run_stream("TargetCustomerFilter", {"customer": custs}),
+        "tcf_out", output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["id"] for r in spark.sql("select * from tcf_out").collect()} == {"c-90"}
+        _pipe(spark, schemas.CUSTOMER,
+              [fx.customer("c-91", birthdt="1991-12-31")], src, start_seq=2)
+        q.processAllAvailable()
+        assert {r["id"] for r in spark.sql("select * from tcf_out").collect()} == {"c-90", "c-91"}
+    finally:
+        q.stop()
+
+
+def test_address_sort_and_stringify_topology_stream(spark, tmp_path):
+    """run_stream('AddressSortAndStringify'): both branch outputs run
+    as separate append-mode queries over one source; each burst routes
+    to exactly one branch (reference AddressSortAndStringifyTest
+    MN-branch pinning)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    src = str(tmp_path / "asas")
+    _pipe(spark, schemas.ADDRESS, [fx.address("ad1", "c1", state="MN")], src)
+    addrs = file_stream_source(spark, src, schemas.ADDRESS, max_files_per_trigger=None)
+    mn, other = run_stream("AddressSortAndStringify", {"address": addrs})
+    q1 = start_memory_sink(mn, "asas_mn", output_mode="append")
+    q2 = start_memory_sink(other, "asas_other", output_mode="append")
+    try:
+        q1.processAllAvailable(); q2.processAllAvailable()
+        _pipe(spark, schemas.ADDRESS, [fx.address("ad2", "c2", state="WI")], src, start_seq=1)
+        q1.processAllAvailable(); q2.processAllAvailable()
+        mn_keys = [r["key"] for r in spark.sql("select * from asas_mn").collect()]
+        other_keys = [r["key"] for r in spark.sql("select * from asas_other").collect()]
+        assert mn_keys == ["MN"] and other_keys == ["WI"]
+    finally:
+        q1.stop(); q2.stop()
+
+
+def test_top_streaming_artist_by_state_topology_evolution(spark, tmp_path):
+    """run_stream('TopStreamingArtistByState'): 3-dim enrichment then
+    composite-key count, re-emitted per record (reference
+    phase3/TopStreamingArtistByStateTest count evolution)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    dims = {
+        "artist": fx.df(spark, "artist", [fx.artist("a1", name="n1")]),
+        "customer": fx.df(spark, "customer", [fx.customer("c1")]),
+        "address": fx.df(spark, "address", [fx.address("ad1", "c1", state="MN")]),
+    }
+    src = str(tmp_path / "tsabs")
+    _pipe(spark, schemas.STREAM, [fx.stream("s1", "c1", "a1")], src)
+    streams = file_stream_source(spark, src, schemas.STREAM, max_files_per_trigger=None)
+    q = start_memory_sink(
+        run_stream("TopStreamingArtistByState", {"stream": streams}, dims), "tsabs_out"
+    )
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.STREAM, [fx.stream("s2", "c1", "a1")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["key"], r["count"])
+                   for r in spark.sql("select * from tsabs_out").collect()]
+        assert ("a1-MN", 1) in emitted and ("a1-MN", 2) in emitted
+    finally:
+        q.stop()
+
+
+def test_out_of_state_sales_topology_evolution(spark, tmp_path):
+    """run_stream('OutOfStateSales') re-emits the growing out-of-state
+    count per qualifying ticket (reference phase3/OutOfStateSales
+    count evolution); in-state tickets never emit."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    dims = {
+        "event": fx.df(spark, "event", [fx.event("e1", "a1", "v1", 50)]),
+        "venue": fx.df(spark, "venue", [fx.venue("v1", "ad-v1")]),
+        "address": fx.df(spark, "address", [
+            fx.address("ad-v1", "none", state="MN"),
+            fx.address("ad1", "c1", state="WI"), fx.address("ad2", "c2", state="MN"),
+        ]),
+    }
+    src = str(tmp_path / "oose")
+    _pipe(spark, schemas.TICKET, [fx.ticket("t1", "c1", "e1")], src)
+    tickets = file_stream_source(spark, src, schemas.TICKET, max_files_per_trigger=None)
+    q = start_memory_sink(run_stream("OutOfStateSales", {"ticket": tickets}, dims), "oose_out")
+    try:
+        q.processAllAvailable()
+        # burst 2: one more out-of-state (c1) and one in-state (c2)
+        _pipe(spark, schemas.TICKET,
+              [fx.ticket("t2", "c1", "e1"), fx.ticket("t3", "c2", "e1")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["venueid"], r["count"])
+                   for r in spark.sql("select * from oose_out").collect()]
+        assert ("v1", 1) in emitted and ("v1", 2) in emitted
+        assert ("v1", 3) not in emitted  # the in-state ticket never counts
+    finally:
+        q.stop()
+
+
+def test_top_selling_genre_by_venue_topology_evolution(spark, tmp_path):
+    """run_stream('TopSellingGenreByVenue') re-emits the venue's top-k
+    after each batch (reference phase3/TopSellingGenreByVenueTest
+    :345-348 pins one output per input)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    dims = {
+        "artist": fx.df(spark, "artist", [
+            fx.artist("a1", genre="Rock"), fx.artist("a2", genre="Jazz"),
+        ]),
+        "event": fx.df(spark, "event", [
+            fx.event("e1", "a1", "v1", 100), fx.event("e2", "a2", "v1", 100),
+        ]),
+    }
+    src = str(tmp_path / "tsgbv")
+    _pipe(spark, schemas.TICKET, [fx.ticket("t1", "c1", "e1")], src)
+    tickets = file_stream_source(spark, src, schemas.TICKET, max_files_per_trigger=None)
+    q = start_memory_sink(
+        run_stream("TopSellingGenreByVenue", {"ticket": tickets}, dims), "tsgbv_out"
+    )
+    try:
+        q.processAllAvailable()
+        # Jazz overtakes Rock in batch 2
+        _pipe(spark, schemas.TICKET,
+              [fx.ticket("t2", "c1", "e2"), fx.ticket("t3", "c2", "e2")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["genre"], r["count"], r["rank"])
+                   for r in spark.sql("select * from tsgbv_out").collect()]
+        assert ("Rock", 1, 1) in emitted            # batch-1 emission
+        assert ("Jazz", 2, 1) in emitted and ("Rock", 1, 2) in emitted  # batch-2 re-rank
+    finally:
+        q.stop()
+
+
+def test_top_customer_artists_topology_evolution(spark, tmp_path):
+    """run_stream('TopCustomerArtists') routes to the stateful top-k
+    twin and re-emits the customer's top list per batch (reference
+    samples/TopCustomerArtistsTest.java:67-78: one output per input)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    src = str(tmp_path / "tca")
+    _pipe(spark, schemas.STREAM, [fx.stream("s1", "c1", "a1")], src)
+    streams = file_stream_source(spark, src, schemas.STREAM, max_files_per_trigger=None)
+    q = start_memory_sink(run_stream("TopCustomerArtists", {"stream": streams}), "tca_out")
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.STREAM,
+              [fx.stream("s2", "c1", "a2"), fx.stream("s3", "c1", "a2")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = [(r["artistid"], r["count"], r["rank"])
+                   for r in spark.sql("select * from tca_out").collect()]
+        assert ("a1", 1, 1) in emitted              # batch-1 top
+        assert ("a2", 2, 1) in emitted and ("a1", 1, 2) in emitted  # batch-2 re-rank
+    finally:
+        q.stop()
+
+
+def test_purchase_event_ticket_topology_emission(spark, tmp_path):
+    """run_stream('PurchaseEventTicket') emits one confirmation per
+    ticket record with the running remaining count (reference
+    samples/PurchaseEventTicketTest.java:76-139 via the registry
+    wiring; the full lifecycle is pinned by
+    test_event_status_stream_capacity_lifecycle)."""
+    from umn_eda_kafka_stream_processing_spark.pipelines.topologies import run_stream
+
+    dims = {"event": fx.df(spark, "event", [fx.event("e1", "a1", "v1", 2)])}
+    src = str(tmp_path / "pet")
+    _pipe(spark, schemas.TICKET, [fx.ticket("t1", "c1", "e1")], src)
+    tickets = file_stream_source(spark, src, schemas.TICKET, max_files_per_trigger=None)
+    q = start_memory_sink(run_stream("PurchaseEventTicket", {"ticket": tickets}, dims), "pet_out")
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.TICKET,
+              [fx.ticket("t2", "c1", "e1"), fx.ticket("t3", "c2", "e1")], src, start_seq=1)
+        q.processAllAvailable()
+        emitted = {r["ticketid"]: (r["confirmation_status"], r["remaining_tickets"])
+                   for r in spark.sql("select * from pet_out").collect()}
+        assert emitted == {
+            "t1": ("CONFIRMED", 1.0),
+            "t2": ("CONFIRMED", 0.0),   # exactly-0 confirms
+            "t3": ("REJECTED", -1.0),   # over capacity, state carried across batches
+        }
+    finally:
+        q.stop()
+
+
 def test_run_stream_native_agg_and_stateless_topologies(spark, tmp_path):
     """run_stream equivalence for a native update-mode aggregation
     with a 4-hop dim join (OutOfStateSales) and a stateless filter

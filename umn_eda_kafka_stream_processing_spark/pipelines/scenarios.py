@@ -139,6 +139,114 @@ def suggested_events_by_genre(
     )
 
 
+def event_artist_top_streamer_alerts(
+    events: DataFrame, streams: DataFrame, emails: DataFrame, k: int = 3
+) -> DataFrame:
+    """Alert the event artist's top-k streamers when an event is
+    created, with each customer's email address (reference:
+    readme.md "SOLD OUT EVENT" BONUS + DOUBLE BONUS — the alert
+    "include[s] the customer's email address in the event").
+    Output: (eventid, artistid, customerid, stream_count, rank, email).
+
+    Scale: per-artist top-k is a partitioned window (one shuffle on
+    artistid, WindowGroupLimit pre-prunes); the events⋈top-streamers
+    join is artist-keyed on both sides; the email KTable joins on
+    customerid — fact-sized both sides, AQE picks the strategy. A
+    customer with no email row still alerts (left join, NULL email) —
+    dropping the alert because a contact row is missing would lose
+    the primary signal.
+    """
+    events_tbl = latest_by_key(events, "id").select(
+        F.col("id").alias("eventid"), "artistid"
+    )
+    counts = grouped_count(streams, ["customerid", "artistid"], "stream_count")
+    top_streamers = grouped_topk(
+        counts, ["artistid"],
+        [F.col("stream_count").desc(), F.col("customerid").asc()], k,
+    ).withColumn("rank", F.col("rank").cast("long"))
+    email_tbl = latest_by_key(emails, "customerid").select("customerid", "email")
+    return (
+        events_tbl.join(top_streamers, "artistid", "inner")
+        .join(email_tbl, "customerid", "left")
+        .select("eventid", "artistid", "customerid", "stream_count", "rank", "email")
+    )
+
+
+def popular_events(
+    tickets: DataFrame, events: DataFrame, popular_pct: float = 10.0
+) -> DataFrame:
+    """Event ids currently "popular": within ``popular_pct``% of max
+    capacity, sold-out included (reference: readme.md "*popular:
+    within 10% max capacity (almost sold out)").
+    Output: (eventid)."""
+    events_tbl = latest_by_key(events, "id").select(
+        F.col("id").alias("eventid"), "capacity"
+    )
+    requested = grouped_count(tickets, "eventid", "requested").join(
+        F.broadcast(events_tbl), "eventid", "inner"
+    )
+    return _capacity_alerts(requested, popular_pct).select("eventid")
+
+
+def suggested_popular_events_by_genre(
+    streams: DataFrame, artists: DataFrame, events: DataFrame, tickets: DataFrame
+) -> DataFrame:
+    """Suggested-events-by-genre restricted to popular events
+    (reference: readme.md "SUGGESTED EVENTS - GENRE" BONUS: alert
+    customer when there is a popular event within their most
+    streamed genre).
+    Output: (customerid, top_genre, eventid, artistid).
+
+    The popular-id set is an aggregate over events (small — one row
+    per near-capacity event), so the restriction is a broadcast
+    left-semi join: no extra shuffle on the suggestion side.
+    """
+    sugg = suggested_events_by_genre(streams, artists, events)
+    pop = popular_events(tickets, events)
+    return sugg.join(F.broadcast(pop), "eventid", "leftsemi")
+
+
+def popular_event_zip_alerts(
+    tickets: DataFrame, addresses: DataFrame, events: DataFrame,
+    popular_pct: float = 10.0,
+) -> DataFrame:
+    """Alert customers when customers in their zipcode are buying
+    tickets to a popular event (reference: readme.md "SUGGESTED
+    EVENTS - LOCATION" BONUS).
+    Output: (customerid, zip5, eventid) — one alert per customer in
+    a zip per popular event bought from that zip.
+
+    Scale shape: the (zip5, eventid) "buying signal" feed is
+    deduplicated BEFORE fanning out to the zip's customers, so the
+    fan-out join input is |zips with buyers| × |popular events|, not
+    |tickets|.
+    """
+    addr_tbl = latest_by_key(addresses, "customerid").select("customerid", "zip5")
+    pop = popular_events(tickets, events, popular_pct)
+    buying = (
+        tickets.join(F.broadcast(pop), "eventid", "leftsemi")
+        .join(addr_tbl, "customerid", "inner")
+        .select("zip5", "eventid")
+        .distinct()
+    )
+    return addr_tbl.join(buying, "zip5", "inner").select(
+        "customerid", "zip5", "eventid"
+    )
+
+
+def events_occurred_total(events: DataFrame, as_of: str) -> DataFrame:
+    """Total count of events that have already occurred — eventdate
+    before ``as_of`` (reference: readme.md "GLOBAL TOTALS" BONUS; the
+    readme warns the total is split across processing tasks in Kafka
+    Streams — in Spark it is one partial+final aggregate).
+    Output: one row (n_occurred)."""
+    return (
+        latest_by_key(events, "id")
+        .filter(F.col("eventdate") < F.lit(as_of))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurred"))
+    )
+
+
 def global_totals(**entity_dfs: DataFrame) -> DataFrame:
     """Running total record count per entity across all partitions
     (reference: readme.md "GLOBAL TOTALS" — the readme warns totals
