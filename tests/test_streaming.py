@@ -667,3 +667,165 @@ def test_run_stream_native_agg_and_stateless_topologies(spark, tmp_path):
         assert ids == {"c-90"}
     finally:
         q2.stop()
+
+
+# --- per-record side-effecting sink fault semantics ---------------------
+# Mirrors simple/TicketConfirmationConsumer.java:77-131: per-record email
+# send with injected transient failures, caught-and-continue record-level,
+# offsets committed per batch (at-least-once). Delivery is executor-side,
+# so tests observe it through the filesystem (appended line per send).
+
+
+def _sender(outdir, fail_marker_dir=None, poison_id=None, fail_once_id=None):
+    """Picklable per-record send: append one line per delivery attempt's
+    success; optionally fail permanently (poison) or once (marker file)."""
+    def send(row):
+        rid = row["id"]
+        if poison_id is not None and rid == poison_id:
+            raise RuntimeError("smtp permanently down for " + rid)
+        if fail_once_id is not None and rid == fail_once_id:
+            import os as _os
+            marker = _os.path.join(fail_marker_dir, rid + ".failed-once")
+            if not _os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("x")
+                raise RuntimeError("transient smtp blip for " + rid)
+        with open(f"{outdir}/{rid}", "a") as fh:
+            fh.write("sent\n")
+    return send
+
+
+def _deliveries(outdir):
+    import os
+    return {
+        f: sum(1 for _ in open(os.path.join(outdir, f)))
+        for f in os.listdir(outdir)
+        if not f.startswith(".")
+    }
+
+
+def test_per_record_sink_retries_transient_failure(spark, tmp_path):
+    """A send that fails once succeeds on in-place retry: every ticket
+    delivered exactly once, no dead letters, query stays healthy."""
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_per_record_sink,
+    )
+
+    src_dir = str(tmp_path / "tickets")
+    outdir, markers = str(tmp_path / "sent"), str(tmp_path / "markers")
+    dead = str(tmp_path / "dead")
+    import os
+    os.makedirs(outdir), os.makedirs(markers)
+
+    _pipe(spark, schemas.TICKET,
+          [fx.ticket(f"t{i}", "c1", "e1") for i in range(1, 4)], src_dir)
+    tickets = file_stream_source(spark, src_dir, schemas.TICKET,
+                                 max_files_per_trigger=None)
+    q = start_per_record_sink(
+        tickets,
+        _sender(outdir, fail_marker_dir=markers, fail_once_id="t2"),
+        max_attempts=3,
+        dead_letter_dir=dead,
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        assert _deliveries(outdir) == {"t1": 1, "t2": 1, "t3": 1}
+        assert os.path.exists(os.path.join(markers, "t2.failed-once"))
+        assert [f for f in os.listdir(dead) if f.endswith(".json")] == []
+        assert q.isActive
+    finally:
+        q.stop()
+
+
+def test_per_record_sink_dead_letters_permanent_failure(spark, tmp_path):
+    """A permanently failing record lands in the dead-letter dir with
+    its error; the stream keeps flowing (next burst still delivers) —
+    the reference's catch-log-continue path, made durable."""
+    import json as _json
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_per_record_sink,
+    )
+
+    src_dir = str(tmp_path / "tickets")
+    outdir, dead = str(tmp_path / "sent"), str(tmp_path / "dead")
+    os.makedirs(outdir)
+
+    _pipe(spark, schemas.TICKET,
+          [fx.ticket("t1", "c1", "e1"), fx.ticket("t2", "c2", "e1")], src_dir)
+    tickets = file_stream_source(spark, src_dir, schemas.TICKET,
+                                 max_files_per_trigger=None)
+    q = start_per_record_sink(
+        tickets,
+        _sender(outdir, poison_id="t2"),
+        max_attempts=2,
+        dead_letter_dir=dead,
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        assert _deliveries(outdir) == {"t1": 1}
+        letters = [f for f in os.listdir(dead) if f.endswith(".json")]
+        assert len(letters) == 1
+        body = _json.load(open(os.path.join(dead, letters[0])))
+        assert "permanently down for t2" in body["error"]
+        assert '"t2"' in body["record"]
+
+        # stream continues past the failure: second burst delivers
+        _pipe(spark, schemas.TICKET, [fx.ticket("t3", "c3", "e1")],
+              src_dir, start_seq=2)
+        q.processAllAvailable()
+        assert _deliveries(outdir) == {"t1": 1, "t3": 1}
+    finally:
+        q.stop()
+
+
+def test_per_record_sink_batch_replay_after_failure(spark, tmp_path):
+    """Without a dead-letter dir an exhausted record fails the batch;
+    restarting from the checkpoint replays it (at-least-once): the
+    already-sent record is delivered AGAIN, the fixed record delivers."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_per_record_sink,
+    )
+
+    src_dir = str(tmp_path / "tickets")
+    outdir, markers = str(tmp_path / "sent"), str(tmp_path / "markers")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(outdir), os.makedirs(markers)
+
+    _pipe(spark, schemas.TICKET,
+          [fx.ticket("t1", "c1", "e1"), fx.ticket("t2", "c2", "e1")], src_dir)
+
+    def run_query(send):
+        tickets = file_stream_source(spark, src_dir, schemas.TICKET,
+                                     max_files_per_trigger=None)
+        return start_per_record_sink(
+            tickets, send, max_attempts=1, output_mode="append",
+            checkpoint_dir=ckpt,
+        )
+
+    q = run_query(_sender(outdir, poison_id="t2"))
+    try:
+        q.processAllAvailable()
+        raise AssertionError("batch with poisoned record should fail")
+    except StreamingQueryException:
+        pass
+    finally:
+        q.stop()
+
+    # t2's failure killed the batch, but t1 may already have been sent —
+    # that is exactly the at-least-once contract. Fix t2 and restart.
+    sent_before = _deliveries(outdir).get("t1", 0)
+    q2 = run_query(_sender(outdir))
+    try:
+        q2.processAllAvailable()
+        got = _deliveries(outdir)
+        assert got["t2"] == 1  # fixed record delivered
+        assert got["t1"] >= max(sent_before, 1)  # replay = duplicates allowed
+    finally:
+        q2.stop()

@@ -3,14 +3,22 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` — the engine's pattern for any per-item Python-side
 media work (decode, resize, frame-sample, feature-extract).
 
-The heavy codecs (PIL/libav/etc.) are NOT in this environment, so
-the decode step is stubbed: ``decode_stub`` raises
-NotImplementedError unless ``deterministic_fake=True``, in which
-case it derives a fake "decoded" representation from the bytes
-themselves (deterministic, test/oracle-friendly). Everything around
-the stub — schema, Arrow batching, partition flow, UDF signatures —
-is real and is what a production deployment would keep while
-swapping the stub for a codec.
+Two tiers of codec support:
+
+* REAL codecs for formats parseable without external libraries —
+  WAV/PCM16 audio (stdlib ``wave``), netpbm P5/P6 images (pure
+  numpy), and a concatenated-PGM frame container for video. Encode
+  AND decode are implemented, so the pipeline ops (``audio_features``,
+  ``image_features``, ``sample_frames``, nearest-neighbor resize)
+  run against genuine media bytes end to end.
+* The heavy codecs (JPEG/PNG/MP4 via PIL/libav — NOT in this
+  environment) stay behind ``decode_stub``: it raises
+  NotImplementedError unless ``deterministic_fake=True``, in which
+  case it derives a fake "decoded" representation from the bytes
+  themselves (deterministic, test/oracle-friendly). Everything
+  around the stub — schema, Arrow batching, partition flow, UDF
+  signatures — is what a production deployment keeps while swapping
+  the stub for a codec.
 
 Scale notes: mapInPandas streams Arrow record batches; media bytes
 never materialize on the driver. Partition sizing should target
@@ -22,9 +30,13 @@ with a second join-free scan).
 
 from __future__ import annotations
 
+import io
+import math
+import wave
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -118,3 +130,260 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.select("media_id", "content").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib / pure-numpy — no PIL/libav required)
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit little-endian PCM WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> dict[str, Any]:
+    """Parse a PCM16 WAV: returns sample_rate, n_channels, n_samples
+    and the int16 sample array. A real decode of real bytes — the
+    unit under test for the audio feature path."""
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported here")
+        n = w.getnframes()
+        raw = w.readframes(n)
+        return {
+            "sample_rate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "n_samples": n,
+            "samples": np.frombuffer(raw, dtype="<i2").reshape(n, w.getnchannels()),
+        }
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """Binary netpbm P5 (8-bit grayscale) bytes for an (h, w) array."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_netpbm(content: bytes) -> np.ndarray:
+    """Parse binary netpbm: P5 → (h, w) uint8, P6 → (h, w, 3) uint8.
+    Header tokens (magic, width, height, maxval) may be separated by
+    any whitespace; comments (# …) are skipped per the spec."""
+    arr, end = _netpbm_frame(content, 0)
+    if end != len(content):
+        raise ValueError("trailing bytes after single netpbm image")
+    return arr
+
+
+def _netpbm_frame(buf: bytes, offset: int) -> tuple[np.ndarray, int]:
+    """Decode one netpbm image starting at ``offset``; returns
+    (pixels, end_offset) so concatenated frames can be walked."""
+    magic = buf[offset:offset + 2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(f"unsupported media magic {magic!r}")
+    pos = offset + 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 1 if magic == b"P5" else 3
+    n = w * h * channels
+    raster = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    return raster.reshape(shape), pos + n
+
+
+def iter_pgm_frames(content: bytes) -> Iterator[np.ndarray]:
+    """Walk a concatenated-PGM 'video' container frame by frame —
+    each P5 header is self-delimiting, so no index is needed."""
+    pos = 0
+    while pos < len(content):
+        frame, pos = _netpbm_frame(content, pos)
+        yield frame
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index mapping: output (r, c) takes
+    input (r*h//out_h, c*w//out_w) — pure numpy fancy indexing, the
+    same vectorized shape a real thumbnailer would use."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[np.ix_(rows, cols)]
+
+
+def _round6(x: float) -> float:
+    """Half-up 6dp — matches functions/scalar.py:round_half_up and
+    every DuckDB oracle twin (floor(x*1e6 + 0.5)/1e6)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# Decoded-media feature operators (Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_channels", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.LongType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV content and extract per-clip features: a real
+    stdlib-wave parse of real PCM bytes, vectorized numpy inside each
+    Arrow batch. duration_ms is integer floor-division (portable);
+    rms is rounded half-up 6dp."""
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_wav(bytes(content))
+                x = d["samples"].astype(np.int64)
+                n = d["n_samples"]
+                out.append({
+                    "media_id": int(media_id),
+                    "sample_rate": d["sample_rate"],
+                    "n_channels": d["n_channels"],
+                    "n_samples": n,
+                    "duration_ms": n * 1000 // d["sample_rate"],
+                    "rms": _round6(float(np.sqrt((x * x).sum() / max(n, 1)))),
+                    "peak": int(np.abs(x).max(initial=0)),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("pixel_mean", T.DoubleType(), True),
+    T.StructField("pixel_max", T.IntegerType(), True),
+    T.StructField("resized4_sum", T.LongType(), True),
+])
+
+
+def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> DataFrame:
+    """Decode netpbm content, extract dimensions + pixel stats, and
+    run a real nearest-neighbor resize (``resized4_sum`` checksums the
+    thumbnail so the resize index math is oracle-checkable)."""
+    out_w, out_h = resize_to
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_netpbm(bytes(content))
+                gray = px if px.ndim == 2 else px.mean(axis=2)
+                thumb = resize_nearest(px, out_w, out_h)
+                out.append({
+                    "media_id": int(media_id),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "pixel_mean": _round6(float(gray.astype(np.int64).sum()) / gray.size),
+                    "pixel_max": int(px.max()),
+                    "resized4_sum": int(thumb.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame_mean", T.DoubleType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sample a concatenated-PGM 'video': keep every ``every``-th
+    frame and emit its index + mean intensity. One input row fans out
+    to many output rows — the mapInPandas shape for any per-item
+    explode (video frames, PDF pages, archive members)."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                for idx, frame in enumerate(iter_pgm_frames(bytes(content))):
+                    if idx % every:
+                        continue
+                    out.append({
+                        "media_id": int(media_id),
+                        "frame_idx": idx,
+                        "frame_mean": _round6(
+                            float(frame.astype(np.int64).sum()) / frame.size
+                        ),
+                    })
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(frames, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis (drives the oracle-checked catalog queries)
+# ---------------------------------------------------------------------------
+
+def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
+    """Generate real media bytes per id from closed-form integer
+    formulas, so a DuckDB oracle can recompute every decoded feature
+    arithmetically — proving the encode→decode→extract path end to
+    end, not just the plumbing.
+
+    audio: n=(id%50)+10 PCM16 samples, rate 8000*((id%3)+1),
+           sample[i] = ((id*31 + i*7) % 65536) - 32768
+    image: (h,w) = ((id%7)+2, (id%13)+3), px(r,c) = (id + 17r + 101c) % 256
+    video: (id%4)+2 frames of 4×3 PGM, frame f adds 7f to the pixel formula
+    """
+    mime = {"audio": "audio/wav", "image": "image/x-portable-graymap",
+            "video": "video/x-pgm-frames"}[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                if kind == "audio":
+                    n = mid % 50 + 10
+                    samples = (mid * 31 + np.arange(n) * 7) % 65536 - 32768
+                    content = encode_wav_pcm16(samples, 8000 * (mid % 3 + 1))
+                elif kind == "image":
+                    h, w = mid % 7 + 2, mid % 13 + 3
+                    r, c = np.ogrid[:h, :w]
+                    content = encode_pgm((mid + 17 * r + 101 * c) % 256)
+                else:
+                    r, c = np.ogrid[:3, :4]
+                    content = b"".join(
+                        encode_pgm((mid + 7 * f + 17 * r + 101 * c) % 256)
+                        for f in range(mid % 4 + 2)
+                    )
+                out.append({"media_id": mid, "content": content,
+                            "media_type": kind, "mime": mime,
+                            "width": None, "height": None, "duration_ms": None})
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)

@@ -508,6 +508,93 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(mm.text_as_media(docs))
 
 
+# The three real-codec media queries below synthesize genuine media
+# bytes per doc_id from closed-form integer formulas
+# (operators/multimodal.py:synth_media), decode them with REAL parsers
+# (stdlib wave; pure-numpy netpbm), and extract features. The DuckDB
+# oracles recompute each feature arithmetically from the same formulas
+# — so a hash match proves the whole encode→decode→extract path, not
+# just the plumbing.
+
+
+@_register(
+    "wav_audio_features",
+    "Real WAV round-trip: PCM16 clips synthesized per doc_id (stdlib "
+    "wave encode), decoded back (operators/multimodal.py:decode_wav), "
+    "per-clip rate/length/duration/RMS/peak features via mapInPandas.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 50) + 10 AS n,
+                      8000 * ((doc_id % 3) + 1) AS sr FROM documents),
+    s AS (SELECT doc_id, n, sr,
+            list_transform(range(0, n),
+                           i -> ((doc_id * 31 + i * 7) % 65536) - 32768) AS xs
+          FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           floor(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE) / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+    FROM s
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.audio_features(mm.synth_media(docs, "audio"))
+
+
+@_register(
+    "image_decode_stats",
+    "Real netpbm round-trip: P5 grayscale images synthesized per doc_id, "
+    "decoded (operators/multimodal.py:decode_netpbm), dimension/pixel "
+    "stats plus a genuine nearest-neighbor 4x4 resize checksum.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 13) + 3 AS w, (doc_id % 7) + 2 AS h
+               FROM documents),
+    p AS (SELECT doc_id, w, h,
+            list_transform(range(0, w * h),
+                i -> (doc_id + (i // w) * 17 + (i % w) * 101) % 256) AS px
+          FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           floor(CAST(list_sum(px) AS DOUBLE) / (w * h) * 1000000.0 + 0.5)
+             / 1000000.0 AS pixel_mean,
+           CAST(list_max(px) AS INT) AS pixel_max,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> (doc_id + (((i // 4) * h) // 4) * 17
+                      + (((i % 4) * w) // 4) * 101) % 256)) AS BIGINT) AS resized4_sum
+    FROM p
+    """,
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.image_features(mm.synth_media(docs, "image"))
+
+
+@_register(
+    "video_frame_sample",
+    "Frame-sampling over a concatenated-PGM video container: every 2nd "
+    "frame kept, per-frame mean intensity "
+    "(operators/multimodal.py:sample_frames — one row fans out per frame).",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 4) + 2 AS nf FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, nf)) AS fr FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(fr AS BIGINT) AS frame_idx,
+           floor(CAST(list_sum(list_transform(range(0, 12),
+                i -> (doc_id + fr * 7 + (i // 4) * 17 + (i % 4) * 101) % 256))
+                AS DOUBLE) / 12 * 1000000.0 + 0.5) / 1000000.0 AS frame_mean
+    FROM f WHERE fr % 2 = 0
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.sample_frames(mm.synth_media(docs, "video"), every=2)
+
+
 @_register(
     "lang_id_confusion",
     "Language-ID evaluation matrix: per (actual, predicted) cell count and "

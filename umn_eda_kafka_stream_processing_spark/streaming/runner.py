@@ -19,10 +19,13 @@ the email-per-record sink becomes a foreachBatch callback).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -79,4 +82,58 @@ def start_foreach_batch_sink(
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def start_per_record_sink(
+    df: DataFrame,
+    send: Callable[[Row], None],
+    *,
+    max_attempts: int = 3,
+    dead_letter_dir: str | None = None,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Per-record side-effecting sink with the reference consumer's
+    fault semantics (simple/TicketConfirmationConsumer.java:77-131:
+    each record triggers an email send that may transiently fail; the
+    failure is caught record-level and the poll loop continues, offsets
+    committed per batch — at-least-once overall).
+
+    Delivery runs executor-side (``batch_df.foreach``), so at cluster
+    scale sends fan out across all partitions rather than serializing
+    through the driver. Each record gets up to ``max_attempts``
+    in-place tries. A record that exhausts its attempts is either
+    appended to ``dead_letter_dir`` as one JSON file (the reference's
+    catch-log-continue path, but durable) or, when no dead-letter dir
+    is given, re-raised — failing the batch so Structured Streaming
+    replays it from the checkpoint on restart (the commitSync
+    at-least-once path). Dead-letter filenames are the md5 of the row
+    payload, so a batch replay rewrites rather than duplicates.
+    """
+    if dead_letter_dir is not None:
+        os.makedirs(dead_letter_dir, exist_ok=True)
+
+    def deliver(row: Row) -> None:
+        last_err: Exception | None = None
+        for _ in range(max_attempts):
+            try:
+                send(row)
+                return
+            except Exception as exc:  # noqa: BLE001 — sink boundary
+                last_err = exc
+        if dead_letter_dir is None:
+            raise last_err
+        payload = json.dumps(row.asDict(recursive=True), sort_keys=True, default=str)
+        name = hashlib.md5(payload.encode()).hexdigest()
+        tmp = os.path.join(dead_letter_dir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"error": str(last_err), "record": payload}))
+        os.replace(tmp, os.path.join(dead_letter_dir, f"{name}.json"))
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.foreach(deliver)
+
+    return start_foreach_batch_sink(
+        df, batch_fn, output_mode=output_mode, checkpoint_dir=checkpoint_dir
     )
