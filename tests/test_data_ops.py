@@ -288,3 +288,60 @@ def test_media_feature_operators_end_to_end(spark):
     # doc 3: 3%4+2 = 5 frames -> sampled 0,2,4; doc 17: 17%4+2 = 3 -> 0,2
     assert sorted(by_id[3]) == [0, 2, 4]
     assert sorted(by_id[17]) == [0, 2]
+
+
+def test_srp_lsh_pairs_finds_near_duplicates(spark):
+    """Near-parallel vectors share every sign bit, so they collide in
+    every band and survive the exact-cosine verify; orthogonal vectors
+    never pass the threshold. Output pairs are (a < b) and unique."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.0, 0.005, 0.999]), # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.srp_lsh_pairs(df, threshold=0.9, dim=3, n_bits=8, bands=4).collect()
+    pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in got}
+    assert (0, 1) in pairs and (3, 4) in pairs
+    assert all(a < b for a, b in pairs)
+    assert len(got) == len(pairs)  # multi-band collisions deduped
+    sims = {(r["vec_id_a"], r["vec_id_b"]): r["sim"] for r in got}
+    assert all(s >= 0.9 for s in sims.values())
+
+
+def test_srp_band_keys_pack_sign_bits(spark):
+    """Band key = big-endian packed sign bits of the band's planes."""
+    df = spark.createDataFrame([(0, [1.0, 1.0])], "vec_id long, embedding array<float>")
+    planes = [[1, 1], [-1, -1], [1, -1], [-1, 1]]  # dots: 2, -2, 0, 0
+    keys = [r for r in df.select(
+        *sim.srp_band_keys("embedding", planes, bands=2)).collect()][0]
+    # band 0 bits: (2>=0)=1, (-2>=0)=0 -> 0b10 = 2
+    # band 1 bits: (0>=0)=1, (0>=0)=1  -> 0b11 = 3
+    assert (keys["bkey_0"], keys["bkey_1"]) == (2, 3)
+
+
+def test_near_dup_clusters_components(spark):
+    """Min-label propagation resolves chains (transitive near-dups),
+    cliques, and isolated pairs to min-id components."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (1,3 not directly paired), clique 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in dd.near_dup_clusters(pairs).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)]
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds; the driver
+    loop iterates to the fixpoint (all nodes -> label 0)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.near_dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}

@@ -829,3 +829,94 @@ def test_per_record_sink_batch_replay_after_failure(spark, tmp_path):
         assert got["t1"] >= max(sent_before, 1)  # replay = duplicates allowed
     finally:
         q2.stop()
+
+
+def test_incremental_simhash_near_dedup_across_batches(spark, tmp_path):
+    """foreachBatch near-dedup with a durable bucket store: in-batch
+    near-dups resolve to the min id; later batches drop SimHash
+    neighbors of anything already admitted; novel docs pass."""
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_near_pairs,
+    )
+
+    # ~60-token docs: one swapped token leaves most 64 bit-majorities
+    # intact (hamming <= 3); short strings flip too many votes
+    words = ["w%02d" % i for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["zz"])       # 1-token edit of base
+    other = " ".join("o%02d" % i for i in range(60))
+    later_near = " ".join(["qq"] + words[1:])  # neighbor of base
+    novel = " ".join("n%02d" % i for i in range(60))
+
+    # precondition: the synthetic docs really are simhash-neighbors
+    probe = spark.createDataFrame(
+        [(1, base), (2, near), (3, later_near)], "doc_id long, text string"
+    )
+    assert simhash_near_pairs(probe).count() >= 2
+
+    store = str(tmp_path / "seen_buckets")
+    src_dir, name = str(tmp_path / "docs"), "near_dedup_sink"
+    emitted = []
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    def on_batch(batch_df, _bid):
+        fresh = incremental_simhash_dedup(batch_df, store)
+        emitted.extend(r["doc_id"] for r in fresh.select("doc_id").collect())
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_docs([(1, base), (2, near), (3, other)])
+    docs = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = start_foreach_batch_sink(docs, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # batch 1: 2 is an in-batch near-dup of 1 (min id keeps); 3 novel
+        assert sorted(emitted) == [1, 3]
+        write_docs([(4, later_near), (5, novel)])
+        q.processAllAvailable()
+        # batch 2: 4 collides with 1's admitted buckets; 5 is novel
+        assert sorted(emitted) == [1, 3, 5]
+    finally:
+        q.stop()
+
+
+def test_streaming_vocab_count_update_mode(spark, tmp_path):
+    """Streaming wordcount: explode tokens + native update-mode count —
+    corpus statistics as a continuously-maintained aggregation."""
+    from umn_eda_kafka_stream_processing_spark.functions.text import tokens
+
+    src_dir, name = str(tmp_path / "docs"), "vocab_stream"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_docs([(1, "spark shuffle spark"), (2, "shuffle join")])
+    docs = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    counts = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .count()
+    )
+    q = start_memory_sink(counts, name, output_mode="update")
+    try:
+        q.processAllAvailable()
+        got = {r["token"]: r["count"] for r in spark.sql(f"select * from {name}").collect()}
+        assert got == {"spark": 2, "shuffle": 2, "join": 1}
+        write_docs([(3, "spark scan")])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql(f"select * from {name}").collect():
+            latest[r["token"]] = max(latest.get(r["token"], 0), r["count"])
+        assert latest["spark"] == 3 and latest["scan"] == 1
+    finally:
+        q.stop()

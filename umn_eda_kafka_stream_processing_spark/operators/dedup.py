@@ -488,6 +488,12 @@ def simhash_near_pairs(
     # stored signatures instead of re-running the token explode +
     # 64-way vote aggregation per side (see minhash_lsh_pairs)
     sigs = simhash64(df, text_col, id_col).localCheckpoint()
+    return _sig_near_pairs(sigs, id_col, max_hamming)
+
+
+def _sig_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """Candidate+verify tail over pre-built simhash signatures —
+    shared by the batch pair-finder and the incremental dedup."""
     chunk_cols = [f"c{c}" for c in range(4)]
     melted = sigs.select(
         F.col(id_col), *chunk_cols,
@@ -555,3 +561,131 @@ def exact_dedup_stream(
         # same content at different times as distinct
         return fp.dropDuplicatesWithinWatermark(["fp"]).drop("fp")
     return fp.dropDuplicates(["fp"]).drop("fp")
+
+
+def incremental_simhash_dedup(
+    batch_df: DataFrame,
+    seen_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dedup ONE microbatch against all history: the incremental
+    corpus near-dedup a continuously-ingesting 100 TB pipeline runs
+    (exact_dedup_stream only removes byte-identical repeats; this
+    removes hamming<=3 SimHash neighbors seen in ANY earlier batch).
+
+    Multi-key LSH state doesn't fit a single streaming dropDuplicates
+    key (a doc owns 4 chunk buckets; a doc is a dup if ANY matches),
+    so state lives in a durable bucket store instead — the
+    foreachBatch-with-external-state pattern:
+
+    1. in-batch: simhash_near_pairs over the batch; of every near-pair
+       the larger id is dropped (deterministic keeper = min id).
+    2. history: left-anti join the survivors' (chunk_idx, chunk_val)
+       keys against the store — any hit means a neighbor candidate
+       was already admitted, so the doc is dropped. The 16-bit-chunk
+       pigeonhole guarantees recall for hamming<=3, same as the batch
+       operator; precision is the bucket's (collisions drop a
+       non-neighbor — the conservative direction for training data).
+    3. admit: append the survivors' bucket keys to the store.
+
+    The store is hash-partitioned parquet keyed by (chunk_idx,
+    chunk_val) — at scale, a Delta/Iceberg table with the same layout;
+    the anti-join stays an equi-join on the bucket key either way.
+    Wire with streaming/runner.py:start_foreach_batch_sink:
+    ``lambda b, _id: sink(incremental_simhash_dedup(b, store))``.
+    Exactly-once admission requires an idempotent downstream sink
+    (foreachBatch is at-least-once on replay).
+    """
+    import os
+
+    spark = batch_df.sparkSession
+    sigs = simhash64(batch_df, text_col, id_col).localCheckpoint()
+    # 1. in-batch near-pairs: drop the larger id of each pair
+    pairs = _sig_near_pairs(sigs, id_col, max_hamming)
+    losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    survivors = sigs.join(losers, id_col, "left_anti")
+    # 2. the survivors' bucket keys vs the history store
+    keys = survivors.select(
+        id_col,
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val"),
+    )
+    if os.path.isdir(seen_store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(seen_store_path)
+    ):
+        seen = spark.read.parquet(seen_store_path)
+        hit = keys.join(seen, ["chunk_idx", "chunk_val"], "left_semi").select(
+            id_col
+        ).distinct()
+        survivors = survivors.join(hit, id_col, "left_anti")
+    # materialize the surviving signatures BEFORE the store append:
+    # their lineage reads the store, and lazily re-scanning a path
+    # while appending to it would race the file listing
+    survivors = survivors.localCheckpoint()
+    # 3. admit the fresh docs' buckets
+    survivors.select(
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val")
+    ).distinct().write.mode("append").parquet(seen_store_path)
+    return survivors.select(id_col).join(batch_df, id_col).select(*batch_df.columns)
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the final step of a
+    corpus dedup pipeline — pair lists don't dedup anything until they
+    become clusters with one keeper each (cluster_id = min id in the
+    component, which IS the keeper under this engine's min-id rule).
+
+    Min-label propagation, DataFrame-only (the same driver-loop shape
+    as kmeans_buckets): every node starts labeled with itself; each
+    round every node takes the min of its own and its neighbors'
+    labels; converged when no label changes. Rounds needed = component
+    diameter — near-dup components are tiny cliques/chains, so this is
+    2-3 rounds in practice; each round is one shuffle keyed on the
+    (uniform) node id, and labels are localCheckpoint'd so lineage
+    stays flat. Only the per-round change COUNT reaches the driver.
+
+    Input: (id_a, id_b[, ...]) pairs. Output: (id, cluster_id) for
+    every id that appears in at least one pair (singletons are not
+    emitted — they are their own keeper by definition).
+    """
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    edges = pairs.select(a, b).localCheckpoint()
+    und = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    labels = (
+        und.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = und.join(
+            labels.select(
+                F.col(id_col).alias("src"), F.col("cluster_id").alias("nbr_label")
+            ),
+            "src",
+        ).select(F.col("dst").alias(id_col), F.col("nbr_label"))
+        new_labels = (
+            labels.unionByName(
+                msgs.withColumnRenamed("nbr_label", "cluster_id")
+            )
+            .groupBy(id_col)
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -372,3 +372,113 @@ def cosine_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def srp_planes(dim: int, n_bits: int) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes: component
+    (p, j) is an md5-derived integer in [-1000, 1000]. md5 gives
+    well-mixed, engine-independent planes that both the Spark
+    expression and a DuckDB oracle can embed as literals."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(hashlib.md5(f"srp|{p}|{j}".encode()).digest()[:4], "big")
+            % 2001
+            - 1000
+            for j in range(dim)
+        ]
+        for p in range(n_bits)
+    ]
+
+
+def srp_band_keys(vec_col: str | Column, planes: list[list[int]], bands: int) -> list[Column]:
+    """One integer bucket key per band: the band's sign bits packed
+    big-endian. Each bit is sign(v · plane_p) computed by the JVM
+    aggregate/zip_with dot product — no Python in the row path."""
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_bits = len(planes)
+    r = n_bits // bands
+    bits = [
+        (dot_product(vc, F.array(*[F.lit(float(x)) for x in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+    return [
+        sum(
+            (bits[b * r + i] * F.lit(1 << (r - 1 - i)) for i in range(r)),
+            start=F.lit(0),
+        ).alias(f"bkey_{b}")
+        for b in range(bands)
+    ]
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_bits: int = 24,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH — the
+    SCALE path for embedding dedup when no coarse block column exists
+    (embedding_near_dup_pairs is quadratic within its block).
+
+    Candidate pairs are vectors agreeing on ALL bits of at least one
+    band (cosine-LSH: P[bit match] = 1 - θ/π, so a band of r bits
+    collides with p^r — near-parallel vectors collide in some band
+    w.h.p., random pairs almost never). Expected candidate volume is
+    Σ_band Σ_bucket |bucket|²/2 ≈ n²·bands/2^(r+1): tune n_bits/bands
+    so buckets stay small; defaults (4 bands × 6 bits) keep recall
+    ≈ (1-(1-p^6)^4) ≈ 0.87 at sim 0.9 with 64 buckets per band.
+
+    Physical shape mirrors minhash_lsh_pairs: band keys are computed
+    once per row (JVM dot products), candidates are generated on a
+    lite (id, band, key) projection via an equi-join — never a cross
+    product — deduped, then vectors re-attached by id for the exact
+    cosine verify. Output: (id_a, id_b, sim) with sim >= threshold.
+    """
+    planes = srp_planes(dim, n_bits)
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", l2_norm(vec_col)
+    )
+    sig = base.select(
+        id_col, F.posexplode(F.array(*srp_band_keys(vec_col, planes, bands))).alias(
+            "band", "bkey"
+        )
+    )
+    a = sig.select(F.col(id_col).alias(f"a_{id_col}"), "band", "bkey")
+    b = sig.select(F.col(id_col).alias(f"b_{id_col}"), "band", "bkey")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        a.repartition(par, F.col(f"a_{id_col}"))
+        .join(b, ["band", "bkey"], "inner")
+        .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .select(f"a_{id_col}", f"b_{id_col}")
+        .distinct()  # a pair may collide in several bands
+        .repartition(par, F.col(f"a_{id_col}"))
+    )
+    va = base.select(
+        F.col(id_col).alias(f"a_{id_col}"),
+        F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    vb = base.select(
+        F.col(id_col).alias(f"b_{id_col}"),
+        F.col(vec_col).alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
+    return (
+        pairs.join(va, f"a_{id_col}").join(vb, f"b_{id_col}")
+        .withColumn(
+            "sim",
+            round_half_up(
+                dot_product("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a_{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b_{id_col}").alias(f"{id_col}_b"),
+            "sim",
+        )
+    )

@@ -272,3 +272,38 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return global_topk(rev, [("revenue", False), ("c_custkey", True)], 20)
+
+
+@_register(
+    "salted_event_type_totals",
+    "Skew-safe aggregation, oracle-proven identical to the plain "
+    "groupBy: event_type has only 5 values (hot keys), so the count+sum "
+    "runs through operators/skew.py:salted_agg — deterministic salt, "
+    "partials over (key, salt), exact decimal re-combine per key.",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS value_total
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        "event_type",
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pn").cast("long").alias("n"),
+            # exact decimal partial sums re-combine exactly; emit
+            # rounded DOUBLE (decimal scale stringification diverges
+            # between engines under the driver's value hash)
+            round_half_up(F.sum("ps").cast("double"), 4).alias("value_total"),
+        ],
+    )
+    return out

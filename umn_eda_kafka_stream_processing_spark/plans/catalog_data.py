@@ -109,9 +109,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(
+def _minhash_parts(
     k: int = 16, r: int = 2, shingle_n: int = 8, gate: float = 0.5
-) -> str:
+) -> tuple[str, str]:
+    """(CTE list, final pair SELECT) for the MinHash+LSH oracle — split
+    so near_dup_clusters can reuse the CTEs under WITH RECURSIVE."""
     b = k // r
     mins = ",\n           ".join(
         f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
@@ -125,8 +127,7 @@ def _minhash_oracle(
         for band in range(b)
     )
     any_band = " OR ".join(f"a.band{i} = b.band{i}" for i in range(b))
-    return f"""
-    WITH sets AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS sh FROM documents),
+    ctes = f"""sets AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS sh FROM documents),
     exploded AS (SELECT doc_id, unnest(sh) AS s FROM sets),
     sigs AS (SELECT doc_id,
            {mins}
@@ -139,8 +140,8 @@ def _minhash_oracle(
     cands AS (SELECT c.doc_id_a, c.doc_id_b
       FROM cands0 c JOIN sigs sga ON sga.doc_id = c.doc_id_a
                     JOIN sigs sgb ON sgb.doc_id = c.doc_id_b
-      WHERE ({est_matches}) / {float(k)} >= {gate})
-    SELECT * FROM (
+      WHERE ({est_matches}) / {float(k)} >= {gate})"""
+    pair_select = """SELECT * FROM (
       SELECT c.doc_id_a, c.doc_id_b,
              floor(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
                    / greatest(CAST(len(sa.sh) + len(sb.sh)
@@ -148,8 +149,52 @@ def _minhash_oracle(
                               1.0) * 10000.0 + 0.5) / 10000.0 AS jaccard
       FROM cands c JOIN sets sa ON sa.doc_id = c.doc_id_a
                    JOIN sets sb ON sb.doc_id = c.doc_id_b
-    ) WHERE jaccard >= 0.8
+    ) WHERE jaccard >= 0.8"""
+    return ctes, pair_select
+
+
+def _minhash_oracle(
+    k: int = 16, r: int = 2, shingle_n: int = 8, gate: float = 0.5
+) -> str:
+    ctes, pair_select = _minhash_parts(k, r, shingle_n, gate)
+    return f"WITH {ctes}\n    {pair_select}"
+
+
+def _near_dup_clusters_oracle() -> str:
+    """WITH RECURSIVE twin of operators/dedup.py:near_dup_clusters over
+    the minhash_lsh_pairs edge set: (id, label) is in ``walk`` iff
+    ``label`` reaches ``id`` along near-dup edges, so min(label) per id
+    is the component minimum — exactly the fixpoint the Spark min-label
+    propagation converges to."""
+    ctes, pair_select = _minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({pair_select}),
+    und AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs),
+    walk(id, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
     """
+
+
+@_register(
+    "near_dup_clusters",
+    "Connected components over the MinHash-LSH near-pair graph: "
+    "(doc, cluster_id=min id in component) — the pairs→groups→keeper "
+    "step that actually dedups a corpus (operators/dedup.py:"
+    "near_dup_clusters, min-label propagation; oracle: WITH RECURSIVE "
+    "reachability fixpoint).",
+    _near_dup_clusters_oracle(),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.near_dup_clusters(dd.minhash_lsh_pairs(docs))
 
 
 @_register(
@@ -646,3 +691,171 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: distributed wordcount, n-gram LM counts, TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "vocab_topk",
+    "Global vocabulary top-20: the canonical distributed wordcount — "
+    "explode tokens, partial-aggregated count per token, then the "
+    "window-free global_topk (TakeOrderedAndProject, no single-task sort).",
+    rf"""
+    WITH t AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM t WHERE len(token) > 0 GROUP BY token),
+    r AS (SELECT token, cnt, CAST(row_number() OVER
+            (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank FROM c)
+    SELECT token, cnt, rank FROM r WHERE rank <= 20
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import tokens
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counted = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return global_topk(counted, [("cnt", False), ("token", True)], 20)
+
+
+@_register(
+    "token_bigram_topk",
+    "Top-20 token bigrams (language-model n-gram counts): per-doc "
+    "adjacent-token pairs via a JVM transform over the token array — "
+    "sequence guarded to size>=2 (Spark sequence(1,0) is DESCENDING).",
+    rf"""
+    WITH d AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+          FROM d WHERE len(t) >= 2),
+    c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bigram),
+    r AS (SELECT bigram, cnt, CAST(row_number() OVER
+            (ORDER BY cnt DESC, bigram ASC) AS BIGINT) AS rank FROM c)
+    SELECT bigram, cnt, rank FROM r WHERE rank <= 20
+    """,
+)
+def token_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import tokens
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bigrams = (
+        docs.select(tokens().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counted = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return global_topk(counted, [("cnt", False), ("bigram", True)], 20)
+
+
+@_register(
+    "tfidf_top_terms",
+    "Per-document top-3 terms by TF-IDF with an integer-exact IDF "
+    "(scaled_idf = n_docs*1e6 div df — integer div on BOTH engines, no "
+    "log/float divergence): tf per (doc, token), df via second agg, "
+    "shuffle join on token (df table can exceed broadcast size at corpus "
+    "scale), per-doc top-3 via grouped_topk.",
+    rf"""
+    WITH t AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE len(token) > 0 GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                 CAST(tf.tf * ((n.n_docs * 1000000) // dfq.df) AS BIGINT) AS score
+          FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n),
+    r AS (SELECT doc_id, token, tf, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token ASC) AS BIGINT) AS rank FROM s)
+    SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import tokens
+    from umn_eda_kafka_stream_processing_spark.operators.core import grouped_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("token")).filter(
+        F.length("token") > 0
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.expr("CAST(tf * ((n_docs * 1000000) div df) AS BIGINT)")
+        )
+    )
+    ranked = grouped_topk(
+        scored, "doc_id", [F.col("score").desc(), F.col("token").asc()], 3
+    )
+    return ranked.select(
+        "doc_id", "token", "tf", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _srp_oracle(threshold: float, dim: int = 64, n_bits: int = 24, bands: int = 4) -> str:
+    """DuckDB twin of operators/similarity.py:srp_lsh_pairs — the same
+    md5-derived hyperplanes embedded as literals, band keys packed
+    big-endian, any-band candidate join, exact-cosine verify."""
+    planes = sim.srp_planes(dim, n_bits)
+    r = n_bits // bands
+
+    def key_expr(b: int) -> str:
+        terms = []
+        for i in range(r):
+            lit = "[" + ", ".join(f"{x}.0" for x in planes[b * r + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0"
+                f" THEN {1 << (r - 1 - i)} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    keys = ",\n        ".join(key_expr(b) for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, [{keys}] AS ks FROM e),
+    lite AS (SELECT vec_id, unnest(ks) AS bkey,
+                    unnest(range(0, {bands})) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             FROM lite a JOIN lite b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+    scored AS (SELECT ia, ib, {_duck_cos('ea.v', 'eb.v')} AS sim
+               FROM cand JOIN e ea ON ea.vec_id = ia
+                         JOIN e eb ON eb.vec_id = ib)
+    SELECT ia AS vec_id_a, ib AS vec_id_b, sim FROM scored WHERE sim >= {threshold}
+    """
+
+
+@_register(
+    "embedding_srp_lsh_pairs",
+    "Embedding near-dup via signed-random-projection LSH — the linear "
+    "scale path when no block column exists (cosine-LSH banding, "
+    "4 bands x 6 bits, md5-derived integer hyperplanes, exact-cosine "
+    "verify; operators/similarity.py:srp_lsh_pairs).",
+    _srp_oracle(0.45),
+)
+def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.srp_lsh_pairs(emb, threshold=0.45)
