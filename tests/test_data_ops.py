@@ -345,3 +345,71 @@ def test_near_dup_clusters_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dd.near_dup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_bernoulli_sample_deterministic_and_unbiased(spark):
+    """Same input -> identical selection on rerun; kept fraction within
+    a loose binomial band of the rate; selection is a pure function of
+    the key (membership stable under row reordering)."""
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in smp.bernoulli_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in smp.bernoulli_sample(df.orderBy(F.desc("k")), "k", 0.25).collect()}
+    assert a == b
+    assert 0.20 < len(a) / 4000 < 0.30
+    # rate monotonicity: a 10% sample is a subset of the 25% sample
+    c = {r["k"] for r in smp.bernoulli_sample(df, "k", 0.10).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rates_bind_per_stratum(spark):
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "cold") for i in range(2000)], "k long, s string"
+    )
+    got = smp.stratified_sample(df, "s", "k", {"hot": 0.5, "cold": 0.0}).collect()
+    assert all(r["s"] == "hot" for r in got)  # default_rate=0 drops unknown/cold
+    assert 0.4 < len(got) / 1000 < 0.6
+
+
+def test_uniform_k_per_stratum_exact_counts(spark):
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "k long, g string"
+    )
+    got = smp.uniform_k_per_stratum(df, "g", "k", k=7).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["draw_rank"])
+    assert set(by_g) == {"g0", "g1", "g2"}
+    assert all(sorted(v) == list(range(1, 8)) for v in by_g.values())
+    # small stratum: returns all of it, ranks still 1..n
+    tiny = spark.createDataFrame([(1, "g"), (2, "g")], "k long, g string")
+    assert sorted(
+        r["draw_rank"] for r in smp.uniform_k_per_stratum(tiny, "g", "k", k=7).collect()
+    ) == [1, 2]
+
+
+def test_domain_mixture_sample_weights_and_cap(spark):
+    """3x-weighted domain keeps ~3x the rows of a unit domain; a domain
+    smaller than its target hits the 2^32 cap and keeps everything."""
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    rows = [(i, "big_a") for i in range(3000)]
+    rows += [(10000 + i, "big_b") for i in range(3000)]
+    rows += [(20000 + i, "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    got = smp.domain_mixture_sample(
+        df, "dom", "k", {"big_a": 3, "big_b": 1, "tiny": 1}, target_total=500
+    ).collect()
+    n = {}
+    for r in got:
+        n[r["dom"]] = n.get(r["dom"], 0) + 1
+    assert n["tiny"] == 10  # cap: rate clamps at 1.0
+    assert 2.0 < n["big_a"] / n["big_b"] < 4.5  # ~3x weighting
+    # unknown domains (weight 0) are dropped entirely
+    df2 = df.withColumn("dom", F.lit("unlisted"))
+    assert smp.domain_mixture_sample(df2, "dom", "k", {"big_a": 1}, 10).count() == 0

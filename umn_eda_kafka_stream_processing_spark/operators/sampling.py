@@ -1,0 +1,163 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is never trained on whole: pipelines carve it with
+uniform samples (smoke sets), per-stratum rates (language balancing),
+fixed-size per-stratum draws (eval sets), and domain-weighted
+mixtures (the training recipe). Every operator here is DETERMINISTIC
+and ENGINE-PORTABLE: the sampling key is the first 8 hex chars of
+md5(salt|key) read as a 32-bit integer, and every rate is applied as
+an exact integer threshold ``u32 < floor(rate * 2^32)`` — no doubles,
+no RNG state, so reruns/retries/different engines select the SAME
+rows (the DuckDB oracles prove it bit-for-bit).
+
+Scale notes:
+* bernoulli/stratified are NARROW ops — a filter over the scan, no
+  shuffle; at 100 TB they cost one pass and prune immediately.
+* fixed k-per-stratum uses a ranking window WITHIN each stratum;
+  Catalyst plans the ``row_number <= k`` filter as WindowGroupLimit
+  (per-partition partial top-k), so a hot stratum never materializes
+  more than k rows per task before the final per-stratum merge.
+* the mixture sampler aggregates once to per-domain counts (tiny),
+  broadcasts the rate table back, then filters — one narrow pass plus
+  one broadcast join; no fact-side shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 — the sampling-key space. Thresholds are exact integers in
+# [0, 2^32]; rate 1.0 maps to 2^32 which every u32 is strictly below.
+KEY_SPACE = 1 << 32
+
+
+def sample_key_u32(key: Column | str, salt: str = "smp") -> Column:
+    """First 32 bits of md5('<salt>|' || key) as a non-negative long.
+
+    Portable: any engine's md5 agrees bit-for-bit; DuckDB twin is
+    ``cast(concat('0x', substr(md5('<salt>|' || key), 1, 8)) as bigint)``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+    )
+
+
+def rate_threshold(rate: float) -> int:
+    """Exact integer threshold for a sampling rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * KEY_SPACE)
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "smp"
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows with u32(key) < rate·2^32.
+
+    Narrow (no shuffle). Unlike ``df.sample()`` the selection is a pure
+    function of the row key, so retries, speculative tasks, and other
+    engines reproduce it exactly.
+    """
+    return df.filter(sample_key_u32(key_col, salt) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Per-stratum bernoulli rates (e.g. language balancing).
+
+    The rate lookup is a literal CASE expression — evaluated JVM-side
+    inside the same narrow filter as the hash, so the whole operator
+    stays in one WholeStageCodegen pass over the scan.
+    """
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.filter(sample_key_u32(key_col, salt) < thr)
+
+
+def uniform_k_per_stratum(
+    df: DataFrame,
+    strata_col: str | Sequence[str],
+    key_col: str,
+    k: int,
+    salt: str = "smp",
+    rank_name: str = "draw_rank",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, drawn uniformly.
+
+    Ordering by (hash, key) inside each stratum is a uniform permutation
+    with a deterministic tie-break, so the first k rows are a uniform
+    without-replacement draw. The ``row_number <= k`` filter plans as
+    WindowGroupLimit: each task pre-prunes to its local top-k before
+    the per-stratum shuffle, so a billion-row stratum moves only
+    k rows per map partition.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+    w = Window.partitionBy(*keys).orderBy(
+        sample_key_u32(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn(rank_name, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: Mapping[str, int],
+    target_total: int,
+    salt: str = "smp",
+) -> DataFrame:
+    """Sample toward a weighted domain mixture (the training recipe).
+
+    Domain d with integer weight w_d gets a target of
+    ``target_total * w_d / sum(w)`` rows; its bernoulli threshold is
+    the EXACT integer ``(target * w_d * 2^32) div (sum_w * count_d)``,
+    capped at 2^32 (domains smaller than their target keep everything
+    — deterministic "epoch oversampling" is the caller's next step).
+    Domains absent from ``weights`` get weight 0 (dropped).
+
+    Plan shape: one hash-agg to per-domain counts (|domains| rows), a
+    broadcast join of that tiny rate table back onto the fact, then
+    the same narrow hash filter as bernoulli_sample — the fact side
+    never shuffles.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = sum(weights.values())
+    wmap = F.create_map(
+        *[x for d, wt in sorted(weights.items()) for x in (F.lit(d), F.lit(int(wt)))]
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_w", F.coalesce(wmap[F.col("_dom")], F.lit(0)).cast("long"))
+        .withColumn(
+            "_thr",
+            F.least(
+                F.lit(KEY_SPACE).cast("long"),
+                F.expr(f"({target_total} * _w * {KEY_SPACE}) div ({wsum} * _cnt)"),
+            ),
+        )
+        .select("_dom", "_thr")
+    )
+    return (
+        df.join(F.broadcast(counts), df[domain_col] == counts["_dom"], "inner")
+        .filter(sample_key_u32(key_col, salt) < F.col("_thr"))
+        .drop("_dom", "_thr")
+    )

@@ -1,0 +1,131 @@
+"""Deterministic-sampling catalog queries (training-data curation).
+
+Every query is a pure function of md5, so the DuckDB oracles match
+bit-for-bit: the sampling key is ``cast('0x' || substr(md5(...),1,8)
+as bigint)`` in DuckDB == ``conv(substr(md5(...),1,8),16,10)`` in
+Spark, and every rate is an exact integer threshold (no doubles).
+
+These prove the curation path end-to-end: smoke sample -> language
+rebalance -> per-source eval draw -> weighted training mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
+from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+# DuckDB twin of operators/sampling.py:sample_key_u32
+def _duck_key(expr: str, salt: str = "smp") -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{salt}|', cast({expr} as varchar))), 1, 8)) "
+        "as bigint)"
+    )
+
+
+_LANG_RATES = {"en": 0.10, "de": 0.50, "es": 0.40, "fr": 0.50, "zh": 0.40}
+_MIX_WEIGHTS = {f"src{i}": (3 if i % 4 == 0 else 1) for i in range(20)}
+_MIX_TARGET = 240
+
+
+@_register(
+    "sample_bernoulli_docs",
+    "Deterministic 10% uniform document sample via md5-keyed integer "
+    "threshold (operators/sampling.py:bernoulli_sample) — narrow filter, "
+    "no shuffle, reproducible across engines/retries.",
+    f"""
+    SELECT doc_id, lang, source, {_duck_key('doc_id')} AS sample_key
+    FROM documents
+    WHERE {_duck_key('doc_id')} < {smp.rate_threshold(0.10)}
+    """,
+)
+def sample_bernoulli_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.bernoulli_sample(docs, "doc_id", 0.10).select(
+        "doc_id", "lang", "source", smp.sample_key_u32("doc_id").alias("sample_key")
+    )
+
+
+@_register(
+    "sample_stratified_by_lang",
+    "Language-rebalancing stratified sample: per-lang bernoulli rates "
+    "applied as literal CASE thresholds inside one narrow codegen filter "
+    "(operators/sampling.py:stratified_sample). Output is the per-lang "
+    "kept-count, proving the stratum rates bind.",
+    f"""
+    SELECT lang, cast(count(*) AS bigint) AS kept,
+           cast(min(doc_id) AS bigint) AS min_doc_id,
+           cast(max(doc_id) AS bigint) AS max_doc_id
+    FROM documents
+    WHERE {_duck_key('doc_id')} < CASE lang
+      {' '.join(f"WHEN '{lang}' THEN {smp.rate_threshold(r)}" for lang, r in sorted(_LANG_RATES.items()))}
+      ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = smp.stratified_sample(docs, "lang", "doc_id", _LANG_RATES)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@_register(
+    "sample_k_per_source",
+    "Deterministic 5-doc-per-source eval draw: rank by (md5 key, doc_id) "
+    "within each source, keep rank<=5 — plans as WindowGroupLimit so each "
+    "task pre-prunes to its local top-5 (operators/sampling.py:"
+    "uniform_k_per_stratum).",
+    f"""
+    SELECT source, doc_id, cast(draw_rank AS bigint) AS draw_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_duck_key('doc_id')}, doc_id
+             ) AS draw_rank
+      FROM documents
+    ) WHERE draw_rank <= 5
+    """,
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.uniform_k_per_stratum(docs, "source", "doc_id", k=5).select(
+        "source", "doc_id", "draw_rank"
+    )
+
+
+@_register(
+    "sample_domain_mixture",
+    "Domain-weighted training mixture: per-source counts -> exact integer "
+    "thresholds (target*w*2^32 div (wsum*cnt), capped) broadcast back onto "
+    "the narrow hash filter (operators/sampling.py:domain_mixture_sample). "
+    "Weighted sources get ~3x the rows of unit-weight sources.",
+    f"""
+    WITH cnt AS (
+      SELECT source AS dom, count(*) AS n FROM documents GROUP BY source
+    ), thr AS (
+      SELECT dom,
+             least(
+               {smp.KEY_SPACE},
+               ({_MIX_TARGET} * CASE WHEN cast(substr(dom, 4) AS bigint) % 4 = 0
+                                     THEN 3 ELSE 1 END * {smp.KEY_SPACE})
+               // ({sum(_MIX_WEIGHTS.values())} * n)
+             ) AS t
+      FROM cnt
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN thr ON d.source = thr.dom
+    WHERE {_duck_key('d.doc_id')} < thr.t
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.domain_mixture_sample(
+        docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TARGET
+    ).select("doc_id", "source", "lang")
