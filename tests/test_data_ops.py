@@ -413,3 +413,39 @@ def test_domain_mixture_sample_weights_and_cap(spark):
     # unknown domains (weight 0) are dropped entirely
     df2 = df.withColumn("dom", F.lit("unlisted"))
     assert smp.domain_mixture_sample(df2, "dom", "k", {"big_a": 1}, 10).count() == 0
+
+
+def test_pack_sequences_next_fit_semantics(spark):
+    """Bins fill greedily in id order within a shard; a doc larger than
+    capacity owns its bin; bin sums never exceed capacity otherwise."""
+    from umn_eda_kafka_stream_processing_spark.operators.packing import pack_sequences
+
+    rows = [(0, 60), (4, 60), (8, 30), (12, 200), (16, 10)]  # one shard (shards=4 -> all id%4==0)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["id"]: r["bin"] for r in
+           pack_sequences(df, "doc_id", "n_tokens", capacity=128, shards=4).collect()}
+    # 60+60 fits (120<=128); +30 would overflow -> new bin; 200 overflows alone
+    # -> next bin by itself; 10 can't join the 200-bin (200+10>128) -> new bin
+    assert got == {0: 0, 4: 0, 8: 1, 12: 2, 16: 3}
+
+
+def test_pack_sequences_shards_partition_independently(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", capacity=128, shards=4)
+    stats = pack_stats(packed, 128).collect()
+    # 10 docs x 50 tok per shard -> bins of 2 (100<=128<150): 5 bins/shard
+    assert len(stats) == 20
+    assert all(r["n_docs"] == 2 and r["bin_tokens"] == 100 and r["waste"] == 28
+               for r in stats)
+    # determinism across reruns
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, pack_sequences(
+        df.orderBy(F.desc("doc_id")), "doc_id", "n_tokens", 128, 4).collect()))
+    assert a == b
