@@ -449,3 +449,27 @@ def test_pack_sequences_shards_partition_independently(spark):
     b = sorted(map(tuple, pack_sequences(
         df.orderBy(F.desc("doc_id")), "doc_id", "n_tokens", 128, 4).collect()))
     assert a == b
+
+
+def test_scrub_text_redaction_order_and_tokens(spark):
+    """URL pass runs first (address in a query string is URL, not
+    email); email before digit runs; short digit runs survive."""
+    from umn_eda_kafka_stream_processing_spark.functions import scrub as sc
+
+    rows = [
+        (1, "see https://x.y/a?e=bob@x.com now"),       # email inside URL
+        (2, "mail a.b+c@ex-am.ple.org card 12345678901"),
+        (3, "only 12345678 short digits"),               # 8 digits: kept
+        (4, "two mails a@b.cc c@d.ee and http://u.v"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id", sc.scrub_text("t").alias("clean"),
+        *[v.alias(k) for k, v in sc.redaction_counts("t").items()]).collect()}
+    assert got[1]["clean"] == "see <URL> now"
+    assert (got[1]["n_urls"], got[1]["n_emails"]) == (1, 0)
+    assert got[2]["clean"] == "mail <EMAIL> card <NUM>"
+    assert got[3]["clean"] == "only 12345678 short digits"
+    assert got[3]["n_longnums"] == 0
+    assert got[4]["clean"] == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert got[4]["n_emails"] == 2

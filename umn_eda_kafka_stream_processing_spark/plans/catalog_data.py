@@ -859,3 +859,72 @@ def _srp_oracle(threshold: float, dim: int = 64, n_bits: int = 24, bands: int = 
 def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.srp_lsh_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# PII / boilerplate scrubbing
+# ---------------------------------------------------------------------------
+
+# Deterministic dirty-text construction shared by Spark and DuckDB: the
+# synthetic corpus has no PII, so the query plants an email on every
+# doc, a URL on every 3rd and a long digit run on every 5th, derived
+# from doc_id alone — both engines build the identical string.
+_DUCK_DIRTY = (
+    "text || ' contact user' || cast(doc_id as varchar) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' http://site' || cast(doc_id % 7 as varchar)"
+    " || '.example/page?id=' || cast(doc_id as varchar) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ref ' || cast(doc_id as varchar)"
+    " || '9876543210' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from umn_eda_kafka_stream_processing_spark.functions import scrub as sc
+
+    after_url = f"regexp_replace(dirty, '{sc.URL_RE}', '<URL>', 'g')"
+    after_email = f"regexp_replace({after_url}, '{sc.EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_DIRTY} AS dirty FROM documents)
+    SELECT doc_id,
+           {sc.duck_count('dirty', sc.URL_RE)} AS n_urls,
+           {sc.duck_count(after_url, sc.EMAIL_RE)} AS n_emails,
+           {sc.duck_count(after_email, sc.LONGNUM_RE)} AS n_longnums,
+           md5({sc.duck_scrub('dirty')}) AS clean_fp
+    FROM d
+    """
+
+
+@_register(
+    "pii_scrub_stats",
+    "PII redaction over deterministically-dirtied text: URL -> email -> "
+    "long-digit-run regexp passes, all JVM-side column expressions "
+    "(functions/scrub.py) — per-doc category counts + md5 of the "
+    "scrubbed text, bit-matched against the RE2 twin.",
+    _pii_oracle(),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions import scrub as sc
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), did, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" http://site"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example/page?id="), did),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ref "), did, F.lit("9876543210")),
+        ).otherwise(F.lit("")),
+    )
+    dirtied = docs.select("doc_id", dirty.alias("dirty"))
+    counts = sc.redaction_counts("dirty")
+    return dirtied.select(
+        "doc_id",
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_longnums"].alias("n_longnums"),
+        F.md5(sc.scrub_text("dirty")).alias("clean_fp"),
+    )
