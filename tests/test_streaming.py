@@ -920,3 +920,132 @@ def test_streaming_vocab_count_update_mode(spark, tmp_path):
         assert latest["spark"] == 3 and latest["scan"] == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_inner(spark, tmp_path):
+    """KStream⋈KStream windowed join: purchases pair with clicks by the
+    same user within [0, 60s] BEFORE the purchase; matches outside the
+    window never emit. Mirrors Kafka Streams JoinWindows semantics with
+    bounded (watermarked) state."""
+    from pyspark.sql import types as T
+
+    from umn_eda_kafka_stream_processing_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    click_schema = T.StructType(
+        [T.StructField("user", T.StringType()),
+         T.StructField("click_ts", T.TimestampType()),
+         T.StructField("page", T.StringType())]
+    )
+    buy_schema = T.StructType(
+        [T.StructField("user", T.StringType()),
+         T.StructField("buy_ts", T.TimestampType()),
+         T.StructField("amount", T.DoubleType())]
+    )
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0.replace(minute=s // 60, second=s % 60)
+
+    clicks_dir, buys_dir, name = str(tmp_path / "c"), str(tmp_path / "b"), "ssj"
+    spark.createDataFrame(
+        [("u1", at(0), "home"), ("u1", at(50), "item"),
+         ("u2", at(10), "home"), ("u3", at(0), "home")],
+        click_schema,
+    ).coalesce(1).write.mode("append").parquet(clicks_dir)
+    spark.createDataFrame(
+        # u1 buys at 70s: joins clicks at 50s (20s before) and 0s?
+        # 70-0=70 > 60 -> only the 50s click. u2 buys 200s after click:
+        # outside window. u3 never buys.
+        [("u1", at(70), 9.99), ("u2", at(210), 5.0)],
+        buy_schema,
+    ).coalesce(1).write.mode("append").parquet(buys_dir)
+
+    clicks = file_stream_source(spark, clicks_dir, click_schema, max_files_per_trigger=None)
+    buys = file_stream_source(spark, buys_dir, buy_schema, max_files_per_trigger=None)
+    joined = stream_stream_interval_join(
+        buys, clicks, key="user", left_ts="buy_ts", right_ts="click_ts",
+        lower_seconds=-60, upper_seconds=0,
+    ).select("user", "page", "amount")
+    q = start_memory_sink(joined, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = [(r["user"], r["page"], r["amount"])
+               for r in spark.sql(f"select * from {name}").collect()]
+        assert sorted(got) == [("u1", "item", 9.99)]
+
+        # a late-arriving click inside [buy-60, buy] joins incrementally
+        spark.createDataFrame(
+            [("u2", at(180), "promo")], click_schema
+        ).coalesce(1).write.mode("append").parquet(clicks_dir)
+        q.processAllAvailable()
+        got = sorted((r["user"], r["page"]) for r in
+                     spark.sql(f"select * from {name}").collect())
+        assert got == [("u1", "item"), ("u2", "promo")]
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_left_outer_emits_on_watermark_close(spark, tmp_path):
+    """Unmatched left rows emit with NULL right columns only after the
+    watermark closes their window (Kafka Streams grace-period
+    analogue) — not before."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from umn_eda_kafka_stream_processing_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    a_schema = T.StructType(
+        [T.StructField("k", T.StringType()),
+         T.StructField("a_ts", T.TimestampType())]
+    )
+    b_schema = T.StructType(
+        [T.StructField("k", T.StringType()),
+         T.StructField("b_ts", T.TimestampType()),
+         T.StructField("tag", T.StringType())]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0.replace(minute=s // 60, second=s % 60)
+
+    a_dir, b_dir, name = str(tmp_path / "a"), str(tmp_path / "b"), "ssj_outer"
+    spark.createDataFrame([("x", at(0)), ("y", at(0))], a_schema) \
+        .coalesce(1).write.mode("append").parquet(a_dir)
+    spark.createDataFrame([("x", at(10), "hit")], b_schema) \
+        .coalesce(1).write.mode("append").parquet(b_dir)
+
+    a = file_stream_source(spark, a_dir, a_schema, max_files_per_trigger=None)
+    b = file_stream_source(spark, b_dir, b_schema, max_files_per_trigger=None)
+    joined = stream_stream_interval_join(
+        a, b, key="k", left_ts="a_ts", right_ts="b_ts",
+        lower_seconds=0, upper_seconds=30, watermark="10 seconds",
+        how="leftOuter",
+    ).select("k", "tag")
+    q = start_memory_sink(joined, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["tag"]) for r in spark.sql(f"select * from {name}").collect()}
+        assert got == {("x", "hit")}  # y's window still open: no null row yet
+
+        # far-future rows on BOTH sides push the global watermark past
+        # y's window (0+30+10); the unmatched y then emits with NULL
+        spark.createDataFrame([("z", at(300))], a_schema) \
+            .coalesce(1).write.mode("append").parquet(a_dir)
+        spark.createDataFrame([("z", at(300), "late")], b_schema) \
+            .coalesce(1).write.mode("append").parquet(b_dir)
+        q.processAllAvailable()
+        # one more microbatch so the advanced watermark evicts y
+        spark.createDataFrame([("z2", at(301))], a_schema) \
+            .coalesce(1).write.mode("append").parquet(a_dir)
+        q.processAllAvailable()
+        got = {(r["k"], r["tag"]) for r in spark.sql(f"select * from {name}").collect()}
+        assert ("y", None) in got
+    finally:
+        q.stop()
