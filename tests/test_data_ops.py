@@ -473,3 +473,34 @@ def test_scrub_text_redaction_order_and_tokens(spark):
     assert got[3]["n_longnums"] == 0
     assert got[4]["clean"] == "two mails <EMAIL> <EMAIL> and <URL>"
     assert got[4]["n_emails"] == 2
+
+
+def test_kmv_sketch_accuracy_and_exact_underfill(spark):
+    """KMV: groups with < k distinct report exactly; a 5000-distinct
+    group estimates within ~3x the 1/sqrt(k-2) std error."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    rows = [(i, "big") for i in range(5000)] + [(i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "uid long, g string")
+    got = {r["g"]: r for r in sk.kmv_distinct_per_group(df, "g", "uid", k=256).collect()}
+    assert got["small"]["n_kept"] == 40
+    assert got["small"]["kmv_est"] == 40.0  # underfilled sketch is exact
+    assert got["big"]["n_kept"] == 256
+    assert 0.8 < got["big"]["kmv_est"] / 5000 < 1.2
+
+
+def test_hll_sketch_accuracy_and_register_state(spark):
+    """HLL m=256 raw estimator: ~6.5% std error at good load; register
+    sum is an exact integer; duplicates don't move the estimate."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(i, "g") for i in range(6000)], "uid long, g string")
+    r = sk.hll_sketch_per_group(df, "g", "uid").collect()[0]
+    assert 0.8 < r["hll_est"] / 6000 < 1.2
+    assert r["n_empty"] == 0  # 6000 keys saturate 256 buckets
+    dup = spark.createDataFrame(
+        [(i % 6000, "g") for i in range(18000)], "uid long, g string"
+    )
+    r2 = sk.hll_sketch_per_group(dup, "g", "uid").collect()[0]
+    assert r2["s_scaled"] == r["s_scaled"]  # max() registers: dup-invariant
+    assert r2["hll_est"] == r["hll_est"]

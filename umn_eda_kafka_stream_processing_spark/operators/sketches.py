@@ -1,0 +1,192 @@
+"""Portable distinct-count sketches: K-Minimum-Values and HyperLogLog.
+
+``approx_count_distinct`` exists in both Spark and DuckDB but their
+sketches differ, so their estimates can never cross-check. These
+implementations derive every sketch register from md5 — bit-identical
+in any engine — and keep all sketch state in EXACT integers (the HLL
+register sum is a dyadic rational scaled to an integer), so the
+DuckDB oracle reproduces the estimate to the last bit: the only
+floating-point op is one final IEEE division both engines perform on
+identical integers.
+
+Why sketches at 100 TB: exact count-distinct shuffles every distinct
+key; a sketch is a constant-size aggregate state per group — the
+classic one-pass, mergeable cardinality path. Both operators here are
+single hash-aggregations (one shuffle on the group key).
+
+KMV: keep the k smallest 32-bit hash prefixes per group; if the k-th
+smallest maps to fraction u = v_k / 2^32 of the hash space, the group
+has ≈ (k-1)/u distinct keys. Groups with fewer than k distinct hashes
+report the exact count (the sketch IS the distinct set there).
+
+HLL: bucket = first 8 hash bits (m=256 registers), register = leading
+-zero-rank rho of the next 32 bits, estimate = alpha_m * m^2 /
+sum(2^-register). Empty registers contribute 2^0; the raw estimator
+(no low-range ln correction, which would be libm-dependent) is
+reported together with n_empty so callers can apply linear counting
+themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+
+_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 256.0)"  # alpha_m for m=256
+_M = 256
+# 2^(33-rho) keeps every register term an exact integer (rho <= 33)
+_SCALE = 1 << 33
+
+# bit length of a hex nibble character (for leading-zero rank)
+_NIBBLE_BITS = (
+    "CASE WHEN {c} IN ('8','9','a','b','c','d','e','f') THEN 4 "
+    "WHEN {c} IN ('4','5','6','7') THEN 3 "
+    "WHEN {c} IN ('2','3') THEN 2 ELSE 1 END"
+)
+
+
+def _h(col: str, salt: str) -> Column:
+    return F.md5(F.concat(F.lit(salt + "|"), F.col(col).cast("string")))
+
+
+def kmv_distinct_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k smallest hashes.
+
+    Plan: distinct (group, hash-prefix) pairs -> per-group ascending
+    rank (WindowGroupLimit prunes to k per task) -> one row per group.
+    Output: (group, n_kept, kmv_est double) where n_kept = min(k,
+    distinct) and kmv_est is exact for under-filled sketches.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        F.conv(F.substring(_h(key_col, salt), 1, 8), 16, 10).cast("long").alias("v"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("v"))).alias("vk"),
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("vk").isNull(), F.col("n_kept").cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("vk").cast("double")
+        ).alias("kmv_est"),
+    )
+
+
+def duck_kmv(table_expr: str, group_col: str, key_col: str, k: int = 64,
+             salt: str = "kmv") -> str:
+    """DuckDB twin of kmv_distinct_per_group (same output columns)."""
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {group_col} AS g,
+             cast(concat('0x', substr(md5(concat('{salt}|', cast({key_col} as varchar))), 1, 8)) as bigint) AS v
+      FROM {table_expr}
+    ), ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      FROM hashed
+    ), kept AS (SELECT * FROM ranked WHERE rn <= {k})
+    SELECT g AS {group_col},
+           cast(count(*) AS bigint) AS n_kept,
+           CASE WHEN max(CASE WHEN rn = {k} THEN v END) IS NULL
+                THEN cast(count(*) AS double)
+                ELSE {float(k - 1)} * 4294967296.0
+                     / cast(max(CASE WHEN rn = {k} THEN v END) AS double)
+           END AS kmv_est
+    FROM kept GROUP BY g
+    """
+
+
+def _rho_expr(h32: str) -> str:
+    """Leading-zero rank (1-based) of the 32-bit value written as the
+    8-hex-char string column ``h32`` — pure string ops, engine-common:
+    4 bits per leading '0' nibble, plus the zero bits inside the first
+    nonzero nibble, plus 1. All-zero (prob 2^-32) -> 33."""
+    stripped = f"regexp_replace({h32}, '^0+', '')"
+    first = f"substr({stripped}, 1, 1)"
+    bits = _NIBBLE_BITS.format(c=first)
+    return (
+        f"CASE WHEN {stripped} = '' THEN 33 "
+        f"ELSE 4 * (8 - length({stripped})) + (4 - ({bits})) + 1 END"
+    )
+
+
+def hll_sketch_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL (m=256): one shuffle to (group, bucket) registers,
+    one to the group — both hash-aggs with tiny state.
+
+    Output: (group, n_empty, s_scaled, hll_est) — ``s_scaled`` =
+    sum(2^(33-register)) as an exact integer (empty registers count
+    2^33), ``hll_est`` = alpha*m^2*2^33/s_scaled rounded to 4 dp.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        F.substring(_h(key_col, salt), 1, 2).alias("bucket"),
+        F.expr(_rho_expr(f"substr(md5(concat('{salt}|', cast({key_col} as string))), 3, 8)"))
+        .alias("rho"),
+    )
+    regs = hashed.groupBy("g", "bucket").agg(F.max("rho").alias("r"))
+    return regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"cast(pow(2.0, 33 - r) as bigint)")).alias("s_present"),
+    ).select(
+        F.col("g").alias(group_col),
+        (F.lit(_M) - F.col("n_present")).cast("long").alias("n_empty"),
+        (F.col("s_present") + (F.lit(_M) - F.col("n_present")) * F.lit(_SCALE))
+        .cast("long").alias("s_scaled"),
+    ).withColumn(
+        "hll_est",
+        # literals via the Python API (DoubleType): F.expr would parse
+        # "0.7213" as DECIMAL and change the division's result type.
+        # alpha is evaluated in Python with the same IEEE ops DuckDB
+        # applies to the textual _ALPHA_EXPR, so the bits agree.
+        round_half_up(
+            F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+            * F.lit(float(_M * _M))
+            * F.lit(float(_SCALE))
+            / F.col("s_scaled").cast("double"),
+            4,
+        ),
+    )
+
+
+def duck_hll(table_expr: str, group_col: str, key_col: str, salt: str = "hll") -> str:
+    """DuckDB twin of hll_sketch_per_group (same output columns)."""
+    rho = _rho_expr(f"substr(md5(concat('{salt}|', cast({key_col} as varchar))), 3, 8)")
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col} AS g,
+             substr(md5(concat('{salt}|', cast({key_col} as varchar))), 1, 2) AS bucket,
+             {rho} AS rho
+      FROM {table_expr}
+    ), regs AS (
+      SELECT g, bucket, max(rho) AS r FROM hashed GROUP BY g, bucket
+    ), grouped AS (
+      SELECT g, count(*) AS n_present,
+             sum(cast(pow(2.0, 33 - r) as bigint)) AS s_present
+      FROM regs GROUP BY g
+    )
+    SELECT g AS {group_col},
+           cast({_M} - n_present AS bigint) AS n_empty,
+           cast(s_present + ({_M} - n_present) * {_SCALE} AS bigint) AS s_scaled,
+           floor(({_ALPHA_EXPR}) * {_M * _M}.0 * {_SCALE}.0
+                 / cast(s_present + ({_M} - n_present) * {_SCALE} AS double)
+                 * 10000.0 + 0.5) / 10000.0 AS hll_est
+    FROM grouped
+    """

@@ -5,6 +5,7 @@ import umn_eda_kafka_stream_processing_spark.plans.catalog_windows  # noqa: F401
 import umn_eda_kafka_stream_processing_spark.plans.catalog_analytics  # noqa: F401  (registers analytics-surface queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_sampling  # noqa: F401  (registers deterministic-sampling queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_packing  # noqa: F401  (registers sequence-packing queries)
+import umn_eda_kafka_stream_processing_spark.plans.catalog_sketches  # noqa: F401  (registers sketch queries)
 from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,82 @@
+"""Distinct-count sketch catalog queries (KMV + HyperLogLog).
+
+Unlike ``approx_count_distinct`` (whose sketch differs per engine and
+can never cross-check), these sketches are pure functions of md5, so
+Spark and DuckDB compute the SAME registers and the SAME estimate —
+the oracle matches the estimates bit-for-bit, not within a tolerance.
+Each query also carries the exact distinct count so the estimate's
+error is visible in the output itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
+from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+_ROUND4 = "floor({x} * 10000.0 + 0.5) / 10000.0"
+
+
+@_register(
+    "sketch_kmv_users_by_type",
+    "Per-event-type distinct-user estimate from a 64-minimum-values md5 "
+    "sketch (operators/sketches.py:kmv_distinct_per_group) next to the "
+    "exact count — the estimate matches DuckDB bit-for-bit because the "
+    "sketch is a pure md5 function and the only FP op is one IEEE "
+    "division of identical integers.",
+    f"""
+    WITH kmv AS ({sk.duck_kmv('events', 'event_type', 'user_id', k=64)}),
+    exact AS (
+      SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.n_kept,
+           {_ROUND4.format(x='k.kmv_est')} AS kmv_est,
+           e.exact_distinct
+    FROM kmv k JOIN exact e USING (event_type)
+    """,
+)
+def sketch_kmv_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = sk.kmv_distinct_per_group(ev, "event_type", "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_kept",
+        round_half_up(F.col("kmv_est"), 4).alias("kmv_est"),
+        "exact_distinct",
+    )
+
+
+@_register(
+    "sketch_hll_users_by_type",
+    "Per-event-type HyperLogLog (m=256) distinct-user estimate with "
+    "EXACT integer register state (sum 2^(33-rho) scaled; operators/"
+    "sketches.py:hll_sketch_per_group) — raw estimator without the "
+    "libm-dependent ln() low-range correction; n_empty lets callers "
+    "apply linear counting themselves.",
+    f"""
+    WITH hll AS ({sk.duck_hll('events', 'event_type', 'user_id')}),
+    exact AS (
+      SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT h.event_type, h.n_empty, h.s_scaled, h.hll_est, e.exact_distinct
+    FROM hll h JOIN exact e USING (event_type)
+    """,
+)
+def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = sk.hll_sketch_per_group(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_empty", "s_scaled", "hll_est", "exact_distinct"
+    )
