@@ -1049,3 +1049,43 @@ def test_stream_stream_join_left_outer_emits_on_watermark_close(spark, tmp_path)
         assert ("y", None) in got
     finally:
         q.stop()
+
+
+def test_stateless_data_ops_apply_unchanged_on_streams(spark, tmp_path):
+    """The batch operator library IS the streaming library for
+    stateless ops: deterministic sampling and PII scrubbing run
+    unchanged on a streaming DataFrame, and (being pure functions of
+    the row) select exactly the rows/outputs the batch run selects."""
+    from pyspark.sql import types as T
+
+    from umn_eda_kafka_stream_processing_spark.functions import scrub as sc
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("text", T.StringType())]
+    )
+    rows1 = [(i, f"doc {i} mail u{i}@x.io") for i in range(200)]
+    rows2 = [(i, f"doc {i} mail u{i}@x.io") for i in range(200, 400)]
+    src, name = str(tmp_path / "docs"), "stateless_ops"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=None)
+    out = smp.bernoulli_sample(stream, "doc_id", 0.3).select(
+        "doc_id", sc.scrub_text("text").alias("clean")
+    )
+    q = start_memory_sink(out, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["doc_id"]: r["clean"]
+               for r in spark.sql(f"select * from {name}").collect()}
+        batch = spark.createDataFrame(rows1 + rows2, schema)
+        want = {r["doc_id"]: r["clean"] for r in smp.bernoulli_sample(
+            batch, "doc_id", 0.3
+        ).select("doc_id", sc.scrub_text("text").alias("clean")).collect()}
+        assert got == want
+        assert all(c.endswith("mail <EMAIL>") for c in got.values())
+    finally:
+        q.stop()

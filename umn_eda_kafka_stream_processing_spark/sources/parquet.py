@@ -56,3 +56,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql()."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      files_per_partition: int | None = None) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` dirs).
+
+    At 100 TB the directory layout IS the primary index: a filter on a
+    partition column becomes a PartitionFilters entry and Spark never
+    lists, opens, or reads the pruned directories. Choose low-
+    cardinality columns (lang, source, date) — a high-cardinality
+    partition column creates millions of small files instead.
+
+    ``files_per_partition`` caps output files per partition dir
+    (repartition by the partition key first) — the small-files guard
+    for wide-parallelism writers.
+    """
+    from pyspark.sql import functions as F
+
+    if files_per_partition:
+        df = df.repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
