@@ -504,3 +504,42 @@ def test_hll_sketch_accuracy_and_register_state(spark):
     r2 = sk.hll_sketch_per_group(dup, "g", "uid").collect()[0]
     assert r2["s_scaled"] == r["s_scaled"]  # max() registers: dup-invariant
     assert r2["hll_est"] == r["hll_est"]
+
+
+def test_doc_chunking_windows_and_overlap(spark, tmp_path):
+    """32-token chunks with stride 24: chunk i covers tokens
+    [24i+1, 24i+32]; short docs yield one whole-doc chunk; adjacent
+    chunks overlap by 8 tokens."""
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = str(tmp_path)
+    text_long = " ".join(f"w{i}" for i in range(40))  # 40 tokens -> 2 chunks
+    spark.createDataFrame(
+        [(1, text_long, "en", "s", len(text_long)), (2, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(sf + "/documents.parquet")
+    got = {(r["doc_id"], r["chunk_ix"]): r for r in
+           REGISTRY["doc_chunking"].spark(spark, sf).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)]["chunk_tokens"] == 32
+    assert got[(1, 0)]["chunk_text"].split()[:2] == ["w0", "w1"]
+    # second chunk starts at token 25 (0-based 24): 8-token overlap
+    assert got[(1, 1)]["chunk_text"].split()[0] == "w24"
+    assert got[(1, 1)]["chunk_tokens"] == 16
+    assert got[(2, 0)]["chunk_text"] == "a b c"
+
+
+def test_repetition_ratio_flags_boilerplate(spark, tmp_path):
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "ab" * 50, "en", "s", 100),      # 2 distinct 3-grams / 98
+         (2, "the quick brown fox jumps", "en", "s", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(sf + "/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           REGISTRY["doc_repetition_stats"].spark(spark, sf).collect()}
+    assert got[1]["distinct_shingles"] == 2
+    assert got[1]["repetition"] > 0.97
+    assert got[2]["repetition"] == 0.0  # all 3-grams unique

@@ -928,3 +928,141 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_longnums"].alias("n_longnums"),
         F.md5(sc.scrub_text("dirty")).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: chunking, repetition, contamination
+# ---------------------------------------------------------------------------
+
+@_register(
+    "doc_chunking",
+    "Token-window chunking for embedding pipelines: 32-token chunks, "
+    "stride 24 (8-token overlap), n_chunks = (n_tok-8+23) div 24 "
+    "(floored at 1) — posexplode over a JVM sequence + array slice, "
+    "no UDF; one narrow pass.",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             greatest(1, (len(toks) - 8 + 23) // 24) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, cast(i AS bigint) AS chunk_ix,
+           array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+           cast(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS bigint) AS chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.greatest(
+                F.lit(1),
+                F.expr(r"(size(split(trim(text), '\\s+')) - 8 + 23) div 24"),
+            ).alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_ix"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_ix").cast("long").alias("chunk_ix"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_ix") * 24 + 1, 32), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("toks"), F.col("chunk_ix") * 24 + 1, 32))
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+@_register(
+    "doc_repetition_stats",
+    "Repetition quality signal: 1 - distinct/total char-3-gram ratio "
+    "per doc (high = boilerplate/spam), pure JVM expressions over the "
+    "raw (non-distinct) shingle stream.",
+    """
+    SELECT doc_id,
+           cast(greatest(length(text) - 2, 1) AS bigint) AS total_shingles,
+           cast(len(list_distinct(list_transform(
+                 range(1, greatest(length(text) - 2, 1) + 1),
+                 i -> substr(text, CAST(i AS INT), 3)))) AS bigint) AS distinct_shingles,
+           floor((1.0 - cast(len(list_distinct(list_transform(
+                 range(1, greatest(length(text) - 2, 1) + 1),
+                 i -> substr(text, CAST(i AS INT), 3)))) AS double)
+                 / cast(greatest(length(text) - 2, 1) AS double))
+                 * 1000000.0 + 0.5) / 1000000.0 AS repetition
+    FROM documents
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import char_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.greatest(F.length("text") - 2, F.lit(1)).cast("long")
+    distinct = F.size(char_shingles("text", 3, distinct=True)).cast("long")
+    return docs.select(
+        "doc_id",
+        total.alias("total_shingles"),
+        distinct.alias("distinct_shingles"),
+        round_half_up(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ).alias("repetition"),
+    )
+
+
+@_register(
+    "eval_contamination",
+    "Train/eval decontamination: docs with doc_id%20==0 form the eval "
+    "set; a train doc is contaminated if it shares >=50 distinct 8-char "
+    "shingles with an eval doc. Join is equi-keyed on the shingle md5 "
+    "(linear, bucketed by hash) — never all-pairs; payloads join late.",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_duck_shingles(8)}) AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h FROM sh
+    ), hits AS (
+      SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+             cast(count(DISTINCT t.h) AS bigint) AS n_shared
+      FROM hashed t JOIN hashed e ON t.h = e.h
+      WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+      GROUP BY t.doc_id, e.doc_id
+    )
+    SELECT train_doc_id, eval_doc_id, n_shared
+    FROM hits WHERE n_shared >= 50
+    """,
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import char_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # hash-keyed shingle explode on a lite (id, hash) projection; the
+    # equi-join on the md5 key is the blocking structure — candidate
+    # cost is |shared shingle occurrences|, not |train|x|eval|
+    hashed = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(char_shingles("text", 8)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("h"))
+    )
+    train = hashed.filter(F.col("doc_id") % 20 != 0).withColumnsRenamed(
+        {"doc_id": "train_doc_id"}
+    )
+    ev = hashed.filter(F.col("doc_id") % 20 == 0).withColumnsRenamed(
+        {"doc_id": "eval_doc_id", "h": "h2"}
+    )
+    return (
+        train.join(ev, train["h"] == ev["h2"])
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .filter(F.col("n_shared") >= 50)
+    )
