@@ -1023,23 +1023,28 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "eval_contamination",
     "Train/eval decontamination: docs with doc_id%20==0 form the eval "
-    "set; a train doc is contaminated if it shares >=50 distinct 8-char "
-    "shingles with an eval doc. Join is equi-keyed on the shingle md5 "
-    "(linear, bucketed by hash) — never all-pairs; payloads join late.",
+    "set; a train doc is contaminated if it shares >=5 DISTINCTIVE "
+    "8-char shingles (document frequency <= 20 — generic shingles are "
+    "non-evidence AND the scale hazard: one hot shingle fans the "
+    "equi-join out to |train_occurrences|x|eval_occurrences| pairs; "
+    "the DF cap bounds that product). md5-keyed join, never all-pairs.",
     f"""
     WITH sh AS (
       SELECT doc_id, unnest({_duck_shingles(8)}) AS sh FROM documents
     ), hashed AS (
       SELECT doc_id, md5(sh) AS h FROM sh
+    ), rare AS (
+      SELECT doc_id, h FROM hashed
+      QUALIFY count(*) OVER (PARTITION BY h) <= 20
     ), hits AS (
       SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
              cast(count(DISTINCT t.h) AS bigint) AS n_shared
-      FROM hashed t JOIN hashed e ON t.h = e.h
+      FROM rare t JOIN rare e ON t.h = e.h
       WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
       GROUP BY t.doc_id, e.doc_id
     )
     SELECT train_doc_id, eval_doc_id, n_shared
-    FROM hits WHERE n_shared >= 50
+    FROM hits WHERE n_shared >= 5
     """,
 )
 def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1059,13 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(char_shingles("text", 8)).alias("sh"))
         .select("doc_id", F.md5("sh").alias("h"))
     )
+    # document-frequency cap: one hash-agg window keyed on h (the join
+    # key), pruning hot generic shingles BEFORE the train x eval join
+    from pyspark.sql.window import Window
+
+    hashed = hashed.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("df") <= 20).drop("df")
     train = hashed.filter(F.col("doc_id") % 20 != 0).withColumnsRenamed(
         {"doc_id": "train_doc_id"}
     )
@@ -1064,5 +1076,5 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(ev, train["h"] == ev["h2"])
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.countDistinct("h").alias("n_shared"))
-        .filter(F.col("n_shared") >= 50)
+        .filter(F.col("n_shared") >= 5)
     )
