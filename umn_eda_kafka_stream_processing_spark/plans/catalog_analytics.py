@@ -307,3 +307,69 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@_register(
+    "props_key_stats",
+    "JSON prop extraction without a UDF: get_json_object pulls props.k "
+    "JVM-side (codegen), aggregated per event_type — the pattern for "
+    "semi-structured columns at scale (parse in the scan projection, "
+    "never in Python).",
+    """
+    SELECT event_type,
+           cast(count(k) AS bigint) AS n_with_k,
+           cast(min(k) AS bigint) AS min_k,
+           cast(max(k) AS bigint) AS max_k,
+           cast(sum(k) AS bigint) AS sum_k
+    FROM (
+      SELECT event_type,
+             cast(json_extract_string(props, '$.k') AS bigint) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@_register(
+    "user_bucket_type_pivot",
+    "Pivot demonstration: event value totals per user bucket x event "
+    "type. The pivot VALUES ARE DECLARED explicitly — an undeclared "
+    "pivot runs a distinct-collect over the column first, a full extra "
+    "job at scale; declared values make pivot one hash-agg with CASE "
+    "projections (exactly the oracle's shape).",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS click,
+           CAST(round(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS error,
+           CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS purchase,
+           CAST(round(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS signup,
+           CAST(round(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def user_bucket_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        ev.select((F.col("user_id") % 10).alias("user_bucket"), "event_type", "value")
+        .groupBy("user_bucket")
+        .pivot("event_type", types)  # declared values: no distinct pre-pass
+        # decimal sums: order-independent (double sums drift with
+        # partial-agg order), emitted as DOUBLE per the money rule
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2))
+    )
+    return pv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0.0)).cast("double").alias(t) for t in types],
+    )
