@@ -640,14 +640,17 @@ def near_dup_clusters(
     become clusters with one keeper each (cluster_id = min id in the
     component, which IS the keeper under this engine's min-id rule).
 
-    Min-label propagation, DataFrame-only (the same driver-loop shape
-    as kmeans_buckets): every node starts labeled with itself; each
-    round every node takes the min of its own and its neighbors'
-    labels; converged when no label changes. Rounds needed = component
-    diameter — near-dup components are tiny cliques/chains, so this is
-    2-3 rounds in practice; each round is one shuffle keyed on the
-    (uniform) node id, and labels are localCheckpoint'd so lineage
-    stays flat. Only the per-round change COUNT reaches the driver.
+    Min-label propagation WITH POINTER JUMPING, DataFrame-only (the
+    same driver-loop shape as kmeans_buckets): every node starts
+    labeled with itself; each round every node takes the min of its
+    own and its neighbors' labels, then path-halves by replacing its
+    label with its label's label (one self-join of the node-sized
+    label table). Plain propagation needs diameter rounds — a
+    pathological chain component at corpus scale is thousands of
+    shuffles; halving makes it O(log diameter) total. Each round is
+    one shuffle keyed on the (uniform) node id plus the label-table
+    self-join, and labels are localCheckpoint'd so lineage stays
+    flat. Only the per-round change COUNT reaches the driver.
 
     Input: (id_a, id_b[, ...]) pairs. Output: (id, cluster_id) for
     every id that appears in at least one pair (singletons are not
@@ -671,12 +674,31 @@ def near_dup_clusters(
             ),
             "src",
         ).select(F.col("dst").alias(id_col), F.col("nbr_label"))
-        new_labels = (
+        propagated = (
             labels.unionByName(
                 msgs.withColumnRenamed("nbr_label", "cluster_id")
             )
             .groupBy(id_col)
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        # pointer jump: label <- label(label). Every cluster_id IS a
+        # node id (labels are minima over node ids), so the lookup is
+        # a left self-join of the one-row-per-node label table.
+        new_labels = (
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col(id_col).alias("cluster_id"),
+                    F.col("cluster_id").alias("_jump"),
+                ).alias("j"),
+                "cluster_id",
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("_jump"), F.col("cluster_id")).alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
