@@ -543,3 +543,28 @@ def test_repetition_ratio_flags_boilerplate(spark, tmp_path):
     assert got[1]["distinct_shingles"] == 2
     assert got[1]["repetition"] > 0.97
     assert got[2]["repetition"] == 0.0  # all 3-grams unique
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-Min guarantee: est >= exact for EVERY key (collisions only
+    add); with 1024 registers over 300 keys the error stays small; and
+    registers merge additively (sketch of union == sum of sketches)."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    rows = [(f"k{i % 300}",) for i in range(6000)]
+    df = spark.createDataFrame(rows, "k string")
+    regs = sk.cms_registers(df, "k")
+    keys = df.distinct()
+    est = {r["k"]: r["cms_est"] for r in sk.cms_estimate(regs, keys, "k").collect()}
+    exact = {r["k"]: r["cnt"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(est[k] - exact[k] for k in exact) / len(exact) < 40  # ~2N/w per row
+    # mergeability: registers of two halves sum to the full registers
+    h1 = sk.cms_registers(spark.createDataFrame(rows[:3000], "k string"), "k")
+    h2 = sk.cms_registers(spark.createDataFrame(rows[3000:], "k string"), "k")
+    merged = {(r["row"], r["bucket"]): r["cnt"]
+              for r in h1.unionByName(h2).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in regs.collect()}
+    assert merged == full

@@ -190,3 +190,105 @@ def duck_hll(table_expr: str, group_col: str, key_col: str, salt: str = "hll") -
                  * 10000.0 + 0.5) / 10000.0 AS hll_est
     FROM grouped
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # buckets per row
+
+
+def _cms_bucket(col: str, row: int, salt: str) -> Column:
+    """Row-``row`` bucket: first 32 md5 bits of 'salt|row|key' mod w."""
+    h = F.md5(F.concat(F.lit(f"{salt}|{row}|"), F.col(col).cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
+    ).alias(f"b{row}")
+
+
+def cms_registers(
+    df: DataFrame, key_col: str, salt: str = "cms"
+) -> DataFrame:
+    """Count-Min register table: d x w = 4 x 256 counters.
+
+    One explode (x4) + one hash-agg -> at most 1024 rows regardless of
+    input size: THE constant-state frequency summary. Registers are
+    pure md5 functions, so they are mergeable across partitions,
+    engines, and incremental runs (counts add).
+    Output: (row, bucket, cnt).
+    """
+    rows = df.select(
+        *[_cms_bucket(key_col, r, salt) for r in range(_CMS_D)]
+    )
+    stacked = rows.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), F.col(f"b{r}").alias("bucket"))
+                for r in range(_CMS_D)
+            ])
+        ).alias("rb")
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return stacked.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    registers: DataFrame, keys: DataFrame, key_col: str, salt: str = "cms"
+) -> DataFrame:
+    """Point-query the sketch: est(k) = min over rows of register[h_r(k)].
+
+    Guarantees est >= true count (collisions only ADD); expected
+    overestimate <= 2N/w per row, and the min over d=4 rows makes a
+    large error exponentially unlikely. The register table is <=1024
+    rows — always broadcast.
+    """
+    probes = keys.select(
+        key_col, *[_cms_bucket(key_col, r, salt) for r in range(_CMS_D)]
+    )
+    est = None
+    for r in range(_CMS_D):
+        reg_r = registers.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        probes = probes.join(F.broadcast(reg_r), f"b{r}", "left")
+    cols = [F.coalesce(F.col(f"c{r}"), F.lit(0)) for r in range(_CMS_D)]
+    return probes.select(
+        key_col, F.least(*cols).cast("long").alias("cms_est")
+    )
+
+
+def duck_cms(table_expr: str, key_col: str, salt: str = "cms") -> str:
+    """DuckDB twin: registers + per-key min-probe in one query.
+
+    Returns (key, cms_est) for every distinct key in ``table_expr``.
+    """
+    def bucket(row: int, col: str) -> str:
+        return (
+            f"cast(concat('0x', substr(md5(concat('{salt}|{row}|', "
+            f"cast({col} as varchar))), 1, 8)) as bigint) % {_CMS_W}"
+        )
+
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS row, {bucket(r, key_col)} AS bucket FROM {table_expr}"
+        for r in range(_CMS_D)
+    )
+    mins = ", ".join(
+        f"(SELECT coalesce(max(cnt), 0) FROM regs WHERE row = {r} AND bucket = p.b{r})"
+        for r in range(_CMS_D)
+    )
+    return f"""
+    WITH regs AS (
+      SELECT row, bucket, cast(count(*) AS bigint) AS cnt
+      FROM ({unions}) GROUP BY row, bucket
+    ), pk AS (
+      SELECT DISTINCT {key_col} FROM {table_expr}
+    ), p AS (
+      SELECT {key_col}, {', '.join(f'{bucket(r, key_col)} AS b{r}' for r in range(_CMS_D))}
+      FROM pk
+    )
+    SELECT {key_col}, cast(least({mins}) AS bigint) AS cms_est
+    FROM p
+    """

@@ -80,3 +80,36 @@ def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_empty", "s_scaled", "hll_est", "exact_distinct"
     )
+
+
+@_register(
+    "sketch_cms_heavy_users",
+    "Count-Min frequency sketch (d=4 x w=256 registers — constant state "
+    "at any input size; operators/sketches.py:cms_registers/cms_estimate) "
+    "probed for the 20 heaviest users: cms_est >= exact always "
+    "(collisions only add); registers broadcast to the probe join.",
+    f"""
+    WITH cms AS ({sk.duck_cms('events', 'user_id')}),
+    exact AS (
+      SELECT user_id, cast(count(*) AS bigint) AS exact_cnt
+      FROM events GROUP BY user_id
+    ), top AS (
+      SELECT user_id, exact_cnt,
+             row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rank
+      FROM exact QUALIFY rank <= 20
+    )
+    SELECT t.rank, t.user_id, t.exact_cnt, c.cms_est
+    FROM top t JOIN cms c USING (user_id)
+    """,
+)
+def sketch_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    top = global_topk(exact, [("exact_cnt", False), ("user_id", True)], 20)
+    regs = sk.cms_registers(ev, "user_id")
+    est = sk.cms_estimate(regs, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        F.col("rank").cast("long").alias("rank"), "user_id", "exact_cnt", "cms_est"
+    )
