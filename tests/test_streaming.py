@@ -1089,3 +1089,62 @@ def test_stateless_data_ops_apply_unchanged_on_streams(spark, tmp_path):
         assert all(c.endswith("mail <EMAIL>") for c in got.values())
     finally:
         q.stop()
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    """Native session windows on a stream: events within the gap merge
+    into one growing session; a quiet period splits sessions; append
+    mode emits a session only after the watermark passes its end."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        session_agg,
+        with_watermark,
+    )
+
+    schema = T.StructType(
+        [T.StructField("user", T.StringType()),
+         T.StructField("ts", T.TimestampType())]
+    )
+    t0 = datetime(2026, 1, 1, 9, 0, 0)
+
+    def at(s):
+        return t0.replace(minute=s // 60, second=s % 60)
+
+    src, name = str(tmp_path / "ev"), "sessions"
+    # burst 1: u1 events at 0,20,35s (one session, gap 30s)
+    spark.createDataFrame(
+        [("u1", at(0)), ("u1", at(20)), ("u1", at(35))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=None)
+    sessions = session_agg(
+        with_watermark(stream, "ts", "10 seconds"), "ts", "30 seconds", ["user"]
+    ).select("user", "session_start", "session_end", "count")
+    q = start_memory_sink(sessions, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # watermark still at burst-1 max - 10s: session not closed yet
+        assert spark.sql(f"select * from {name}").count() == 0
+
+        # burst 2: u1 resumes at 200s (new session) and far-future rows
+        # push the watermark past both sessions' ends
+        spark.createDataFrame(
+            [("u1", at(200)), ("u2", at(600))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame([("u2", at(650))], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = [(r["user"], r["session_start"].second +
+                60 * r["session_start"].minute,
+                r["session_end"].second + 60 * r["session_end"].minute,
+                r["count"])
+               for r in spark.sql(f"select * from {name}")
+               .filter(F.col("user") == "u1").collect()]
+        # session 1: [0, 35+30); session 2: [200, 200+30)
+        assert sorted(got) == [("u1", 0, 65, 3), ("u1", 200, 230, 1)]
+    finally:
+        q.stop()
