@@ -1078,3 +1078,127 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+@_register(
+    "curation_funnel",
+    "End-to-end pretraining filter funnel per language: each doc is "
+    "dropped by the FIRST failing rule (too_short <20 tokens, "
+    "low_quality score<0.5, high_repetition >0.8) or kept — CASE "
+    "routing like branch(), one narrow pass + one tiny agg; output is "
+    "the per-(lang, verdict) doc and token totals the recipe needs.",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             floor((least(CAST(len({_DUCK_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + (1.0 - CAST({_duck_stop_count('en')} AS DOUBLE)
+                            / greatest(CAST(len({_DUCK_TOKENS}) AS DOUBLE), 1.0)) * 0.3
+                   + (1.0 - least(CAST({_DUCK_PUNCT} AS DOUBLE)
+                                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0,
+                                  1.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS q,
+             floor((1.0 - cast(len(list_distinct(list_transform(
+                   range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 3)))) AS double)
+                   / cast(greatest(length(text) - 2, 1) AS double))
+                   * 1000000.0 + 0.5) / 1000000.0 AS rep
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN q < 0.5 THEN 'low_quality'
+                WHEN rep > 0.8 THEN 'high_repetition'
+                ELSE 'kept' END AS verdict,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS n_tokens_total
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import char_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count()
+    total_sh = F.greatest(F.length("text") - 2, F.lit(1)).cast("double")
+    rep = round_half_up(
+        F.lit(1.0)
+        - F.size(char_shingles("text", 3)).cast("double") / total_sh,
+        6,
+    )
+    scored = docs.select(
+        "lang",
+        ntok.alias("n_tokens"),
+        quality_score().alias("q"),
+        rep.alias("rep"),
+    ).withColumn(
+        "verdict",
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("q") < 0.5, "low_quality")
+        .when(F.col("rep") > 0.8, "high_repetition")
+        .otherwise("kept"),
+    )
+    return scored.groupBy("lang", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )
+
+
+def _dedup_pipeline_oracle() -> str:
+    ctes, pair_select = _minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({pair_select}),
+    und AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs),
+    walk(id, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+    toks AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+             FROM documents),
+    removed AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+    SELECT cast((SELECT count(*) FROM documents) AS bigint) AS n_docs,
+           cast((SELECT count(*) FROM pairs) AS bigint) AS n_pairs,
+           cast((SELECT count(DISTINCT cluster_id) FROM comp) AS bigint) AS n_clusters,
+           cast((SELECT count(*) FROM removed) AS bigint) AS n_removed,
+           cast((SELECT sum(n_tok) FROM toks) AS bigint) AS tokens_total,
+           cast(coalesce((SELECT sum(n_tok) FROM toks
+                          JOIN removed USING (doc_id)), 0) AS bigint) AS tokens_removed
+    """
+
+
+@_register(
+    "dedup_pipeline_summary",
+    "The whole corpus-dedup pipeline as ONE flagship query: MinHash "
+    "signatures -> banded LSH candidates -> jaccard verify -> connected "
+    "components -> keeper(=min id) selection -> before/after token "
+    "accounting. Every stage is the already-oracle-checked operator; "
+    "this query proves they compose (the shape a 100 TB dedup job "
+    "actually runs).",
+    _dedup_pipeline_oracle(),
+)
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    pairs = dd.minhash_lsh_pairs(docs).localCheckpoint()
+    comp = dd.near_dup_clusters(pairs)
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    toks = docs.select("doc_id", token_count().alias("n_tok"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_pairs = pairs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    n_comp = comp.groupBy().agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum((F.col("doc_id") != F.col("cluster_id")).cast("long"))
+        .cast("long").alias("n_removed"),
+    )
+    tok_tot = toks.groupBy().agg(F.sum("n_tok").cast("long").alias("tokens_total"))
+    tok_rem = toks.join(removed, "doc_id").groupBy().agg(
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_removed")
+    )
+    return (
+        n_docs.crossJoin(n_pairs).crossJoin(n_comp)
+        .crossJoin(tok_tot).crossJoin(tok_rem)
+    )
