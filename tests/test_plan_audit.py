@@ -64,3 +64,14 @@ def test_global_topk_rejects_desc_on_string(spark):
     df = spark.createDataFrame([("a", 1)], ["k", "n"])
     with pytest.raises(ValueError, match="DESC on non-numeric"):
         global_topk(df, [("k", False)], 2)
+
+
+def test_audit_allows_partition_only_window(spark):
+    """count() OVER (PARTITION BY k) with no ORDER BY prints with one
+    bracket-group separator like an unpartitioned window, but each
+    partition aggregates independently — must NOT be flagged."""
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    ok = df.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k")))
+    plan = _plan(ok)
+    assert "Window [" in plan
+    assert unpartitioned_windows(plan) == 0

@@ -45,10 +45,16 @@ def unpartitioned_windows(plan: str) -> int:
     """
     n = 0
     # Window [exprs], [partSpec], [orderSpec] — partitioned has two
-    # "], [" separators, unpartitioned one.
+    # "], [" separators, unpartitioned one. A partition-only window
+    # (e.g. count() OVER (PARTITION BY k) with no ORDER BY) also has
+    # one separator but is harmless — each partition aggregates
+    # independently, no global sort. Distinguish by the sort markers
+    # only an order spec carries.
     for m in re.finditer(r"\bWindow (\[.*)$", plan, re.M):
         if m.group(1).count("], [") < 2:
-            n += 1
+            last_group = m.group(1).rsplit("], [", 1)[-1]
+            if " ASC" in last_group or " DESC" in last_group:
+                n += 1
     # WindowGroupLimit [partSpec], [orderSpec], rankFn, k, mode —
     # partitioned has one separator, unpartitioned none.
     for m in re.finditer(r"\bWindowGroupLimit (\[.*)$", plan, re.M):
