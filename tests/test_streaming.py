@@ -1148,3 +1148,46 @@ def test_streaming_session_windows_merge_and_close(spark, tmp_path):
         assert sorted(got) == [("u1", 0, 65, 3), ("u1", 200, 230, 1)]
     finally:
         q.stop()
+
+
+def test_streaming_cms_registers_merge_incrementally(spark, tmp_path):
+    """Count-Min registers are additively mergeable, so a streaming
+    foreachBatch that sums per-batch registers into a running store
+    yields EXACTLY the batch sketch of everything seen — constant
+    state, any volume. (The same property gives cross-executor
+    partial aggregation and cross-day incremental corpus stats.)"""
+    from pyspark.sql import types as T
+
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    rows1 = [(f"u{i % 50}",) for i in range(400)]
+    rows2 = [(f"u{i % 80}",) for i in range(600)]
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    store: dict[tuple, int] = {}
+
+    def merge_batch(batch_df, _bid):
+        for r in sk.cms_registers(batch_df, "k").collect():
+            key = (r["row"], r["bucket"])
+            store[key] = store.get(key, 0) + r["cnt"]
+
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=None)
+    q = start_foreach_batch_sink(stream, merge_batch)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_regs = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sk.cms_registers(
+            spark.createDataFrame(rows1 + rows2, schema), "k"
+        ).collect()
+    }
+    assert store == batch_regs
