@@ -1202,3 +1202,73 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs.crossJoin(n_pairs).crossJoin(n_comp)
         .crossJoin(tok_tot).crossJoin(tok_rem)
     )
+
+
+@_register(
+    "label_centroid_similarity",
+    "Embedding analytics: pairwise cosine between per-label centroids. "
+    "Centroids via posexplode + decimal sums (order-independent where "
+    "double sums drift with partial-agg order), components rounded to "
+    "9 dp on both engines; pairwise sums again in decimal; sqrt/divide "
+    "are IEEE-identical. 45 label pairs out, all work JVM-side.",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ), cent AS (
+      SELECT label, pos,
+             floor(cast(sum(cast(val AS DECIMAL(27,10))) AS DOUBLE) / count(*)
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS c
+      FROM ex GROUP BY label, pos
+    ), p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(cast(a.c * b.c AS DECIMAL(28,14))) AS spq,
+             sum(cast(a.c * a.c AS DECIMAL(28,14))) AS spp,
+             sum(cast(b.c * b.c AS DECIMAL(28,14))) AS sqq
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           floor(cast(spq AS DOUBLE)
+                 / (sqrt(cast(spp AS DOUBLE)) * sqrt(cast(sqq AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM p
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        round_half_up(
+            F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    ).localCheckpoint()  # self-joined below: avoid double lineage compute
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    p = (
+        a.join(b, (a["pos"] == b["pos_b"]) & (a["label_a"] < b["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,14)")).alias("spq"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,14)")).alias("spp"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,14)")).alias("sqq"),
+        )
+    )
+    return p.select(
+        "label_a", "label_b",
+        round_half_up(
+            F.col("spq").cast("double")
+            / (F.sqrt(F.col("spp").cast("double")) * F.sqrt(F.col("sqq").cast("double"))),
+            6,
+        ).alias("cos_sim"),
+    )
