@@ -1,0 +1,31 @@
+"""Driver-contract guard: __spark_entry__ is what the grader imports;
+these tests fail fast if a refactor breaks its surface."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_key_parity():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(q) == set(o), "every query needs an oracle entry (None allowed)"
+    assert len(q) >= 77
+    assert all(callable(f) for f in q.values())
+    # oracle values are SQL strings (or explicit None for rows-only)
+    assert all(v is None or isinstance(v, str) for v in o.values())
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema == entrymod.entry(spark).schema  # stable schema
+
+
+def test_registry_names_are_sql_safe():
+    """The driver interpolates names into logs/SQL; keep them simple."""
+    import re
+
+    for name in entrymod.queries():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
