@@ -568,3 +568,29 @@ def test_cms_overestimates_never_under(spark):
               .agg(F.sum("cnt").alias("cnt")).collect()}
     full = {(r["row"], r["bucket"]): r["cnt"] for r in regs.collect()}
     assert merged == full
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """Histogram quantile estimates land within one bin width of the
+    exact interpolated percentile; registers stay <= bins per group."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    rows = [(float(i % 997), "g") for i in range(10000)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    regs = sk.histogram_registers(df, "g", "v", 0.0, 1000.0, 256)
+    assert regs.count() <= 256
+    width = 1000.0 / 256
+    packed = regs.groupBy("g").agg(
+        F.sum("cnt").alias("n"),
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("arr"),
+    )
+    got = packed.select(
+        *[sk.histogram_quantile(F.col("arr"), F.col("n"), p, 0.0, width).alias(f"p{i}")
+          for i, p in enumerate([0.5, 0.95, 0.99])]
+    ).collect()[0]
+    exact = df.select(
+        *[F.percentile("v", F.lit(p)).alias(f"p{i}")
+          for i, p in enumerate([0.5, 0.95, 0.99])]
+    ).collect()[0]
+    for i in range(3):
+        assert abs(got[f"p{i}"] - exact[f"p{i}"]) <= width

@@ -10,7 +10,7 @@ def test_queries_and_oracles_key_parity():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(q) == set(o), "every query needs an oracle entry (None allowed)"
-    assert len(q) >= 77
+    assert len(q) >= 78
     assert all(callable(f) for f in q.values())
     # oracle values are SQL strings (or explicit None for rows-only)
     assert all(v is None or isinstance(v, str) for v in o.values())

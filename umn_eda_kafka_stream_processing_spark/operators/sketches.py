@@ -292,3 +292,70 @@ def duck_cms(table_expr: str, key_col: str, salt: str = "cms") -> str:
     SELECT {key_col}, cast(least({mins}) AS bigint) AS cms_est
     FROM p
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def histogram_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Equi-width histogram registers per group: <= ``bins`` counters —
+    the constant-state, mergeable quantile summary (exact percentiles
+    sort every row of the group; this is one hash-agg). Out-of-range
+    values clamp into the edge bins. Output: (group, bin, cnt).
+    """
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width))
+            .cast("long"),
+        ),
+    )
+    return df.groupBy(F.col(group_col).alias("g"), b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def histogram_quantile(
+    arr: Column, n: Column, p: float, lo: float, width: float
+) -> Column:
+    """Quantile estimate from a SORTED array of (bin, cnt) structs.
+
+    Sequential fold (F.aggregate) over <= bins elements: find the
+    first bin where the running count crosses t = p*n, interpolate
+    within it — ``lo + (bin + (t - cum_before)/cnt) * width``. The
+    identical left-to-right arithmetic runs in the DuckDB twin, so
+    the doubles agree bit-for-bit.
+    """
+    t = F.lit(p) * n.cast("double")
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1.0).alias("res")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.when(
+                (acc["res"] < 0)
+                & ((acc["cum"] + x["cnt"]).cast("double") >= t),
+                F.lit(float(lo))
+                + (
+                    x["bin"].cast("double")
+                    + (t - acc["cum"].cast("double")) / x["cnt"].cast("double")
+                )
+                * F.lit(float(width)),
+            )
+            .otherwise(acc["res"])
+            .alias("res"),
+        ),
+        lambda acc: acc["res"],
+    )

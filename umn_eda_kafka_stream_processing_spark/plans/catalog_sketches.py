@@ -113,3 +113,74 @@ def sketch_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "user_id").select(
         F.col("rank").cast("long").alias("rank"), "user_id", "exact_cnt", "cms_est"
     )
+
+
+_H_LO, _H_HI, _H_BINS = 0.0, 1000.0, 256
+_H_W = (_H_HI - _H_LO) / _H_BINS  # 3.90625 — exactly representable
+
+
+def _duck_hist_quantile(p: str, alias: str) -> str:
+    """First bin whose running count crosses t = p*n, interpolated with
+    the same left-to-right arithmetic as the Spark fold."""
+    return f"""
+    {alias} AS (
+      SELECT event_type,
+             {_H_LO} + (cast(bin AS DOUBLE)
+                        + ({p} * cast(n AS DOUBLE) - cast(cum_before AS DOUBLE))
+                          / cast(cnt AS DOUBLE)) * {_H_W} AS v
+      FROM c JOIN n USING (event_type)
+      WHERE cast(cum_before + cnt AS DOUBLE) >= {p} * cast(n AS DOUBLE)
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY bin) = 1
+    )"""
+
+
+@_register(
+    "sketch_histogram_quantiles",
+    "Quantiles from a 256-bin equi-width histogram sketch per event "
+    "type (operators/sketches.py:histogram_registers/histogram_quantile) "
+    "— constant mergeable state vs the full per-group sort exact "
+    "percentiles need; estimates land within one bin width (3.90625) "
+    "of exact, and the fold arithmetic matches DuckDB bit-for-bit.",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             least({_H_BINS - 1}, greatest(0,
+               cast(floor((cast(value AS DOUBLE) - {_H_LO}) / {_H_W}) AS bigint))) AS bin,
+             cast(count(*) AS bigint) AS cnt
+      FROM events GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, sum(cnt) AS n FROM b GROUP BY 1
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM b
+    ), {_duck_hist_quantile('0.5', 'q50')},
+    {_duck_hist_quantile('0.95', 'q95')},
+    {_duck_hist_quantile('0.99', 'q99')}
+    SELECT n.event_type,
+           cast(n.n AS bigint) AS n,
+           floor(q50.v * 10000.0 + 0.5) / 10000.0 AS est_p50,
+           floor(q95.v * 10000.0 + 0.5) / 10000.0 AS est_p95,
+           floor(q99.v * 10000.0 + 0.5) / 10000.0 AS est_p99
+    FROM n JOIN q50 USING (event_type) JOIN q95 USING (event_type)
+           JOIN q99 USING (event_type)
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    regs = sk.histogram_registers(ev, "event_type", "value", _H_LO, _H_HI, _H_BINS)
+    packed = regs.groupBy("g").agg(
+        F.sum("cnt").alias("n"),
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("arr"),
+    )
+    return packed.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        *[
+            round_half_up(
+                sk.histogram_quantile(F.col("arr"), F.col("n"), p, _H_LO, _H_W), 4
+            ).alias(a)
+            for p, a in [(0.5, "est_p50"), (0.95, "est_p95"), (0.99, "est_p99")]
+        ],
+    )
