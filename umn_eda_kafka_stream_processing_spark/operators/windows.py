@@ -7,9 +7,9 @@ thin declarative wrappers over Spark's window/session_window so every
 windowed catalog query and streaming pipeline goes through one
 audited code path.
 
-All helpers accept either a TimestampType column name or an
-epoch-nanos long (the driver's events.ts — see sources/parquet.py)
-via ``ts_from_nanos``.
+All helpers take a timestamp column name (the driver's events.ts
+reads as TIMESTAMP_NTZ — see sources/parquet.py) normalized via
+``event_ts``.
 """
 
 from __future__ import annotations
@@ -20,21 +20,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def ts_from_nanos(col: str | Column) -> Column:
-    """Epoch-nanos long → TimestampType (µs precision, truncating).
+def event_ts(col: str | Column) -> Column:
+    """Normalize an event-time column to TIMESTAMP_NTZ.
 
-    Integer `div`, NOT float division: epoch-nanos (~1.8e18) exceed
-    double's 2^53 exact range (ulp there is 256 ns), so `/ 1000`
-    would mis-bucket values within ~128 ns of a boundary and diverge
-    from the DuckDB oracles' exact TIMESTAMP_NS casts. For Column
-    inputs the exact path routes through DECIMAL division (truncating
-    cast to long == floor-div for non-negative epochs).
+    pyspark >= 4.1 reads the testdata's TIMESTAMP(NANOS) parquet as
+    TIMESTAMP_NTZ (µs; lossless here — the generator emits µs-aligned
+    values), and the legacy nanosAsLong conf is gone, so NTZ is the
+    engine-wide event-time type. The cast is a no-op on NTZ input and
+    keeps any LongType-nanos source honest about needing explicit
+    conversion first. NTZ is timezone-free: date_format/window/
+    comparisons never shift with the session timezone, which keeps
+    Spark output hash-identical to the DuckDB oracles' naive
+    TIMESTAMP handling regardless of the driver session's tz.
     """
-    if isinstance(col, str):
-        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-    return F.timestamp_micros(
-        (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
-    )
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ntz")
 
 
 def tumbling_agg(

@@ -7,5 +7,16 @@ import umn_eda_kafka_stream_processing_spark.plans.catalog_sampling  # noqa: F40
 import umn_eda_kafka_stream_processing_spark.plans.catalog_packing  # noqa: F401  (registers sequence-packing queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_sketches  # noqa: F401  (registers sketch queries)
 from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec
+from umn_eda_kafka_stream_processing_spark.plans.priority import (
+    DRIVER_GATE_PRIORITY,
+    DRIVER_GATE_SLOTS,
+    ordered_registry,
+)
 
-__all__ = ["REGISTRY", "QuerySpec"]
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "DRIVER_GATE_PRIORITY",
+    "DRIVER_GATE_SLOTS",
+    "ordered_registry",
+]

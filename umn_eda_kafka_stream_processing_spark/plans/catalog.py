@@ -11,9 +11,9 @@ IDENTICAL output column names and value normalization on both sides:
   double-precision reduction on both sides;
 * rank/count integers are cast to BIGINT (Spark row_number is int,
   DuckDB's is bigint);
-* timestamps never escape raw: the events parquet stores NANOS
-  timestamps (read by Spark as long via nanosAsLong — sources/
-  parquet.py) so outputs use derived hour-strings / epoch integers.
+* timestamps are TIMESTAMP_NTZ on both sides (pyspark >= 4.1 reads
+  the NANOS parquet as NTZ, µs-lossless here — sources/parquet.py);
+  outputs render them as formatted strings so hashing is dtype-free.
 
 The Spark side intentionally routes through the engine's operator
 library (operators/, functions/, pipelines/) — these catalog entries
@@ -515,9 +515,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hourly_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # events.ts is nanos-since-epoch (long); derive a µs timestamp.
+    # events.ts is TIMESTAMP_NTZ: date_format renders the naive value
+    # directly — timezone-free, matching DuckDB's strftime.
     with_hour = events.withColumn(
-        "hour", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH")
+        "hour", F.date_format("ts", "yyyy-MM-dd HH")
     )
     return with_hour.groupBy("hour", "event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -236,13 +236,12 @@ def popular_order_nation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ts spans 2024-01; the driver compares at a fixed dataset, so a fixed
 # literal is deterministic at every sf)
 _OCCURRED_AS_OF = "2024-01-15 00:00:00"
-_OCCURRED_AS_OF_NANOS = 1705276800 * 1_000_000_000
 
 
 @_register(
     "events_occurred_total",
     "Total count of events that have already occurred (ts before the fixed "
-    "as-of) — one partial+final aggregate with the long-nanos predicate "
+    "as-of) — one partial+final aggregate with the timestamp predicate "
     "pushed to the parquet scan (pipelines/scenarios.py:events_occurred_total; "
     "reference readme.md GLOBAL TOTALS BONUS).",
     f"""
@@ -252,11 +251,11 @@ _OCCURRED_AS_OF_NANOS = 1705276800 * 1_000_000_000
 )
 def events_occurred_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # events.ts is epoch-nanos LONG (sources/parquet.py) — the integer
-    # comparison is pushdown-eligible at the scan
-    return events.filter(F.col("ts") < F.lit(_OCCURRED_AS_OF_NANOS)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurred")
-    )
+    # events.ts is TIMESTAMP_NTZ — the NTZ-literal comparison is
+    # pushdown-eligible at the parquet scan (PushedFilters)
+    return events.filter(
+        F.col("ts") < F.lit(_OCCURRED_AS_OF).cast("timestamp_ntz")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_occurred"))
 
 
 _TOTAL_TABLES = (

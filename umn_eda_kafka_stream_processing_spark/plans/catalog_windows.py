@@ -8,7 +8,7 @@ makes them strong cross-checks.
 
 Timestamps are compared as formatted strings (the hourly_event_type_
 counts pattern) to stay clear of engine timestamp-type differences;
-events.ts arrives as epoch-nanos (sources/parquet.py).
+events.ts arrives as TIMESTAMP_NTZ (sources/parquet.py).
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ from umn_eda_kafka_stream_processing_spark.operators.joins import asof_join, int
 from umn_eda_kafka_stream_processing_spark.operators.windows import (
     session_agg,
     sliding_agg,
-    ts_from_nanos,
+    event_ts,
 )
 from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
 from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
@@ -58,7 +58,7 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = events.select(
         F.col("user_id").alias("custkey"),
         "event_id",
-        ts_from_nanos("ts").alias("ets"),
+        event_ts("ts").alias("ets"),
     )
     updates = (
         orders.groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
@@ -98,7 +98,7 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sliding_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
-        "ets", ts_from_nanos("ts")
+        "ets", event_ts("ts")
     )
     win = sliding_agg(events, "ets", "1 hour", "30 minutes", ["event_type"])
     return win.select(
@@ -139,7 +139,7 @@ def sliding_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
-        "ets", ts_from_nanos("ts")
+        "ets", event_ts("ts")
     )
     win = session_agg(events, "ets", "30 minutes", ["user_id"])
     return win.select(
@@ -167,13 +167,13 @@ def session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def first_week_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     facts = events.select(
-        "user_id", "event_id", ts_from_nanos("ts").alias("ets")
+        "user_id", "event_id", event_ts("ts").alias("ets")
     )
     # intervals from an independent scan: deriving them from `facts`
     # would make the interval join an ambiguous self-join
     intervals = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", ts_from_nanos("ts").alias("ets"))
+        .select("user_id", event_ts("ts").alias("ets"))
         .groupBy("user_id")
         .agg(
             F.min("ets").alias("s"),

@@ -59,9 +59,6 @@ def get_spark(
         # locally and on a cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        # The driver's events.parquet carries TIMESTAMP(NANOS);
-        # read as epoch-nanos long (see sources/parquet.py).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     if extra_conf:

@@ -24,12 +24,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects by default; read the nanos as a plain long
-    # (epoch-nanos). Downstream code derives µs timestamps via
-    # timestamp_micros(ts div 1000). Runtime-settable, so this works
-    # on caller-provided sessions too (e.g. the driver's).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet stores TIMESTAMP(NANOS); pyspark >= 4.1 reads it
+    # as TIMESTAMP_NTZ (µs — lossless on this data, the generator is
+    # µs-aligned) and dropped the legacy nanosAsLong long-read. All
+    # timestamp columns (events.ts, o_orderdate, l_shipdate) are NTZ:
+    # naive values, so comparisons / date_format never shift with the
+    # caller session's timezone — matching DuckDB's naive TIMESTAMP.
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
