@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -30,7 +31,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp columns (events.ts, o_orderdate, l_shipdate) are NTZ:
     # naive values, so comparisons / date_format never shift with the
     # caller session's timezone — matching DuckDB's naive TIMESTAMP.
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Round 2's driver run broke when the runtime's parquet-nanos
+        # mapping changed under us (long → NTZ). Pin the engine-wide
+        # contract here instead of per query: ts is TIMESTAMP_NTZ. If
+        # a future runtime reads nanos as epoch-long again, rebuild
+        # NTZ from the long (integer µs div — doubles lose ns above
+        # 2^53); any other mapping normalizes with a plain cast.
+        ts_type = df.schema["ts"].dataType
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"),
+            )
+        elif not isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def spread(df, key_col: str):
