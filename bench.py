@@ -54,11 +54,17 @@ def main() -> None:
             # release the checkpointed/cached RDDs a query materialized
             # (the dedup pipelines localCheckpoint signatures) before
             # the next run: explicit unpersist beats waiting on the
-            # async ContextCleaner, and keeps executor memory flat
-            gc.collect()
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
-            spark.sparkContext._jvm.System.gc()
+            # async ContextCleaner, and keeps executor memory flat.
+            # Only pay the collection cost when something was actually
+            # persisted — a forced full JVM GC per run adds measurable
+            # wall across 78 queries x 3 runs of mostly persist-free
+            # plans.
+            persisted = spark.sparkContext._jsc.getPersistentRDDs()
+            if persisted:
+                gc.collect()
+                for jrdd in persisted.values():
+                    jrdd.unpersist()
+                spark.sparkContext._jvm.System.gc()
         timings[name] = round(statistics.median(walls), 3)
 
     print(

@@ -1191,3 +1191,49 @@ def test_streaming_cms_registers_merge_incrementally(spark, tmp_path):
         ).collect()
     }
     assert store == batch_regs
+
+
+def test_latest_by_key_stream_tws_upsert(spark, tmp_path):
+    """State-v2 twin (transformWithStateInPandas + RocksDB store):
+    identical KTable last-write-wins semantics to
+    test_latest_by_key_stream_upsert.
+
+    The state-v2 Python worker speaks protobuf to the JVM; skip when
+    google.protobuf isn't installed (this sandbox) — the operator
+    itself degrades with a clear ImportError either way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas python worker needs protobuf",
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.stateful import (
+        latest_by_key_stream_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    original = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src_dir, name = str(tmp_path / "events"), "latest_tws"
+    try:
+        _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v1", 100)], src_dir)
+        events = file_stream_source(
+            spark, src_dir, schemas.EVENT, max_files_per_trigger=None
+        )
+        q = start_memory_sink(latest_by_key_stream_tws(events, "id"), name)
+        try:
+            q.processAllAvailable()
+            _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v2", 250)],
+                  src_dir, start_seq=1)
+            q.processAllAvailable()
+            rows = spark.sql(f"select * from {name} order by event_seq").collect()
+            assert rows[-1]["capacity"] == 250 and rows[-1]["venueid"] == "v2"
+            # both emissions present: one per microbatch that touched e1
+            assert [r["capacity"] for r in rows] == [100, 250]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(provider_key, original)

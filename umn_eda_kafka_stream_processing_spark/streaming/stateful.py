@@ -239,3 +239,76 @@ def topk_counter_stream(
     return df.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def latest_by_key_stream_tws(
+    df: DataFrame,
+    key_cols: str | list[str],
+    order_col: str = "event_seq",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``latest_by_key_stream`` on Spark 4's state-v2 API
+    (``transformWithStateInPandas``): same KTable last-write-wins
+    changelog semantics, same output schema, but the state lives in
+    typed per-state variables with NATIVE TTL (``getValueState(...,
+    ttlDurationMs)``) instead of a processing-time timeout loop, and
+    the store is the RocksDB provider state-v2 requires.
+
+    Why both exist: ``applyInPandasWithState`` is the widely-deployed
+    API and needs no store opt-in; this is the forward path — at
+    100 TB keyspaces the state-v2 RocksDB store adds changelog
+    checkpointing (incremental, not full-snapshot) and per-state TTL
+    enforced store-side, so dead keys age out without a timer firing
+    per key (reference: builder.table(...),
+    samples/PurchaseEventTicket.java:44-51 — the store the reference
+    keeps forever, SURVEY.md §2.8).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (state-v2 rejects the HDFS-backed
+    default) and the ``protobuf`` package (the state-v2 Python worker
+    speaks protobuf to the JVM; absent in this sandbox, so the test
+    importorskips — ``applyInPandasWithState`` twins above carry the
+    verified semantics here).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out_schema = df.schema
+    payload_cols = [f.name for f in out_schema.fields]
+
+    class _LatestByKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest", "seq BIGINT, row STRING", ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            held = self._latest.get()
+            best_seq = held[0] if held else None
+            best_row = (
+                pickle.loads(base64.b64decode(held[1])) if held else None
+            )
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(order_col)
+                last = pdf.iloc[-1]
+                if best_seq is None or int(last[order_col]) >= best_seq:
+                    best_seq = int(last[order_col])
+                    best_row = {c: last[c] for c in payload_cols}
+            if best_row is not None:
+                self._latest.update((best_seq, _pickle_state(best_row)))
+                yield pd.DataFrame([best_row], columns=payload_cols)
+
+        def close(self) -> None:
+            pass
+
+    # state TTL is clocked by processing time; without a TTL no time
+    # semantics are needed at all
+    time_mode = "processingTime" if ttl_ms else "none"
+    return df.groupBy(*keys).transformWithStateInPandas(
+        _LatestByKey(), out_schema, "update", time_mode
+    )
