@@ -78,3 +78,43 @@ def test_upsert_snapshot_dynamic_overwrite_leaves_other_partitions(spark, tmp_pa
         if f.endswith(".parquet")
     }
     assert s2_after == s2_files
+
+
+def test_streaming_changelog_maintains_snapshot(spark, tmp_path):
+    """foreachBatch(upsert_snapshot): a streaming changelog becomes a
+    continuously-maintained snapshot table (the docstring's streaming
+    tie-in, exercised for real microbatch by microbatch)."""
+    from tests import fixtures as fx
+    from umn_eda_kafka_stream_processing_spark import schemas
+    from umn_eda_kafka_stream_processing_spark.sources.memory import rows_df
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        file_stream_source,
+        start_foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "changelog")
+    snap = str(tmp_path / "snapshot")
+
+    def _pipe(rows, start_seq=0):
+        rows_df(spark, schemas.EVENT, rows, start_seq=start_seq).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    _pipe([fx.event("e1", "a1", "v1", 100), fx.event("e2", "a1", "v1", 50)])
+    stream = file_stream_source(spark, src, schemas.EVENT, max_files_per_trigger=None)
+
+    def sink(batch_df, batch_id):
+        upsert_snapshot(spark, snap, batch_df, "id")
+
+    q = start_foreach_batch_sink(
+        stream, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _pipe([fx.event("e1", "a1", "v9", 250)], start_seq=2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: (r["venueid"], r["capacity"])
+           for r in spark.read.parquet(snap).collect()}
+    assert got == {"e1": ("v9", 250), "e2": ("v1", 50)}

@@ -594,3 +594,32 @@ def test_histogram_quantile_within_one_bin_of_exact(spark):
     ).collect()[0]
     for i in range(3):
         assert abs(got[f"p{i}"] - exact[f"p{i}"]) <= width
+
+
+def test_split_assign_is_stable_exclusive_and_bounded(spark):
+    """Train/val/test split: every row gets exactly one split; the
+    assignment of a key is a pure function of the key (append-stable
+    — computing over a subset yields identical labels); rates bind
+    within binomial slack."""
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    full = split_assign(df, "doc_id", val_rate=0.2, test_rate=0.1)
+    counts = {r["split"]: r["n"] for r in
+              full.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000
+    # exact-threshold rates: binomial(4000, p) stays well within ±4σ
+    assert abs(counts["test"] - 400) < 80 and abs(counts["val"] - 800) < 110
+    # append-stability: the first 1000 keys get the same labels when
+    # assigned alone as within the full corpus
+    sub = split_assign(
+        df.filter(F.col("doc_id") < 1000), "doc_id", val_rate=0.2, test_rate=0.1
+    )
+    full_first = {r["doc_id"]: r["split"]
+                  for r in full.filter(F.col("doc_id") < 1000).collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full_first
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", val_rate=0.7, test_rate=0.4)

@@ -161,3 +161,40 @@ def domain_mixture_sample(
         .filter(sample_key_u32(key_col, salt) < F.col("_thr"))
         .drop("_dom", "_thr")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.01,
+    test_rate: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — adds a ``split``
+    column, drops nothing.
+
+    The assignment is a pure function of the row key (same u32
+    sampling-key trick as bernoulli_sample, exact integer cut
+    points), which is what held-out splits REQUIRE at corpus scale:
+    re-ingestion, retries, engine swaps, and incremental appends all
+    route a given document to the same split forever, so the test
+    set can never leak into training through nondeterminism. Narrow
+    op — one hash per row inside the scan's codegen stage, no
+    shuffle.
+
+    Cut points: u32 < test·2^32 → test; < (test+val)·2^32 → val;
+    else train.
+    """
+    if val_rate < 0 or test_rate < 0 or val_rate + test_rate > 1:
+        raise ValueError(
+            f"invalid split rates: val={val_rate} test={test_rate}"
+        )
+    u = sample_key_u32(key_col, salt)
+    test_cut = rate_threshold(test_rate)
+    val_cut = test_cut + rate_threshold(val_rate)
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(test_cut), "test")
+        .when(u < F.lit(val_cut), "val")
+        .otherwise("train"),
+    )

@@ -129,3 +129,34 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.domain_mixture_sample(
         docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TARGET
     ).select("doc_id", "source", "lang")
+
+
+@_register(
+    "split_assignment_stats",
+    "Deterministic train/val/test split (operators/sampling.py:"
+    "split_assign — md5-keyed integer cut points, so appends/retries/"
+    "engines route every doc to the same split forever; narrow, no "
+    "shuffle). Output: per (lang, split) doc and char totals proving "
+    "the cuts bind identically across engines.",
+    f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_duck_key('doc_id', 'split')} < {smp.rate_threshold(0.05)}
+                    THEN 'test'
+                  WHEN {_duck_key('doc_id', 'split')} < {smp.rate_threshold(0.05) + smp.rate_threshold(0.10)}
+                    THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT lang, split, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS n_chars_total
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def split_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = smp.split_assign(docs, "doc_id", val_rate=0.10, test_rate=0.05)
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
