@@ -44,10 +44,18 @@ def main() -> None:
     ).save()
 
     runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
+    # wall-clock budget: if the full catalog at n runs would blow the
+    # harness timeout, degrade remaining queries to a single run
+    # rather than get killed with no output at all
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    bench_start = time.time()
+    degraded = 0
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
+        n_runs = runs if (time.time() - bench_start) < budget_s else 1
+        degraded += n_runs < runs
         walls = []
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
@@ -75,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "degraded_to_single_run": degraded,
                 "sf": sf,
             }
         )

@@ -1237,3 +1237,48 @@ def test_latest_by_key_stream_tws_upsert(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set(provider_key, original)
+
+
+def test_watermarked_session_window_stream(spark, tmp_path):
+    """Event-time SESSION windows on a stream: events of a key closer
+    than the gap merge; a session only finalizes once the watermark
+    passes its close (append mode — session merging can't re-emit).
+    Completes the streaming twin of the oracle-checked batch
+    session_event_counts."""
+    import datetime as dt
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        session_agg,
+        with_watermark,
+    )
+
+    src_dir, name = str(tmp_path / "sevents"), "sessions"
+
+    def write(rows):
+        spark.createDataFrame(rows, "t timestamp, k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # two bursts 5 min apart (one session), then 90 min of silence
+    write([(t0, "x"), (t0 + dt.timedelta(minutes=5), "x")])
+    stream = spark.readStream.schema("t timestamp, k string").parquet(src_dir)
+    sessions = session_agg(
+        with_watermark(stream, "t", "10 minutes"), "t", "30 minutes", ["k"]
+    )
+    q = start_memory_sink(sessions, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # an event far past the gap: starts session 2 AND advances the
+        # watermark beyond session 1's close, finalizing it
+        write([(t0 + dt.timedelta(minutes=95), "x")])
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+        assert len(rows) == 1  # session 2 still open, not emitted
+        (s,) = rows
+        assert s["count"] == 2
+        assert s["session_start"] == t0
+        # session end = last event + gap
+        assert s["session_end"] == t0 + dt.timedelta(minutes=35)
+    finally:
+        q.stop()

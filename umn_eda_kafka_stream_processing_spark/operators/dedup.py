@@ -397,7 +397,25 @@ def minhash_lsh_pairs(
             .filter(est >= estimate_gate)
             .select(f"{id_col}_a", f"{id_col}_b")
         )
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
+    # materialize the (tiny) gated candidate set: it feeds BOTH the
+    # id-prune below and the verification join, and a lazy plan would
+    # re-run the banded self-join for each
+    cands = cands.localCheckpoint()
+    # exact shingle sets ONLY for docs that appear in a candidate
+    # pair: the broadcast semi join prunes the corpus BEFORE the
+    # per-row shingle HOF, so verification cost scales with the
+    # candidate count, not the corpus — at 100 TB the difference
+    # between re-shingling every document and re-shingling the ~1e-4
+    # that LSH surfaced
+    cand_ids = (
+        cands.select(F.col(f"{id_col}_a").alias(id_col))
+        .unionByName(cands.select(F.col(f"{id_col}_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
+    )
     a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
     verified = (
