@@ -78,6 +78,14 @@ def upsert_snapshot(
     are read, compacted, and dynamically overwritten. Without them,
     the whole (assumed modest — a dimension/KTable, not the fact
     lake) snapshot is rewritten.
+
+    CONTRACT: a key's partition values must be stable (the usual
+    date/tenant layout). If an update can MOVE a key across
+    partitions, the old partition is never read here and would keep
+    a stale copy — use the move-aware variant
+    (``operators/similarity.py:upsert_ivf_index``) as the template:
+    it widens the read set to partitions holding the batch's keys
+    and drops partitions the merge emptied.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     partition_cols = list(partition_cols)
@@ -105,3 +113,6 @@ def upsert_snapshot(
             "partitionOverwriteMode", "dynamic"
         )
     writer.parquet(table_path)
+    # drop the session's cached file listing for the path: the old
+    # (now deleted) part files otherwise stay visible to future reads
+    spark.catalog.refreshByPath(table_path)

@@ -482,3 +482,149 @@ def srp_lsh_pairs(
             "sim",
         )
     )
+
+
+def assign_ivf_bucket(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid bucket.
+
+    The per-iteration assignment step of ``kmeans_buckets`` exposed
+    standalone, for INGEST time: new vectors pick a bucket against
+    the frozen quantizer (one broadcast pass, JVM dot products,
+    deterministic ties → lowest bucket). Output: input columns +
+    ``bucket_col``.
+    """
+    cent = centroids.select(
+        F.col(bucket_col).alias("_b"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", l2_norm("_cv"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("_b").asc()
+    )
+    return (
+        df.withColumn("_n", l2_norm(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_sim",
+            round_half_up(
+                dot_product(vec_col, "_cv") / (F.col("_n") * F.col("_cn")), 6
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .withColumn(bucket_col, F.col("_b"))
+        .drop("_b", "_cv", "_cn", "_n", "_sim", "_rk")
+    )
+
+
+def upsert_ivf_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    order_col: str = "upd_seq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> None:
+    """Maintain a bucket-partitioned parquet IVF index incrementally.
+
+    Each (micro)batch of new/updated vectors is bucket-assigned
+    against the frozen quantizer and upserted by ``id_col`` into the
+    index table, which is hive-partitioned by bucket so (a) only
+    buckets receiving vectors are rewritten (dynamic partition
+    overwrite — operators/compaction.py) and (b) ``ivf_topk`` probe
+    reads become PARTITION-PRUNED directory scans, not row filters.
+    Streaming: pass this as the foreachBatch body — the ANN index
+    stays queryable and fresh without ever rebuilding the corpus.
+
+    NOTE a vector UPDATE can move a key across buckets; compaction
+    handles it because the key's old row only survives in a partition
+    being rewritten if the key re-appears there — the merge is by
+    key, then rows land in their (new) bucket partition. Stale-bucket
+    leftovers are impossible within a touched partition and the
+    untouched-partition case cannot hold the key's latest row anyway
+    UNLESS the key moved OUT of an untouched partition — so the read
+    side semi-joins on the CHANGED KEYS' old buckets too: we simply
+    include every partition holding one of the batch's keys.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        compact_changelog,
+    )
+
+    assigned = assign_ivf_bucket(
+        embeddings, centroids, id_col, vec_col, bucket_col
+    )
+    try:
+        old = spark.read.parquet(index_path)
+    except AnalysisException:
+        old = None
+
+    emptied: set = set()
+    if old is None:
+        merged = compact_changelog(None, assigned, id_col, order_col)
+    else:
+        batch_keys = assigned.select(id_col).distinct()
+        # partitions receiving new rows ∪ partitions holding an
+        # updated key's OLD row (the key may change buckets).
+        # Collected BEFORE the overwrite — bucket ids are tiny, and
+        # any plan that still references `old` after the write would
+        # re-list the deleted part files
+        touched_buckets = {
+            r[bucket_col]
+            for r in (
+                assigned.select(bucket_col)
+                .unionByName(
+                    old.join(F.broadcast(batch_keys), id_col, "left_semi")
+                    .select(bucket_col)
+                )
+                .distinct()
+                .collect()
+            )
+        }
+        old_touched = old.filter(
+            F.col(bucket_col).isin(*touched_buckets)
+            if touched_buckets else F.lit(False)
+        )
+        merged = compact_changelog(
+            old_touched, assigned, id_col, order_col
+        ).localCheckpoint()
+        # dynamic overwrite only replaces partitions the job WRITES: a
+        # touched bucket whose last vector moved away produces no
+        # output rows, so its stale directory would survive — drop it
+        # explicitly (merged is checkpointed, so this collect is safe)
+        written = {
+            r[bucket_col]
+            for r in merged.select(bucket_col).distinct().collect()
+        }
+        emptied = touched_buckets - written
+
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_path)
+    )
+
+    if old is not None:
+        if emptied:
+            jvm = spark.sparkContext._jvm
+            jsc = spark.sparkContext._jsc
+            conf = jsc.hadoopConfiguration()
+            for b in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{index_path}/{bucket_col}={b}"
+                )
+                fs = p.getFileSystem(conf)
+                fs.delete(p, True)
+
+    # the session's shared FileStatusCache still lists the replaced
+    # files; without this, the next read of the index can hit
+    # FILE_NOT_EXIST on the overwritten partitions
+    spark.catalog.refreshByPath(index_path)
