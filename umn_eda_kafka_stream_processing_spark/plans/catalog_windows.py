@@ -222,3 +222,76 @@ def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gaps = universe.join(obs, ["user_id", "k"], "left_anti")
     return gaps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_missing"))
+
+
+@_register(
+    "user_activity_similarity",
+    "Time-series similarity search (cf. EDBT'19 'Time Series Similarity "
+    "Search for Streaming Data in Distributed Systems', re-expressed "
+    "declaratively): each user's event series becomes a 24-dim circadian "
+    "profile (hour-of-day value sums, decimal-exact then 4dp), and the "
+    "engine's exact ANN path (operators/similarity.py:cosine_topk) "
+    "returns every user's top-3 most behaviorally similar users. Exact "
+    "N x N is the oracle-checkable baseline; the 100 TB path runs "
+    "srp_lsh_pairs over the SAME profile vectors (blockless linear "
+    "LSH), exactly like the embedding family.",
+    """
+    WITH hs AS (
+      SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS h,
+             floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   * 10000.0 + 0.5) / 10000.0 AS hv
+      FROM events GROUP BY 1, 2),
+    vec AS (
+      SELECT user_id, MAP(list(h ORDER BY h), list(hv ORDER BY h)) AS m
+      FROM hs GROUP BY user_id),
+    dense AS (
+      SELECT user_id,
+             list_transform(range(0, 24),
+                            i -> coalesce(map_extract(m, i)[1], 0.0)) AS v
+      FROM vec),
+    scored AS (
+      SELECT a.user_id AS query_id, b.user_id AS neighbor_id,
+             floor(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM dense a JOIN dense b ON a.user_id <> b.user_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+    from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
+
+    events = load_table(spark, sf_dir, "events")
+    # hour-of-day sums in DECIMAL (order-exact across engines and
+    # partitionings), rounded to 4dp as the profile components
+    hs = (
+        events.select(
+            "user_id",
+            F.hour("ts").alias("h"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("user_id", "h")
+        .agg(round_half_up(F.sum("v").cast("double"), 4).alias("hv"))
+    )
+    # dense 24-vector per user: map lookup per hour slot, zeros filled
+    prof = (
+        hs.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "hv"))).alias("m"))
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("vec"),
+        )
+        # queries and corpus are the same table: materialize once so
+        # the self-similarity join doesn't race to rebuild the lineage
+        .localCheckpoint()
+    )
+    return sim.cosine_topk(prof, prof, k=3, id_col="user_id", vec_col="vec")
