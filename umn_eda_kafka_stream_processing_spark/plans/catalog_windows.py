@@ -291,7 +291,13 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec"),
         )
         # queries and corpus are the same table: materialize once so
-        # the self-similarity join doesn't race to rebuild the lineage
+        # the self-similarity join doesn't race to rebuild the lineage.
+        # Explicit-count repartition first — AQE coalesces the tiny
+        # profile shuffle to ~1 partition, which would serialize the
+        # N x N scoring pass on a single task (CLAUDE.md trap)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("user_id")
+        )
         .localCheckpoint()
     )
     return sim.cosine_topk(prof, prof, k=3, id_col="user_id", vec_col="vec")
