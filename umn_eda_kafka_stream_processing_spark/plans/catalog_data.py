@@ -815,10 +815,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_oracle(threshold: float, dim: int = 64, n_bits: int = 24, bands: int = 4) -> str:
+def _srp_oracle(
+    threshold: float,
+    dim: int = 64,
+    n_bits: int = 24,
+    bands: int = 4,
+    *,
+    src_cte: str | None = None,
+    id_col: str = "vec_id",
+) -> str:
     """DuckDB twin of operators/similarity.py:srp_lsh_pairs — the same
     md5-derived hyperplanes embedded as literals, band keys packed
-    big-endian, any-band candidate join, exact-cosine verify."""
+    big-endian, any-band candidate join, exact-cosine verify.
+
+    ``src_cte`` (WITH-clause fragment, default: the embeddings table)
+    must end by defining a relation ``e(id_col, v)`` with ``v`` a
+    DOUBLE list of length ``dim`` — this is how non-embedding vector
+    sources (e.g. the circadian user profiles in catalog_windows.py)
+    reuse the oracle."""
     planes = sim.srp_planes(dim, n_bits)
     r = n_bits // bands
 
@@ -833,18 +847,19 @@ def _srp_oracle(threshold: float, dim: int = 64, n_bits: int = 24, bands: int = 
         return " + ".join(terms)
 
     keys = ",\n        ".join(key_expr(b) for b in range(bands))
+    src = src_cte or f"e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings)"
     return f"""
-    WITH e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings),
-    sig AS (SELECT vec_id, v, [{keys}] AS ks FROM e),
-    lite AS (SELECT vec_id, unnest(ks) AS bkey,
+    WITH {src},
+    sig AS (SELECT {id_col}, v, [{keys}] AS ks FROM e),
+    lite AS (SELECT {id_col}, unnest(ks) AS bkey,
                     unnest(range(0, {bands})) AS band FROM sig),
-    cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+    cand AS (SELECT DISTINCT a.{id_col} AS ia, b.{id_col} AS ib
              FROM lite a JOIN lite b
-               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+               ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}),
     scored AS (SELECT ia, ib, {_duck_cos('ea.v', 'eb.v')} AS sim
-               FROM cand JOIN e ea ON ea.vec_id = ia
-                         JOIN e eb ON eb.vec_id = ib)
-    SELECT ia AS vec_id_a, ib AS vec_id_b, sim FROM scored WHERE sim >= {threshold}
+               FROM cand JOIN e ea ON ea.{id_col} = ia
+                         JOIN e eb ON eb.{id_col} = ib)
+    SELECT ia AS {id_col}_a, ib AS {id_col}_b, sim FROM scored WHERE sim >= {threshold}
     """
 
 

@@ -224,19 +224,11 @@ def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_missing"))
 
 
-@_register(
-    "user_activity_similarity",
-    "Time-series similarity search (cf. EDBT'19 'Time Series Similarity "
-    "Search for Streaming Data in Distributed Systems', re-expressed "
-    "declaratively): each user's event series becomes a 24-dim circadian "
-    "profile (hour-of-day value sums, decimal-exact then 4dp), and the "
-    "engine's exact ANN path (operators/similarity.py:cosine_topk) "
-    "returns every user's top-3 most behaviorally similar users. Exact "
-    "N x N is the oracle-checkable baseline; the 100 TB path runs "
-    "srp_lsh_pairs over the SAME profile vectors (blockless linear "
-    "LSH), exactly like the embedding family.",
-    """
-    WITH hs AS (
+# Shared DuckDB CTE: 24-dim circadian profile per user (hour-of-day
+# value sums, decimal-exact then 4dp). Ends by defining dense(user_id, v)
+# — the exact twin of _circadian_profiles below. Reused by both the
+# exact-NxN query and its SRP-LSH scale twin.
+_PROFILE_CTE = """hs AS (
       SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS h,
              floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    * 10000.0 + 0.5) / 10000.0 AS hv
@@ -248,7 +240,61 @@ def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              list_transform(range(0, 24),
                             i -> coalesce(map_extract(m, i)[1], 0.0)) AS v
-      FROM vec),
+      FROM vec)"""
+
+
+def _circadian_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-dim circadian profile per user as (user_id, vec): hour-of-day
+    value sums in DECIMAL (order-exact across engines and
+    partitionings), rounded to 4dp as the profile components. The
+    result is explicit-count repartitioned and localCheckpoint-ed:
+    both consumers self-join it (CLAUDE.md traps — AQE coalesces the
+    tiny profile shuffle to ~1 partition right before the expensive
+    pair scoring, and a lazy cache would race to rebuild the lineage
+    per join side)."""
+    from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+
+    events = load_table(spark, sf_dir, "events")
+    hs = (
+        events.select(
+            "user_id",
+            F.hour("ts").alias("h"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("user_id", "h")
+        .agg(round_half_up(F.sum("v").cast("double"), 4).alias("hv"))
+    )
+    return (
+        hs.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "hv"))).alias("m"))
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("vec"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("user_id")
+        )
+        .localCheckpoint()
+    )
+
+
+@_register(
+    "user_activity_similarity",
+    "Time-series similarity search (cf. EDBT'19 'Time Series Similarity "
+    "Search for Streaming Data in Distributed Systems', re-expressed "
+    "declaratively): each user's event series becomes a 24-dim circadian "
+    "profile (hour-of-day value sums, decimal-exact then 4dp), and the "
+    "engine's exact ANN path (operators/similarity.py:cosine_topk) "
+    "returns every user's top-3 most behaviorally similar users. Exact "
+    "N x N is the oracle-checkable baseline; the 100 TB path is "
+    "user_activity_similarity_lsh — srp_lsh_pairs over the SAME "
+    "profile vectors (blockless linear LSH), exactly like the "
+    "embedding family.",
+    f"""
+    WITH {_PROFILE_CTE},
     scored AS (
       SELECT a.user_id AS query_id, b.user_id AS neighbor_id,
              floor(list_dot_product(a.v, b.v)
@@ -264,40 +310,39 @@ def user_prop_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
     from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
 
-    events = load_table(spark, sf_dir, "events")
-    # hour-of-day sums in DECIMAL (order-exact across engines and
-    # partitionings), rounded to 4dp as the profile components
-    hs = (
-        events.select(
-            "user_id",
-            F.hour("ts").alias("h"),
-            F.col("value").cast("decimal(18,6)").alias("v"),
-        )
-        .groupBy("user_id", "h")
-        .agg(round_half_up(F.sum("v").cast("double"), 4).alias("hv"))
-    )
-    # dense 24-vector per user: map lookup per hour slot, zeros filled
-    prof = (
-        hs.groupBy("user_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("h", "hv"))).alias("m"))
-        .select(
-            "user_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(23)),
-                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
-            ).alias("vec"),
-        )
-        # queries and corpus are the same table: materialize once so
-        # the self-similarity join doesn't race to rebuild the lineage.
-        # Explicit-count repartition first — AQE coalesces the tiny
-        # profile shuffle to ~1 partition, which would serialize the
-        # N x N scoring pass on a single task (CLAUDE.md trap)
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col("user_id")
-        )
-        .localCheckpoint()
-    )
+    prof = _circadian_profiles(spark, sf_dir)
     return sim.cosine_topk(prof, prof, k=3, id_col="user_id", vec_col="vec")
+
+
+def _profile_srp_oracle(threshold: float) -> str:
+    """SRP-LSH oracle over the circadian profiles: the generic
+    srp_lsh twin (catalog_data._srp_oracle) pointed at the profile
+    CTE instead of the embeddings table — same md5 hyperplanes, 24-dim."""
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_data import _srp_oracle
+
+    src = f"{_PROFILE_CTE},\n    e AS (SELECT user_id, v FROM dense)"
+    return _srp_oracle(
+        threshold, dim=24, n_bits=24, bands=4, src_cte=src, id_col="user_id"
+    )
+
+
+@_register(
+    "user_activity_similarity_lsh",
+    "The 100 TB scale path of user_activity_similarity: SRP-LSH near-pair "
+    "search over the SAME 24-dim circadian profiles "
+    "(operators/similarity.py:srp_lsh_pairs — blockless linear LSH, "
+    "4 bands x 6 bits, md5-derived hyperplanes, exact-cosine verify). "
+    "Linear sketch + band-key self-join replaces the exact path's "
+    "quadratic N x N scoring; tests/test_temporal_ops.py pins recall "
+    "vs the exact path.",
+    _profile_srp_oracle(0.8),
+)
+def user_activity_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
+
+    prof = _circadian_profiles(spark, sf_dir)
+    return sim.srp_lsh_pairs(
+        prof, threshold=0.8, dim=24, id_col="user_id", vec_col="vec"
+    )

@@ -72,17 +72,21 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "session_event_counts",
     "first_week_event_counts",
     "user_prop_gaps",
-    # -- never driver-verified: sampling / packing / sketches -------
-    "sample_bernoulli_docs",
+    # -- sampling / packing / sketches (driver-verified r03) --------
     "sample_stratified_by_lang",
     "sample_k_per_source",
     "sample_domain_mixture",
     "sequence_packing",
     "sequence_packing_stats",
-    "sketch_kmv_users_by_type",
-    "sketch_hll_users_by_type",
     "sketch_cms_heavy_users",
     "sketch_histogram_quantiles",
+    # -- never driver-verified as of r03 (rotated in r04; rotated
+    # out: sample_bernoulli_docs, sketch_kmv_users_by_type,
+    # sketch_hll_users_by_type — each family keeps >=2 verified
+    # members in the list above) ------------------------------------
+    "split_assignment_stats",
+    "user_activity_similarity",
+    "user_activity_similarity_lsh",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
