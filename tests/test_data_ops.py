@@ -3,6 +3,7 @@ similarity search, text analysis, multimodal plumbing."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -623,3 +624,75 @@ def test_split_assign_is_stable_exclusive_and_bounded(spark):
 
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", val_rate=0.7, test_rate=0.4)
+
+
+class TestPngCodec:
+    """Real PNG decode (stdlib zlib): filters 0-4, gray + RGB, CRC
+    verification, unsupported-feature guards."""
+
+    def test_roundtrip_each_filter_gray_and_rgb(self):
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+        rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        # cycle mode applies filter r % 5 per row: 9+ rows cover all
+        # five filter types in one image, for both color types
+        for px in (gray, rgb):
+            assert (mm.decode_png(mm.encode_png(px)) == px).all()
+            assert (mm.decode_png(mm.encode_png(px, "none")) == px).all()
+
+    def test_decode_handbuilt_png(self):
+        # chunk-level construction independent of encode_png: 2x2
+        # grayscale, one unfiltered row + one Up-filtered row
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        raster = b"\x00\x0a\x14" + b"\x02\x05\x0a"  # row1 = row0 + (5,10)
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raster))
+                + chunk(b"IEND", b""))
+        assert (mm.decode_png(blob) == np.array([[10, 20], [15, 30]])).all()
+
+    def test_crc_mismatch_raises(self):
+        blob = bytearray(mm.encode_png(np.zeros((3, 3), np.uint8)))
+        blob[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+        with pytest.raises(ValueError, match="CRC"):
+            mm.decode_png(bytes(blob))
+
+    def test_unsupported_features_raise(self):
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        for depth, color, interlace in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+            blob = (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(
+                        ">IIBBBBB", 1, 1, depth, color, 0, 0, interlace))
+                    + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                    + chunk(b"IEND", b""))
+            with pytest.raises(NotImplementedError):
+                mm.decode_png(blob)
+        with pytest.raises(NotImplementedError, match="not a PNG"):
+            mm.decode_png(b"JFIF....")
+
+    def test_decode_image_dispatch(self):
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        assert (mm.decode_image(mm.encode_png(px)) == px).all()
+        assert (mm.decode_image(mm.encode_pgm(px)) == px).all()
+
+    def test_synth_media_mixes_containers(self, spark):
+        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        rows = mm.synth_media(ids, "image").orderBy("media_id").collect()
+        for r in rows:
+            head = bytes(r["content"])[:8]
+            if r["media_id"] % 2 == 0:
+                assert head == b"\x89PNG\r\n\x1a\n" and r["mime"] == "image/png"
+            else:
+                assert head[:2] == b"P5"

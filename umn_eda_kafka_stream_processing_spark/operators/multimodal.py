@@ -6,12 +6,13 @@ media work (decode, resize, frame-sample, feature-extract).
 Two tiers of codec support:
 
 * REAL codecs for formats parseable without external libraries —
-  WAV/PCM16 audio (stdlib ``wave``), netpbm P5/P6 images (pure
-  numpy), and a concatenated-PGM frame container for video. Encode
-  AND decode are implemented, so the pipeline ops (``audio_features``,
-  ``image_features``, ``sample_frames``, nearest-neighbor resize)
-  run against genuine media bytes end to end.
-* The heavy codecs (JPEG/PNG/MP4 via PIL/libav — NOT in this
+  WAV/PCM16 audio (stdlib ``wave``), PNG (stdlib ``zlib``: chunk
+  walk + CRC, IDAT inflate, filters 0-4 unfiltered per row), netpbm
+  P5/P6 images (pure numpy), and a concatenated-PGM frame container
+  for video. Encode AND decode are implemented, so the pipeline ops
+  (``audio_features``, ``image_features``, ``sample_frames``,
+  nearest-neighbor resize) run against genuine media bytes end to end.
+* The heavy codecs (JPEG/MP4 via PIL/libav — NOT in this
   environment) stay behind ``decode_stub``: it raises
   NotImplementedError unless ``deterministic_fake=True``, in which
   case it derives a fake "decoded" representation from the bytes
@@ -211,6 +212,168 @@ def _netpbm_frame(buf: bytes, offset: int) -> tuple[np.ndarray, int]:
     return raster.reshape(shape), pos + n
 
 
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib only — RFC 2083: IHDR/IDAT/IEND, filters 0-4)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth): gray, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized over a row: pick
+    whichever of left/up/up-left is closest to a + b - c, ties
+    resolving left, then up."""
+    p = a.astype(np.int64) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder: grayscale for an
+    (h, w) array, RGB for (h, w, 3). ``filter_mode='cycle'`` applies
+    filter type r % 5 to row r so every decoder filter path (None,
+    Sub, Up, Average, Paeth) is exercised by round-trip tests;
+    'none' writes unfiltered rows."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    color = 0 if px.ndim == 2 else 2
+    h, w = px.shape[:2]
+    bpp = _PNG_CHANNELS[color]
+    flat = px.reshape(h, w * bpp).astype(np.int64)
+    out = []
+    for r in range(h):
+        ft = r % 5 if filter_mode == "cycle" else 0
+        row = flat[r]
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        up = flat[r - 1] if r else np.zeros_like(row)
+        upleft = (
+            np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+            if r
+            else np.zeros_like(row)
+        )
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - up
+        elif ft == 3:
+            filt = row - (left + up) // 2
+        else:
+            filt = row - _paeth_predict(left, up, upleft)
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib only: chunk walk with CRC
+    verification, IHDR parse, IDAT inflate, per-row unfilter for
+    filter types 0-4 (RFC 2083 §6). Supports the 8-bit non-interlaced
+    color types (gray / RGB / gray+alpha / RGBA); palette, 16-bit and
+    Adam7 raise NotImplementedError. Returns (h, w) uint8 for
+    grayscale, (h, w, channels) otherwise."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise NotImplementedError(f"not a PNG (magic {content[:8]!r})")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", content[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "not supported (8-bit non-interlaced gray/RGB/LA/RGBA only)"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    flat = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        up = flat[r - 1] if r else np.zeros(stride, np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-channel lane cumsum resolves the
+            cur = row.copy()  # left-dependency without a byte loop
+            for j in range(channels):
+                cur[j::channels] = np.cumsum(row[j::channels]) % 256
+        elif ft == 2:
+            cur = (row + up) % 256
+        elif ft in (3, 4):  # Average/Paeth: true sequential left-
+            cur = np.zeros(stride, np.int64)  # dependency, walk bytes
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = up[i]
+                if ft == 3:
+                    cur[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    c = up[i - channels] if i >= channels else 0
+                    cur[i] = (row[i] + int(_paeth_predict(
+                        np.int64(a), np.int64(b), np.int64(c)
+                    ))) % 256
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        flat[r] = cur
+    px = flat.astype(np.uint8)
+    return px.reshape(h, w) if channels == 1 else px.reshape(h, w, channels)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Container dispatch for the image feature path: PNG (real zlib
+    decode) or netpbm P5/P6 (pure numpy). JPEG remains behind
+    decode_stub — its codec genuinely needs external libraries."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
+    return decode_netpbm(content)
+
+
 def iter_pgm_frames(content: bytes) -> Iterator[np.ndarray]:
     """Walk a concatenated-PGM 'video' container frame by frame —
     each P5 header is self-delimiting, so no index is needed."""
@@ -290,14 +453,16 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> DataFrame:
     """Decode netpbm content, extract dimensions + pixel stats, and
     run a real nearest-neighbor resize (``resized4_sum`` checksums the
-    thumbnail so the resize index math is oracle-checkable)."""
+    thumbnail so the resize index math is oracle-checkable). Container
+    is sniffed per row (decode_image): PNG and netpbm mix freely in
+    one column."""
     out_w, out_h = resize_to
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                px = decode_netpbm(bytes(content))
+                px = decode_image(bytes(content))
                 gray = px if px.ndim == 2 else px.mean(axis=2)
                 thumb = resize_nearest(px, out_w, out_h)
                 out.append({
@@ -357,6 +522,10 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
     audio: n=(id%50)+10 PCM16 samples, rate 8000*((id%3)+1),
            sample[i] = ((id*31 + i*7) % 65536) - 32768
     image: (h,w) = ((id%7)+2, (id%13)+3), px(r,c) = (id + 17r + 101c) % 256
+           — container alternates per id (even → PNG with cycling row
+           filters, odd → PGM), so the oracle-checked feature query
+           proves BOTH real decoders; decoded pixels are identical,
+           so the arithmetic oracle is container-blind
     video: (id%4)+2 frames of 4×3 PGM, frame f adds 7f to the pixel formula
     """
     mime = {"audio": "audio/wav", "image": "image/x-portable-graymap",
@@ -374,15 +543,21 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
                 elif kind == "image":
                     h, w = mid % 7 + 2, mid % 13 + 3
                     r, c = np.ogrid[:h, :w]
-                    content = encode_pgm((mid + 17 * r + 101 * c) % 256)
+                    px = (mid + 17 * r + 101 * c) % 256
+                    content = encode_pgm(px) if mid % 2 else encode_png(px)
                 else:
                     r, c = np.ogrid[:3, :4]
                     content = b"".join(
                         encode_pgm((mid + 7 * f + 17 * r + 101 * c) % 256)
                         for f in range(mid % 4 + 2)
                     )
+                row_mime = (
+                    "image/png"
+                    if kind == "image" and mid % 2 == 0
+                    else mime
+                )
                 out.append({"media_id": mid, "content": content,
-                            "media_type": kind, "mime": mime,
+                            "media_type": kind, "mime": row_mime,
                             "width": None, "height": None, "duration_ms": None})
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -592,9 +592,13 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "image_decode_stats",
-    "Real netpbm round-trip: P5 grayscale images synthesized per doc_id, "
-    "decoded (operators/multimodal.py:decode_netpbm), dimension/pixel "
-    "stats plus a genuine nearest-neighbor 4x4 resize checksum.",
+    "Real image round-trip: grayscale images synthesized per doc_id — "
+    "even ids as PNG (stdlib-zlib codec, cycling row filters 0-4; "
+    "operators/multimodal.py:decode_png), odd ids as netpbm P5 — "
+    "decoded (decode_image sniffs the container), dimension/pixel "
+    "stats plus a genuine nearest-neighbor 4x4 resize checksum. The "
+    "arithmetic oracle is container-blind: a hash match proves both "
+    "decoders reproduce the formula pixels exactly.",
     """
     WITH d AS (SELECT doc_id, (doc_id % 13) + 3 AS w, (doc_id % 7) + 2 AS h
                FROM documents),
