@@ -53,9 +53,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         n_runs = runs if (time.time() - bench_start) < budget_s else 1
-        degraded += n_runs < runs
         walls = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
+            # re-check INSIDE the loop too: one slow query can cross
+            # the budget mid-repetition, and finishing its remaining
+            # runs could overshoot by several multiples of its wall —
+            # at least one run always executes so the median exists
+            if i and (time.time() - bench_start) >= budget_s:
+                break
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
@@ -73,6 +78,7 @@ def main() -> None:
                 for jrdd in persisted.values():
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
+        degraded += len(walls) < runs
         timings[name] = round(statistics.median(walls), 3)
 
     print(

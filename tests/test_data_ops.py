@@ -168,6 +168,14 @@ def test_cosine_topk_pandas_matches_jvm(spark, vectors):
     assert as_set(jvm) == as_set(pdu)
 
 
+def test_cosine_topk_pandas_query_cap_enforced(spark, vectors):
+    """The driver-side collect contract is enforced, not just
+    documented: a query set above max_queries refuses loudly before
+    anything is collected."""
+    with pytest.raises(ValueError, match="exceeds max_queries"):
+        sim.cosine_topk_pandas(vectors, vectors, k=2, max_queries=3)
+
+
 def test_ivf_kmeans_recall_pinned_vs_exact(spark):
     """The learned-quantizer ANN (ann_ivf_kmeans_topk) is graded
     against the exact brute-force oracle: with deterministic Lloyd

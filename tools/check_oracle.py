@@ -55,6 +55,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("--json requires an output path")
+            return 2
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -62,6 +65,16 @@ def main() -> int:
     unknown = only - set(REGISTRY)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}")
+        return 2
+    # a query-filtered run writes a PARTIAL artifact; refuse the
+    # committed full-catalog naming so a subset can't silently
+    # overwrite ORACLE_FULL_r{N}.json
+    if json_out and only and "ORACLE_FULL" in os.path.basename(json_out):
+        print(
+            f"refusing: --json {json_out} with a query subset would "
+            "overwrite a full-catalog artifact; drop the query filter "
+            "or choose another output name"
+        )
         return 2
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
@@ -76,7 +89,8 @@ def main() -> int:
         if only and name not in only:
             continue
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
-               "spark_rows": None, "oracle_rows": None, "err": None}
+               "spark_rows": None, "oracle_rows": None,
+               "spark_sec": None, "duck_sec": None, "err": None}
         results[name] = rec
         t0 = time.time()
         try:
@@ -90,9 +104,14 @@ def main() -> int:
             continue
         spark_s = time.time() - t0
         rec["spark_rows"] = len(srows)
+        rec["spark_sec"] = round(spark_s, 3)
         if spec.oracle is None:
+            # rows_match stays None: an oracle-less query records its
+            # row count, not a tautological pass (a len >= 0 check
+            # would mask a broken query that returns nothing)
             print(f"  {name:34s} rows-only: {len(srows)} rows [{spark_s:.1f}s]")
-            rec["rows_match"] = len(srows) >= 0
+            if not srows:
+                print(f"  {name:34s} WARN oracle-less query returned 0 rows")
             continue
         t0 = time.time()
         try:
@@ -105,6 +124,7 @@ def main() -> int:
             failures.append(name)
             continue
         duck_s = time.time() - t0
+        rec["duck_sec"] = round(duck_s, 3)
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = False

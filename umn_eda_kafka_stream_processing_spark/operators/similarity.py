@@ -292,6 +292,7 @@ def cosine_topk_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Arrow/numpy twin of cosine_topk for high-dimensional vectors.
 
@@ -316,6 +317,19 @@ def cosine_topk_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # ENFORCED contract, not just documented: the query matrix is
+    # collected to the driver and broadcast inside the closure, so an
+    # oversized query set would silently become a driver OOM. Count
+    # first (cheap agg) and refuse loudly.
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas: {n_q} query vectors exceeds "
+            f"max_queries={max_queries}; the query side is collected "
+            "to the driver — raise max_queries only if driver memory "
+            "allows, or use cosine_topk / srp_lsh_pairs for large "
+            "query sets"
+        )
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if not q_rows:
         raise ValueError("cosine_topk_pandas: empty query set")

@@ -42,13 +42,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         from pyspark.sql.types import LongType, TimestampNTZType
 
+        # Both fallbacks must construct NTZ WITHOUT an LTZ hop:
+        # timestamp_micros() returns session-tz TIMESTAMP_LTZ and the
+        # LTZ→NTZ cast renders in the session timezone — on a non-UTC
+        # driver every ts would shift and all event-time oracles fail
+        # (the uncontrolled-tz scenario test_timezone_independence
+        # exists for). timestampadd onto an NTZ epoch literal stays
+        # timezone-free end to end.
         if isinstance(ts_type, LongType):
             df = df.withColumn(
                 "ts",
-                F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"),
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
             )
         elif not isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # LTZ (or string/date) input: extract the instant's epoch
+            # micros (unix_micros is timezone-free) and rebuild NTZ as
+            # the UTC wall clock of that instant — never a direct
+            # LTZ→NTZ cast, which renders in the session timezone
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, "
+                    "unix_micros(CAST(ts AS TIMESTAMP)), "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
