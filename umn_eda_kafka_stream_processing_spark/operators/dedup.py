@@ -218,6 +218,12 @@ def ngram_jaccard_pairs(
     # coalesce the tiny lite-row shuffle to ~1 partition, which would
     # serialize the quadratic candidate work that hangs off it
     par = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE deliberately LAZY end to end (unlike minhash_lsh_pairs'
+    # checkpointed verification): this operator's candidate sets are
+    # large relative to the corpus (blocked quadratic), so
+    # materialization barriers cost more than the pipelined triple
+    # evaluation of the shingle HOF they would save — measured 6.9 s
+    # lazy vs 12.7 s checkpointed at sf0.1.
     pairs = (
         a.repartition(par, F.col(f"a_{id_col}"))
         .join(b, cond, "inner")
@@ -266,7 +272,12 @@ def minhash_signatures(
     candidate count linear in true near-dups.
 
     Output: (id, h0..h{k-1}). One explode + one groupBy(id): linear
-    scan cost, shuffle keyed on the (unique) doc id.
+    scan cost, shuffle keyed on the (unique) doc id. (A zero-shuffle
+    array_min(transform(...)) per-row fold is semantically identical
+    but measured ~2x SLOWER here: higher-order functions evaluate
+    interpreted per element, while explode + groupBy runs whole-stage
+    codegen with map-side partial aggregation — the shuffle it pays
+    for is the already-combined one-row-per-doc signature table.)
     """
     n_seeds = (num_hashes + 3) // 4
     # repartition by id so hashing parallelism doesn't depend on the
@@ -372,35 +383,65 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n
     ).localCheckpoint()
-    # explicit-count repartition before verification: AQE would
-    # coalesce the small candidate shuffle to ~1 partition and run
-    # every exact-jaccard intersect single-threaded
     par = df.sparkSession.sparkContext.defaultParallelism
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band).repartition(
-        par, F.col(f"{id_col}_a")
+    # band melt CARRYING the signature columns: the estimate gate
+    # evaluates inline on the band self-join's output, so the gate
+    # costs zero extra joins (the alternative — joining the candidate
+    # ids back to `sigs` twice — adds two shuffle joins and runs the
+    # distinct on the larger pre-gate pair set). The melt shuffle
+    # carries bands x signature bytes per doc, comparable to what the
+    # two id-keyed sig joins would move anyway.
+    bands = num_hashes // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    melted = sigs.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)], *band_cols
+    ).select(
+        F.col(id_col),
+        *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key")
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, *[f"h{i}" for i in range(num_hashes)], "bk.band_idx", "bk.band_key")
+    ma = melted.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band_idx", "band_key",
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    mb = melted.select(
+        F.col(id_col).alias(f"{id_col}_b"), "band_idx", "band_key",
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / float(num_hashes)
+    cands = ma.join(mb, ["band_idx", "band_key"], "inner").filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
     )
     if estimate_gate > 0.0:
-        sig_a = sigs.select(
-            F.col(id_col).alias(f"{id_col}_a"),
-            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
-        )
-        sig_b = sigs.select(
-            F.col(id_col).alias(f"{id_col}_b"),
-            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
-        )
-        est = sum(
-            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
-            for i in range(num_hashes)
-        ) / float(num_hashes)
-        cands = (
-            cands.join(sig_a, f"{id_col}_a").join(sig_b, f"{id_col}_b")
-            .filter(est >= estimate_gate)
-            .select(f"{id_col}_a", f"{id_col}_b")
-        )
+        cands = cands.filter(est >= estimate_gate)
+    cands = cands.select(f"{id_col}_a", f"{id_col}_b").distinct()
     # materialize the (tiny) gated candidate set: it feeds BOTH the
     # id-prune below and the verification join, and a lazy plan would
-    # re-run the banded self-join for each
-    cands = cands.localCheckpoint()
+    # re-run the banded self-join for each. The explicit-count
+    # repartition sits ON the checkpoint boundary so the stored
+    # partitioning — which the exact-jaccard verification join reads —
+    # is the full-parallelism spread, not whatever AQE coalesced the
+    # last gate shuffle down to (~1 partition for a small candidate
+    # set, serializing every array_intersect)
+    cands = cands.repartition(par, F.col(f"{id_col}_a")).localCheckpoint()
     # exact shingle sets ONLY for docs that appear in a candidate
     # pair: the broadcast semi join prunes the corpus BEFORE the
     # per-row shingle HOF, so verification cost scales with the
@@ -412,9 +453,14 @@ def minhash_lsh_pairs(
         .unionByName(cands.select(F.col(f"{id_col}_b").alias(id_col)))
         .distinct()
     )
+    # materialized once: BOTH sides of the verification join read this
+    # shingle projection — without the checkpoint each side re-runs
+    # the per-row shingle HOF over the candidate docs (the projection
+    # is already pruned to candidates, so it's small by construction)
     sh = (
         df.join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
+        .localCheckpoint()
     )
     a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
@@ -652,6 +698,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs: the final step of a
     corpus dedup pipeline — pair lists don't dedup anything until they
@@ -673,46 +720,61 @@ def near_dup_clusters(
     Input: (id_a, id_b[, ...]) pairs. Output: (id, cluster_id) for
     every id that appears in at least one pair (singletons are not
     emitted — they are their own keeper by definition).
+
+    ``pairs_materialized=True`` promises the input is already
+    localCheckpoint-ed (pipeline callers that checkpoint pairs for
+    their own reuse) — skips a redundant re-materialization job.
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
-    edges = pairs.select(a, b).localCheckpoint()
+    edges = pairs.select(a, b)
+    if not pairs_materialized:
+        edges = edges.localCheckpoint()
     und = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    # init already IS round 1's propagation: label(v) = min(v, direct
+    # neighbors) in one aggregation — same one-shuffle cost as the
+    # identity init, one fewer driver-synchronized round overall
     labels = (
-        und.select(F.col("src").alias(id_col))
-        .distinct()
-        .withColumn("cluster_id", F.col(id_col))
+        und.select(F.col("dst").alias(id_col), F.col("src").alias("cluster_id"))
+        .unionByName(
+            und.select(
+                F.col("src").alias(id_col), F.col("src").alias("cluster_id")
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.min("cluster_id").alias("cluster_id"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        msgs = und.join(
-            labels.select(
-                F.col(id_col).alias("src"), F.col("cluster_id").alias("nbr_label")
-            ),
-            "src",
-        ).select(F.col("dst").alias(id_col), F.col("nbr_label"))
-        propagated = (
-            labels.unionByName(
+        def _propagate() -> DataFrame:
+            msgs = und.join(
+                labels.select(
+                    F.col(id_col).alias("src"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "src",
+            ).select(F.col("dst").alias(id_col), F.col("nbr_label"))
+            return labels.unionByName(
                 msgs.withColumnRenamed("nbr_label", "cluster_id")
-            )
-            .groupBy(id_col)
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
+            ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+
         # pointer jump: label <- label(label). Every cluster_id IS a
         # node id (labels are minima over node ids), so the lookup is
-        # a left self-join of the one-row-per-node label table.
+        # a left join of the one-row-per-node label table against
+        # itself. ONE materialization per round: the jump's build side
+        # is an independently constructed propagate plan (fresh
+        # expression ids — a direct self-reference of the lazy agg
+        # breaks Catalyst), and recomputing the tiny label-table agg
+        # once more inside the same job is cheaper than a second
+        # checkpoint barrier per round.
+        jump = _propagate().select(
+            F.col(id_col).alias("cluster_id"),
+            F.col("cluster_id").alias("_jump"),
+        )
         new_labels = (
-            propagated.alias("x")
-            .join(
-                propagated.select(
-                    F.col(id_col).alias("cluster_id"),
-                    F.col("cluster_id").alias("_jump"),
-                ).alias("j"),
-                "cluster_id",
-                "left",
-            )
+            _propagate()
+            .join(jump, "cluster_id", "left")
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("_jump"), F.col("cluster_id")).alias("cluster_id"),

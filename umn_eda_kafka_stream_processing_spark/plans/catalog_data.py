@@ -1082,9 +1082,12 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key), pruning hot generic shingles BEFORE the train x eval join
     from pyspark.sql.window import Window
 
+    # materialized once: train and eval are BOTH filtered views of
+    # this projection, so a lazy plan re-runs the shingle explode +
+    # md5 + DF-cap window per join side
     hashed = hashed.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("df") <= 20).drop("df")
+    ).filter(F.col("df") <= 20).drop("df").localCheckpoint()
     train = hashed.filter(F.col("doc_id") % 20 != 0).withColumnsRenamed(
         {"doc_id": "train_doc_id"}
     )
@@ -1203,7 +1206,7 @@ def _dedup_pipeline_oracle() -> str:
 def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").localCheckpoint()
     pairs = dd.minhash_lsh_pairs(docs).localCheckpoint()
-    comp = dd.near_dup_clusters(pairs)
+    comp = dd.near_dup_clusters(pairs, pairs_materialized=True)
     removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     toks = docs.select("doc_id", token_count().alias("n_tok"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
