@@ -75,3 +75,42 @@ def test_audit_allows_partition_only_window(spark):
     plan = _plan(ok)
     assert "Window [" in plan
     assert unpartitioned_windows(plan) == 0
+
+
+@pytest.mark.parametrize("query", sorted(
+    __import__("explain_audit").FORBID_JOINS
+))
+def test_dedup_family_never_plans_forbidden_joins(spark, query):
+    """VERDICT r3 #5: the bucketed/banded dedup + similarity plans
+    must never degrade to CartesianProduct / BroadcastNestedLoopJoin
+    — and where the audit requires an explicit-count repartition, it
+    must survive into the plan (AQE-coalesce guard)."""
+    from explain_audit import FORBID_JOINS, REQUIRE_MARKERS
+
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    df = REGISTRY[query].spark(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for bad in FORBID_JOINS[query]:
+        assert bad not in plan, f"{query}: {bad} in executed plan"
+    marker = REQUIRE_MARKERS.get(query)
+    if marker:
+        assert marker in plan, f"{query}: expected {marker} in plan"
+
+
+def test_minhash_lazy_plan_is_banded_hash_join(spark):
+    """The un-checkpointed minhash pipeline (the PLAN_PROOFS exhibit)
+    is one inspectable plan: equi band join, explicit repartition, no
+    cartesian — and produces the same pairs as the materialized path."""
+    from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lazy = dd.minhash_lsh_pairs(docs, materialize=False)
+    plan = _plan(lazy)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan
+    key = lambda df: {(r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+                      for r in df.collect()}
+    assert key(lazy) == key(dd.minhash_lsh_pairs(docs))

@@ -32,6 +32,38 @@ INTERESTING = (
     "Window", "WindowGroupLimit", "Generate", "Sort ",
 )
 
+# Per-query ASSERTIONS (regressions flag the lint, not just the
+# eyeball). The dedup/similarity family's scale claim is "bucketed /
+# banded, never all-pairs": a CartesianProduct or
+# BroadcastNestedLoopJoin in these plans means a banding key got lost
+# (e.g. a refactor turned the equi band join into a theta join).
+# NOTE intentionally absent: ann_cosine_topk / ann_ivf_* /
+# user_activity_similarity — their broadcast-crossjoin (query set x
+# corpus / centroids) IS the declared linear-scan shape.
+FORBID_JOINS = {
+    "minhash_lsh_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "embedding_srp_lsh_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "user_activity_similarity_lsh": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "simhash_near_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "near_dup_clusters": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "dedup_pipeline_summary": ("CartesianProduct",),  # final 1-row crossJoins are BNLJ-shaped by design
+    "embedding_near_dup_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "ngram_jaccard_pairs": ("CartesianProduct",),
+}
+
+# Queries whose lazy final plan must carry an explicit-count
+# repartition (REPARTITION_BY_NUM): the guard against AQE coalescing
+# a tiny shuffle to ~1 partition right before expensive per-pair
+# work (CLAUDE.md trap). Queries that materialize stages via
+# localCheckpoint hide the marker from the final plan string and are
+# receipted in PLAN_PROOFS.md instead.
+REQUIRE_MARKERS = {
+    "embedding_srp_lsh_pairs": "REPARTITION_BY_NUM",
+    "user_activity_similarity_lsh": "REPARTITION_BY_NUM",
+    "ngram_jaccard_pairs": "REPARTITION_BY_NUM",
+    "embedding_near_dup_pairs": "REPARTITION_BY_NUM",
+}
+
 
 def unpartitioned_windows(plan: str) -> int:
     """Count Window physical nodes with an empty partition spec.
@@ -83,6 +115,12 @@ def main() -> int:
             flags.append("CARTESIAN")
         if counts.get("SortMergeJoin"):
             flags.append("SMJ")
+        for bad in FORBID_JOINS.get(name, ()):
+            if bad in plan and f"FORBIDDEN:{bad}" not in flags:
+                flags.append(f"FORBIDDEN:{bad}")
+        marker = REQUIRE_MARKERS.get(name)
+        if marker and marker not in plan:
+            flags.append(f"MISSING:{marker}")
         if unpartitioned_windows(plan):
             flags.append("UNPART-WINDOW")
         # scans reading every column of a wide table
@@ -96,7 +134,8 @@ def main() -> int:
         if flags:
             warn += 1
     print(f"{warn} queries flagged")
-    return 0
+    # nonzero exit on any flag so CI / pytest can gate on the audit
+    return 1 if warn else 0
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ import os
 import re
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from umn_eda_kafka_stream_processing_spark.plans import REGISTRY
@@ -42,6 +44,19 @@ EXHIBITS = [
     ("minhash_lsh_pairs",
      "near-dup candidates come from an equi-keyed self-join on tiny "
      "(band, slice) keys — linear sketch, no cartesian"),
+    ("embedding_srp_lsh_pairs",
+     "blockless embedding LSH: band-key equi self-join + "
+     "explicit-count repartitions (REPARTITION_BY_NUM) + exact verify "
+     "pruned to candidates — no CartesianProduct, no "
+     "BroadcastNestedLoopJoin"),
+    ("user_activity_similarity_lsh",
+     "the time-series similarity SCALE path: the same srp_lsh shape "
+     "over 24-dim circadian profiles — equi-keyed band join, "
+     "explicit-count repartition, no quadratic scoring"),
+    ("simhash_near_pairs",
+     "simhash near-pairs bucket on 4 16-bit chunks (pigeonhole for "
+     "Hamming<=3): equi-join on (chunk_idx, chunk_val), never "
+     "all-pairs"),
     ("dedup_exact_groups",
      "exact dedup is one hash aggregation on md5 — map-side partials, "
      "single exchange"),
@@ -53,9 +68,87 @@ EXHIBITS = [
 KEEP = re.compile(
     r"PushedFilters|ReadSchema|DataFilters|PartitionFilters|"
     r"BroadcastHashJoin|BroadcastExchange|SortMergeJoin|ShuffledHashJoin|"
-    r"CartesianProduct|WindowGroupLimit|TakeOrderedAndProject|"
-    r"Exchange|HashAggregate|photon|Window\b"
+    r"CartesianProduct|BroadcastNestedLoopJoin|WindowGroupLimit|"
+    r"TakeOrderedAndProject|Exchange|HashAggregate|photon|Window\b"
 )
+
+
+def _minhash_lazy(spark, sf_dir):
+    """minhash_lsh_pairs with stage materialization OFF: the catalog
+    query's plan string hides everything behind localCheckpoint scans,
+    so the receipt captures the full lazy pipeline instead."""
+    from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), materialize=False
+    )
+
+
+def _cc_round_plan(spark, sf_dir):
+    """One label-propagation + pointer-jump round of near_dup_clusters
+    built from a materialized label table — the plan that repeats
+    O(log diameter) times (per-round checkpoints hide it from the
+    catalog query's final plan)."""
+    from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    pairs = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    a, b = "doc_id_a", "doc_id_b"
+    und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    labels = (
+        und.select(F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id"))
+        .unionByName(
+            und.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+
+    def _propagate():
+        msgs = und.join(
+            labels.select(
+                F.col("doc_id").alias("src"), F.col("cluster_id").alias("nbr_label")
+            ),
+            "src",
+        ).select(F.col("dst").alias("doc_id"), F.col("nbr_label"))
+        return labels.unionByName(
+            msgs.withColumnRenamed("nbr_label", "cluster_id")
+        ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+    jump = _propagate().select(
+        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_jump")
+    )
+    return (
+        _propagate()
+        .join(jump, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_jump"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+
+
+# (name, what the excerpt proves, builder) — for plans the registry
+# query hides behind stage checkpoints
+CUSTOM_EXHIBITS = [
+    ("minhash_lsh_pairs (lazy, full pipeline)",
+     "the whole MinHash+LSH pipeline un-checkpointed: band-key equi "
+     "self-join (hash join, never cartesian), inline estimate gate, "
+     "explicit-count repartition (REPARTITION_BY_NUM), semi-join "
+     "shingle prune before verification",
+     _minhash_lazy),
+    ("near_dup_clusters (one propagation round)",
+     "the per-round connected-components plan: one shuffled min-agg "
+     "plus one equi-keyed label self-join — repeated O(log diameter) "
+     "times, no cartesian anywhere",
+     _cc_round_plan),
+]
 
 
 def main() -> int:
@@ -70,8 +163,12 @@ def main() -> int:
         "`python tools/plan_proofs.py`.",
         "",
     ]
-    for name, claim in EXHIBITS:
-        df = REGISTRY[name].spark(spark, sf_dir)
+    exhibits = [
+        (name, claim, (lambda s, d, n=name: REGISTRY[n].spark(s, d)))
+        for name, claim in EXHIBITS
+    ] + CUSTOM_EXHIBITS
+    for name, claim, builder in exhibits:
+        df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # finalize AQE
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = []
@@ -90,7 +187,7 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLAN_PROOFS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"PLAN_PROOFS.md written ({len(EXHIBITS)} exhibits)")
+    print(f"PLAN_PROOFS.md written ({len(exhibits)} exhibits)")
     return 0
 
 

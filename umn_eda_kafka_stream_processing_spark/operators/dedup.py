@@ -357,6 +357,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 8,
     threshold: float = 0.8,
     estimate_gate: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → signature-estimate gate → exact-jaccard verification
@@ -379,10 +380,15 @@ def minhash_lsh_pairs(
     family in any engine), so an oracle computing the same sketches
     reproduces the output bit-for-bit. Set estimate_gate=0.0 to
     verify every banded candidate.
+
+    ``materialize=False`` skips every stage localCheckpoint so the
+    WHOLE pipeline stays one inspectable lazy plan — used by
+    tools/plan_proofs.py to receipt the join strategy (checkpointed
+    stages are invisible in the final executed-plan string);
+    production callers keep the default.
     Output: (id_a, id_b, jaccard) for verified pairs."""
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint()
+    _ckpt = (lambda d: d.localCheckpoint()) if materialize else (lambda d: d)
+    sigs = _ckpt(minhash_signatures(df, text_col, id_col, num_hashes, shingle_n))
     par = df.sparkSession.sparkContext.defaultParallelism
     # band melt CARRYING the signature columns: the estimate gate
     # evaluates inline on the band self-join's output, so the gate
@@ -441,7 +447,7 @@ def minhash_lsh_pairs(
     # is the full-parallelism spread, not whatever AQE coalesced the
     # last gate shuffle down to (~1 partition for a small candidate
     # set, serializing every array_intersect)
-    cands = cands.repartition(par, F.col(f"{id_col}_a")).localCheckpoint()
+    cands = _ckpt(cands.repartition(par, F.col(f"{id_col}_a")))
     # exact shingle sets ONLY for docs that appear in a candidate
     # pair: the broadcast semi join prunes the corpus BEFORE the
     # per-row shingle HOF, so verification cost scales with the
@@ -457,10 +463,9 @@ def minhash_lsh_pairs(
     # shingle projection — without the checkpoint each side re-runs
     # the per-row shingle HOF over the candidate docs (the projection
     # is already pruned to candidates, so it's small by construction)
-    sh = (
+    sh = _ckpt(
         df.join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
-        .localCheckpoint()
     )
     a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
