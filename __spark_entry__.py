@@ -1,13 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 80 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 81 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup/similarity/text/multimodal),
 temporal operators (as-of/interval/windows), and the analytics
 surface), where every operator family from SURVEY.md §2 (see
 PARITY.md) is expressed over the driver's synthetic tables with a
-DuckDB oracle twin — 80 of 80, including the two iterative ANN
+DuckDB oracle twin — 81 of 81, including the two iterative ANN
 variants (their oracles unroll the Lloyd iterations in SQL).
 """
 
