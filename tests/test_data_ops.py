@@ -8,7 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.functions.text import lang_predict, quality_score
+from umn_eda_kafka_stream_processing_spark.operators import bmff
 from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+from umn_eda_kafka_stream_processing_spark.operators import jpeg as jpegc
 from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
 from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
 
@@ -704,3 +706,172 @@ class TestPngCodec:
                 assert head == b"\x89PNG\r\n\x1a\n" and r["mime"] == "image/png"
             else:
                 assert head[:2] == b"P5"
+
+
+class TestJpegCodec:
+    """Baseline JPEG (operators/jpeg.py): pure-numpy T.81 encode+decode
+    — exactness on tile-constant images, lossy tolerance elsewhere,
+    spec-anchor checks, unsupported-feature guards."""
+
+    def test_tile_constant_exact_roundtrip(self):
+        # constant 8x8 tiles → DC-only blocks → QUANT_EXACT round trip
+        # is mathematically lossless for ANY dims (incl. edge padding)
+        rng = np.random.default_rng(11)
+        for h, w in ((8, 8), (5, 3), (17, 23), (16, 9), (1, 1)):
+            tiles = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8))
+            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+            blob = jpegc.encode_jpeg(px, quant_luma=jpegc.QUANT_EXACT)
+            assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+            assert np.array_equal(jpegc.decode_jpeg(blob), px)
+
+    def test_lossy_roundtrip_tolerance_gray_and_color(self):
+        r, c = np.mgrid[0:24, 0:40]
+        gray = ((r * 3 + c * 2) % 200).astype(np.uint8)
+        out = jpegc.decode_jpeg(jpegc.encode_jpeg(gray, quality=90))
+        assert out.shape == gray.shape
+        assert np.abs(out.astype(int) - gray).max() <= 3
+        rgb = np.stack([gray, 255 - gray, gray // 2], axis=-1)
+        out3 = jpegc.decode_jpeg(jpegc.encode_jpeg(rgb, quality=90))
+        assert out3.shape == rgb.shape
+        assert np.abs(out3.astype(int) - rgb.astype(int)).mean() < 4
+
+    def test_huffman_canonical_codes_match_spec(self):
+        # T.81 Annex K.3.1: DC luma category 0 → '00', 1 → '010',
+        # 2 → '011', ..., 11 → '111111110'
+        tab = jpegc._build_huffman(jpegc._DC_LUMA_BITS, jpegc._DC_LUMA_VALS)
+        assert tab[0] == (0b00, 2)
+        assert tab[1] == (0b010, 3)
+        assert tab[5] == (0b110, 3)
+        assert tab[11] == (0b111111110, 9)
+        # K.3.2: AC luma EOB → '1010', ZRL (0xF0) → '11111111001'
+        ac = jpegc._build_huffman(jpegc._AC_LUMA_BITS, jpegc._AC_LUMA_VALS)
+        assert ac[0x00] == (0b1010, 4)
+        assert ac[0xF0] == (0b11111111001, 11)
+
+    def test_magnitude_extend_inverse(self):
+        for v in (-255, -128, -1, 0, 1, 5, 127, 255, 1023):
+            s, bits = jpegc._magnitude(v)
+            assert jpegc._extend(bits, s) == v
+
+    def test_byte_stuffing_roundtrip(self):
+        # a value pattern that reliably produces 0xFF bytes in the
+        # entropy stream exercises the stuff/de-stuff path; exactness
+        # still holds because tiles are constant
+        px = np.full((8, 32), 255, np.uint8)
+        px[:, 8:16] = 0
+        blob = jpegc.encode_jpeg(px, quant_luma=jpegc.QUANT_EXACT)
+        assert np.array_equal(jpegc.decode_jpeg(blob), px)
+
+    def test_unsupported_features_raise(self):
+        blob = bytearray(jpegc.encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = blob.find(b"\xff\xc0")
+        prog = bytearray(blob)
+        prog[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="SOF"):
+            jpegc.decode_jpeg(bytes(prog))
+        with pytest.raises(NotImplementedError, match="not a JPEG"):
+            jpegc.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+        # DRI segment inserted before SOS → restart-interval guard
+        sos = blob.find(b"\xff\xda")
+        dri = blob[:sos] + b"\xff\xdd\x00\x04\x00\x04" + blob[sos:]
+        with pytest.raises(NotImplementedError, match="DRI"):
+            jpegc.decode_jpeg(bytes(dri))
+
+    def test_decode_image_dispatch_and_synth(self, spark):
+        px = np.repeat(np.repeat([[7, 200], [90, 13]], 8, 0), 8, 1).astype(np.uint8)
+        blob = jpegc.encode_jpeg(px, quant_luma=jpegc.QUANT_EXACT)
+        assert np.array_equal(mm.decode_image(blob), px)
+        ids = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+        rows = mm.synth_media(ids, "jpeg").orderBy("media_id").collect()
+        for r in rows:
+            content = bytes(r["content"])
+            assert content[:2] == b"\xff\xd8" and r["mime"] == "image/jpeg"
+            mid = r["media_id"]
+            h, w = mid % 11 + 6, mid % 9 + 5
+            rr, cc = np.ogrid[:h, :w]
+            want = (mid * 3 + 17 * (rr // 8) + 101 * (cc // 8)) % 256
+            assert np.array_equal(jpegc.decode_jpeg(content), want)
+
+
+class TestBmff:
+    """ISO-BMFF (MP4) container codec (operators/bmff.py): box walk,
+    sample-table resolution, byte-range extraction."""
+
+    @staticmethod
+    def _frames(n, w=4, h=3):
+        r, c = np.ogrid[:h, :w]
+        return [mm.encode_pgm((9 + 7 * f + 17 * r + 101 * c) % 256)
+                for f in range(n)]
+
+    def test_mux_demux_roundtrip_single_chunk(self):
+        frames = self._frames(5)
+        blob = bmff.encode_mp4(frames, width=4, height=3, sample_durations=40)
+        m = bmff.parse_mp4(blob)
+        assert (m["brand"], m["handler"], m["sample_format"]) == (
+            "isom", "vide", "pgm ")
+        assert (m["width"], m["height"]) == (4, 3)
+        assert m["n_samples"] == 5 and m["duration_ms"] == 200
+        for i, s in enumerate(m["samples"]):
+            assert bmff.extract_sample(blob, s) == frames[i]
+            assert s[2] == i * 40 and s[3] == 40
+
+    def test_multi_chunk_and_variable_durations(self):
+        # chunks of 2,2,1 → multi-entry stsc/stco; durations 40,40,
+        # 20,20,100 → 3-entry stts; resolution must still land every
+        # byte range on a frame boundary with the right timeline
+        frames = self._frames(5)
+        blob = bmff.encode_mp4(frames, 4, 3,
+                               sample_durations=[40, 40, 20, 20, 100],
+                               samples_per_chunk=2)
+        m = bmff.parse_mp4(blob)
+        assert m["duration_ms"] == 220
+        starts = [s[2] for s in m["samples"]]
+        assert starts == [0, 40, 80, 100, 120]
+        for i, s in enumerate(m["samples"]):
+            assert bmff.extract_sample(blob, s) == frames[i]
+
+    def test_largesize_and_size_zero_boxes(self):
+        import struct
+        blob = bmff.encode_mp4(self._frames(2), 4, 3)
+        # rewrite ftyp as a 64-bit largesize box; moov (last box) as
+        # size-0 (extends to EOF) — both spec-legal encodings
+        (sz,) = struct.unpack(">I", blob[:4])
+        ftyp = (struct.pack(">I", 1) + blob[4:8]
+                + struct.pack(">Q", sz + 8) + blob[8:sz])
+        rest = blob[sz:]
+        moov_off = rest.rfind(b"moov") - 4
+        rest = rest[:moov_off] + struct.pack(">I", 0) + rest[moov_off + 4:]
+        m = bmff.parse_mp4(ftyp + rest)
+        assert m["n_samples"] == 2
+        # offsets shifted by the 8 extra largesize bytes: re-slice
+        shifted = ftyp + rest
+        for i, s in enumerate(m["samples"]):
+            off, size, _t, _d = s
+            assert shifted[off + 8:off + 8 + size] == self._frames(2)[i]
+
+    def test_malformed_inputs_raise(self):
+        with pytest.raises(ValueError, match="no ftyp"):
+            bmff.parse_mp4(b"\x00" * 16)
+        blob = bmff.encode_mp4(self._frames(1), 4, 3)
+        with pytest.raises(ValueError, match="moov"):
+            bmff.parse_mp4(blob[:blob.rfind(b"moov") - 4])
+        with pytest.raises(ValueError):
+            bmff.encode_mp4([], 4, 3)
+
+    def test_spark_container_stats_and_frame_sample(self, spark):
+        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        media = mm.synth_media(ids, "mp4")
+        stats = {r["media_id"]: r for r in mm.container_stats(media).collect()}
+        for mid, r in stats.items():
+            nf = mid % 4 + 2
+            assert r["n_samples"] == nf and r["duration_ms"] == nf * 40
+            assert r["total_sample_bytes"] == nf * 23
+            assert (r["width"], r["height"]) == (4, 3)
+        rows = mm.mp4_sample_frames(media, every=2).collect()
+        for r in rows:
+            assert r["frame_idx"] % 2 == 0
+            assert r["start_ms"] == r["frame_idx"] * 40
+            mid, f = r["media_id"], r["frame_idx"]
+            want = np.mean([(mid + 7 * f + 17 * rr + 101 * cc) % 256
+                            for rr in range(3) for cc in range(4)])
+            assert abs(r["frame_mean"] - want) < 1e-6

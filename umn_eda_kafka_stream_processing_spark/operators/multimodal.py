@@ -7,19 +7,25 @@ Two tiers of codec support:
 
 * REAL codecs for formats parseable without external libraries —
   WAV/PCM16 audio (stdlib ``wave``), PNG (stdlib ``zlib``: chunk
-  walk + CRC, IDAT inflate, filters 0-4 unfiltered per row), netpbm
-  P5/P6 images (pure numpy), and a concatenated-PGM frame container
-  for video. Encode AND decode are implemented, so the pipeline ops
-  (``audio_features``, ``image_features``, ``sample_frames``,
-  nearest-neighbor resize) run against genuine media bytes end to end.
-* The heavy codecs (JPEG/MP4 via PIL/libav — NOT in this
-  environment) stay behind ``decode_stub``: it raises
-  NotImplementedError unless ``deterministic_fake=True``, in which
-  case it derives a fake "decoded" representation from the bytes
-  themselves (deterministic, test/oracle-friendly). Everything
-  around the stub — schema, Arrow batching, partition flow, UDF
-  signatures — is what a production deployment keeps while swapping
-  the stub for a codec.
+  walk + CRC, IDAT inflate, filters 0-4 unfiltered per row),
+  baseline JPEG (operators/jpeg.py: pure-numpy T.81 FDCT/Huffman
+  codec), netpbm P5/P6 images (pure numpy), MP4/ISO-BMFF containers
+  (operators/bmff.py: box walk + full sample-table resolution), and
+  a concatenated-PGM frame container for video. Encode AND decode
+  are implemented, so the pipeline ops (``audio_features``,
+  ``image_features``, ``sample_frames``, ``container_stats``,
+  ``mp4_sample_frames``, nearest-neighbor resize) run against
+  genuine media bytes end to end.
+* What still needs external libraries: compressed video/audio
+  BITSTREAM decode (H.264/H.265/AV1/AAC) — the MP4 demux layer
+  resolves those payloads to byte ranges and a production deployment
+  ships them to a real decoder (libav/nvDEC); ``decode_stub`` below
+  marks that seam. It raises NotImplementedError unless
+  ``deterministic_fake=True``, in which case it derives a fake
+  "decoded" representation from the bytes themselves (deterministic,
+  test/oracle-friendly). Everything around the stub — schema, Arrow
+  batching, partition flow, UDF signatures — is what production
+  keeps while swapping the stub for a codec.
 
 Scale notes: mapInPandas streams Arrow record batches; media bytes
 never materialize on the driver. Partition sizing should target
@@ -367,10 +373,14 @@ def decode_png(content: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Container dispatch for the image feature path: PNG (real zlib
-    decode) or netpbm P5/P6 (pure numpy). JPEG remains behind
-    decode_stub — its codec genuinely needs external libraries."""
+    decode), baseline JPEG (pure-numpy T.81 codec, operators/jpeg.py),
+    or netpbm P5/P6 (pure numpy)."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from umn_eda_kafka_stream_processing_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(content)
     return decode_netpbm(content)
 
 
@@ -484,6 +494,83 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("frame_mean", T.DoubleType(), True),
 ])
 
+MP4_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("total_sample_bytes", T.LongType(), True),
+    T.StructField("max_sample_bytes", T.LongType(), True),
+])
+
+MP4_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("start_ms", T.LongType(), False),
+    T.StructField("frame_mean", T.DoubleType(), True),
+])
+
+
+def container_stats(media: DataFrame) -> DataFrame:
+    """Demux-only MP4 metadata pass (operators/bmff.py:parse_mp4): box
+    walk + sample-table resolution, NO codec decode — the cheap
+    CPU-side scan a 100 TB video corpus runs to budget/inventory
+    footage before any GPU decode."""
+    from umn_eda_kafka_stream_processing_spark.operators import bmff
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                m = bmff.parse_mp4(bytes(content))
+                sizes = [s[1] for s in m["samples"]]
+                out.append({
+                    "media_id": int(media_id),
+                    "brand": m["brand"],
+                    "width": m["width"],
+                    "height": m["height"],
+                    "n_samples": m["n_samples"],
+                    "duration_ms": m["duration_ms"],
+                    "total_sample_bytes": sum(sizes),
+                    "max_sample_bytes": max(sizes),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in MP4_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(stats, MP4_STATS_SCHEMA)
+
+
+def mp4_sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Demux → byte-range extract → decode: keep every ``every``-th
+    sample of an MP4-of-PGM track, slice its payload out of mdat by
+    the resolved (offset, size), decode the frame and emit index,
+    start time and mean intensity. The production shape is identical
+    with H.264 payloads — only the payload decoder swaps."""
+    from umn_eda_kafka_stream_processing_spark.operators import bmff
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                m = bmff.parse_mp4(blob)
+                for idx, samp in enumerate(m["samples"]):
+                    if idx % every:
+                        continue
+                    frame, _end = _netpbm_frame(bmff.extract_sample(blob, samp), 0)
+                    out.append({
+                        "media_id": int(media_id),
+                        "frame_idx": idx,
+                        "start_ms": samp[2],
+                        "frame_mean": _round6(
+                            float(frame.astype(np.int64).sum()) / frame.size
+                        ),
+                    })
+            yield pd.DataFrame(out, columns=[f.name for f in MP4_FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(frames, MP4_FRAME_SCHEMA)
+
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     """Frame-sample a concatenated-PGM 'video': keep every ``every``-th
@@ -527,9 +614,19 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
            proves BOTH real decoders; decoded pixels are identical,
            so the arithmetic oracle is container-blind
     video: (id%4)+2 frames of 4×3 PGM, frame f adds 7f to the pixel formula
+    jpeg:  (h,w) = ((id%11)+6, (id%9)+5), px(r,c) = (id*3 + 17*(r//8)
+           + 101*(c//8)) % 256 — constant within every 8x8 tile, so the
+           baseline JPEG round trip with QUANT_EXACT is mathematically
+           lossless (operators/jpeg.py docstring) and the decoded
+           pixels stay arithmetically oracle-checkable
+    mp4:   the same (id%4)+2 video frames muxed into a real ISO-BMFF
+           container (operators/bmff.py), 40 ms/frame at timescale
+           1000; chunk layout varies per id (id%3 samples per chunk)
+           so the general stsc/stco resolution is exercised on data
     """
     mime = {"audio": "audio/wav", "image": "image/x-portable-graymap",
-            "video": "video/x-pgm-frames"}[kind]
+            "video": "video/x-pgm-frames", "jpeg": "image/jpeg",
+            "mp4": "video/mp4"}[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -545,6 +642,27 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
                     r, c = np.ogrid[:h, :w]
                     px = (mid + 17 * r + 101 * c) % 256
                     content = encode_pgm(px) if mid % 2 else encode_png(px)
+                elif kind == "jpeg":
+                    from umn_eda_kafka_stream_processing_spark.operators import jpeg
+
+                    h, w = mid % 11 + 6, mid % 9 + 5
+                    r, c = np.ogrid[:h, :w]
+                    px = (mid * 3 + 17 * (r // 8) + 101 * (c // 8)) % 256
+                    content = jpeg.encode_jpeg(
+                        px.astype(np.uint8), quant_luma=jpeg.QUANT_EXACT
+                    )
+                elif kind == "mp4":
+                    from umn_eda_kafka_stream_processing_spark.operators import bmff
+
+                    r, c = np.ogrid[:3, :4]
+                    frames = [
+                        encode_pgm((mid + 7 * f + 17 * r + 101 * c) % 256)
+                        for f in range(mid % 4 + 2)
+                    ]
+                    content = bmff.encode_mp4(
+                        frames, width=4, height=3,
+                        sample_durations=40, samples_per_chunk=mid % 3,
+                    )
                 else:
                     r, c = np.ogrid[:3, :4]
                     content = b"".join(

@@ -624,6 +624,41 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jpeg_decode_stats",
+    "Real baseline-JPEG round trip (operators/jpeg.py: pure-numpy T.81 "
+    "codec — FDCT, quantization, Annex-K Huffman entropy coding). Images "
+    "are constant within each 8x8 tile, so with the QUANT_EXACT table the "
+    "lossy pipeline is mathematically lossless (DC-only blocks survive "
+    "quantize→dequantize exactly) and DuckDB recomputes every decoded "
+    "feature arithmetically: a hash match proves the full "
+    "encode→Huffman→decode→IDCT→feature chain bit-for-bit.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 9) + 5 AS w, (doc_id % 11) + 6 AS h
+               FROM documents),
+    p AS (SELECT doc_id, w, h,
+            list_transform(range(0, w * h),
+                i -> (doc_id * 3 + ((i // w) // 8) * 17
+                      + ((i % w) // 8) * 101) % 256) AS px
+          FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           floor(CAST(list_sum(px) AS DOUBLE) / (w * h) * 1000000.0 + 0.5)
+             / 1000000.0 AS pixel_mean,
+           CAST(list_max(px) AS INT) AS pixel_max,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> (doc_id * 3 + ((((i // 4) * h) // 4) // 8) * 17
+                      + ((((i % 4) * w) // 4) // 8) * 101) % 256))
+             AS BIGINT) AS resized4_sum
+    FROM p
+    """,
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.image_features(mm.synth_media(docs, "jpeg"))
+
+
+@_register(
     "video_frame_sample",
     "Frame-sampling over a concatenated-PGM video container: every 2nd "
     "frame kept, per-frame mean intensity "
@@ -642,6 +677,59 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.sample_frames(mm.synth_media(docs, "video"), every=2)
+
+
+@_register(
+    "mp4_container_stats",
+    "Real ISO-BMFF demux, metadata-only (operators/bmff.py:parse_mp4): "
+    "per-id MP4s are muxed with varying chunk layouts (multi-entry "
+    "stsc/stco), then box-walked for brand/geometry/duration and the "
+    "resolved sample table's byte accounting — no codec decode, the "
+    "cheap inventory scan a 100 TB video corpus runs first. The oracle "
+    "recomputes every field arithmetically (each 4x3 PGM sample is "
+    "exactly 23 bytes: 11 header + 12 raster), so a hash match proves "
+    "mux→demux including stsz/stsc/stco resolution.",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'isom' AS brand,
+           CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           CAST((doc_id % 4) + 2 AS BIGINT) AS n_samples,
+           CAST(((doc_id % 4) + 2) * 40 AS BIGINT) AS duration_ms,
+           CAST(((doc_id % 4) + 2) * 23 AS BIGINT) AS total_sample_bytes,
+           CAST(23 AS BIGINT) AS max_sample_bytes
+    FROM documents
+    """,
+)
+def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.container_stats(mm.synth_media(docs, "mp4"))
+
+
+@_register(
+    "mp4_frame_sample",
+    "Demux→byte-range-extract→decode over real MP4 containers "
+    "(operators/bmff.py + multimodal.mp4_sample_frames): every 2nd "
+    "sample's payload is sliced out of mdat by its resolved "
+    "(offset, size) and decoded (netpbm), emitting start_ms from the "
+    "stts timeline. Pixel formula matches video_frame_sample, so the "
+    "arithmetic oracle proves the byte ranges land exactly on frame "
+    "boundaries.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 4) + 2 AS nf FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, nf)) AS fr FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(fr AS BIGINT) AS frame_idx,
+           CAST(fr * 40 AS BIGINT) AS start_ms,
+           floor(CAST(list_sum(list_transform(range(0, 12),
+                i -> (doc_id + fr * 7 + (i // 4) * 17 + (i % 4) * 101) % 256))
+                AS DOUBLE) / 12 * 1000000.0 + 0.5) / 1000000.0 AS frame_mean
+    FROM f WHERE fr % 2 = 0
+    """,
+)
+def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.mp4_sample_frames(mm.synth_media(docs, "mp4"), every=2)
 
 
 @_register(
