@@ -74,12 +74,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "user_prop_gaps",
     # -- sampling / packing / sketches (driver-verified r03) --------
     "sample_stratified_by_lang",
-    "sample_k_per_source",
     "sample_domain_mixture",
     "sequence_packing",
-    "sequence_packing_stats",
     "sketch_cms_heavy_users",
-    "sketch_histogram_quantiles",
     # -- never driver-verified as of r03 (rotated in r04; rotated
     # out: sample_bernoulli_docs, sketch_kmv_users_by_type,
     # sketch_hll_users_by_type — each family keeps >=2 verified
@@ -87,6 +84,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "split_assignment_stats",
     "user_activity_similarity",
     "user_activity_similarity_lsh",
+    # -- new in r04, never driver-verified: real-codec media queries
+    # (rotated out to make room: sample_k_per_source,
+    # sequence_packing_stats, sketch_histogram_quantiles — all
+    # driver-verified r03, families keep >=1 in-gate + >=2 verified
+    # across rounds) ------------------------------------------------
+    "jpeg_decode_stats",
+    "mp4_container_stats",
+    "mp4_frame_sample",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
