@@ -233,6 +233,18 @@ def test_wav_roundtrip_exact():
     assert list(d["samples"][:, 0]) == list(samples)
 
 
+def test_audio_zcr_integer_exact(spark):
+    # [1,-1,0,-2,3]: strict sign flips at (1,-1) and (-2,3) only —
+    # zeros break a crossing; energy = 1+1+0+4+9
+    blob = mm.encode_wav_pcm16(np.array([1, -1, 0, -2, 3]), 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary")
+    row = mm.audio_zcr(media).collect()[0]
+    assert row["n_samples"] == 5
+    assert row["zero_crossings"] == 2
+    assert row["energy"] == 15
+
+
 def test_netpbm_roundtrip_and_comments():
     import numpy as np
     px = np.arange(12, dtype=np.uint8).reshape(3, 4)

@@ -109,6 +109,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_candidate_pairs: int | None = 100_000_000,
     on_explosion: str = "raise",
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs with blocking.
 
@@ -211,6 +212,22 @@ def ngram_jaccard_pairs(
             F.abs(F.col(f"a_{length_col}") - F.col(f"b_{length_col}"))
             <= max_length_diff
         )
+    if salt_buckets > 1:
+        # SALT the quadratic join: its natural key is (blocks, band) —
+        # a handful of skewed values (one dominant language ⇒ one task
+        # owns most of the block² work; measured 12-27 s of executor
+        # time concentrating on stragglers at sf0.1). a-side keys get
+        # a deterministic id-hash salt, b-side replicates to every
+        # salt, so each pair still matches exactly once but one
+        # block's quadratic work spreads over salt_buckets tasks. The
+        # b-side blowup only multiplies the tiny lite rows, never the
+        # shingle arrays.
+        a = a.withColumn("salt", F.pmod(F.hash(F.col(f"a_{id_col}")), salt_buckets))
+        b = b.withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        cond = cond & (a["salt"] == b["salt"])
     # repartition the probe side by id: a single-file scan would
     # otherwise run the whole candidate generation on one task (the
     # lite rows are tiny, so this shuffle is ~free at any scale)
@@ -230,8 +247,19 @@ def ngram_jaccard_pairs(
         .select(f"a_{id_col}", f"b_{id_col}", "a_n_sh", "b_n_sh")
         .repartition(par, F.col(f"a_{id_col}"))
     )
-    sha = sh.select(F.col(id_col).alias(f"a_{id_col}"), F.col("sh").alias("a_sh"))
-    shb = sh.select(F.col(id_col).alias(f"b_{id_col}"), F.col("sh").alias("b_sh"))
+    # SHUFFLE_HASH on the shingle-attach: the payload is a per-doc
+    # array column, and sort-merge pays a sort over those wide rows
+    # that hash join skips entirely — measured bimodal 5-33 s (SMJ,
+    # AQE sometimes rescuing it to broadcast) vs stable 2-5 s (SHJ)
+    # at sf0.1. At 100 TB the hint stays correct where broadcast
+    # wouldn't: sh scales with the corpus, but each id-hashed
+    # partition's hash table is corpus/partitions sized.
+    sha = sh.select(
+        F.col(id_col).alias(f"a_{id_col}"), F.col("sh").alias("a_sh")
+    ).hint("shuffle_hash")
+    shb = sh.select(
+        F.col(id_col).alias(f"b_{id_col}"), F.col("sh").alias("b_sh")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = (
         F.col("a_n_sh").cast("double") + F.col("b_n_sh").cast("double") - inter

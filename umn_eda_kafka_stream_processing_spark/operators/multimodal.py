@@ -450,6 +450,37 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_ZCR_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+    T.StructField("energy", T.LongType(), True),
+])
+
+
+def audio_zcr(media: DataFrame) -> DataFrame:
+    """Integer-exact waveform features over decoded PCM16: strict
+    zero-crossing count (adjacent samples with opposite sign; zeros
+    break a crossing) and total energy (sum of squares) — both exact
+    integers, so the whole decode path stays arithmetic-oracle-
+    checkable. Vectorized numpy per clip inside each Arrow batch."""
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_wav(bytes(content))
+                x = d["samples"].reshape(-1).astype(np.int64)
+                out.append({
+                    "media_id": int(media_id),
+                    "n_samples": d["n_samples"],
+                    "zero_crossings": int((x[:-1] * x[1:] < 0).sum()),
+                    "energy": int((x * x).sum()),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_ZCR_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(feats, AUDIO_ZCR_SCHEMA)
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),

@@ -591,6 +591,32 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "audio_zcr_stats",
+    "Integer-exact waveform analysis over real decoded PCM16 "
+    "(multimodal.audio_zcr): strict zero-crossing count and total "
+    "energy — both whole integers, so the WAV decode is verified "
+    "arithmetically with no float tolerance at all.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+    s AS (SELECT doc_id, n,
+            list_transform(range(0, n),
+                           i -> ((doc_id * 31 + i * 7) % 65536) - 32768) AS xs
+          FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(coalesce(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN xs[CAST(i AS INT)] * xs[CAST(i + 1 AS INT)] < 0
+                          THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy
+    FROM s
+    """,
+)
+def audio_zcr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return mm.audio_zcr(mm.synth_media(docs, "audio"))
+
+
+@_register(
     "image_decode_stats",
     "Real image round-trip: grayscale images synthesized per doc_id — "
     "even ids as PNG (stdlib-zlib codec, cycling row filters 0-4; "
