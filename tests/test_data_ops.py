@@ -805,6 +805,89 @@ class TestJpegCodec:
             assert np.array_equal(jpegc.decode_jpeg(content), want)
 
 
+class TestDecodeHealth:
+    """Per-row corrupt-media quarantine (multimodal.decode_health):
+    classified errors, never task death."""
+
+    def test_classifies_corruption_modes(self, spark):
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        rows = [
+            (1, bytearray(mm.encode_png(px))),                    # ok
+            (2, bytearray(mm.encode_png(px)[:9])),                # truncated
+            (3, bytearray(b"\x00" + mm.encode_pgm(px)[1:])),      # bad magic
+            (4, bytearray(b"")),                                  # empty
+        ]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r["media_id"]: r for r in mm.decode_health(media, "image").collect()}
+        assert got[1]["ok"] and got[1]["error_class"] is None
+        assert not got[2]["ok"] and got[2]["error_class"] == "ValueError"
+        assert not got[3]["ok"] and got[3]["error_class"] == "NotImplementedError"
+        assert not got[4]["ok"]
+
+    def test_audio_and_mp4_kinds(self, spark):
+        wav = mm.encode_wav_pcm16(np.array([1, 2, 3]), 8000)
+        mp4 = bmff.encode_mp4([mm.encode_pgm(np.zeros((3, 4), np.uint8))], 4, 3)
+        media = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(wav[:10]))],
+            "media_id long, content binary")
+        got = {r["media_id"]: r["ok"] for r in mm.decode_health(media, "audio").collect()}
+        assert got == {1: True, 2: False}
+        media2 = spark.createDataFrame(
+            [(1, bytearray(mp4)), (2, bytearray(mp4[:20]))],
+            "media_id long, content binary")
+        got2 = {r["media_id"]: r["ok"] for r in mm.decode_health(media2, "mp4").collect()}
+        assert got2 == {1: True, 2: False}
+
+    def test_unknown_kind_rejected(self, spark):
+        media = spark.createDataFrame([(1, bytearray(b""))],
+                                      "media_id long, content binary")
+        with pytest.raises(ValueError, match="kind"):
+            mm.decode_health(media, "hologram")
+
+    def test_fuzz_decoders_raise_cleanly(self):
+        # decoders walk UNTRUSTED bytes at corpus scale: any mutation
+        # of valid media must raise a normal exception (which
+        # decode_health classifies) — never hang, loop, or segfault
+        from hypothesis import given, settings, strategies as st
+        from umn_eda_kafka_stream_processing_spark.operators import jpeg as jc
+
+        px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        corpus = [
+            ("image", mm.encode_png(px)),
+            ("image", mm.encode_pgm(px)),
+            ("image", jc.encode_jpeg(px)),
+            ("audio", mm.encode_wav_pcm16(np.arange(20) - 10, 8000)),
+            ("mp4", bmff.encode_mp4([mm.encode_pgm(px)] * 3, 8, 6)),
+        ]
+        from umn_eda_kafka_stream_processing_spark.operators import bmff as bm
+
+        decoders = {"image": mm.decode_image, "audio": mm.decode_wav,
+                    "mp4": bm.parse_mp4}
+
+        @settings(max_examples=120, deadline=None)
+        @given(pick=st.integers(0, len(corpus) - 1), data=st.data())
+        def run(pick, data):
+            kind, blob = corpus[pick]
+            mode = data.draw(st.sampled_from(["trunc", "flip", "insert"]))
+            if mode == "trunc":
+                cut = data.draw(st.integers(0, len(blob) - 1))
+                mutated = blob[:cut]
+            elif mode == "flip":
+                i = data.draw(st.integers(0, len(blob) - 1))
+                b = data.draw(st.integers(1, 255))
+                mutated = blob[:i] + bytes([blob[i] ^ b]) + blob[i + 1:]
+            else:
+                i = data.draw(st.integers(0, len(blob)))
+                ins = data.draw(st.binary(min_size=1, max_size=8))
+                mutated = blob[:i] + ins + blob[i:]
+            try:
+                decoders[kind](mutated)
+            except Exception:
+                pass  # classified failure is the contract; crashes/hangs are not
+
+        run()
+
+
 class TestBmff:
     """ISO-BMFF (MP4) container codec (operators/bmff.py): box walk,
     sample-table resolution, byte-range extraction."""

@@ -544,6 +544,56 @@ MP4_FRAME_SCHEMA = T.StructType([
 ])
 
 
+DECODE_HEALTH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("error_class", T.StringType(), True),
+])
+
+
+def decode_health(media: DataFrame, kind: str = "image") -> DataFrame:
+    """Corpus-health scan: attempt a real decode per item and emit
+    (media_id, ok, error_class) instead of letting the first corrupt
+    file kill the task. At 100 TB corrupt media is a certainty, not an
+    edge case — Spark retries a failed task 4x and then fails the
+    JOB, so an unguarded decoder turns one truncated download into a
+    dead pipeline. This operator is the quarantine pass: its output
+    anti-joins corrupt ids out of the corpus before the expensive
+    feature extractors run (which may then keep their fail-fast
+    default, every input being pre-screened).
+
+    ``error_class`` is the exception type name (ValueError for
+    malformed structure, NotImplementedError for recognized-but-
+    unsupported formats, wave.Error for bad RIFF framing, ...) —
+    deterministic per input, useful for corruption telemetry."""
+    from umn_eda_kafka_stream_processing_spark.operators import bmff
+
+    decoders = {
+        "image": decode_image,
+        "audio": decode_wav,
+        "video": lambda b: list(iter_pgm_frames(b)),
+        "mp4": bmff.parse_mp4,
+    }
+    if kind not in decoders:
+        raise ValueError(f"decode_health kind must be one of {sorted(decoders)}")
+    decoder = decoders[kind]
+
+    def health(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    decoder(bytes(content) if content is not None else b"")
+                    out.append({"media_id": int(media_id), "ok": True,
+                                "error_class": None})
+                except Exception as e:  # per-row quarantine, never task death
+                    out.append({"media_id": int(media_id), "ok": False,
+                                "error_class": type(e).__name__})
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_HEALTH_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(health, DECODE_HEALTH_SCHEMA)
+
+
 def container_stats(media: DataFrame) -> DataFrame:
     """Demux-only MP4 metadata pass (operators/bmff.py:parse_mp4): box
     walk + sample-table resolution, NO codec decode — the cheap

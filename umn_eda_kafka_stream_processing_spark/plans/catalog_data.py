@@ -759,6 +759,49 @@ def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_decode_health",
+    "Corrupt-media quarantine scan (multimodal.decode_health): real "
+    "image bytes are deterministically damaged JVM-side — doc_id%5==3 "
+    "truncated to 9 bytes (malformed structure -> ValueError), "
+    "doc_id%5==1 first byte zeroed (unrecognized magic -> "
+    "NotImplementedError) — and the per-row try/except decoder "
+    "classifies every item instead of letting one bad file kill the "
+    "task (Spark fails the whole job after 4 task retries). The "
+    "oracle recomputes the ok/error_class census from the corruption "
+    "formula.",
+    """
+    WITH c AS (SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 3 THEN 'trunc'
+                      WHEN doc_id % 5 = 1 THEN 'magic'
+                      ELSE 'ok' END AS st
+               FROM documents)
+    SELECT (st = 'ok') AS ok,
+           CASE st WHEN 'trunc' THEN 'ValueError'
+                   WHEN 'magic' THEN 'NotImplementedError' END AS error_class,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c GROUP BY 1, 2
+    """,
+)
+def media_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    media = mm.synth_media(docs, "image")
+    corrupted = media.withColumn(
+        "content",
+        F.when(
+            F.col("media_id") % 5 == 3, F.expr("substring(content, 1, 9)")
+        ).when(
+            F.col("media_id") % 5 == 1,
+            F.expr("concat(X'00', substring(content, 2, 1073741823))"),
+        ).otherwise(F.col("content")),
+    )
+    return (
+        mm.decode_health(corrupted, "image")
+        .groupBy("ok", "error_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@_register(
     "lang_id_confusion",
     "Language-ID evaluation matrix: per (actual, predicted) cell count and "
     "mean quality score — the accuracy/quality audit a data pipeline runs "

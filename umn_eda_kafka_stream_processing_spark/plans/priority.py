@@ -52,7 +52,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "popular_order_nation_alerts",
     "events_occurred_total",
     "global_totals",
-    "suggested_events_by_type",
+    # (suggested_events_by_type rotated out in r04 for audio_zcr_stats
+    # below: driver-verified r01+r03, and popular_suggested_events_by_
+    # type keeps the family in-gate)
     # -- never driver-verified: analytics surface -------------------
     "orders_rollup",
     "q10_returned_items",
@@ -71,7 +73,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "sliding_event_type_counts",
     "session_event_counts",
     "first_week_event_counts",
-    "user_prop_gaps",
+    # (user_prop_gaps rotated out in r04 for media_decode_health:
+    # driver-verified r03; temporal family keeps 5 in-gate)
     # -- sampling / packing / sketches (driver-verified r03) --------
     "sample_stratified_by_lang",
     "sample_domain_mixture",
@@ -92,6 +95,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "jpeg_decode_stats",
     "mp4_container_stats",
     "mp4_frame_sample",
+    "audio_zcr_stats",
+    "media_decode_health",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
