@@ -76,6 +76,42 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (1, 3) in got  # high-jaccard pair survives LSH + verification
 
 
+def test_lsh_hot_bucket_cap_drops_mass_dups_keeps_near_dups(spark):
+    # 12 byte-identical docs share EVERY band key -> every one of
+    # their buckets exceeds cap=10 -> zero pairs among them (mass
+    # duplication is exact dedup's job, run upstream for a fraction
+    # of the cost). The near-dup pair elsewhere shares small buckets
+    # and must survive the cap.
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again ok!"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [(100, near_a), (101, near_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.minhash_lsh_pairs(df, threshold=0.7, hot_bucket_cap=10)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # uncapped baseline still finds the boilerplate clique
+    full = dd.minhash_lsh_pairs(df, threshold=0.7, hot_bucket_cap=None)
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in full.collect()} > got
+
+
+def test_lsh_bucket_stats_census(spark):
+    rows = [(i, "identical boilerplate text repeated here") for i in range(5)]
+    rows += [(10, "something else entirely unrelated first"),
+             (11, "another unrelated document second kind")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["band_idx"]: r for r in
+             dd.lsh_bucket_stats(df, hot_bucket_cap=3).collect()}
+    assert len(stats) == 8  # 16 hashes / 2 rows per band
+    for r in stats.values():
+        # the 5-dup clique is one bucket of 5 per band: 10 pairs,
+        # flagged hot at cap 3; the two singles add 1-2 buckets
+        assert r["max_bucket"] == 5
+        assert r["candidate_pairs"] >= 10
+        assert r["hot_buckets"] == 1 and r["hot_docs"] == 5
+
+
 def test_simhash_identical_text_hamming_zero(spark):
     rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
             (3, "unrelated words entirely different")]

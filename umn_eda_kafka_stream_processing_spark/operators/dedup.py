@@ -386,6 +386,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     estimate_gate: float = 0.5,
     materialize: bool = True,
+    hot_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → signature-estimate gate → exact-jaccard verification
@@ -449,6 +450,26 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, *[f"h{i}" for i in range(num_hashes)], "bk.band_idx", "bk.band_key")
+    if hot_bucket_cap is not None:
+        # HOT-BUCKET GUARD: one band key shared by B docs yields B²/2
+        # candidates in that bucket alone — boilerplate/empty-doc
+        # sketches make such degenerate keys a certainty at corpus
+        # scale, and a single 1M-doc bucket is 5e11 pairs. Buckets
+        # above the cap are dropped BEFORE the self-join; the window
+        # count partitions by the same (band_idx, band_key) the join
+        # shuffles on, so it reuses that exchange rather than adding
+        # one. Recall cost is confined to docs whose every collision
+        # is hot — i.e. mass-duplicated content, which exact dedup
+        # (dedup_exact_groups, one linear hash-agg) removes upstream
+        # for a fraction of the cost; run it first, as
+        # dedup_pipeline_summary does. Not a silent cap: pair it with
+        # lsh_bucket_stats, which reports the dropped-bucket census.
+        from pyspark.sql.window import Window
+
+        melted = melted.withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key")),
+        ).filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
     ma = melted.select(
         F.col(id_col).alias(f"{id_col}_a"), "band_idx", "band_key",
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
@@ -503,6 +524,63 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    hot_bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Band-bucket census: the telemetry twin of ``minhash_lsh_pairs``'
+    ``hot_bucket_cap`` — the cap must never be silent, so this is the
+    report a pipeline runs alongside (or before) the capped join.
+
+    Per band: number of distinct buckets, the largest bucket, the
+    exact candidate-pair count Σ B·(B-1)/2 the band join would emit,
+    and how many buckets/docs the cap would drop. A planner reads
+    this to budget the join or tune the cap; at 100 TB it is one
+    linear melt + two hash-aggs, no self-join.
+
+    Output: (band_idx, n_buckets, max_bucket, candidate_pairs,
+    hot_buckets, hot_docs), one row per band.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bands = num_hashes // rows_per_band
+    melted = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("bk.band_idx", "bk.band_key")
+    buckets = melted.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    hot = F.col("bs") > hot_bucket_cap
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("bs").cast("long").alias("max_bucket"),
+        F.sum(F.col("bs") * (F.col("bs") - 1) / 2).cast("long").alias("candidate_pairs"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("hot_buckets"),
+        F.sum(F.when(hot, F.col("bs")).otherwise(0)).cast("long").alias("hot_docs"),
+    )
 
 
 def simhash64(
@@ -568,6 +646,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hot_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on each of the 4 16-bit chunks
     (pigeonhole: Hamming <= 3 over 64 bits ⇒ at least one chunk
@@ -585,12 +664,24 @@ def simhash_near_pairs(
     # stored signatures instead of re-running the token explode +
     # 64-way vote aggregation per side (see minhash_lsh_pairs)
     sigs = simhash64(df, text_col, id_col).localCheckpoint()
-    return _sig_near_pairs(sigs, id_col, max_hamming)
+    return _sig_near_pairs(sigs, id_col, max_hamming, hot_bucket_cap)
 
 
-def _sig_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+def _sig_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    hot_bucket_cap: int | None = 10_000,
+) -> DataFrame:
     """Candidate+verify tail over pre-built simhash signatures —
-    shared by the batch pair-finder and the incremental dedup."""
+    shared by the batch pair-finder and the incremental dedup.
+
+    ``hot_bucket_cap``: same hazard and remedy as
+    ``minhash_lsh_pairs`` — a 16-bit chunk value shared by B docs
+    (template/boilerplate corpora cluster HARD in simhash space)
+    yields B²/2 candidates from one bucket; buckets above the cap are
+    dropped before the self-join. Mass-identical docs are exact
+    dedup's job upstream."""
     chunk_cols = [f"c{c}" for c in range(4)]
     melted = sigs.select(
         F.col(id_col), *chunk_cols,
@@ -601,6 +692,13 @@ def _sig_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int) -> DataFrame
             ])
         ).alias("ck"),
     ).select(id_col, *chunk_cols, "ck.chunk_idx", "ck.chunk_key")
+    if hot_bucket_cap is not None:
+        from pyspark.sql.window import Window
+
+        melted = melted.withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("chunk_idx", "chunk_key")),
+        ).filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
     a = melted.select(
         F.col(id_col).alias(f"{id_col}_a"),
         *[F.col(c).alias(f"a_{c}") for c in chunk_cols],

@@ -209,6 +209,57 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _lsh_bucket_stats_oracle(k: int = 16, r: int = 2, cap: int = 3) -> str:
+    b = k // r
+    mins = ",\n           ".join(
+        f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(k)
+    )
+    band_exprs = ",\n           ".join(
+        "md5(" + " || '|' || ".join(f"h{band * r + j}" for j in range(r)) + f") AS band{band}"
+        for band in range(b)
+    )
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {band} AS band_idx, band{band} AS band_key FROM bands"
+        for band in range(b)
+    )
+    return f"""
+    WITH sets AS (SELECT doc_id, {_duck_shingles(8)} AS sh FROM documents),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    sigs AS (SELECT doc_id,
+           {mins}
+      FROM exploded GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+           {band_exprs}
+      FROM sigs),
+    melt AS ({melt}),
+    buckets AS (SELECT band_idx, band_key, count(*) AS bs
+                FROM melt GROUP BY 1, 2)
+    SELECT band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(bs) AS BIGINT) AS max_bucket,
+           CAST(sum(bs * (bs - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN bs > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+           CAST(sum(CASE WHEN bs > {cap} THEN bs ELSE 0 END) AS BIGINT) AS hot_docs
+    FROM buckets GROUP BY band_idx
+    """
+
+
+@_register(
+    "lsh_bucket_stats",
+    "LSH band-bucket census (operators/dedup.py:lsh_bucket_stats): per "
+    "band, bucket count, max bucket, the exact candidate-pair total "
+    "the band join would emit, and the buckets/docs a hot_bucket_cap "
+    "of 3 would drop — the telemetry that keeps minhash_lsh_pairs' "
+    "hot-bucket guard non-silent and lets a planner budget the join "
+    "before running it. Linear melt + two hash-aggs, no self-join.",
+    _lsh_bucket_stats_oracle(16, 2, 3),
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_bucket_stats(docs, hot_bucket_cap=3)
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     nibs = ",\n           ".join(
         f"instr('0123456789abcdef', substr(th, {i + 1}, 1)) - 1 AS n{i}"

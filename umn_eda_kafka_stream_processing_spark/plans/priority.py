@@ -72,9 +72,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "asof_latest_order_per_event",
     "sliding_event_type_counts",
     "session_event_counts",
-    "first_week_event_counts",
-    # (user_prop_gaps rotated out in r04 for media_decode_health:
-    # driver-verified r03; temporal family keeps 5 in-gate)
+    # (user_prop_gaps + first_week_event_counts rotated out in r04 for
+    # media_decode_health + lsh_bucket_stats: both driver-verified
+    # r03; temporal family keeps 4 in-gate)
     # -- sampling / packing / sketches (driver-verified r03) --------
     "sample_stratified_by_lang",
     "sample_domain_mixture",
@@ -97,6 +97,7 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "mp4_frame_sample",
     "audio_zcr_stats",
     "media_decode_health",
+    "lsh_bucket_stats",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
