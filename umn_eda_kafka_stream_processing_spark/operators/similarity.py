@@ -434,6 +434,7 @@ def srp_lsh_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH — the
     SCALE path for embedding dedup when no coarse block column exists
@@ -462,6 +463,17 @@ def srp_lsh_pairs(
             "band", "bkey"
         )
     )
+    if hot_bucket_cap is not None:
+        # same hazard + remedy as dedup.minhash_lsh_pairs: zero-vector
+        # / degenerate embeddings all land in one band bucket and emit
+        # B²/2 pairs; cap it before the self-join (window partitions
+        # on the join's own shuffle key — no extra exchange). The
+        # dedup.lsh_bucket_stats pattern applies for telemetry.
+        from pyspark.sql.window import Window
+
+        sig = sig.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        ).filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
     a = sig.select(F.col(id_col).alias(f"a_{id_col}"), "band", "bkey")
     b = sig.select(F.col(id_col).alias(f"b_{id_col}"), "band", "bkey")
     par = df.sparkSession.sparkContext.defaultParallelism
