@@ -132,6 +132,26 @@ def test_lang_predict_and_tiebreak(spark):
     assert got == {1: "en", 2: "de", 3: "en"}
 
 
+def test_html_to_text_extraction(spark):
+    from umn_eda_kafka_stream_processing_spark.functions.text import html_to_text
+    cases = [
+        # script content with < > operators must vanish entirely
+        ('<script>if (a < b && c > d) { x("</p>"); }</script>hi', "hi"),
+        ('<style media="all">p > a { color: red }</style>ok', "ok"),
+        ("<!-- secret -->visible<!-- more\nlines -->", "visible"),
+        ("<div class='x'><p>a</p><br/><p>b</p></div>", "a b"),
+        # &amp;lt; decodes to the LITERAL '&lt;', never double-decodes
+        ("&amp;lt;tag&amp;gt; &lt;b&gt; &quot;q&quot; &nbsp;", '&lt;tag&gt; <b> "q"'),
+        ("  lots   of\n\t spaces  ", "lots of spaces"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, html string")
+    got = {r["id"]: r["t"] for r in
+           df.select("id", html_to_text("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_quality_score_bounded(spark, docs):
     vals = [r["q"] for r in docs.select(quality_score().alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)

@@ -71,6 +71,43 @@ def punct_count(text: str = "text") -> Column:
     return (F.length(F.col(text)) - F.length(stripped)).cast("long")
 
 
+# HTML extraction regexes: the Java∩RE2-compatible subset (inline
+# (?is) flags, non-greedy .*?, no backreferences/lookaround), so the
+# DuckDB oracle runs the IDENTICAL patterns (plans/catalog_data.py).
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),  # executable content
+    (r"(?is)<style[^>]*>.*?</style>", " "),    # styling content
+    (r"(?s)<!--.*?-->", " "),                  # comments
+    (r"(?is)<[^>]+>", " "),                    # remaining tags
+)
+# Entity decode: fixed literal set, & LAST so '&amp;lt;' correctly
+# yields the literal '&lt;' instead of double-decoding to '<'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def html_to_text(html: str = "html") -> Column:
+    """Boilerplate HTML → text extraction as pure column expressions —
+    the first pass of any web-corpus pipeline (strip script/style/
+    comments/tags, decode the common entities, collapse whitespace).
+
+    Deliberately JVM-side regexp_replace chains, NOT a Python UDF:
+    this runs over every crawled page, so it must stay inside
+    whole-stage codegen at full scan speed. A trafilatura-class
+    extractor (DOM scoring, main-content detection) would slot in as
+    a mapInPandas stage downstream of this cheap pre-filter."""
+    out = F.col(html)
+    for pat, repl in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    # literal entity replacement via nested replace() calls (exactly
+    # mirrored in the DuckDB twin)
+    for ent, ch in HTML_ENTITIES:
+        out = F.call_function("replace", out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def fingerprint_md5(text: str = "text") -> Column:
     """Normalized-content fingerprint: md5(lower(trim(text))).
 

@@ -24,6 +24,7 @@ from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
 from umn_eda_kafka_stream_processing_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint_md5,
+    html_to_text,
     lang_predict,
     punct_count,
     quality_score,
@@ -807,6 +808,80 @@ def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return mm.mp4_sample_frames(mm.synth_media(docs, "mp4"), every=2)
+
+
+@_register(
+    "html_extract_stats",
+    "Web-corpus boilerplate stripping (functions/text.py:html_to_text): "
+    "each doc is wrapped JVM-side into a full HTML page (title, style, "
+    "script with < > operators, entity-escaped body, comment), then "
+    "extracted back by pure regexp_replace/replace column chains — no "
+    "UDF, whole-stage codegen at scan speed. Patterns are the "
+    "Java-RE2-compatible subset, so the DuckDB oracle runs the "
+    "IDENTICAL construction + extraction; a hash match proves "
+    "tag/script/comment stripping, entity decode order (&amp; last) "
+    "and whitespace collapse, byte for byte.",
+    """
+    WITH built AS (SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id || '</title>'
+        || '<style>body{margin:0}</style>'
+        || '<script>var ok = 1 < 2 && 3 > 2;</script></head><body><h1>'
+        || lang || '</h1><p>'
+        || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        || '</p><!-- id ' || doc_id || ' --></body></html>' AS html
+      FROM documents),
+    ex AS (SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+            '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS t
+      FROM built)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_extracted,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+           substr(t, 1, 24) AS head,
+           md5(t) AS fp
+    FROM ex
+    """,
+)
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.call_function(
+        "replace",
+        F.call_function(
+            "replace",
+            F.call_function("replace", F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit("</title><style>body{margin:0}</style>"
+                  "<script>var ok = 1 < 2 && 3 > 2;</script></head><body><h1>"),
+            F.col("lang"),
+            F.lit("</h1><p>"), esc,
+            F.lit("</p><!-- id "), F.col("doc_id").cast("string"),
+            F.lit(" --></body></html>"),
+        ).alias("html"),
+    )
+    t = html_to_text("html")
+    return built.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars_extracted"),
+        F.size(F.split(t, " ")).cast("long").alias("n_tokens"),
+        F.substring(t, 1, 24).alias("head"),
+        F.md5(t).alias("fp"),
+    )
 
 
 @_register(

@@ -17,7 +17,7 @@ Selection policy, in order:
    fresh driver verdict too.
 
 Everything else overflows past position 50. Overflow queries are
-still first-class: the full 78-query gate runs locally via
+still first-class: the full-catalog gate runs locally via
 ``tools/check_oracle.py`` and its committed artifact
 (ORACLE_FULL_r{N}.json), and each overflow query is a second
 representative of a family whose primary sits inside the top 50.
@@ -66,7 +66,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "user_bucket_type_pivot",
     "top_supplier_by_customers",
     "bpe_token_stats",
-    "rolling_fingerprints",
+    # (rolling_fingerprints rotated out in r04 for html_extract_stats:
+    # driver-verified r03; text family keeps bpe_token_stats in-gate)
     # -- never driver-verified: temporal operators ------------------
     "hourly_event_type_counts",
     "asof_latest_order_per_event",
@@ -98,6 +99,7 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "audio_zcr_stats",
     "media_decode_health",
     "lsh_bucket_stats",
+    "html_extract_stats",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
