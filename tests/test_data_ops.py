@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from umn_eda_kafka_stream_processing_spark.functions.text import lang_predict, quality_score
 from umn_eda_kafka_stream_processing_spark.operators import bmff
 from umn_eda_kafka_stream_processing_spark.operators import dedup as dd
+from umn_eda_kafka_stream_processing_spark.operators import gif as gifc
 from umn_eda_kafka_stream_processing_spark.operators import jpeg as jpegc
 from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
 from umn_eda_kafka_stream_processing_spark.operators import similarity as sim
@@ -766,14 +767,60 @@ class TestPngCodec:
         assert (mm.decode_image(mm.encode_pgm(px)) == px).all()
 
     def test_synth_media_mixes_containers(self, spark):
-        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        ids = spark.range(0, 9).select(F.col("id").alias("doc_id"))
         rows = mm.synth_media(ids, "image").orderBy("media_id").collect()
         for r in rows:
             head = bytes(r["content"])[:8]
-            if r["media_id"] % 2 == 0:
+            m = r["media_id"] % 3
+            if m == 0:
                 assert head == b"\x89PNG\r\n\x1a\n" and r["mime"] == "image/png"
-            else:
+            elif m == 1:
                 assert head[:2] == b"P5"
+            else:
+                assert head[:4] == b"GIF8" and r["mime"] == "image/gif"
+            # every container decodes to the same formula pixels
+            mid = r["media_id"]
+            h, w = mid % 7 + 2, mid % 13 + 3
+            rr, cc = np.ogrid[:h, :w]
+            want = (mid + 17 * rr + 101 * cc) % 256
+            assert np.array_equal(mm.decode_image(bytes(r["content"])), want)
+
+
+class TestGifCodec:
+    """GIF codec (operators/gif.py): real LZW, interlace, block walk."""
+
+    def test_roundtrip_random_and_compressible(self):
+        rng = np.random.default_rng(5)
+        for px in (
+            rng.integers(0, 256, (9, 13)).astype(np.uint8),
+            np.tile(np.arange(16, dtype=np.uint8), (40, 30)),  # deep dict
+            rng.integers(0, 256, (120, 120)).astype(np.uint8),  # 4095 reset
+            np.zeros((1, 1), np.uint8),
+        ):
+            for inter in (False, True):
+                blob = gifc.encode_gif(px, interlace=inter)
+                assert np.array_equal(gifc.decode_gif_gray(blob), px)
+
+    def test_extension_blocks_skipped(self):
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        blob = bytearray(gifc.encode_gif(px))
+        # inject a graphic-control extension right before the image
+        # descriptor (0x2C): label 0xF9, one 4-byte sub-block, term
+        at = blob.index(0x2C, 13 + 768)
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        assert np.array_equal(
+            gifc.decode_gif_gray(bytes(blob[:at]) + ext + bytes(blob[at:])), px)
+
+    def test_malformed_raise(self):
+        px = np.zeros((4, 4), np.uint8)
+        blob = gifc.encode_gif(px)
+        with pytest.raises(NotImplementedError, match="not a GIF"):
+            gifc.decode_gif(b"NOTGIF..")
+        with pytest.raises(ValueError):
+            gifc.decode_gif(blob[:-30])  # truncated LZW stream
+        # grayscale palette maps identity through the luminance view
+        d = gifc.decode_gif(blob)
+        assert d["palette"].shape == (256, 3)
 
 
 class TestJpegCodec:

@@ -374,13 +374,18 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Container dispatch for the image feature path: PNG (real zlib
     decode), baseline JPEG (pure-numpy T.81 codec, operators/jpeg.py),
-    or netpbm P5/P6 (pure numpy)."""
+    GIF (real LZW, operators/gif.py — grayscale view), or netpbm
+    P5/P6 (pure numpy)."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         from umn_eda_kafka_stream_processing_spark.operators import jpeg
 
         return jpeg.decode_jpeg(content)
+    if content[:4] == b"GIF8":
+        from umn_eda_kafka_stream_processing_spark.operators import gif
+
+        return gif.decode_gif_gray(content)
     return decode_netpbm(content)
 
 
@@ -690,10 +695,11 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
     audio: n=(id%50)+10 PCM16 samples, rate 8000*((id%3)+1),
            sample[i] = ((id*31 + i*7) % 65536) - 32768
     image: (h,w) = ((id%7)+2, (id%13)+3), px(r,c) = (id + 17r + 101c) % 256
-           — container alternates per id (even → PNG with cycling row
-           filters, odd → PGM), so the oracle-checked feature query
-           proves BOTH real decoders; decoded pixels are identical,
-           so the arithmetic oracle is container-blind
+           — container rotates per id (id%3: 0 → PNG with cycling row
+           filters, 1 → PGM, 2 → GIF with real LZW, interlaced when
+           id is odd), so ONE oracle-checked feature query proves all
+           three lossless decoders; decoded pixels are identical, so
+           the arithmetic oracle is container-blind
     video: (id%4)+2 frames of 4×3 PGM, frame f adds 7f to the pixel formula
     jpeg:  (h,w) = ((id%11)+6, (id%9)+5), px(r,c) = (id*3 + 17*(r//8)
            + 101*(c//8)) % 256 — constant within every 8x8 tile, so the
@@ -722,7 +728,18 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
                     h, w = mid % 7 + 2, mid % 13 + 3
                     r, c = np.ogrid[:h, :w]
                     px = (mid + 17 * r + 101 * c) % 256
-                    content = encode_pgm(px) if mid % 2 else encode_png(px)
+                    if mid % 3 == 0:
+                        content = encode_png(px)
+                    elif mid % 3 == 1:
+                        content = encode_pgm(px)
+                    else:
+                        from umn_eda_kafka_stream_processing_spark.operators import gif
+
+                        # interlaced every other GIF: the deinterlace
+                        # path runs inside the oracle-checked query
+                        content = gif.encode_gif(
+                            px.astype(np.uint8), interlace=bool(mid % 2)
+                        )
                 elif kind == "jpeg":
                     from umn_eda_kafka_stream_processing_spark.operators import jpeg
 
@@ -750,11 +767,10 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
                         encode_pgm((mid + 7 * f + 17 * r + 101 * c) % 256)
                         for f in range(mid % 4 + 2)
                     )
-                row_mime = (
-                    "image/png"
-                    if kind == "image" and mid % 2 == 0
-                    else mime
-                )
+                if kind == "image":
+                    row_mime = ["image/png", mime, "image/gif"][mid % 3]
+                else:
+                    row_mime = mime
                 out.append({"media_id": mid, "content": content,
                             "media_type": kind, "mime": row_mime,
                             "width": None, "height": None, "duration_ms": None})

@@ -670,13 +670,14 @@ def audio_zcr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "image_decode_stats",
-    "Real image round-trip: grayscale images synthesized per doc_id — "
-    "even ids as PNG (stdlib-zlib codec, cycling row filters 0-4; "
-    "operators/multimodal.py:decode_png), odd ids as netpbm P5 — "
-    "decoded (decode_image sniffs the container), dimension/pixel "
-    "stats plus a genuine nearest-neighbor 4x4 resize checksum. The "
-    "arithmetic oracle is container-blind: a hash match proves both "
-    "decoders reproduce the formula pixels exactly.",
+    "Real image round-trip: grayscale images synthesized per doc_id, "
+    "container rotating by id%3 — PNG (stdlib-zlib codec, cycling row "
+    "filters 0-4), netpbm P5, GIF (real LZW, operators/gif.py, "
+    "interlaced on odd ids) — decoded back (decode_image sniffs the "
+    "container), dimension/pixel stats plus a genuine nearest-neighbor "
+    "4x4 resize checksum. The arithmetic oracle is container-blind: a "
+    "hash match proves all three lossless decoders reproduce the "
+    "formula pixels exactly.",
     """
     WITH d AS (SELECT doc_id, (doc_id % 13) + 3 AS w, (doc_id % 7) + 2 AS h
                FROM documents),
