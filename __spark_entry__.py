@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 88 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 89 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup/similarity/text/multimodal),
 temporal operators (as-of/interval/windows), and the analytics

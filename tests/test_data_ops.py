@@ -133,6 +133,91 @@ def test_lang_predict_and_tiebreak(spark):
     assert got == {1: "en", 2: "de", 3: "en"}
 
 
+def _ref_bpe(texts, k):
+    """Pure-Python canonical Sennrich BPE: the ground truth the
+    distributed trainer (operators/bpe.py) must reproduce exactly."""
+    from collections import Counter
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wf[w] += 1
+    words = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((rank, f"{a} {b}", cnt))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        words = {w: merge(s) for w, s in words.items()}
+    return merges, words
+
+
+def test_bpe_train_matches_canonical_reference(spark):
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+    # run-heavy words ('aaa', 'aaaaa') are the case where naive
+    # single-space replace merges the WRONG occurrences — the
+    # two-space separator trick must stay canonical there
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "aaa aaaa aa a aaaaa",
+        "the the the them then",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    merges, words = bpe.train_bpe(df, k=8)
+    got = [(r["rank"], r["pair"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    want, ref_words = _ref_bpe(texts, 8)
+    assert got == want
+    gw = {r["word"]: tuple(r["tokens"]) for r in bpe.bpe_segment(words).collect()}
+    assert gw == {w: s for w, s in ref_words.items()}
+
+
+def test_bpe_merge_pair_canonical_on_runs(spark):
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, "".join(rng.choice("ab") for _ in range(rng.randint(1, 14)))))
+    df = spark.createDataFrame(rows, "id long, word string")
+    for a, b in (("a", "a"), ("a", "b"), ("b", "b")):
+        out = {
+            r["word"]: r["sym"]
+            for r in df.select(
+                "word",
+                bpe._merge_pair(bpe.to_symbols("word"), F.lit(f"{a} {b}")).alias("sym"),
+            ).collect()
+        }
+        for w, sym in out.items():
+            syms, want, i = list(w) + ["</w>"], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    want.append(a + b)
+                    i += 2
+                else:
+                    want.append(syms[i])
+                    i += 1
+            assert sym.strip().split("  ") == want, (w, a, b, sym, want)
+
+
 def test_html_to_text_extraction(spark):
     from umn_eda_kafka_stream_processing_spark.functions.text import html_to_text
     cases = [

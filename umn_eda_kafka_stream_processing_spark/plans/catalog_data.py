@@ -811,6 +811,67 @@ def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mp4_sample_frames(mm.synth_media(docs, "mp4"), every=2)
 
 
+def _bpe_oracle(k: int = 6) -> str:
+    """Unrolled-SQL twin of operators/bpe.py:train_bpe — k merge
+    rounds as generated CTEs (the Lloyd-unroll precedent from the
+    k-means ANN oracle). Merging is the identical two-space-separator
+    single replace(), so symbol strings match Spark's byte for byte."""
+    arr = "string_split(trim(sym), '  ')"
+    pair_list = (
+        f"list_transform(range(1, len({arr})), "
+        f"i -> {arr}[CAST(i AS INT)] || ' ' || {arr}[CAST(i + 1 AS INT)])"
+    )
+    ctes = ["""wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents) WHERE length(word) > 0 GROUP BY word)""",
+            """words0 AS (SELECT word, freq,
+      '  ' || array_to_string(list_transform(range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INT), 1)), '  ') || '  </w>  ' AS sym
+      FROM wf)"""]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""pairs{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq, unnest({pair_list}) AS pair FROM words{r - 1})
+      GROUP BY pair)"""
+        )
+        ctes.append(
+            f"""best{r} AS (SELECT pair, pair_count FROM pairs{r}
+      ORDER BY pair_count DESC, pair ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""words{r} AS (SELECT word, freq,
+      replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM words{r - 1}, best{r} b)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, pair, pair_count FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@_register(
+    "bpe_train_merges",
+    "Distributed BPE tokenizer TRAINING (operators/bpe.py:train_bpe, "
+    "Sennrich-style): word-frequency hash-agg (the only corpus-sized "
+    "pass), then per round a pair-count agg + deterministic argmax + "
+    "canonical merge — done as ONE plain replace() via the two-space "
+    "separator trick (exact left-to-right semantics even on repeated-"
+    "symbol runs, property-tested vs a pure-Python reference). Oracle "
+    "unrolls all 6 rounds in generated SQL (the Lloyd precedent); "
+    "replace() scans identically in both engines, so the learned merge "
+    "table matches bit for bit.",
+    _bpe_oracle(6),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = bpe.train_bpe(docs, k=6)
+    return merges
+
+
 @_register(
     "html_extract_stats",
     "Web-corpus boilerplate stripping (functions/text.py:html_to_text): "

@@ -65,9 +65,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "props_key_stats",
     "user_bucket_type_pivot",
     "top_supplier_by_customers",
-    "bpe_token_stats",
-    # (rolling_fingerprints rotated out in r04 for html_extract_stats:
-    # driver-verified r03; text family keeps bpe_token_stats in-gate)
+    # (bpe_token_stats + rolling_fingerprints rotated out in r04 for
+    # bpe_train_merges + html_extract_stats: both driver-verified r03;
+    # the text family keeps multiple members in-gate)
     # -- never driver-verified: temporal operators ------------------
     "hourly_event_type_counts",
     "asof_latest_order_per_event",
@@ -100,6 +100,7 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "media_decode_health",
     "lsh_bucket_stats",
     "html_extract_stats",
+    "bpe_train_merges",
     # -- LLM-data flagship refresh (families verified in r02) -------
     "minhash_lsh_pairs",
     "ann_cosine_topk",
