@@ -3,12 +3,15 @@
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
 catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 89 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
-BONUS scenario, the LLM-data ops (dedup/similarity/text/multimodal),
-temporal operators (as-of/interval/windows), and the analytics
-surface), where every operator family from SURVEY.md §2 (see
-PARITY.md) is expressed over the driver's synthetic tables with a
-DuckDB oracle twin — 81 of 81, including the two iterative ANN
-variants (their oracles unroll the Lloyd iterations in SQL).
+BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
+similarity, text incl. HTML extraction and distributed BPE tokenizer
+training, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
+demux and a corrupt-media quarantine scan), temporal operators
+(as-of/interval/windows), and the analytics surface), where every
+operator family from SURVEY.md §2 (see PARITY.md) is expressed over
+the driver's synthetic tables with a DuckDB oracle twin — 89 of 89,
+including the iterative ones (the k-means ANN and BPE-training
+oracles unroll their iterations in generated SQL).
 """
 
 from __future__ import annotations
