@@ -218,6 +218,33 @@ def test_bpe_merge_pair_canonical_on_runs(spark):
             assert sym.strip().split("  ") == want, (w, a, b, sym, want)
 
 
+def test_bpe_random_corpora_match_reference(spark):
+    # canonicality must hold on arbitrary corpora, not just the
+    # fixture: small alphabets maximize pair collisions and ties
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+    import random
+    rng = random.Random(42)
+    for trial in range(4):
+        alpha = "abc" if trial % 2 else "ab"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(6)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        merges, words = bpe.train_bpe(df, k=5)
+        got = [(r["rank"], r["pair"], r["pair_count"])
+               for r in merges.orderBy("rank").collect()]
+        want, ref_words = _ref_bpe(texts, 5)
+        assert got == want, (trial, texts, got, want)
+        gw = {r["word"]: tuple(r["tokens"])
+              for r in bpe.bpe_segment(words).collect()}
+        assert gw == dict(ref_words), trial
+
+
 def test_html_to_text_extraction(spark):
     from umn_eda_kafka_stream_processing_spark.functions.text import html_to_text
     cases = [

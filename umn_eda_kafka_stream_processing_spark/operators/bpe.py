@@ -86,11 +86,17 @@ def _merge_pair(sym: Column, pair: Column) -> Column:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    """Adjacent symbol pairs weighted by word frequency."""
+    """Adjacent symbol pairs weighted by word frequency.
+
+    The single-token guard matters: a fully merged word has one
+    symbol, and Spark's ``sequence(1, 0)`` is DESCENDING ``[1, 0]``
+    (not empty), so the unguarded transform would index past the
+    array (the engine-wide sequence trap — see CLAUDE.md)."""
     pairs = F.expr(
-        "transform(sequence(1, size(split(trim(sym), '  ')) - 1), "
+        "CASE WHEN size(split(trim(sym), '  ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(trim(sym), '  ')) - 1), "
         "i -> concat(element_at(split(trim(sym), '  '), i), ' ', "
-        "element_at(split(trim(sym), '  '), i + 1)))"
+        "element_at(split(trim(sym), '  '), i + 1))) END"
     )
     return (
         words.select("freq", F.explode(pairs).alias("pair"))
