@@ -951,6 +951,22 @@ class TestJpegCodec:
             assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
             assert np.array_equal(jpegc.decode_jpeg(blob), px)
 
+    def test_tile_constant_exactness_property(self):
+        # hypothesis sweep of the lossless-JPEG invariant the oracle
+        # relies on: ANY dims + ANY tile values round-trip exactly
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
+        def run(h, w, seed):
+            rng = np.random.default_rng(seed)
+            tiles = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8))
+            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+            blob = jpegc.encode_jpeg(px, quant_luma=jpegc.QUANT_EXACT)
+            assert np.array_equal(jpegc.decode_jpeg(blob), px)
+
+        run()
+
     def test_lossy_roundtrip_tolerance_gray_and_color(self):
         r, c = np.mgrid[0:24, 0:40]
         gray = ((r * 3 + c * 2) % 200).astype(np.uint8)

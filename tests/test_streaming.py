@@ -1282,3 +1282,42 @@ def test_watermarked_session_window_stream(spark, tmp_path):
         assert s["session_end"] == t0 + dt.timedelta(minutes=35)
     finally:
         q.stop()
+
+
+def test_decode_health_quarantine_in_stream(spark, tmp_path):
+    """The corrupt-media quarantine (multimodal.decode_health) is
+    mapInPandas, so it must compose directly into an ingest stream:
+    bad files are classified per row across microbatches, never
+    failing the query."""
+    import numpy as np
+    from umn_eda_kafka_stream_processing_spark.operators import multimodal as mm
+
+    src_dir, name = str(tmp_path / "media"), "media_health"
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+
+    def write(rows, part):
+        spark.createDataFrame(
+            rows, "media_id long, content binary"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write([(1, bytearray(mm.encode_png(px))),
+           (2, bytearray(mm.encode_png(px)[:9]))], 0)
+    stream = spark.readStream.schema("media_id long, content binary").parquet(src_dir)
+    q = (
+        mm.decode_health(stream, "image")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # second microbatch: one good GIF, one bad-magic blob
+        from umn_eda_kafka_stream_processing_spark.operators import gif as gifc
+        write([(3, bytearray(gifc.encode_gif(px))),
+               (4, bytearray(b"\x00garbage"))], 1)
+        q.processAllAvailable()
+        rows = {r["media_id"]: r for r in spark.sql(f"select * from {name}").collect()}
+        assert rows[1]["ok"] and rows[3]["ok"]
+        assert not rows[2]["ok"] and rows[2]["error_class"] == "ValueError"
+        assert not rows[4]["ok"] and rows[4]["error_class"] == "NotImplementedError"
+    finally:
+        q.stop()
