@@ -1,15 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 89 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 101 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity, text incl. HTML extraction and distributed BPE tokenizer
 training, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
 demux and a corrupt-media quarantine scan), temporal operators
-(as-of/interval/windows), and the analytics surface), where every
+(as-of/interval/windows), the analytics surface, and 17 of TPC-H's
+22 suite queries — Q2/Q9/Q11/Q16/Q20 need the absent partsupp
+table), where every
 operator family from SURVEY.md §2 (see PARITY.md) is expressed over
-the driver's synthetic tables with a DuckDB oracle twin — 89 of 89,
+the driver's synthetic tables with a DuckDB oracle twin — 101 of 101,
 including the iterative ones (the k-means ANN and BPE-training
 oracles unroll their iterations in generated SQL).
 """

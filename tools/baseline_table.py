@@ -22,6 +22,8 @@ _MARK_END = "<!-- BASELINE-TABLE:END -->"
 
 
 def family(name: str) -> str:
+    if re.match(r"q\d+_", name):
+        return "tpch"
     for prefix, fam in (
         (("dedup", "minhash", "simhash", "ngram", "near_dup"), "dedup"),
         (("ann_", "embedding_", "user_activity"), "similarity"),
@@ -29,7 +31,7 @@ def family(name: str) -> str:
         (("sketch_",), "sketches"),
         (("sequence_",), "packing"),
         (("wav_", "image_", "video_", "multimodal"), "multimodal"),
-        (("q1", "q3", "q5", "q6", "q10", "orders_", "out_of_nation",
+        (("orders_", "out_of_nation",
           "top_", "brand_", "priority_", "order_capacity"), "star-schema"),
         (("hourly", "sliding", "session_", "asof", "first_week",
           "user_prop"), "temporal"),

@@ -99,6 +99,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="explain-audit")
+    # plan node strings truncate ReadSchema at 100 chars by default;
+    # an unclosed struct< would defeat the wide-scan check below
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     warn = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
@@ -124,7 +127,9 @@ def main() -> int:
         if unpartitioned_windows(plan):
             flags.append("UNPART-WINDOW")
         # scans reading every column of a wide table
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        # [^>\n]: a schema the metadata limit still truncated has no
+        # closing > on its line — never let the match run across lines
+        for m in re.finditer(r"ReadSchema: struct<([^>\n]*)>", plan):
             if m.group(1).count(",") >= 7:
                 flags.append("WIDE-SCAN")
                 break

@@ -6,6 +6,7 @@ import umn_eda_kafka_stream_processing_spark.plans.catalog_analytics  # noqa: F4
 import umn_eda_kafka_stream_processing_spark.plans.catalog_sampling  # noqa: F401  (registers deterministic-sampling queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_packing  # noqa: F401  (registers sequence-packing queries)
 import umn_eda_kafka_stream_processing_spark.plans.catalog_sketches  # noqa: F401  (registers sketch queries)
+import umn_eda_kafka_stream_processing_spark.plans.catalog_tpch  # noqa: F401  (registers TPC-H completion queries)
 from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, QuerySpec
 from umn_eda_kafka_stream_processing_spark.plans.priority import (
     DRIVER_GATE_PRIORITY,

@@ -31,27 +31,29 @@ from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY, Query
 # membership is what the gate sees.
 DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- core reference pipelines (SURVEY.md §2.1-2.5) --------------
-    "user_event_count",
-    "latest_event_by_user",
+    # (second r04 rotation: user_event_count, brand_line_count,
+    # customer_stringify, latest_event_by_user, segment_filter_merge,
+    # top_parttype_by_supplier rotated out for TPC-H queries below —
+    # each driver-verified r01+r02+r03, and their §2 families keep
+    # members in-gate: counts via top_event_types_per_user/events_
+    # occurred_total, KTable/latest via order_capacity_confirmation's
+    # stateful path, join+count via priority_by_nation_matrix/out_of_
+    # nation_sales, scalar rows + branch/merge via event_value_branch)
     "top_event_types_per_user",
-    "brand_line_count",
-    "segment_filter_merge",
-    "customer_stringify",
     "event_value_branch",
     "priority_by_nation_matrix",
     "out_of_nation_sales",
-    "top_parttype_by_supplier",
     "order_capacity_confirmation",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # (q3_shipping_priority + q5_local_supplier_volume rotated out in
+    # the second r04 rotation: driver-verified r01+r02+r03; the TPC-H
+    # family below carries 13 members in-gate including q1)
     # -- readme BONUS scenarios -------------------------------------
-    "users_by_top_event_type",
-    "top_streamers_alert_contacts",
-    "popular_suggested_events_by_type",
-    "popular_order_nation_alerts",
+    # (second r04 rotation: users_by_top_event_type, top_streamers_
+    # alert_contacts, popular_order_nation_alerts, global_totals,
+    # popular_suggested_events_by_type rotated out — all driver-
+    # verified r01+r03; family keeps events_occurred_total)
     "events_occurred_total",
-    "global_totals",
     # (suggested_events_by_type rotated out in r04 for audio_zcr_stats
     # below: driver-verified r01+r03, and popular_suggested_events_by_
     # type keeps the family in-gate)
@@ -77,8 +79,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # media_decode_health + lsh_bucket_stats: both driver-verified
     # r03; temporal family keeps 4 in-gate)
     # -- sampling / packing / sketches (driver-verified r03) --------
-    "sample_stratified_by_lang",
-    "sample_domain_mixture",
+    # (sample_domain_mixture + sample_stratified_by_lang rotated out
+    # in the second r04 rotation: driver-verified r03; family keeps
+    # split_assignment_stats in-gate)
     "sequence_packing",
     "sketch_cms_heavy_users",
     # -- never driver-verified as of r03 (rotated in r04; rotated
@@ -101,9 +104,31 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "lsh_bucket_stats",
     "html_extract_stats",
     "bpe_train_merges",
-    # -- LLM-data flagship refresh (families verified in r02) -------
-    "minhash_lsh_pairs",
-    "ann_cosine_topk",
+    # (minhash_lsh_pairs + ann_cosine_topk flagship-refresh slots
+    # rotated out in the second r04 rotation: driver-verified r02+r03;
+    # dedup/LSH family keeps lsh_bucket_stats, ANN family keeps
+    # user_activity_similarity + user_activity_similarity_lsh)
+    # -- new in second r04 rotation, never driver-verified: TPC-H
+    # completion (semi/anti joins, correlated subqueries, outer-join
+    # histogram, disjunctive brackets — plans/catalog_tpch.py) -------
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_late_lines_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_brackets_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # the five partsupp-adapted shapes (lineitem-mediated relation)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_part_supplier_counts",
+    "q20_volume_shippers",
 )
 
 DRIVER_GATE_SLOTS = 50
