@@ -63,6 +63,20 @@ EXHIBITS = [
     ("sketch_hll_users_by_type",
      "distinct-count sketch: constant-size registers merge in a "
      "hash-agg; no shuffle of distinct keys"),
+    ("q4_order_priority",
+     "EXISTS subquery plans as ONE left-semi hash join on l_orderkey "
+     "with the correlated lateness predicate as join condition — no "
+     "per-row subquery, no second scan of lineitem"),
+    ("q21_waiting_suppliers",
+     "the EXISTS(other supplier) + NOT EXISTS(other late supplier) "
+     "pair is one per-order aggregate re-joined shuffle-hash on the "
+     "already-partitioned order key; supplier/nation/region dims "
+     "broadcast"),
+    ("q22_dormant_customers",
+     "scalar AVG subquery broadcasts as one row (the only "
+     "BroadcastNestedLoopJoin, 1-row build side); the dormancy NOT "
+     "EXISTS is a left-anti hash join against the date-pruned "
+     "recent-orders scan"),
 ]
 
 KEEP = re.compile(

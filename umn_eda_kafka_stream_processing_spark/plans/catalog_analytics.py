@@ -373,3 +373,151 @@ def user_bucket_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket",
         *[F.coalesce(F.col(t), F.lit(0.0)).cast("double").alias(t) for t in types],
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions (running totals, tiles, distribution ranks)
+# and CUBE grouping sets — the remaining relational-analytics shapes
+# (SURVEY.md §2.6 covers ranking top-k; these add frame-based and
+# tile/distribution windows). All windows are PARTITIONED (per-key
+# frames — the shuffle is on the partition key, each frame sorts
+# locally); no global ORDER-BY window ever appears (explain_audit
+# enforces that engine-wide).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "customer_cumulative_revenue",
+    "Running per-customer spend: frame-based window sum (ROWS UNBOUNDED "
+    "PRECEDING) over order date with key tiebreak. The running sum is "
+    "EXACT DECIMAL on both engines — a double running sum would "
+    "accumulate engine-ordering-dependent error row by row.",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def customer_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double").alias("running_spend"),
+    )
+
+
+@_register(
+    "nation_customer_quartiles",
+    "ntile(4) balance quartiles per nation — tile assignment is purely "
+    "positional, so the window order carries a full tiebreak "
+    "(c_acctbal, c_custkey) making tiles identical across engines.",
+    """
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+               AS balance_quartile
+    FROM customer
+    """,
+)
+def nation_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+    )
+
+
+@_register(
+    "hourly_type_distribution",
+    "percent_rank + cume_dist of hour-of-day activity within each event "
+    "type: which hours sit where in the type's traffic distribution. "
+    "Both are deterministic rationals of (rank, n); rounded half-up 6dp "
+    "on both engines. Window partitioned per type — no global sort.",
+    """
+    SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+           floor(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY n, hod) * 1000000.0 + 0.5)
+             / 1000000.0 AS pr,
+           floor(cume_dist() OVER (PARTITION BY event_type
+                                   ORDER BY n, hod) * 1000000.0 + 0.5)
+             / 1000000.0 AS cd
+    FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+    """,
+)
+def hourly_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "hod")
+    return counts.select(
+        "event_type", "hod", "n",
+        round_half_up(F.percent_rank().over(w), 6).alias("pr"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_register(
+    "events_cube_totals",
+    "CUBE grouping sets over (event type, value band): all four "
+    "grouping-set combinations (cell, per-type, per-band, grand total) "
+    "in one partial-aggregation tree; NULL grouping keys rendered as "
+    "'ALL' so the hash is dtype-free.",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(band, 'ALL') AS vband,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS value_total
+    FROM (SELECT event_type,
+                 CASE WHEN value >= 100 THEN 'high'
+                      WHEN value >= 20 THEN 'mid'
+                      ELSE 'low' END AS band,
+                 value
+          FROM events)
+    GROUP BY CUBE (event_type, band)
+    """,
+)
+def events_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    banded = events.select(
+        "event_type",
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 20, "mid")
+        .otherwise("low").alias("band"),
+        "value",
+    )
+    return (
+        banded.cube("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double").alias("value_total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("band", F.lit("ALL")).alias("vband"),
+            "n", "value_total",
+        )
+    )

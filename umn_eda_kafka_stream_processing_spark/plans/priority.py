@@ -57,27 +57,35 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (suggested_events_by_type rotated out in r04 for audio_zcr_stats
     # below: driver-verified r01+r03, and popular_suggested_events_by_
     # type keeps the family in-gate)
-    # -- never driver-verified: analytics surface -------------------
+    # -- analytics surface (driver-verified r03) --------------------
+    # (q6_forecast_revenue + customer_table_profile rotated out in the
+    # third r04 rotation for the analytic-window queries below: both
+    # driver-verified r03; TPC-H family keeps 18 in-gate, the profile/
+    # stats family keeps props_key_stats + user_bucket_type_pivot)
     "orders_rollup",
     "q10_returned_items",
-    "q6_forecast_revenue",
-    "customer_table_profile",
     "value_percentiles_by_type",
     "salted_event_type_totals",
     "props_key_stats",
     "user_bucket_type_pivot",
     "top_supplier_by_customers",
+    # -- new in third r04 rotation, never driver-verified: analytic
+    # windows (frame sums, tiles, distribution ranks, CUBE) ---------
+    "customer_cumulative_revenue",
+    "nation_customer_quartiles",
+    "hourly_type_distribution",
+    "events_cube_totals",
     # (bpe_token_stats + rolling_fingerprints rotated out in r04 for
     # bpe_train_merges + html_extract_stats: both driver-verified r03;
     # the text family keeps multiple members in-gate)
-    # -- never driver-verified: temporal operators ------------------
+    # -- temporal operators (driver-verified r03) -------------------
+    # (sliding_event_type_counts + session_event_counts rotated out in
+    # the third r04 rotation: both driver-verified r03; temporal
+    # family keeps hourly + asof in-gate. user_prop_gaps +
+    # first_week_event_counts rotated out earlier in r04 for
+    # media_decode_health + lsh_bucket_stats, driver-verified r03)
     "hourly_event_type_counts",
     "asof_latest_order_per_event",
-    "sliding_event_type_counts",
-    "session_event_counts",
-    # (user_prop_gaps + first_week_event_counts rotated out in r04 for
-    # media_decode_health + lsh_bucket_stats: both driver-verified
-    # r03; temporal family keeps 4 in-gate)
     # -- sampling / packing / sketches (driver-verified r03) --------
     # (sample_domain_mixture + sample_stratified_by_lang rotated out
     # in the second r04 rotation: driver-verified r03; family keeps
