@@ -1201,3 +1201,38 @@ class TestBmff:
             want = np.mean([(mid + 7 * f + 17 * rr + 101 * cc) % 256
                             for rr in range(3) for cc in range(4)])
             assert abs(r["frame_mean"] - want) < 1e-6
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
+    """epoch_shuffle: (batch_id, pos_in_batch) is a pure function of
+    (epoch, key) — identical across invocations, a real permutation
+    within each epoch, and a DIFFERENT permutation per epoch."""
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=0).collect()}
+    b = {r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=0).collect()}
+    assert a == b  # reproducible
+    # bijective within the epoch: every (batch, pos) slot unique, and
+    # positions within a batch are 1..n contiguous
+    assert len(set(a.values())) == 1000
+    from collections import defaultdict
+    by_batch = defaultdict(list)
+    for batch, pos in a.values():
+        assert 0 <= batch < 8
+        by_batch[batch].append(pos)
+    for batch, positions in by_batch.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # different epoch -> different permutation (overwhelmingly)
+    c = {r["doc_id"]: (r["batch_id"], r["pos_in_batch"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=1).collect()}
+    assert c != a
+    # and decorrelated from ingestion order: the first 10 doc_ids do
+    # not all land in the same batch
+    assert len({a[i][0] for i in range(10)}) > 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", 0)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^32 — the sampling-key space. Thresholds are exact integers in
@@ -197,4 +197,37 @@ def split_assign(
         F.when(u < F.lit(test_cut), "test")
         .when(u < F.lit(val_cut), "val")
         .otherwise("train"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_batches: int,
+    epoch: int = 0,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic epoch shuffle for training-data pipelines: adds
+    ``batch_id`` (which global batch this row lands in) and
+    ``pos_in_batch`` (its position inside the batch).
+
+    The ordering key is md5('<salt>-e<epoch>|' || key) — a pure
+    function of (epoch, row key), so every epoch is a DIFFERENT but
+    fully reproducible permutation: retries, engine swaps, and
+    resumed jobs see the same order, and no epoch correlates with
+    another or with ingestion order. This is the distributed form of
+    "shuffle the dataset each epoch": a global sort by random key
+    would serialize at the sink, whereas batch_id = hash % n_batches
+    shards the sort into n_batches independent partition-local
+    sorts (the window partitions by batch_id — one shuffle, frames
+    sort in parallel). At 100 TB n_batches is large (corpus/batch
+    budget), so per-frame row counts stay bounded.
+    """
+    if n_batches <= 0:
+        raise ValueError(f"n_batches must be positive, got {n_batches}")
+    u = sample_key_u32(key_col, f"{salt}-e{epoch}")
+    out = df.withColumn("batch_id", (u % F.lit(n_batches)).cast("long"))
+    w = Window.partitionBy("batch_id").orderBy(u.asc(), F.col(key_col).asc())
+    return out.withColumn(
+        "pos_in_batch", F.row_number().over(w).cast("long")
     )

@@ -524,3 +524,62 @@ def hourly_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         round_half_up(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond merge/union (SURVEY.md §2.5 notes the reference
+# has no intersect/except; Spark provides both natively — these prove
+# them with oracle twins)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "repeat_buyer_customers",
+    "INTERSECT (distinct set semantics): customers who ordered in BOTH "
+    "1996 and 1997. Plans as a distinct-aggregated hash join on the "
+    "projected key — set membership, no fact-row fan-out.",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    """,
+)
+def repeat_buyer_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+        ).select("o_custkey")
+
+    return year_keys(1996).intersect(year_keys(1997))
+
+
+@_register(
+    "churned_customers",
+    "EXCEPT (distinct set semantics): customers who ordered in 2000 but "
+    "never again afterwards — the churn set. Plans as a left-anti "
+    "shape over distinct keys.",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+    """,
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    in_1996 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("date"))
+    ).select("o_custkey")
+    after = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    ).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set semantics). NOT exceptAll:
+    # bag semantics would keep a customer with two 1996 orders after
+    # removing one "later" occurrence — multiplicity arithmetic, not
+    # set membership.
+    return in_1996.subtract(after)

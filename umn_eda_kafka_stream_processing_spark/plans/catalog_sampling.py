@@ -160,3 +160,27 @@ def split_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
     )
+
+
+@_register(
+    "epoch_shuffle_assignment",
+    "Deterministic epoch shuffle (operators/sampling.py:epoch_shuffle): "
+    "batch = md5-key % 32, position = rank of the md5 key inside the "
+    "batch — a reproducible per-epoch permutation computed as ONE "
+    "shuffle on batch_id with parallel partition-local sorts, never a "
+    "global sort. Output proves both the batch routing and the exact "
+    "in-batch order on both engines.",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, {_duck_key('doc_id', 'shuf-e1')} AS k FROM documents
+    )
+    SELECT doc_id, CAST(k % 32 AS BIGINT) AS batch_id,
+           CAST(row_number() OVER (PARTITION BY k % 32
+                                   ORDER BY k, doc_id) AS BIGINT)
+               AS pos_in_batch
+    FROM keyed
+    """,
+)
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return smp.epoch_shuffle(docs, "doc_id", n_batches=32, epoch=1)

@@ -62,13 +62,19 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # third r04 rotation for the analytic-window queries below: both
     # driver-verified r03; TPC-H family keeps 18 in-gate, the profile/
     # stats family keeps props_key_stats + user_bucket_type_pivot)
+    # (fourth r04 rotation: props_key_stats + user_bucket_type_pivot
+    # rotated out for set-ops/epoch-shuffle below — both driver-
+    # verified r03; stats family keeps value_percentiles_by_type +
+    # salted_event_type_totals)
     "orders_rollup",
     "q10_returned_items",
     "value_percentiles_by_type",
     "salted_event_type_totals",
-    "props_key_stats",
-    "user_bucket_type_pivot",
     "top_supplier_by_customers",
+    # -- new in fourth r04 rotation, never driver-verified ----------
+    "repeat_buyer_customers",
+    "churned_customers",
+    "epoch_shuffle_assignment",
     # -- new in third r04 rotation, never driver-verified: analytic
     # windows (frame sums, tiles, distribution ranks, CUBE) ---------
     "customer_cumulative_revenue",
@@ -79,13 +85,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # bpe_train_merges + html_extract_stats: both driver-verified r03;
     # the text family keeps multiple members in-gate)
     # -- temporal operators (driver-verified r03) -------------------
-    # (sliding_event_type_counts + session_event_counts rotated out in
-    # the third r04 rotation: both driver-verified r03; temporal
-    # family keeps hourly + asof in-gate. user_prop_gaps +
-    # first_week_event_counts rotated out earlier in r04 for
-    # media_decode_health + lsh_bucket_stats, driver-verified r03)
+    # (sliding/session counts rotated out in the third r04 rotation,
+    # asof_latest_order_per_event in the fourth — all driver-verified
+    # r03; temporal family keeps hourly_event_type_counts in-gate.
+    # user_prop_gaps + first_week_event_counts rotated out earlier in
+    # r04 for media_decode_health + lsh_bucket_stats)
     "hourly_event_type_counts",
-    "asof_latest_order_per_event",
     # -- sampling / packing / sketches (driver-verified r03) --------
     # (sample_domain_mixture + sample_stratified_by_lang rotated out
     # in the second r04 rotation: driver-verified r03; family keeps
