@@ -583,3 +583,42 @@ def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # removing one "later" occurrence — multiplicity arithmetic, not
     # set membership.
     return in_1996.subtract(after)
+
+
+@_register(
+    "daily_orders_vs_events",
+    "FULL OUTER join of two daily activity series (orders per day vs "
+    "events per day): days with only one side present survive with a "
+    "zero on the other — the reconciliation-report join shape. "
+    "COALESCE of the two date keys; counts BIGINT.",
+    """
+    SELECT coalesce(od, ed) AS day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS od,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT strftime(ts, '%Y-%m-%d') AS ed,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1) e
+    ON od = ed
+    """,
+)
+def daily_orders_vs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    events = load_table(spark, sf_dir, "events").groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("ed")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # full-outer can never broadcast; hint shuffle-hash so the two
+    # pre-aggregated (already hash-partitioned) sides join without
+    # sorting either (SMJ would re-sort both just to stream them)
+    return orders.join(
+        events.hint("shuffle_hash"), orders["od"] == events["ed"], "full_outer"
+    ).select(
+        F.coalesce("od", "ed").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )

@@ -66,15 +66,18 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # rotated out for set-ops/epoch-shuffle below — both driver-
     # verified r03; stats family keeps value_percentiles_by_type +
     # salted_event_type_totals)
+    # (value_percentiles_by_type also rotated out in the fourth r04
+    # rotation — driver-verified r03; stats family keeps
+    # salted_event_type_totals + top_supplier_by_customers)
     "orders_rollup",
     "q10_returned_items",
-    "value_percentiles_by_type",
     "salted_event_type_totals",
     "top_supplier_by_customers",
     # -- new in fourth r04 rotation, never driver-verified ----------
     "repeat_buyer_customers",
     "churned_customers",
     "epoch_shuffle_assignment",
+    "daily_orders_vs_events",
     # -- new in third r04 rotation, never driver-verified: analytic
     # windows (frame sums, tiles, distribution ranks, CUBE) ---------
     "customer_cumulative_revenue",
