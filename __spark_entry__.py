@@ -1,19 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 114 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 118 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
-similarity, text incl. HTML extraction and distributed BPE tokenizer
-training, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
+similarity incl. PQ ANN with exact re-rank and SemDeDup-style
+semantic dedup, text incl. HTML extraction and distributed BPE tokenizer
+training AND encoding, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
 demux and a corrupt-media quarantine scan), temporal operators
 (as-of/interval/windows), the analytics surface, all 22 TPC-H suite
 query shapes, analytic windows/CUBE, set ops, and a deterministic
-epoch shuffle), where every
+epoch shuffle, and an auditable bloom-filter pre-join), where every
 operator family from SURVEY.md §2 (see PARITY.md) is expressed over
-the driver's synthetic tables with a DuckDB oracle twin — 114 of 114,
-including the iterative ones (the k-means ANN and BPE-training
-oracles unroll their iterations in generated SQL).
+the driver's synthetic tables with a DuckDB oracle twin — 118 of 118,
+including the iterative ones (the k-means ANN, PQ-codebook, and
+BPE-training oracles unroll their iterations in generated SQL).
 """
 
 from __future__ import annotations

@@ -1236,3 +1236,246 @@ def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", 0)
+
+
+# --- product quantization + semantic dedup ------------------------------
+
+
+@pytest.fixture()
+def pq_vectors(spark):
+    """ids 4-7 duplicate ids 0-3 exactly: the 4 seed subvectors cover
+    every distinct subvector, so PQ quantization error is zero."""
+    base = [
+        [1.0, 0.0, 0.0, 8.0],
+        [0.0, 2.0, 0.0, 4.0],
+        [0.0, 0.0, 3.0, 2.0],
+        [4.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    rows += [(i + 4, v, 0) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pq_exact_when_codebook_covers(spark, pq_vectors):
+    """With a codebook that covers every distinct subvector, ADC
+    distance to an exact duplicate is 0 and it ranks first."""
+    cb = sim.pq_codebooks(pq_vectors, n_sub=2, n_codes=4, iters=2, dim=4)
+    assert cb.count() == 8  # 2 subspaces x 4 codes
+    codes = sim.pq_encode(pq_vectors, cb, n_sub=2, dim=4)
+    out = sim.pq_adc_topk(
+        pq_vectors.filter(F.col("vec_id") == 0), codes, cb, k=1, n_sub=2, dim=4
+    )
+    got = [(r["neighbor_id"], r["approx_dist_micro"], r["rank"]) for r in out.collect()]
+    assert got == [(4, 0, 1)]
+
+
+def test_pq_search_equals_brute_force_when_shortlist_covers(spark):
+    """With shortlist >= |corpus| the ADC stage prunes nothing, so
+    pq_search_topk must return EXACTLY the brute-force integer-micro
+    L2 top-k — re-ranking is exact by construction."""
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    cb = sim.pq_codebooks(emb, n_sub=8, n_codes=16, iters=2, dim=64)
+    codes = sim.pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = sim.pq_search_topk(
+        q, codes, cb, emb, k=5, shortlist=n, n_sub=8, dim=64
+    )
+    # brute force on the same integer-micro metric
+    qv = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_cv"))
+    scored = (
+        cv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist_micro", sim.l2sq_micros(
+            F.transform("_qv", lambda x: x.cast("double")),
+            F.transform("_cv", lambda x: x.cast("double"))))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc())
+    exact = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+             .filter(F.col("rank") <= 5)
+             .select("query_id", "neighbor_id", "dist_micro", "rank"))
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(approx) == as_set(exact)
+
+
+def test_pq_search_recall_pinned_vs_exact(spark):
+    """Shortlist-50 PQ over the 500-vector sf0.01 corpus: recall@5 vs
+    exact L2 is deterministic (integer distances, fixed seeds) —
+    measured mean 0.78 / min 0.6; pin >= 0.7 / >= 0.5 so a quantizer
+    regression trips while legitimate parameter tweaks don't."""
+    import umn_eda_kafka_stream_processing_spark.plans.catalog  # noqa: F401
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_cv"))
+    scored = (
+        cv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist_micro", sim.l2sq_micros(
+            F.transform("_qv", lambda x: x.cast("double")),
+            F.transform("_cv", lambda x: x.cast("double"))))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc())
+    exact = {}
+    for r in (scored.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 5).collect()):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in REGISTRY["ann_pq_topk"].spark(spark, sf).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = {q: len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact}
+    assert len(recalls) == 10
+    assert min(recalls.values()) >= 0.5, recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_codebooks_deterministic(spark):
+    """Two independent trainings produce identical codebooks — the
+    unrolled SQL oracle of ann_pq_topk depends on it."""
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = {(r["m"], r["code"]): r["cw"]
+          for r in sim.pq_codebooks(emb, n_sub=8, n_codes=16, iters=2, dim=64).collect()}
+    c2 = {(r["m"], r["code"]): r["cw"]
+          for r in sim.pq_codebooks(emb, n_sub=8, n_codes=16, iters=2, dim=64).collect()}
+    assert c1 == c2
+
+
+def test_semantic_dedup_pairs_small(spark, vectors):
+    """k=2 clusters separate the x-ish and z-ish vectors; tau=0.9
+    keeps only the true near-dup pairs; the drop choice is the member
+    with the HIGHER rounded centroid similarity (SemDeDup keeps the
+    atypical example)."""
+    out = sim.semantic_dedup_pairs(vectors, k=2, iters=3, tau=0.9)
+    rows = out.collect()
+    assert {(r["vec_id_a"], r["vec_id_b"]) for r in rows} == {(0, 1), (3, 4)}
+    # recompute centroid sims with the operator's own building blocks
+    assign, cent = sim.kmeans_buckets(vectors, k=2, iters=3)
+    csim = {
+        r["vec_id"]: r["csim"]
+        for r in vectors.join(assign, "vec_id")
+        .join(cent.select("bucket", F.col("embedding").alias("cent_vec")), "bucket")
+        .withColumn("csim", sim.cosine_similarity("embedding", "cent_vec"))
+        .collect()
+    }
+    for r in rows:
+        a, b = r["vec_id_a"], r["vec_id_b"]
+        assert r["drop_id"] in (a, b)
+        if csim[a] > csim[b]:
+            assert r["drop_id"] == a
+        elif csim[b] > csim[a]:
+            assert r["drop_id"] == b
+        else:
+            assert r["drop_id"] == max(a, b)
+
+
+def test_semantic_dedup_cluster_cap(spark, vectors):
+    """cluster_cap excludes oversized clusters from pairing entirely
+    (the hot-cluster guard is never silently quadratic)."""
+    out = sim.semantic_dedup_pairs(vectors, k=2, iters=3, tau=0.0, cluster_cap=1)
+    assert out.count() == 0
+
+
+def test_bpe_encode_matches_training_segmentation(spark):
+    """Encoding the training vocabulary with the learned merge table
+    reproduces train_bpe's own final segmentation bit for bit — the
+    rank-ordered replace chain IS the training merge sequence."""
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+
+    texts = ["low lower lowest low low", "new newer newest new news",
+             "aaa aaaa aa a aaaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    merges, words = bpe.train_bpe(df, k=8)
+    trained = {r["word"]: r["sym"] for r in words.collect()}
+    encoded = {r["word"]: r["sym"]
+               for r in bpe.bpe_encode(bpe.word_freqs(df), merges).collect()}
+    assert encoded == trained
+
+
+def test_bpe_encode_unseen_words_canonical(spark):
+    """Unseen words encode by the canonical greedy rank-order merge
+    application — checked against a pure-Python reference."""
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest low low new newer newest new")],
+        "id long, text string")
+    merges, _ = bpe.train_bpe(train, k=6)
+    ranked = [r["pair"] for r in merges.orderBy("rank").collect()]
+    unseen = ["lowly", "newlow", "wow", "l", "zzz"]
+    udf_df = spark.createDataFrame([(w,) for w in unseen], "word string")
+    got = {r["word"]: r["sym"].strip().split("  ")
+           for r in bpe.bpe_encode(udf_df, merges).collect()}
+
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        for pair in ranked:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert got == {w: ref_encode(w) for w in unseen}
+
+
+# --- bloom-filter pre-join ----------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every build key passes the probe predicate (bloom guarantee);
+    false positives on 4096 bits / k=3 over 20 keys are near zero —
+    deterministic (md5), so pin the measured count exactly via a
+    brute recount rather than a probabilistic bound."""
+    from umn_eda_kafka_stream_processing_spark.operators import runtime_filter as rf
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    words = rf.bloom_build(df.filter(F.col("k") < 20), "k")
+    got = {r["k"]: r["hit"] for r in df.withColumn(
+        "hit", rf.bloom_might_contain("k", words)).collect()}
+    assert all(got[k] for k in range(20))        # no false negatives
+    fps = [k for k in range(20, 200) if got[k]]
+    assert len(fps) <= 2, fps                    # 180 probes, m=4096, k=3
+
+
+def test_bloom_build_validates_word_size(spark):
+    from umn_eda_kafka_stream_processing_spark.operators import runtime_filter as rf
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="not a multiple"):
+        rf.bloom_build(df, "k", m_bits=100)
+
+
+def test_bloom_prejoin_census_is_consistent(spark):
+    """The census columns must be mutually consistent and the bloom
+    must admit every true match: pass >= true, fp = pass - true."""
+    import umn_eda_kafka_stream_processing_spark.plans.catalog  # noqa: F401
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    r = REGISTRY["bloom_prejoin_stats"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_pass_bloom"] >= r["n_true_match"]
+    assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert r["n_probe_rows"] >= r["n_pass_bloom"]
+    assert r["n_true_match"] > 0

@@ -25,7 +25,8 @@ def family(name: str) -> str:
     if re.match(r"q\d+_", name):
         return "tpch"
     for prefix, fam in (
-        (("dedup", "minhash", "simhash", "ngram", "near_dup"), "dedup"),
+        (("dedup", "minhash", "simhash", "ngram", "near_dup",
+          "semantic_dedup"), "dedup"),
         (("ann_", "embedding_", "user_activity"), "similarity"),
         (("sample_", "split_"), "sampling"),
         (("sketch_",), "sketches"),

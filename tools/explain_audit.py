@@ -49,6 +49,11 @@ FORBID_JOINS = {
     "dedup_pipeline_summary": ("CartesianProduct",),  # final 1-row crossJoins are BNLJ-shaped by design
     "embedding_near_dup_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
     "ngram_jaccard_pairs": ("CartesianProduct",),
+    # PQ: the ADC pass intentionally BNLJ-broadcasts the tiny per-query
+    # LUTs against the code scan (the declared linear-scan shape); a
+    # CartesianProduct would mean the broadcast was lost.
+    "ann_pq_topk": ("CartesianProduct",),
+    "semantic_dedup_pairs": ("CartesianProduct", "BroadcastNestedLoopJoin"),
 }
 
 # Queries whose lazy final plan must carry an explicit-count

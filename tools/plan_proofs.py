@@ -60,6 +60,22 @@ EXHIBITS = [
     ("dedup_exact_groups",
      "exact dedup is one hash aggregation on md5 — map-side partials, "
      "single exchange"),
+    ("ann_pq_topk",
+     "PQ search: codebooks and per-query ADC lookup tables ride "
+     "BroadcastExchange; the corpus-side passes (encode + ADC) are "
+     "broadcast joins + hash-aggs with map-side partials (argmin as "
+     "min(struct)); the exact re-rank joins only the shortlist — no "
+     "CartesianProduct, no full-vector corpus shuffle"),
+    ("bloom_prejoin_stats",
+     "bloom pre-join: the probe-side membership test is a literal-"
+     "array bit expression inside the lineitem scan's filter — "
+     "pruning happens BEFORE any exchange, and the true-match check "
+     "broadcasts the selective build keys (no fact shuffle)"),
+    ("semantic_dedup_pairs",
+     "semantic dedup pairs only within k-means clusters: the "
+     "self-join is an equi-keyed ShuffledHashJoin on the bucket id "
+     "(wide array rows — never sort-merge), with the hot-cluster cap "
+     "window reusing the same bucket exchange"),
     ("sketch_hll_users_by_type",
      "distinct-count sketch: constant-size registers merge in a "
      "hash-agg; no shuffle of distinct keys"),

@@ -151,3 +151,30 @@ def bpe_segment(words: DataFrame) -> DataFrame:
         F.split(F.trim(F.col("sym")), "  ").alias("tokens"),
         F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("n_tokens"),
     )
+
+
+def bpe_encode(
+    words_df: DataFrame, merges: DataFrame, word_col: str = "word"
+) -> DataFrame:
+    """ENCODE arbitrary words with a trained merge table — the
+    tokenizer-application step that pairs with train_bpe.
+
+    Canonical BPE encoding applies the learned merges in RANK order,
+    each left-to-right non-overlapping — which is exactly the
+    two-space replace chain from training, so encoding is ``k`` plain
+    ``replace()`` calls stacked into one whole-stage-codegen
+    projection. Works for words unseen at training time (they simply
+    match fewer merges); on the training vocabulary it reproduces
+    train_bpe's final segmentation bit for bit (test-pinned).
+
+    ``merges`` is the tiny (rank, pair, ...) table — k rows — and is
+    collected to build the literal chain (the kmeans-seed precedent:
+    only the k winning pairs ever reach the driver). Scale shape: the
+    corpus-sized input streams through ONE narrow projection; no
+    join, no shuffle.
+    """
+    pairs = [r["pair"] for r in merges.orderBy(F.col("rank").asc()).collect()]
+    sym = to_symbols(word_col)
+    for p in pairs:
+        sym = _merge_pair(sym, F.lit(p))
+    return words_df.withColumn("sym", sym)

@@ -654,3 +654,405 @@ def upsert_ivf_index(
     # files; without this, the next read of the index can hit
     # FILE_NOT_EXIST on the overwritten partitions
     spark.catalog.refreshByPath(index_path)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+#
+# The third leg of the ANN family (exact scan / IVF bucket pruning /
+# SRP-LSH banding): PQ trades accuracy for MEMORY BANDWIDTH. The
+# corpus is re-encoded as n_sub small integer codes per vector (here
+# 4 codes for a 64-dim float vector — a 64:1 scan-size reduction at
+# float64), and query-time search touches only the codes plus a tiny
+# per-query lookup table (asymmetric distance computation, ADC).
+# At 100 TB the full-vector corpus scan is bandwidth-bound; the PQ
+# scan reads ~1.5% of the bytes and needs no shuffle at all — codes
+# stream through one narrow pass with the per-query LUTs broadcast.
+#
+# Engine portability: ALL distances are squared-L2 in integer
+# micro-units (floor(d * 1e6 + 0.5) cast to BIGINT). Integer sums are
+# exact and order-independent, so the Spark array-lookup ADC pass and
+# the DuckDB join+SUM oracle produce bit-identical totals — a float
+# ADC sum would depend on engine reduction order. Codebook components
+# are rounded half-up to 6 dp per Lloyd iteration (the kmeans_buckets
+# convention) so training converges identically in both engines.
+#
+# Reference scope note: the reference app (Kafka Streams "Utopia",
+# src/main/java) has no vector search at all; this family is part of
+# the builder-brief LLM-data-ops suite.
+
+
+def l2sq_micros(a: str | Column, b: str | Column) -> Column:
+    """Squared L2 distance in integer micro-units (BIGINT).
+
+    Computed as dot(a,a) - 2*dot(a,b) + dot(b,b) with each dot a
+    sequential JVM reduction — the DuckDB twin uses the same formula
+    over list_dot_product, so the double result (and hence the
+    rounded integer) is bit-identical across engines.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    d = (
+        dot_product(a, a)
+        - F.lit(2.0) * dot_product(a, b)
+        + dot_product(b, b)
+    )
+    return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def pq_subvectors(
+    df: DataFrame,
+    n_sub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector into ``n_sub`` contiguous subvectors:
+    (id, m, sv) with m in [0, n_sub) and sv a double array of
+    dim/n_sub components. One narrow projection — no shuffle; the
+    n_sub-times row fan-out carries 1/n_sub-length arrays each, so
+    total bytes are unchanged."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_dv"),
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            F.col("_dv"),
+        )
+        .select(
+            id_col,
+            F.col("m").cast("int").alias("m"),
+            F.expr(f"slice(_dv, m * {d_sub} + 1, {d_sub})").alias("sv"),
+        )
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks with Lloyd's k-means, all
+    subspaces in ONE DataFrame pass per iteration (rows keyed by
+    subspace index m; centroids keyed by (m, code)).
+
+    Deterministic init: for every subspace, codes 0..n_codes-1 are
+    the subvectors of the n_codes smallest ids (only those n_codes
+    seed rows ever reach the driver — the kmeans_buckets precedent).
+    Assignment metric is integer-micro squared L2 (exact ordering,
+    code-asc tie-break); codebook components are rounded half-up 6 dp
+    per iteration. Returns (m, code, cw) — n_sub * n_codes tiny rows,
+    always broadcast by consumers.
+
+    Scale: per iteration one broadcast join over the exploded
+    subvectors plus one (m, code, pos)-keyed aggregation; lineage cut
+    per round via localCheckpoint.
+    """
+    sub = pq_subvectors(df, n_sub, dim, id_col, vec_col)
+    seeds = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_codes).collect()
+    )
+    d_sub = dim // n_sub
+    cb_rows = []
+    for code, row in enumerate(seeds):
+        vec = [float(x) for x in row[vec_col]]
+        for m in range(n_sub):
+            cb_rows.append((m, code, vec[m * d_sub : (m + 1) * d_sub]))
+    spark = df.sparkSession
+    cb = spark.createDataFrame(
+        cb_rows, "m int, code int, cw array<double>"
+    ).localCheckpoint()
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cb), "m").withColumn(
+            "dmicro", l2sq_micros("sv", "cw")
+        )
+        # argmin via min(struct(dist, code)) — map-side partial agg,
+        # no full-row window shuffle; ordering identical to
+        # (dmicro ASC, code ASC) since dmicro is an exact BIGINT.
+        # first(sv) is safe: sv is constant within an (id, m) group.
+        assign = (
+            scored.groupBy(id_col, "m")
+            .agg(
+                F.min(F.struct("dmicro", "code")).alias("_best"),
+                F.first("sv").alias("sv"),
+            )
+            .select(id_col, "m", "sv", F.col("_best.code").alias("code"))
+        )
+        cb = (
+            assign.select("m", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("v").alias("mean_v"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                    lambda s: round_half_up(s.mean_v, 6),
+                ).alias("cw")
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against a trained codebook: (id, codes)
+    with codes an n_sub-length int array (codes[m] = nearest codeword
+    of subspace m by integer-micro squared L2, code-asc tie-break).
+
+    One broadcast join over the exploded subvectors, then an
+    (id)-keyed pivot back to a single row. This is the 64:1
+    compressed representation the ADC scan reads instead of the raw
+    vectors."""
+    sub = pq_subvectors(df, n_sub, dim, id_col, vec_col)
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "dmicro", l2sq_micros("sv", "cw")
+    )
+    # argmin via min(struct) — same (dmicro ASC, code ASC) ordering as
+    # a row_number window, but with map-side partial aggregation
+    best = (
+        scored.groupBy(id_col, "m")
+        .agg(F.min(F.struct("dmicro", "code")).alias("_best"))
+        .select(id_col, "m", F.col("_best.code").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s.code
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query precomputes a lookup
+    table LUT[m][code] = micro-L2(query subvector m, codeword), then
+    scans the CODES (not the vectors): approx distance = sum of
+    n_sub BIGINT table lookups per corpus row.
+
+    Plan shape: the per-query LUTs (|Q| * n_sub * n_codes BIGINTs)
+    are grouped into nested arrays and BROADCAST; the corpus codes
+    stream through one narrow pass — no shuffle until the final
+    per-query top-k window over k-rank survivors. At 100 TB the scan
+    reads ~n_sub ints per row instead of the full vector: the
+    memory-bandwidth win that makes PQ the right third tier next to
+    IVF pruning and exact scan.
+
+    Output: (query_id, neighbor_id, approx_dist_micro, rank) —
+    ascending distance, neighbor-id tie-break, self-pairs excluded.
+    """
+    qsub = pq_subvectors(queries, n_sub, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    lut_rows = qsub.join(F.broadcast(codebook), "m").withColumn(
+        "dmicro", l2sq_micros("sv", "cw")
+    )
+    luts = (
+        lut_rows.groupBy("query_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "dmicro"))),
+                lambda s: s.dmicro,
+            ).alias("row_lut")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "row_lut"))),
+                lambda s: s.row_lut,
+            ).alias("lut")
+        )
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dist_micro",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(n_sub)),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at("lut", m), F.element_at("codes", m) + F.lit(1)
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
+    k-means, then compare pairs ONLY within a cluster; a pair with
+    cosine >= tau is a semantic duplicate, and the member CLOSER to
+    its cluster centroid is the one to drop (SemDeDup keeps the
+    low-centroid-similarity representative — the most "atypical"
+    example carries the most marginal information). Ties on rounded
+    centroid similarity drop the higher id.
+
+    Output: (bucket, vec_id_a, vec_id_b, sim, drop_id), a < b.
+
+    Scale shape: clustering (kmeans_buckets — broadcast-join Lloyd)
+    turns the corpus-wide quadratic into per-cluster quadratics; with
+    k sized ~N/target_cluster the pair volume is N * cluster_size.
+    ``cluster_cap`` guards the degenerate hot cluster exactly like
+    the LSH family's hot_bucket_cap: clusters larger than the cap are
+    excluded from pairing (never silently quadratic), and the window
+    count reuses the pair join's own bucket exchange. The pair join
+    carries full vectors, so it is hinted shuffle_hash — sort-merge
+    over wide array rows is the known bimodal-slow shape, and
+    broadcast would be wrong since both sides grow with the corpus.
+
+    Engine portability: pair sims and centroid sims are rounded
+    half-up 6 dp (cosine_similarity), so the keep/drop comparison is
+    bit-identical in the DuckDB oracle, which replays the same Lloyd
+    iterations (assignment sims rounded 6 dp, kmeans_buckets
+    convention) as unrolled CTEs.
+    """
+    assign, cent = kmeans_buckets(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent2 = cent.select("bucket", F.col(vec_col).alias("cent_vec"))
+    mat = (
+        df.select(id_col, vec_col)
+        .join(assign, id_col)
+        .join(F.broadcast(cent2), "bucket")
+        .withColumn("csim", cosine_similarity(vec_col, "cent_vec"))
+        .drop("cent_vec")
+    )
+    if cluster_cap is not None:
+        wsz = Window.partitionBy("bucket")
+        mat = mat.withColumn("_csz", F.count(F.lit(1)).over(wsz)).filter(
+            F.col("_csz") <= cluster_cap
+        ).drop("_csz")
+    # one materialization feeds both sides of the self-join —
+    # localCheckpoint (not cache) per the self-join lineage-race rule
+    mat = mat.localCheckpoint()
+    a = mat.select(
+        "bucket",
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("csim").alias("_csim_a"),
+    )
+    b = mat.select(
+        F.col("bucket").alias("_bucket_b"),
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("csim").alias("_csim_b"),
+    )
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("bucket") == F.col("_bucket_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .drop("_bucket_b")
+        .withColumn("sim", cosine_similarity("_va", "_vb"))
+        .filter(F.col("sim") >= F.lit(tau))
+    )
+    drop_id = (
+        F.when(F.col("_csim_a") > F.col("_csim_b"), F.col("vec_id_a"))
+        .when(F.col("_csim_b") > F.col("_csim_a"), F.col("vec_id_b"))
+        .otherwise(F.greatest("vec_id_a", "vec_id_b"))
+    )
+    return pairs.select(
+        "bucket", "vec_id_a", "vec_id_b", "sim", drop_id.alias("drop_id")
+    )
+
+
+def pq_search_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with exact re-ranking — the production PQ shape
+    (IVFPQ / DiskANN all re-rank): the ADC pass over the compressed
+    codes selects a ``shortlist`` of candidates per query, then ONLY
+    those shortlist vectors are fetched (an id-keyed hash join against
+    the corpus — |Q| * shortlist rows, not a scan) and re-ranked by
+    exact integer-micro squared L2.
+
+    At 100 TB the cost profile is: one narrow ADC pass over ~n_sub
+    ints per row (the 64:1 bandwidth win), plus a point-lookup join
+    that touches shortlist vectors per query. Approximation error
+    then only costs RECALL of the shortlist, not precision of the
+    final ranking — the returned top-k distances are exact.
+
+    Output: (query_id, neighbor_id, dist_micro, rank), ascending
+    exact distance, neighbor-id tie-break.
+    """
+    cand = pq_adc_topk(
+        queries, codes, codebook, k=shortlist, n_sub=n_sub, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv.hint("shuffle_hash"), "neighbor_id")
+        .withColumn("dist_micro", l2sq_micros("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_micro", "rank")
+    )

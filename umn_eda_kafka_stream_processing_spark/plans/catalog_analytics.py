@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+from umn_eda_kafka_stream_processing_spark.operators.runtime_filter import (
+    duck_bloom_ctes,
+)
 from umn_eda_kafka_stream_processing_spark.plans.registry import register as _register
 from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table, spread
 
@@ -520,4 +523,84 @@ def events_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("band", F.lit("ALL")).alias("vband"),
             "n", "value_total",
         )
+    )
+
+
+@_register(
+    "bloom_prejoin_stats",
+    "Bloom-filter pre-join census (operators/runtime_filter.py): the "
+    "urgent-order keys build a 4096-bit md5 bloom (32-bit words — "
+    "DuckDB's << is overflow-checked, so bit 63 is unusable there); the "
+    "lineitem probe side is pruned by a literal-array bit test BEFORE "
+    "any exchange — the explicit, auditable form of Spark's runtime "
+    "bloom filter. Output: one census row proving what the filter "
+    "admitted — probe rows, bloom passes, true matches, false "
+    "positives — plus exact decimal revenue over the true matches. "
+    "Oracle: DuckDB rebuilds the identical filter from the same md5 "
+    "bits and replays the census.",
+    f"""
+    WITH {duck_bloom_ctes(
+        "SELECT cast(o_orderkey AS VARCHAR) AS kk FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'")},
+    pkeys AS (SELECT DISTINCT l_orderkey, cast(l_orderkey AS VARCHAR) AS kk FROM lineitem),
+    ppos AS (SELECT l_orderkey,
+                    cast(concat('0x', substr(md5(concat('bloom', i, '|', kk)), 1, 8)) AS BIGINT) % 4096 AS pos
+             FROM pkeys CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+    keypass AS (SELECT l_orderkey FROM ppos j
+                JOIN bwords w ON w.w = CAST(j.pos // 32 AS INT)
+                 AND (w.bits & (1::BIGINT << CAST(j.pos % 32 AS INT))) <> 0
+                GROUP BY l_orderkey HAVING count(*) = 3),
+    bl AS (SELECT l.l_orderkey, l.l_extendedprice, l.l_discount,
+                  (l.l_orderkey IN (SELECT l_orderkey FROM keypass)) AS pass_bloom,
+                  (cast(l.l_orderkey AS VARCHAR) IN (SELECT kk FROM bkeys)) AS true_match
+           FROM lineitem l)
+    SELECT CAST((SELECT count(*) FROM bkeys) AS BIGINT) AS n_build_keys,
+           CAST(count(*) AS BIGINT) AS n_probe_rows,
+           CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN pass_bloom AND NOT true_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(round(sum(CASE WHEN true_match
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    END), 4) AS DOUBLE) AS matched_revenue
+    FROM bl
+    """,
+)
+def bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import runtime_filter as rf
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    words = rf.bloom_build(build, "o_orderkey")
+    hit = rf.bloom_might_contain("l_orderkey", words)
+    # true-match flag via broadcast semi-join shape: the build keys are
+    # selective, so they broadcast; the probe side never shuffles
+    bkeys = build.select(F.col("o_orderkey").alias("_bk")).distinct()
+    flagged = (
+        lineitem.withColumn("pass_bloom", hit)
+        .join(F.broadcast(bkeys), F.col("l_orderkey") == F.col("_bk"), "left")
+        .withColumn("true_match", F.col("_bk").isNotNull())
+    )
+    n_build = build.select("o_orderkey").distinct().count()
+    return flagged.agg(
+        F.lit(n_build).cast("long").alias("n_build_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0))
+        .cast("long").alias("n_pass_bloom"),
+        F.sum(F.when(F.col("true_match"), 1).otherwise(0))
+        .cast("long").alias("n_true_match"),
+        F.sum(F.when(F.col("pass_bloom") & ~F.col("true_match"), 1).otherwise(0))
+        .cast("long").alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("true_match"),
+                    (
+                        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,4)"),
+                )
+            ),
+            4,
+        ).cast("double").alias("matched_revenue"),
     )

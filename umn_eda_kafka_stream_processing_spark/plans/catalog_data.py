@@ -531,12 +531,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries, emb, cent, k=5, n_probe=2)
 
 
-def _ivf_kmeans_oracle(k: int = 8, iters: int = 5) -> str:
-    """Unrolled DuckDB twin of kmeans_buckets + ivf_topk: the same
-    deterministic Lloyd iterations (init = k smallest ids; assignment
-    sim and centroid components rounded half-up 6dp — see
-    operators/similarity.py:kmeans_buckets) expressed as ``iters``
-    chained CTE stages, then the standard 2-probe IVF search."""
+def _lloyd_ctes(k: int = 8, iters: int = 5) -> list[str]:
+    """Unrolled DuckDB twin of operators/similarity.py:kmeans_buckets:
+    the same deterministic Lloyd iterations (init = k smallest ids;
+    assignment sim and centroid components rounded half-up 6dp)
+    expressed as ``iters`` chained CTE stages. Final assignment is
+    ``assign{iters}`` (vec_id, v, bucket), final centroids
+    ``cent{iters}`` (bucket, cv)."""
     ctes = [
         f"e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings)",
         # init: buckets 0..k-1 over the k smallest vec_ids
@@ -557,6 +558,12 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 5) -> str:
             f" ORDER BY sim DESC, bucket ASC) AS rk FROM score{i}) WHERE rk = 1)"
         )
         ctes.append(f"cent{i} AS ({_DUCK_CENTROID.format(src=f'assign{i}')})")
+    return ctes
+
+
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """Lloyd chain (_lloyd_ctes) + the standard 2-probe IVF search."""
+    ctes = _lloyd_ctes(k, iters)
     search = _DUCK_IVF_SEARCH.format(cent=f"cent{iters}", corpus=f"assign{iters}")
     return "WITH " + ",\n    ".join(ctes) + ",\n    " + search
 
@@ -576,6 +583,194 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(assign, "vec_id")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(queries, corpus, cent, k=5, n_probe=2)
+
+
+def _duck_l2sq_micros(a: str, b: str) -> str:
+    """Integer-micro squared L2 in DuckDB — the twin of
+    operators/similarity.py:l2sq_micros (same dot(a,a) - 2*dot(a,b)
+    + dot(b,b) association, floor half-up, BIGINT)."""
+    return (
+        f"CAST(floor((list_dot_product({a}, {a})"
+        f" - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+def _pq_oracle(
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    shortlist: int = 50,
+) -> str:
+    """Unrolled DuckDB twin of pq_codebooks + pq_encode +
+    pq_search_topk (operators/similarity.py): per-subspace Lloyd with
+    integer-micro squared-L2 assignment (BIGINT — exact ordering, no
+    float ties), codebook components rounded half-up 6dp per
+    iteration, the ADC pass as a (m, code)-keyed join + BIGINT SUM
+    (integer sums are order-independent, so this join+sum shape
+    hash-matches the Spark side's broadcast array-lookup pass), then
+    exact re-ranking of the ADC shortlist."""
+    d2 = _duck_l2sq_micros
+    d_sub = dim // n_sub
+    cent = (
+        "SELECT m, code, list(floor(mm * 1000000.0 + 0.5) / 1000000.0"
+        " ORDER BY pos) AS cw FROM (SELECT m, code, pos, avg(val) AS mm FROM"
+        " (SELECT m, code, unnest(sv) AS val, unnest(range(1, len(sv) + 1))"
+        " AS pos FROM {src}) GROUP BY m, code, pos) GROUP BY m, code"
+    )
+    ctes = [
+        f"e AS (SELECT vec_id, {_DUCK_DVEC} AS v FROM embeddings)",
+        f"ms AS (SELECT CAST(unnest(range(0, {n_sub})) AS INT) AS m)",
+        (
+            f"sub AS (SELECT vec_id, m, list_slice(v, m * {d_sub} + 1,"
+            f" (m + 1) * {d_sub}) AS sv FROM e CROSS JOIN ms)"
+        ),
+        # init: per subspace, codes 0..n_codes-1 = subvectors of the
+        # n_codes smallest ids
+        (
+            "cb0 AS (SELECT m, CAST(row_number() OVER (PARTITION BY m"
+            " ORDER BY vec_id ASC) - 1 AS INT) AS code, sv AS cw FROM sub"
+            f" WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC"
+            f" LIMIT {n_codes}))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pscore{i} AS (SELECT s.vec_id, s.m, s.sv, c.code,"
+            f" {d2('s.sv', 'c.cw')} AS dm FROM sub s JOIN cb{i - 1} c ON c.m = s.m)"
+        )
+        ctes.append(
+            f"passign{i} AS (SELECT vec_id, m, sv, code FROM"
+            f" (SELECT vec_id, m, sv, code, row_number() OVER (PARTITION BY"
+            f" vec_id, m ORDER BY dm ASC, code ASC) AS rk FROM pscore{i})"
+            f" WHERE rk = 1)"
+        )
+        ctes.append(f"cb{i} AS ({cent.format(src=f'passign{i}')})")
+    ctes += [
+        # encode: fresh assignment against the FINAL codebook
+        (
+            f"encs AS (SELECT s.vec_id, s.m, c.code, {d2('s.sv', 'c.cw')} AS dm"
+            f" FROM sub s JOIN cb{iters} c ON c.m = s.m)"
+        ),
+        (
+            "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,"
+            " row_number() OVER (PARTITION BY vec_id, m ORDER BY dm ASC,"
+            " code ASC) AS rk FROM encs) WHERE rk = 1)"
+        ),
+        "qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 10)",
+        (
+            f"lut AS (SELECT q.query_id, c.m, c.code, {d2('q.sv', 'c.cw')} AS dm"
+            f" FROM qsub q JOIN cb{iters} c ON c.m = q.m)"
+        ),
+        (
+            "adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,"
+            " CAST(sum(l.dm) AS BIGINT) AS approx_dist_micro FROM codes c"
+            " JOIN lut l ON l.m = c.m AND l.code = c.code"
+            " WHERE l.query_id <> c.vec_id GROUP BY l.query_id, c.vec_id)"
+        ),
+        (
+            "adcranked AS (SELECT query_id, neighbor_id, approx_dist_micro,"
+            " row_number() OVER (PARTITION BY query_id ORDER BY"
+            " approx_dist_micro ASC, neighbor_id ASC) AS arank"
+            " FROM adc)"
+        ),
+        f"short AS (SELECT query_id, neighbor_id FROM adcranked WHERE arank <= {shortlist})",
+        "qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10)",
+        (
+            f"ex AS (SELECT s.query_id, s.neighbor_id,"
+            f" {d2('q.qvec', 'c.v')} AS dist_micro FROM short s"
+            f" JOIN qv q ON q.query_id = s.query_id"
+            f" JOIN e c ON c.vec_id = s.neighbor_id)"
+        ),
+        (
+            "ranked AS (SELECT query_id, neighbor_id, dist_micro,"
+            " CAST(row_number() OVER (PARTITION BY query_id ORDER BY"
+            " dist_micro ASC, neighbor_id ASC) AS BIGINT) AS rank FROM ex)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT query_id, neighbor_id, dist_micro, rank"
+        f" FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@_register(
+    "ann_pq_topk",
+    "Product-quantization ANN with exact re-rank: per-subspace Lloyd "
+    "codebooks (8 subspaces x 16 codes, integer-micro squared-L2 "
+    "assignment), corpus re-encoded as 8 codes/vector (compressed-domain "
+    "scan), ADC shortlist-50 via broadcast per-query lookup tables, then "
+    "exact re-ranking of only the shortlist (operators/similarity.py:"
+    "pq_codebooks/pq_encode/pq_search_topk). Oracle: the same training + "
+    "encode + ADC + re-rank unrolled in SQL; ADC as (m,code)-join + "
+    "exact BIGINT sum.",
+    _pq_oracle(),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, n_sub=8, n_codes=16, iters=2, dim=64)
+    codes = sim.pq_encode(emb, cb, n_sub=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.pq_search_topk(
+        queries, codes, cb, emb, k=5, shortlist=50, n_sub=8, dim=64
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 3, tau: float = 0.4, cap: int = 10_000
+) -> str:
+    """Unrolled DuckDB twin of semantic_dedup_pairs: the Lloyd chain
+    (_lloyd_ctes), the cluster-size cap, then within-cluster pairwise
+    cosine >= tau with the keep/drop decision on rounded-6dp centroid
+    similarity (drop the member CLOSER to its centroid; ties drop the
+    higher id)."""
+    ctes = _lloyd_ctes(k, iters)
+    ctes += [
+        (
+            "sized AS (SELECT vec_id, v, bucket FROM (SELECT vec_id, v, bucket,"
+            f" count(*) OVER (PARTITION BY bucket) AS csz FROM assign{iters})"
+            f" WHERE csz <= {cap})"
+        ),
+        (
+            f"csims AS (SELECT s.vec_id, s.bucket, s.v,"
+            f" {_duck_cos('s.v', 'c.cv')} AS csim FROM sized s"
+            f" JOIN cent{iters} c ON c.bucket = s.bucket)"
+        ),
+        (
+            f"pr AS (SELECT a.bucket, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,"
+            f" {_duck_cos('a.v', 'b.v')} AS sim, a.csim AS ca, b.csim AS cb"
+            f" FROM csims a JOIN csims b ON a.bucket = b.bucket"
+            f" AND a.vec_id < b.vec_id)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT bucket, vec_id_a, vec_id_b, sim,"
+        " CASE WHEN ca > cb THEN vec_id_a WHEN cb > ca THEN vec_id_b"
+        " ELSE greatest(vec_id_a, vec_id_b) END AS drop_id"
+        f" FROM pr WHERE sim >= {tau}"
+    )
+
+
+@_register(
+    "semantic_dedup_pairs",
+    "SemDeDup-style semantic dedup (arXiv:2303.09540): k-means clusters "
+    "bound the pairwise comparison to within-cluster, cosine >= 0.4 pairs "
+    "are semantic duplicates, and the member closer to its cluster "
+    "centroid is marked to drop (keep the atypical example). Hot-cluster "
+    "cap mirrors the LSH family's guard "
+    "(operators/similarity.py:semantic_dedup_pairs). Oracle: the same "
+    "Lloyd chain unrolled + within-cluster self-join.",
+    _semantic_dedup_oracle(),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs(emb, k=8, iters=3, tau=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -811,11 +1006,12 @@ def mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mp4_sample_frames(mm.synth_media(docs, "mp4"), every=2)
 
 
-def _bpe_oracle(k: int = 6) -> str:
+def _bpe_ctes(k: int = 6) -> list[str]:
     """Unrolled-SQL twin of operators/bpe.py:train_bpe — k merge
     rounds as generated CTEs (the Lloyd-unroll precedent from the
     k-means ANN oracle). Merging is the identical two-space-separator
-    single replace(), so symbol strings match Spark's byte for byte."""
+    single replace(), so symbol strings match Spark's byte for byte.
+    Final CTEs: words{k} (word, freq, sym) and best1..best{k}."""
     arr = "string_split(trim(sym), '  ')"
     pair_list = (
         f"list_transform(range(1, len({arr})), "
@@ -844,11 +1040,42 @@ def _bpe_oracle(k: int = 6) -> str:
                    ' ' || replace(b.pair, ' ', '') || ' ') AS sym
       FROM words{r - 1}, best{r} b)"""
         )
+    return ctes
+
+
+def _bpe_oracle(k: int = 6) -> str:
+    """Training oracle: the merge-round chain + the rank-ordered
+    learned merge table."""
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, pair, pair_count FROM best{r}"
         for r in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+    return "WITH " + ",\n    ".join(_bpe_ctes(k)) + "\n    " + union
+
+
+def _bpe_encode_oracle(k: int = 6) -> str:
+    """Encode oracle: the same merge-round chain; words{k}.sym IS the
+    rank-ordered replace chain applied to every vocabulary word, so
+    per-doc stats are a re-tokenize + join against that segmentation
+    (the Spark side's broadcast-vocab join, same shape)."""
+    ctes = _bpe_ctes(k)
+    ctes += [
+        """tk AS (SELECT doc_id, word FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents) WHERE length(word) > 0)""",
+        f"""seg AS (SELECT word,
+      CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_tokens
+      FROM words{k})""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(length(t.word)) AS BIGINT) AS n_chars
+    FROM tk t JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    )
 
 
 @_register(
@@ -870,6 +1097,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, _words = bpe.train_bpe(docs, k=6)
     return merges
+
+
+@_register(
+    "bpe_encode_stats",
+    "Distributed BPE tokenizer APPLICATION (operators/bpe.py:bpe_encode): "
+    "the trained merge table (6 rows, rank order) becomes a stacked "
+    "replace() chain — one whole-stage-codegen projection over the "
+    "distinct-word vocabulary, no shuffle — then the corpus token stream "
+    "joins the broadcast vocabulary segmentation for per-doc subword "
+    "counts. At 100 TB: vocab is Zipf-small, the corpus pass is one "
+    "narrow explode + broadcast join + hash-agg. Oracle: the training "
+    "chain's final words CTE IS the encode chain's output, so the twin "
+    "re-tokenizes and joins it identically.",
+    _bpe_encode_oracle(6),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = bpe.train_bpe(docs, k=6)
+    vocab = bpe.word_freqs(docs)
+    seg = bpe.bpe_segment(bpe.bpe_encode(vocab, merges))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    joined = toks.join(F.broadcast(seg.select("word", "n_tokens")), "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+    )
 
 
 @_register(

@@ -44,7 +44,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "priority_by_nation_matrix",
     "out_of_nation_sales",
     "order_capacity_confirmation",
-    "q1_pricing_summary",
+    # (q1_pricing_summary rotated out in the fifth r04 rotation for
+    # bloom_prejoin_stats below: driver-verified r01+r03; the TPC-H
+    # family keeps 17 members in-gate)
     # (q3_shipping_priority + q5_local_supplier_volume rotated out in
     # the second r04 rotation: driver-verified r01+r02+r03; the TPC-H
     # family below carries 13 members in-gate including q1)
@@ -69,10 +71,19 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (value_percentiles_by_type also rotated out in the fourth r04
     # rotation — driver-verified r03; stats family keeps
     # salted_event_type_totals + top_supplier_by_customers)
-    "orders_rollup",
-    "q10_returned_items",
+    # (fifth r04 rotation: q10_returned_items + top_supplier_by_
+    # customers + orders_rollup rotated out for ann_pq_topk +
+    # semantic_dedup_pairs + bpe_encode_stats — all three driver-
+    # verified r03; TPC-H keeps 17 members in-gate, the scenario
+    # family keeps events_occurred_total, grouping-sets keeps
+    # events_cube_totals)
     "salted_event_type_totals",
-    "top_supplier_by_customers",
+    # -- new in fifth r04 rotation, never driver-verified: PQ ANN
+    # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
+    "ann_pq_topk",
+    "semantic_dedup_pairs",
+    "bpe_encode_stats",
+    "bloom_prejoin_stats",
     # -- new in fourth r04 rotation, never driver-verified ----------
     "repeat_buyer_customers",
     "churned_customers",
