@@ -88,3 +88,26 @@ def test_grouped_topk_deterministic_ties(spark, counts, k):
         rows = [(i, n) for gg, i, n in counts if gg == g]
         want = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
         assert by_group.get(g, []) == want
+
+
+@given(
+    build=st.sets(st.integers(0, 10_000), min_size=1, max_size=12),
+    probe=st.sets(st.integers(0, 10_000), min_size=1, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_bloom_filter_never_false_negative(spark, build, probe):
+    """Bloom guarantee under randomized key sets: every build key
+    passes the probe predicate, for any m/k — membership is derived
+    from the same md5 positions on both sides, so a false negative
+    is impossible unless the build/probe hashing drifts apart."""
+    from umn_eda_kafka_stream_processing_spark.operators import runtime_filter as rf
+
+    bdf = spark.createDataFrame([(k,) for k in sorted(build)], "k long")
+    pdf = spark.createDataFrame(
+        [(k,) for k in sorted(build | probe)], "k long"
+    )
+    words = rf.bloom_build(bdf, "k", m_bits=256, k_hashes=2)
+    got = {r["k"]: r["hit"] for r in pdf.withColumn(
+        "hit", rf.bloom_might_contain("k", words, m_bits=256, k_hashes=2)
+    ).collect()}
+    assert all(got[k] for k in build)

@@ -201,13 +201,21 @@ def kmeans_buckets(
                 dot_product(vec_col, "cent_vec") / (F.col("nrm") * F.col("c_nrm")), 6
             ),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("sim").desc(), F.col("bucket").asc()
-        )
+        # argmax via min(struct(-sim, bucket)) — identical ordering to
+        # a (sim DESC, bucket ASC) row_number window (Double.compare
+        # semantics incl. the ±0.0 edge are preserved under negation),
+        # but aggregated with map-side partials instead of shuffling
+        # every (row x centroid) candidate through a window sort.
+        # first(vec) is safe: constant within an id group.
         assign = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(id_col, vec_col, "bucket")
+            scored.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct((-F.col("sim")).alias("negsim"), F.col("bucket"))
+                ).alias("_best"),
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(id_col, vec_col, F.col("_best.bucket").alias("bucket"))
         )
         cent = (
             assign.select("bucket", F.posexplode(vec_col).alias("pos", "v"))
@@ -956,11 +964,14 @@ def semantic_dedup_pairs(
     """
     assign, cent = kmeans_buckets(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     cent2 = cent.select("bucket", F.col(vec_col).alias("cent_vec"))
+    # per-row norm computed ONCE here — the pair join below must not
+    # re-derive norms per candidate pair (3x the per-pair flops)
     mat = (
         df.select(id_col, vec_col)
         .join(assign, id_col)
         .join(F.broadcast(cent2), "bucket")
         .withColumn("csim", cosine_similarity(vec_col, "cent_vec"))
+        .withColumn("_nrm", l2_norm(vec_col))
         .drop("cent_vec")
     )
     if cluster_cap is not None:
@@ -976,12 +987,14 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("vec_id_a"),
         F.col(vec_col).alias("_va"),
         F.col("csim").alias("_csim_a"),
+        F.col("_nrm").alias("_na"),
     )
     b = mat.select(
         F.col("bucket").alias("_bucket_b"),
         F.col(id_col).alias("vec_id_b"),
         F.col(vec_col).alias("_vb"),
         F.col("csim").alias("_csim_b"),
+        F.col("_nrm").alias("_nb"),
     )
     pairs = (
         a.join(
@@ -990,7 +1003,12 @@ def semantic_dedup_pairs(
             & (F.col("vec_id_a") < F.col("vec_id_b")),
         )
         .drop("_bucket_b")
-        .withColumn("sim", cosine_similarity("_va", "_vb"))
+        .withColumn(
+            "sim",
+            round_half_up(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("sim") >= F.lit(tau))
     )
     drop_id = (
