@@ -206,12 +206,22 @@ def kmeans_buckets(
         # semantics incl. the ±0.0 edge are preserved under negation),
         # but aggregated with map-side partials instead of shuffling
         # every (row x centroid) candidate through a window sort.
+        # NULL sim (zero-norm vector or centroid: double div-by-zero
+        # is NULL in Spark) must lose, not win: struct-field ordering
+        # is nulls-FIRST under min, while the window it replaces (sim
+        # DESC = nulls last) and the DuckDB oracle both rank NULL
+        # last — coalesce to +inf so the orderings agree.
         # first(vec) is safe: constant within an id group.
         assign = (
             scored.groupBy(id_col)
             .agg(
                 F.min(
-                    F.struct((-F.col("sim")).alias("negsim"), F.col("bucket"))
+                    F.struct(
+                        F.coalesce(-F.col("sim"), F.lit(float("inf"))).alias(
+                            "negsim"
+                        ),
+                        F.col("bucket"),
+                    )
                 ).alias("_best"),
                 F.first(vec_col).alias(vec_col),
             )
@@ -879,19 +889,27 @@ def pq_adc_topk(
     lut_rows = qsub.join(F.broadcast(codebook), "m").withColumn(
         "dmicro", l2sq_micros("sv", "cw")
     )
+    # per-subspace LUT keyed by CODE VALUE (map code -> dmicro), not
+    # by list position: Lloyd can leave code gaps (a codeword that
+    # ends an iteration with no members is dropped by the collect_list
+    # rebuild), and a positional lookup would then read the wrong
+    # slot — or NULL past the end, and NULL distances sort FIRST in
+    # the ascending rank window, silently corrupting the top-k. The
+    # value-keyed map matches the DuckDB oracle, which joins on
+    # l.code = c.code. The outer level is a map keyed by m (structs
+    # holding maps are not orderable, so the previous array_sort
+    # shape cannot even be expressed map-valued).
     luts = (
         lut_rows.groupBy("query_id", "m")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "dmicro"))),
-                lambda s: s.dmicro,
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "dmicro")))
             ).alias("row_lut")
         )
         .groupBy("query_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "row_lut"))),
-                lambda s: s.row_lut,
+            F.map_from_entries(
+                F.collect_list(F.struct("m", "row_lut"))
             ).alias("lut")
         )
     )
@@ -901,11 +919,12 @@ def pq_adc_topk(
         .withColumn(
             "approx_dist_micro",
             F.aggregate(
-                F.sequence(F.lit(1), F.lit(n_sub)),
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
                 F.lit(0).cast("long"),
                 lambda acc, m: acc
                 + F.element_at(
-                    F.element_at("lut", m), F.element_at("codes", m) + F.lit(1)
+                    F.element_at("lut", m),
+                    F.element_at("codes", m + F.lit(1)),
                 ),
             ),
         )
@@ -1028,7 +1047,11 @@ def pq_search_topk(
     corpus: DataFrame,
     k: int = 5,
     shortlist: int = 50,
-    n_sub: int = 8,
+    # n_sub default matches pq_codebooks/pq_encode/pq_adc_topk — a
+    # mismatched n_sub against default-trained codes slices the wrong
+    # subvectors and silently corrupts ADC distances when dim happens
+    # to divide both values, so the whole PQ family shares one default
+    n_sub: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
