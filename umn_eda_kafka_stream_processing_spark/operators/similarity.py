@@ -1076,6 +1076,24 @@ def pq_search_topk(
         queries, codes, codebook, k=shortlist, n_sub=n_sub, dim=dim,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Re-rank a (query_id, neighbor_id) shortlist by EXACT
+    integer-micro squared L2 over the original vectors: the query
+    side broadcasts (tiny), the corpus side is an id-keyed
+    shuffle_hash point-lookup join (|Q| * shortlist rows, never a
+    scan — and never sort-merge, the bimodally-slow shape for rows
+    carrying vector arrays). Shared tail of pq_search_topk and
+    ivfpq_search_topk."""
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
@@ -1097,3 +1115,201 @@ def pq_search_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist_micro", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: IVF coarse pruning composed with PQ compressed-domain scan
+# ---------------------------------------------------------------------------
+
+
+def ivf_residuals(
+    df: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket, resid): each vector minus its coarse centroid.
+
+    Residual encoding is what makes IVF x PQ composable (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", IEEE
+    TPAMI 2011, §IV): after subtracting the coarse centroid the
+    residuals from all buckets live near the origin, so ONE shared
+    PQ codebook quantizes them far more finely than it could the raw
+    corpus — the recall win over flat PQ comes from here.
+
+    Engine portability: centroid components are already rounded 6 dp
+    (kmeans_buckets), and double subtraction is exact IEEE, so the
+    residuals are bit-identical to the DuckDB twin's
+    list_transform(range(...), i -> v[i] - cv[i])."""
+    cent = centroids.select("bucket", F.col(vec_col).alias("_cv"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_dv"),
+        )
+        # shuffle_hash: the vector side is wide-array rows, the known
+        # bimodally-slow sort-merge shape; both sides grow with the
+        # corpus so broadcast is wrong at scale
+        .join(assign.select(id_col, "bucket").hint("shuffle_hash"), id_col)
+        .join(F.broadcast(cent), "bucket")
+        .select(
+            id_col,
+            "bucket",
+            F.zip_with("_dv", "_cv", lambda a, b: a - b).alias("resid"),
+        )
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVFADC index: coarse k-means buckets, then a PQ
+    codebook trained on the RESIDUALS (vector - coarse centroid),
+    then the corpus re-encoded as (id, bucket, codes).
+
+    Returns (codes, centroids, codebook). ``codes`` is the entire
+    persistent index state at scale: n_sub small ints + a bucket id
+    per vector (the 8-16 B/vector representation); centroids and
+    codebook are tiny broadcast tables. Build cost is the
+    kmeans_buckets Lloyd chain plus pq_codebooks' per-iteration
+    broadcast-join passes — all corpus-parallel, nothing quadratic."""
+    assign, cent = kmeans_buckets(
+        corpus, k=n_coarse, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    res = ivf_residuals(corpus, assign, cent, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(
+        res, n_sub=n_sub, n_codes=n_codes, iters=pq_iters, dim=dim,
+        id_col=id_col, vec_col="resid",
+    )
+    codes = pq_encode(res, cb, n_sub=n_sub, dim=dim, id_col=id_col, vec_col="resid")
+    # shuffle_hash: both sides are corpus-sized (codes + bucket ids),
+    # so broadcast is wrong at scale and sort-merge pays a pointless
+    # double sort on an id key we only need to hash-partition
+    return (
+        codes.join(res.select(id_col, "bucket").hint("shuffle_hash"), id_col),
+        cent,
+        cb,
+    )
+
+
+def ivfpq_search_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search — the production 100 TB ANN shape (IVF coarse
+    pruning x PQ compressed-domain scan x exact re-rank), replacing
+    the flat ADC scan of pq_search_topk:
+
+    1. each query ranks the coarse centroids (tiny broadcast) and
+       keeps its ``n_probe`` nearest buckets;
+    2. per probed bucket the query forms its RESIDUAL against that
+       centroid and precomputes the ADC lookup table
+       LUT[m][code] = micro-L2(residual subvector m, codeword) —
+       |Q| * n_probe tiny nested maps, broadcast;
+    3. the ADC scan reads codes ONLY inside probed buckets (the
+       bucket-equality join prunes the rest) and sums n_sub BIGINT
+       map lookups per surviving row — so per query the work is
+       (n_probe / n_coarse) of the corpus at ~n_sub bytes/row,
+       versus pq_adc_topk's full-corpus pass;
+    4. the ADC shortlist is re-ranked by exact distance over the
+       original vectors (id-keyed point-lookup join), so
+       approximation only ever costs shortlist recall, never
+       final-ranking precision.
+
+    Each corpus row lives in exactly one bucket, so a (query,
+    neighbor) pair appears at most once even under multi-probe.
+    LUTs are value-keyed maps (the pq_adc_topk code-gap rule).
+    Output: (query_id, neighbor_id, dist_micro, rank)."""
+    d_sub = dim // n_sub
+    cent = centroids.select("bucket", F.col(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("bucket").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", cosine_similarity("_qv", "_cv"))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            "query_id",
+            "bucket",
+            F.zip_with("_qv", "_cv", lambda a, b: a - b).alias("_qres"),
+        )
+    )
+    qsub = probes.select(
+        "query_id",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        "_qres",
+    ).select(
+        "query_id",
+        "bucket",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(_qres, m * {d_sub} + 1, {d_sub})").alias("sv"),
+    )
+    lut_rows = qsub.join(F.broadcast(codebook), "m").withColumn(
+        "dmicro", l2sq_micros("sv", "cw")
+    )
+    luts = (
+        lut_rows.groupBy("query_id", "bucket", "m")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "dmicro")))
+            ).alias("row_lut")
+        )
+        .groupBy("query_id", "bucket")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("m", "row_lut"))).alias(
+                "lut"
+            )
+        )
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dist_micro",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at("lut", m),
+                    F.element_at("codes", m + F.lit(1)),
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)

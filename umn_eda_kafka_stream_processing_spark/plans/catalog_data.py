@@ -720,6 +720,160 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    n_coarse: int = 8,
+    coarse_iters: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    shortlist: int = 100,
+    n_probe: int = 3,
+) -> str:
+    """Unrolled DuckDB twin of ivfpq_index + ivfpq_search_topk
+    (operators/similarity.py): the coarse Lloyd chain (_lloyd_ctes),
+    residuals v - cv[bucket] (exact IEEE subtraction on both engines
+    since centroid components are rounded 6dp), the per-subspace PQ
+    Lloyd chain TRAINED ON RESIDUALS, encode, per-(query, probed
+    bucket) residual lookup tables, the bucket-pruned ADC join +
+    exact BIGINT sum, then exact re-ranking of the shortlist."""
+    d2 = _duck_l2sq_micros
+    d_sub = dim // n_sub
+    cent = (
+        "SELECT m, code, list(floor(mm * 1000000.0 + 0.5) / 1000000.0"
+        " ORDER BY pos) AS cw FROM (SELECT m, code, pos, avg(val) AS mm FROM"
+        " (SELECT m, code, unnest(sv) AS val, unnest(range(1, len(sv) + 1))"
+        " AS pos FROM {src}) GROUP BY m, code, pos) GROUP BY m, code"
+    )
+    ci = coarse_iters
+    ctes = _lloyd_ctes(n_coarse, ci)
+    ctes += [
+        (
+            f"res AS (SELECT a.vec_id, a.bucket, list_transform("
+            f"range(1, len(a.v) + 1), i -> a.v[i] - c.cv[i]) AS rv"
+            f" FROM assign{ci} a JOIN cent{ci} c ON c.bucket = a.bucket)"
+        ),
+        f"ms AS (SELECT CAST(unnest(range(0, {n_sub})) AS INT) AS m)",
+        (
+            f"rsub AS (SELECT vec_id, bucket, m, list_slice(rv,"
+            f" m * {d_sub} + 1, (m + 1) * {d_sub}) AS sv FROM res CROSS JOIN ms)"
+        ),
+        (
+            "pcb0 AS (SELECT m, CAST(row_number() OVER (PARTITION BY m"
+            " ORDER BY vec_id ASC) - 1 AS INT) AS code, sv AS cw FROM rsub"
+            f" WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC"
+            f" LIMIT {n_codes}))"
+        ),
+    ]
+    for i in range(1, pq_iters + 1):
+        ctes.append(
+            f"pqs{i} AS (SELECT s.vec_id, s.m, s.sv, c.code,"
+            f" {d2('s.sv', 'c.cw')} AS dm FROM rsub s JOIN pcb{i - 1} c ON c.m = s.m)"
+        )
+        ctes.append(
+            f"pqa{i} AS (SELECT vec_id, m, sv, code FROM"
+            f" (SELECT vec_id, m, sv, code, row_number() OVER (PARTITION BY"
+            f" vec_id, m ORDER BY dm ASC, code ASC) AS rk FROM pqs{i})"
+            f" WHERE rk = 1)"
+        )
+        ctes.append(f"pcb{i} AS ({cent.format(src=f'pqa{i}')})")
+    ctes += [
+        (
+            f"encs AS (SELECT s.vec_id, s.bucket, s.m, c.code,"
+            f" {d2('s.sv', 'c.cw')} AS dm"
+            f" FROM rsub s JOIN pcb{pq_iters} c ON c.m = s.m)"
+        ),
+        (
+            "codes AS (SELECT vec_id, bucket, m, code FROM (SELECT vec_id,"
+            " bucket, m, code, row_number() OVER (PARTITION BY vec_id, m"
+            " ORDER BY dm ASC, code ASC) AS rk FROM encs) WHERE rk = 1)"
+        ),
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)",
+        (
+            f"ps AS (SELECT query_id, qv, bucket, cv,"
+            f" {_duck_cos('qv', 'cv')} AS cent_sim FROM q CROSS JOIN cent{ci})"
+        ),
+        (
+            "probe AS (SELECT query_id, qv, bucket, cv FROM"
+            " (SELECT query_id, qv, bucket, cv, row_number() OVER"
+            " (PARTITION BY query_id ORDER BY cent_sim DESC, bucket ASC)"
+            f" AS pr FROM ps) WHERE pr <= {n_probe})"
+        ),
+        (
+            "qres AS (SELECT query_id, bucket, list_transform("
+            "range(1, len(qv) + 1), i -> qv[i] - cv[i]) AS rq FROM probe)"
+        ),
+        (
+            f"qsub AS (SELECT query_id, bucket, m, list_slice(rq,"
+            f" m * {d_sub} + 1, (m + 1) * {d_sub}) AS sv"
+            f" FROM qres CROSS JOIN ms)"
+        ),
+        (
+            f"lut AS (SELECT s.query_id, s.bucket, c.m, c.code,"
+            f" {d2('s.sv', 'c.cw')} AS dm"
+            f" FROM qsub s JOIN pcb{pq_iters} c ON c.m = s.m)"
+        ),
+        (
+            "adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,"
+            " CAST(sum(l.dm) AS BIGINT) AS approx_dist_micro FROM codes cd"
+            " JOIN lut l ON l.bucket = cd.bucket AND l.m = cd.m"
+            " AND l.code = cd.code"
+            " WHERE l.query_id <> cd.vec_id GROUP BY l.query_id, cd.vec_id)"
+        ),
+        (
+            "adcranked AS (SELECT query_id, neighbor_id,"
+            " row_number() OVER (PARTITION BY query_id ORDER BY"
+            " approx_dist_micro ASC, neighbor_id ASC) AS arank FROM adc)"
+        ),
+        f"short AS (SELECT query_id, neighbor_id FROM adcranked WHERE arank <= {shortlist})",
+        "qx AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10)",
+        (
+            f"ex AS (SELECT s.query_id, s.neighbor_id,"
+            f" {d2('q.qvec', 'c.v')} AS dist_micro FROM short s"
+            f" JOIN qx q ON q.query_id = s.query_id"
+            f" JOIN e c ON c.vec_id = s.neighbor_id)"
+        ),
+        (
+            "ranked AS (SELECT query_id, neighbor_id, dist_micro,"
+            " CAST(row_number() OVER (PARTITION BY query_id ORDER BY"
+            " dist_micro ASC, neighbor_id ASC) AS BIGINT) AS rank FROM ex)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT query_id, neighbor_id, dist_micro, rank"
+        f" FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@_register(
+    "ann_ivfpq_topk",
+    "IVFADC ANN — IVF coarse pruning composed with PQ compressed-domain "
+    "scan and exact re-rank, the production 100 TB shape (Jégou et al. "
+    "2011): 3-iter Lloyd coarse quantizer (8 buckets), PQ codebooks "
+    "(8 subspaces x 16 codes) trained on the RESIDUALS v - centroid, "
+    "3-probe bucket-pruned ADC via per-(query, bucket) residual lookup "
+    "tables, shortlist-100, exact re-rank (operators/similarity.py:"
+    "ivfpq_index/ivfpq_search_topk). Residual encoding lifts recall@5 "
+    "to 0.92 mean / 0.80 min vs flat PQ's 0.78 (pinned in "
+    "tests/test_data_ops.py). Oracle: coarse Lloyd + residual PQ Lloyd "
+    "+ probe + ADC join/sum + re-rank unrolled in SQL.",
+    _ivfpq_oracle(),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cent, cb = sim.ivfpq_index(
+        emb, n_coarse=8, coarse_iters=3, n_sub=8, n_codes=16, pq_iters=2, dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivfpq_search_topk(
+        queries, codes, cent, cb, emb, k=5, shortlist=100, n_probe=3,
+        n_sub=8, dim=64,
+    )
+
+
 def _semantic_dedup_oracle(
     k: int = 8, iters: int = 3, tau: float = 0.4, cap: int = 10_000
 ) -> str:

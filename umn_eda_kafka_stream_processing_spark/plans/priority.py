@@ -116,8 +116,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # sketch_hll_users_by_type — each family keeps >=2 verified
     # members in the list above) ------------------------------------
     "split_assignment_stats",
-    "user_activity_similarity",
+    # (user_activity_similarity rotated out in r05 for ann_ivfpq_topk:
+    # driver-verified r03+r04; the ANN/similarity family keeps
+    # user_activity_similarity_lsh + ann_pq_topk in-gate)
     "user_activity_similarity_lsh",
+    # -- new in r05, never driver-verified: IVFADC (IVF coarse
+    # pruning x residual PQ x exact re-rank) ------------------------
+    "ann_ivfpq_topk",
     # -- new in r04, never driver-verified: real-codec media queries
     # (rotated out to make room: sample_k_per_source,
     # sequence_packing_stats, sketch_histogram_quantiles — all
