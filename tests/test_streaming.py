@@ -1321,3 +1321,75 @@ def test_decode_health_quarantine_in_stream(spark, tmp_path):
         assert not rows[4]["ok"] and rows[4]["error_class"] == "NotImplementedError"
     finally:
         q.stop()
+
+
+def test_global_table_join_enriches_without_fact_shuffle(spark, tmp_path):
+    """GlobalKTable analogue: a streaming fact source enriched per
+    microbatch against a compacted snapshot table via an explicit
+    broadcast join. Proves (a) the fact microbatch is NOT shuffled
+    (BroadcastHashJoin, zero hash/range exchanges in the executed
+    plan), (b) a snapshot upsert landing BETWEEN batches is visible
+    to the next batch (the continuously-updated global store), and
+    (c) leftJoin semantics: facts with no dim row pass with NULLs."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.global_table import (
+        start_global_table_join,
+    )
+
+    snap = str(tmp_path / "dim_snapshot")
+    upsert_snapshot(
+        spark, snap,
+        spark.createDataFrame(
+            [(1, "BRAZIL", 1), (2, "CANADA", 1)],
+            "user_id long, nation string, event_seq long",
+        ),
+        "user_id",
+    )
+
+    src = str(tmp_path / "facts")
+    out: list[tuple] = []
+    plans: list[str] = []
+
+    def emit(df, _bid):
+        rows = df.select("user_id", "amount", "nation").collect()
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        out.extend((r["user_id"], r["amount"], r["nation"]) for r in rows)
+
+    def pipe(rows):
+        spark.createDataFrame(rows, "user_id long, amount long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    pipe([(1, 10), (2, 20)])
+    facts = spark.readStream.schema("user_id long, amount long").parquet(src)
+    q = start_global_table_join(facts, snap, "user_id", emit)
+    try:
+        q.processAllAvailable()
+        assert sorted(out) == [(1, 10, "BRAZIL"), (2, 20, "CANADA")]
+
+        # out-of-band snapshot maintenance: user 1 moves, user 3 appears
+        upsert_snapshot(
+            spark, snap,
+            spark.createDataFrame(
+                [(1, "PERU", 2), (3, "JAPAN", 2)],
+                "user_id long, nation string, event_seq long",
+            ),
+            "user_id",
+        )
+        out.clear()
+        pipe([(1, 30), (3, 40), (99, 50)])
+        q.processAllAvailable()
+        assert sorted(out, key=lambda t: t[0]) == [
+            (1, 30, "PERU"),      # refreshed value, not BRAZIL
+            (3, 40, "JAPAN"),     # key that did not exist in batch 1
+            (99, 50, None),       # leftJoin pass-through
+        ]
+    finally:
+        q.stop()
+
+    assert plans and all("BroadcastHashJoin" in p for p in plans), plans[-1]
+    for p in plans:
+        assert "Exchange hashpartitioning" not in p, p
+        assert "Exchange rangepartitioning" not in p, p

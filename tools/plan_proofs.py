@@ -164,9 +164,35 @@ def _cc_round_plan(spark, sf_dir):
     )
 
 
+def _global_table_plan(spark, sf_dir):
+    """The microbatch shape of the GlobalKTable analogue
+    (streaming/global_table.py): fact batch x broadcast compacted
+    dim snapshot. The streaming path runs exactly this join per
+    microbatch inside foreachBatch."""
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+    from umn_eda_kafka_stream_processing_spark.streaming.global_table import (
+        global_lookup_join,
+    )
+
+    facts = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    return global_lookup_join(facts, dim, "user_id")
+
+
 # (name, what the excerpt proves, builder) — for plans the registry
 # query hides behind stage checkpoints
 CUSTOM_EXHIBITS = [
+    ("global_table_join (GlobalKTable microbatch shape)",
+     "the stream-static dim lookup broadcasts the compacted snapshot "
+     "(BroadcastExchange on the dim, BroadcastHashJoin) and the fact "
+     "side has NO exchange — the no-co-partitioning guarantee of the "
+     "reference's GlobalKTable join, run per microbatch in "
+     "foreachBatch",
+     _global_table_plan),
     ("minhash_lsh_pairs (lazy, full pipeline)",
      "the whole MinHash+LSH pipeline un-checkpointed: band-key equi "
      "self-join (hash join, never cartesian), inline estimate gate, "
