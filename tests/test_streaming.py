@@ -1393,3 +1393,59 @@ def test_global_table_join_enriches_without_fact_shuffle(spark, tmp_path):
     for p in plans:
         assert "Exchange hashpartitioning" not in p, p
         assert "Exchange rangepartitioning" not in p, p
+
+
+def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
+    """foreachBatch semantic dedup against a frozen coarse quantizer
+    and a durable admitted store: in-batch near-dups resolve to the
+    min id; later batches drop cosine-neighbors of anything already
+    admitted (cross-batch catch); dissimilar vectors in the same
+    bucket are admitted (the bucket only scopes the comparison, it
+    does not decide it)."""
+    from umn_eda_kafka_stream_processing_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    # frozen quantizer: two orthogonal centroids
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "bucket int, embedding array<double>",
+    ).localCheckpoint()
+
+    base_a = [1.0, 0.05, 0.0, 0.0]          # cluster 0
+    near_a = [1.0, 0.06, 0.01, 0.0]         # cos vs base_a ~ 0.9999
+    base_b = [0.0, 1.0, 0.05, 0.0]          # cluster 1
+    later_near_a = [0.99, 0.05, 0.02, 0.0]  # neighbor of base_a
+    novel_b = [0.0, 1.0, 0.0, 0.9]          # cluster 1, cos vs base_b ~ 0.74
+
+    store = str(tmp_path / "admitted_vectors")
+    src = str(tmp_path / "vecs")
+    emitted: list[int] = []
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    def on_batch(batch_df, _bid):
+        fresh = incremental_semantic_dedup(batch_df, store, centroids, tau=0.9)
+        emitted.extend(r["vec_id"] for r in fresh.select("vec_id").collect())
+
+    def pipe(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    pipe([(1, base_a), (2, near_a), (3, base_b)])
+    vecs = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    q = start_foreach_batch_sink(vecs, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # batch 1: 2 is an in-batch near-dup of 1 (min id keeps); 3 novel
+        assert sorted(emitted) == [1, 3]
+        pipe([(4, later_near_a), (5, novel_b)])
+        q.processAllAvailable()
+        # batch 2: 4 is a cross-batch neighbor of admitted 1; 5 shares
+        # bucket 1 with admitted 3 but is below tau — admitted
+        assert sorted(emitted) == [1, 3, 5]
+    finally:
+        q.stop()

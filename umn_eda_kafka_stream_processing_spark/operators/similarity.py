@@ -1040,6 +1040,126 @@ def semantic_dedup_pairs(
     )
 
 
+def incremental_semantic_dedup(
+    batch_df: DataFrame,
+    seen_store_path: str,
+    centroids: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dedup of ONE microbatch against all history —
+    the embedding-space twin of dedup.py:incremental_simhash_dedup,
+    extending SemDeDup (semantic_dedup_pairs) to a continuously
+    ingesting corpus:
+
+    1. assign: batch vectors pick a bucket against the FROZEN coarse
+       quantizer (assign_ivf_bucket — one broadcast pass; freezing
+       the centroids is what makes history comparable: the admitted
+       store is bucketed under the same quantizer forever).
+    2. in-batch: within-bucket pairwise cosine >= tau; of each
+       near-pair the LARGER id is dropped (deterministic keeper =
+       min id, the incremental-simhash convention — the batch has no
+       stable "closest to centroid" history to apply SemDeDup's
+       keep-the-atypical rule to).
+    3. history: survivors equi-join the admitted store ON THE BUCKET
+       only (partition-local; shuffle_hash — wide array rows) and
+       any history row with cosine >= tau kills the newcomer.
+       Zero-norm vectors produce NULL cosine, which fails ``>= tau``
+       — never treated as a duplicate.
+    4. admit: append survivors' (bucket, id, vector) to the store.
+
+    The store is bucket-keyed parquet — at 100 TB, a bucket-
+    partitioned Delta/Iceberg table; the history comparison then
+    reads only the buckets the batch touches (partition pruning on
+    the bucket equi-key), so per-batch cost is |batch| x
+    |history-in-touched-buckets|, never |history|.
+
+    Wire with streaming/runner.py:start_foreach_batch_sink:
+    ``lambda b, _id: sink(incremental_semantic_dedup(b, store,
+    frozen_centroids))``. At-least-once on replay; admission appends
+    are deduplicated downstream by id.
+    """
+    import os
+
+    spark = batch_df.sparkSession
+    assigned = (
+        assign_ivf_bucket(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            id_col,
+            "bucket",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_n", l2_norm("_v"))
+        # self-join below — materialize once (lazy cache races)
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "bucket",
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("bucket").alias("_bb"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    in_batch_losers = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("bucket") == F.col("_bb")) & (F.col("_ida") < F.col("_idb")),
+        )
+        .withColumn(
+            "_sim",
+            round_half_up(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
+        .filter(F.col("_sim") >= F.lit(tau))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    survivors = assigned.join(in_batch_losers, id_col, "left_anti")
+    if os.path.isdir(seen_store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(seen_store_path)
+    ):
+        seen = spark.read.parquet(seen_store_path).select(
+            F.col("bucket").alias("_sb"),
+            F.col("_v").alias("_sv"),
+            F.col("_n").alias("_sn"),
+        )
+        hits = (
+            survivors.join(
+                seen.hint("shuffle_hash"),
+                F.col("bucket") == F.col("_sb"),
+            )
+            .withColumn(
+                "_sim",
+                round_half_up(
+                    dot_product("_v", "_sv") / (F.col("_n") * F.col("_sn")), 6
+                ),
+            )
+            .filter(F.col("_sim") >= F.lit(tau))
+            .select(id_col)
+            .distinct()
+        )
+        survivors = survivors.join(hits, id_col, "left_anti")
+    # materialize BEFORE the store append: the lineage reads the
+    # store path, and lazily re-scanning it mid-append races the
+    # file listing (the incremental_simhash_dedup rule)
+    survivors = survivors.localCheckpoint()
+    survivors.select(id_col, "bucket", "_v", "_n").write.mode("append").parquet(
+        seen_store_path
+    )
+    return (
+        survivors.select(id_col)
+        .join(batch_df, id_col)
+        .select(*batch_df.columns)
+    )
+
+
 def pq_search_topk(
     queries: DataFrame,
     codes: DataFrame,
