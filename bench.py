@@ -91,9 +91,36 @@ def main() -> None:
                 "runs": runs,
                 "degraded_to_single_run": degraded,
                 "sf": sf,
+                "box_load": _box_load(),
             }
         )
     )
+
+
+def _box_load() -> dict:
+    """Competing-load telemetry: this box carries EXTERNAL load (load
+    averages above 10 with zero local processes have been observed),
+    and a wall-clock 'regression' measured inside a noisy window is
+    usually phantom. Recording loadavg + PSI with the numbers makes
+    any round-over-round delta machine-attributable to box noise."""
+    out: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as f:
+            # "some avg10=12.34 avg60=8.90 avg300=5.67 total=..."
+            line = f.readline()
+        out["cpu_psi_some"] = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in line.split()[1:])
+            if k.startswith("avg")
+        }
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 if __name__ == "__main__":

@@ -56,3 +56,44 @@ def test_topk_as_ordered_map(spark):
     got = {r["customerid"]: [(s["name"], s["count"]) for s in r["top"]]
            for r in topk_as_ordered_map(topk, "customerid", "artistid").collect()}
     assert got == {"c1": [("a2", 9), ("a1", 5)], "c2": [("a1", 2)]}
+
+
+def test_salted_join_matches_plain_join_property(spark):
+    """Property: for every left-preserving how, salted_join is
+    multiset-identical to the plain join — i.e. each (left, right)
+    pair matches EXACTLY once despite the b-side salt replication,
+    and unmatched-left semantics are unchanged. Randomized frames
+    with duplicate keys on both sides and keys unique to each side."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
+
+    rng = random.Random(41)
+    for trial in range(3):
+        lrows = [(rng.randint(0, 6), i) for i in range(rng.randint(5, 40))]
+        rrows = [(rng.randint(2, 9), 100 + i) for i in range(rng.randint(5, 40))]
+        left = spark.createDataFrame(lrows, "k long, lv long")
+        right = spark.createDataFrame(rrows, "k long, rv long")
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            plain = sorted(
+                tuple(r) for r in left.join(right, "k", how).collect()
+            )
+            salted = sorted(
+                tuple(r)
+                for r in salted_join(
+                    left, right, "k", salt_buckets=5, how=how
+                ).collect()
+            )
+            assert salted == plain, (trial, how)
+
+
+def test_salted_join_rejects_right_preserving_how(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    try:
+        salted_join(df, df, "k", how="full_outer")
+    except ValueError as e:
+        assert "left-preserving" in str(e)
+    else:
+        raise AssertionError("full_outer must be rejected")

@@ -10,7 +10,7 @@ from umn_eda_kafka_stream_processing_spark.operators.core import (
     topk_as_ordered_map,
 )
 from umn_eda_kafka_stream_processing_spark.operators.joins import asof_join, interval_join
-from umn_eda_kafka_stream_processing_spark.operators.skew import salted_agg, salted_grouped_count
+from umn_eda_kafka_stream_processing_spark.operators.skew import salted_agg, salted_grouped_count, salted_join
 from umn_eda_kafka_stream_processing_spark.operators.windows import (
     session_agg,
     sliding_agg,
@@ -31,6 +31,7 @@ __all__ = [
     "running_count",
     "salted_agg",
     "salted_grouped_count",
+    "salted_join",
     "session_agg",
     "sliding_agg",
     "topk_as_ordered_map",

@@ -586,6 +586,50 @@ def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "urgent_purchase_dom_pairs",
+    "Skew-safe fact x fact join via operators/skew.py:salted_join: "
+    "purchase events ⋈ 1-URGENT orders on DAY-OF-MONTH (31 distinct "
+    "values — without salting at most 31 reducers own the whole join "
+    "at any cluster size), per-pair predicate o_totalprice > value*1000 "
+    "(non-factorable: the count is NOT a product of per-side "
+    "aggregates), pair counts per dom. Left side salted "
+    "deterministically, right side replicated to every salt — each "
+    "pair meets exactly once (property-tested in "
+    "tests/test_skew_and_peek.py). Oracle: the plain join.",
+    """
+    SELECT dom, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT CAST(day(ts) AS INT) AS dom, value
+          FROM events WHERE event_type = 'purchase') e
+    JOIN (SELECT CAST(day(o_orderdate) AS INT) AS dom, o_totalprice
+          FROM orders WHERE o_orderpriority = '1-URGENT') o USING (dom)
+    WHERE o_totalprice > value * 1000
+    GROUP BY dom
+    """,
+)
+def urgent_purchase_dom_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.dayofmonth("ts").cast("int").alias("dom"), "value")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.dayofmonth("o_orderdate").cast("int").alias("dom"), "o_totalprice"
+        )
+    )
+    pairs = salted_join(ev, od, "dom", salt_buckets=8)
+    return (
+        pairs.filter(F.col("o_totalprice") > F.col("value") * 1000)
+        .groupBy("dom")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@_register(
     "daily_orders_vs_events",
     "FULL OUTER join of two daily activity series (orders per day vs "
     "events per day): days with only one side present survive with a "

@@ -77,7 +77,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # verified r03; TPC-H keeps 17 members in-gate, the scenario
     # family keeps events_occurred_total, grouping-sets keeps
     # events_cube_totals)
-    "salted_event_type_totals",
+    # (salted_event_type_totals rotated out in r05 for
+    # urgent_purchase_dom_pairs below: driver-verified r03+r04; the
+    # skew family keeps the new salted_join query in-gate)
+    # -- new in r05, never driver-verified: reusable salted_join on a
+    # dom-keyed fact x fact join ------------------------------------
+    "urgent_purchase_dom_pairs",
     # -- new in fifth r04 rotation, never driver-verified: PQ ANN
     # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
     "ann_pq_topk",
