@@ -1449,3 +1449,79 @@ def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
         assert sorted(emitted) == [1, 3, 5]
     finally:
         q.stop()
+
+
+def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
+    """KIP-213 analogue: tickets KTable FK-joined to events KTable.
+    The defining behavior: an update to the RIGHT table re-emits the
+    joined row for EVERY left row referencing it — plus left-side
+    upsert re-emission and affected-key pruning (a right batch only
+    re-emits referencing rows, not the whole left table)."""
+    from umn_eda_kafka_stream_processing_spark.streaming.fk_join import (
+        start_fk_table_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "tickets"), str(tmp_path / "events_dim")
+    emissions: list[tuple] = []
+
+    def emit(df, _bid):
+        emissions.append(
+            sorted(
+                (r["ticket_id"], r["event_id"], r["venue"])
+                for r in df.select("ticket_id", "event_id", "venue").collect()
+            )
+        )
+
+    def pipe(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    lschema = "ticket_id long, event_id long, event_seq long"
+    rschema = "event_id long, venue string, event_seq long"
+
+    # seed the left source so the stream has a schema'd first batch
+    pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
+    pipe(rsrc, rschema, [(10, "A", 1)])
+    lstream = spark.readStream.schema(lschema).parquet(lsrc)
+    rstream = spark.readStream.schema(rschema).parquet(rsrc)
+    lq, rq = start_fk_table_join(
+        lstream, rstream,
+        left_key="ticket_id", fk_col="event_id", right_key="event_id",
+        left_store=str(tmp_path / "lstore"),
+        right_store=str(tmp_path / "rstore"),
+        emit=emit,
+    )
+    try:
+        lq.processAllAvailable()
+        rq.processAllAvailable()
+        # after both initial batches: t1 joined to e10/A somewhere in
+        # the emissions (ordering between the two maintainers varies)
+        flat = {t for batch in emissions for t in batch}
+        assert (1, 10, "A") in flat
+        assert all(t[0] != 2 for t in flat)  # t2's event 20 unknown: inner join
+
+        # THE KIP-213 case: right-side update re-emits ALL referencing
+        # left rows. Add t3 also on event 10 first, then update venue.
+        emissions.clear()
+        pipe(lsrc, lschema, [(3, 10, 2)])
+        lq.processAllAvailable()
+        assert any((3, 10, "A") in b for b in emissions)
+
+        emissions.clear()
+        pipe(rsrc, rschema, [(10, "B", 2)])
+        rq.processAllAvailable()
+        # one right update -> BOTH t1 and t3 re-emitted with venue B
+        assert any(b == [(1, 10, "B"), (3, 10, "B")] for b in emissions), emissions
+
+        # affected-key pruning: a right update touching event 20 must
+        # re-emit t2 only (now joinable), never t1/t3
+        emissions.clear()
+        pipe(rsrc, rschema, [(20, "C", 3)])
+        rq.processAllAvailable()
+        assert any(b == [(2, 20, "C")] for b in emissions), emissions
+        assert all((1, 10, "B") not in b and (3, 10, "B") not in b
+                   for b in emissions)
+    finally:
+        lq.stop()
+        rq.stop()

@@ -66,6 +66,13 @@ EXHIBITS = [
      "broadcast joins + hash-aggs with map-side partials (argmin as "
      "min(struct)); the exact re-rank joins only the shortlist — no "
      "CartesianProduct, no full-vector corpus shuffle"),
+    ("ann_ivfpq_topk",
+     "IVFADC: the ADC scan joins codes to the per-(query, probed-"
+     "bucket) LUTs on the BUCKET key (equi hash join — only probed "
+     "buckets are read), LUTs/codebooks/centroids all ride "
+     "BroadcastExchange, corpus-sized id joins are ShuffledHashJoin "
+     "(never SMJ over vector rows), and the exact re-rank touches "
+     "only the shortlist"),
     ("bloom_prejoin_stats",
      "bloom pre-join: the probe-side membership test is a literal-"
      "array bit expression inside the lineitem scan's filter — "

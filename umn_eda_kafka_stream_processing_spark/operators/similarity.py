@@ -596,15 +596,32 @@ def upsert_ivf_index(
     side semi-joins on the CHANGED KEYS' old buckets too: we simply
     include every partition holding one of the batch's keys.
     """
+    assigned = assign_ivf_bucket(
+        embeddings, centroids, id_col, vec_col, bucket_col
+    )
+    _upsert_bucket_partitioned(
+        spark, index_path, assigned, id_col, order_col, bucket_col
+    )
+
+
+def _upsert_bucket_partitioned(
+    spark,
+    index_path: str,
+    assigned: DataFrame,
+    id_col: str,
+    order_col: str,
+    bucket_col: str,
+) -> None:
+    """Shared key-compacting upsert into a bucket-partitioned parquet
+    index (the upsert_ivf_index write path, reused by the IVFADC
+    variant): touched-partition pruning, move-aware reads, emptied-
+    partition cleanup, file-status-cache refresh."""
     from pyspark.sql.utils import AnalysisException
 
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         compact_changelog,
     )
 
-    assigned = assign_ivf_bucket(
-        embeddings, centroids, id_col, vec_col, bucket_col
-    )
     try:
         old = spark.read.parquet(index_path)
     except AnalysisException:
@@ -672,6 +689,105 @@ def upsert_ivf_index(
     # files; without this, the next read of the index can hit
     # FILE_NOT_EXIST on the overwritten partitions
     spark.catalog.refreshByPath(index_path)
+
+
+def upsert_ivfpq_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    order_col: str = "upd_seq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Maintain the COMPRESSED IVFADC index incrementally: each
+    (micro)batch of new/updated vectors is bucket-assigned against the
+    frozen coarse quantizer, residual-encoded against the frozen PQ
+    codebook, and upserted by id into a bucket-partitioned parquet
+    table carrying (id, codes, vector, seq).
+
+    Same maintenance contract as upsert_ivf_index (shared write path:
+    touched-partition pruning, move-aware bucket reads, emptied-
+    partition cleanup), but the stored representation is the ADC-scan
+    one — so `ivfpq_search_index` probes become partition-pruned
+    directory scans over ~n_sub ints per row. The raw vector rides in
+    the same row for the exact re-rank; at 100 TB you may split it to
+    an id-keyed sidecar table so the ADC scan never deserializes
+    vector bytes, at the cost of one more join in the re-rank.
+
+    Freezing BOTH quantizers is what makes increments consistent:
+    codes encoded in different batches are comparable because they
+    reference one codebook. Re-train drift is an offline rebuild
+    (standard IVFPQ operations practice), not an upsert.
+    """
+    assigned = assign_ivf_bucket(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent = centroids.select("bucket", F.col(vec_col).alias("_cv"))
+    res = (
+        assigned.select(
+            id_col,
+            "bucket",
+            F.col(order_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_dv"),
+        )
+        .join(F.broadcast(cent), "bucket")
+        .select(
+            id_col,
+            "bucket",
+            order_col,
+            "_dv",
+            F.zip_with("_dv", "_cv", lambda a, b: a - b).alias("resid"),
+        )
+    )
+    codes = pq_encode(res, codebook, n_sub=n_sub, dim=dim, id_col=id_col,
+                      vec_col="resid")
+    rows = codes.join(
+        res.select(
+            id_col, "bucket", order_col, F.col("_dv").alias(vec_col)
+        ).hint("shuffle_hash"),
+        id_col,
+    )
+    _upsert_bucket_partitioned(spark, index_path, rows, id_col, order_col, "bucket")
+
+
+def ivfpq_search_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search against the persisted incremental index: the
+    codes AND the re-rank vectors come from the index table, so a
+    freshly-upserted batch is immediately searchable. The bucket
+    equi-join in the ADC stage prunes to the probed buckets'
+    partitions (hive layout from upsert_ivfpq_index)."""
+    index = spark.read.parquet(index_path)
+    return ivfpq_search_topk(
+        queries,
+        index.select(id_col, "bucket", "codes"),
+        centroids,
+        codebook,
+        index.select(id_col, vec_col),
+        k=k,
+        shortlist=shortlist,
+        n_probe=n_probe,
+        n_sub=n_sub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1302,9 +1418,18 @@ def ivfpq_index(
     codebook are tiny broadcast tables. Build cost is the
     kmeans_buckets Lloyd chain plus pq_codebooks' per-iteration
     broadcast-join passes — all corpus-parallel, nothing quadratic."""
-    assign, cent = kmeans_buckets(
+    _, cent = kmeans_buckets(
         corpus, k=n_coarse, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     )
+    # assign against the FINAL (recomputed) centroids, not the Lloyd
+    # chain's last in-loop assignment (which was made vs the previous
+    # iterate): final centroids are what queries probe AND what the
+    # incremental path (upsert_ivfpq_index → assign_ivf_bucket) uses,
+    # so batch-built and incrementally-built indexes agree exactly
+    # (pinned in tests/test_ivf_maintenance.py)
+    assign = assign_ivf_bucket(
+        corpus.select(id_col, vec_col), cent, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "bucket")
     res = ivf_residuals(corpus, assign, cent, id_col=id_col, vec_col=vec_col)
     cb = pq_codebooks(
         res, n_sub=n_sub, n_codes=n_codes, iters=pq_iters, dim=dim,

@@ -749,10 +749,23 @@ def _ivfpq_oracle(
     ci = coarse_iters
     ctes = _lloyd_ctes(n_coarse, ci)
     ctes += [
+        # final re-assignment against the RECOMPUTED centroids — the
+        # engine's ivfpq_index assigns with assign_ivf_bucket(cent),
+        # not the Lloyd chain's last in-loop assignment, so batch and
+        # incremental index builds agree
+        (
+            f"fscore AS (SELECT e.vec_id, e.v, c.bucket,"
+            f" {_duck_cos('e.v', 'c.cv')} AS sim FROM e CROSS JOIN cent{ci} c)"
+        ),
+        (
+            "fassign AS (SELECT vec_id, v, bucket FROM"
+            " (SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY sim DESC, bucket ASC) AS rk FROM fscore) WHERE rk = 1)"
+        ),
         (
             f"res AS (SELECT a.vec_id, a.bucket, list_transform("
             f"range(1, len(a.v) + 1), i -> a.v[i] - c.cv[i]) AS rv"
-            f" FROM assign{ci} a JOIN cent{ci} c ON c.bucket = a.bucket)"
+            f" FROM fassign a JOIN cent{ci} c ON c.bucket = a.bucket)"
         ),
         f"ms AS (SELECT CAST(unnest(range(0, {n_sub})) AS INT) AS m)",
         (
