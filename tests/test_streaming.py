@@ -1525,3 +1525,67 @@ def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
     finally:
         lq.stop()
         rq.stop()
+
+
+def test_streaming_ivfpq_ingest_index_stays_queryable(spark, tmp_path):
+    """Vector changelog stream → foreachBatch upsert_ivfpq_index: the
+    compressed ANN index is searchable BETWEEN microbatches and a
+    later batch's vectors join the search results without any
+    rebuild (frozen coarse + PQ quantizers)."""
+    from umn_eda_kafka_stream_processing_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_search_index,
+        upsert_ivfpq_index,
+    )
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import load_table
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, cent, cb = ivfpq_index(
+        emb, n_coarse=4, coarse_iters=2, n_sub=8, n_codes=16, pq_iters=1, dim=64
+    )
+    cent, cb = cent.localCheckpoint(), cb.localCheckpoint()
+
+    path = str(tmp_path / "ivfpq_stream")
+    src = str(tmp_path / "vec_changelog")
+
+    def on_batch(batch_df, _bid):
+        upsert_ivfpq_index(spark, path, batch_df, cent, cb, n_sub=8, dim=64)
+
+    def pipe(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    vecs = emb.select("vec_id", "embedding")
+    pipe(vecs.filter(F.col("vec_id") < 250).withColumn("upd_seq", F.lit(0)))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, upd_seq long"
+    ).parquet(src)
+    q = start_foreach_batch_sink(stream, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        queries = emb.filter(F.col("vec_id") < 3)
+        first = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_search_index(
+                spark, path, queries, cent, cb, k=3, shortlist=20,
+                n_probe=2, n_sub=8, dim=64,
+            ).collect()
+        }
+        assert len(first) > 0
+        assert all(n < 250 for _, n in first)
+
+        pipe(vecs.filter(F.col("vec_id") >= 250).withColumn("upd_seq", F.lit(1)))
+        q.processAllAvailable()
+        second = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_search_index(
+                spark, path, queries, cent, cb, k=50, shortlist=200,
+                n_probe=4, n_sub=8, dim=64,
+            ).collect()
+        }
+        # the new batch's vectors participate in search now
+        assert any(n >= 250 for _, n in second)
+    finally:
+        q.stop()
