@@ -266,18 +266,40 @@ def latest_by_key_stream_tws(
     Requires ``spark.sql.streaming.stateStore.providerClass`` =
     RocksDBStateStoreProvider (state-v2 rejects the HDFS-backed
     default) and the ``protobuf`` package (the state-v2 Python worker
-    speaks protobuf to the JVM; absent in this sandbox, so the test
-    importorskips — ``applyInPandasWithState`` twins above carry the
-    verified semantics here).
+    speaks protobuf to the JVM; absent in this sandbox, so the
+    end-to-end test importorskips). The processor LOGIC — the
+    last-write-wins fold, re-pipe-overwrite ties, state encoding,
+    TTL plumbing — is factored into
+    ``make_latest_by_key_processor`` and unit-tested against a fake
+    handle/state, so only the protobuf transport itself is
+    unverified here; ``applyInPandasWithState`` twins above carry
+    the end-to-end verdicts.
     """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out_schema = df.schema
+    payload_cols = [f.name for f in out_schema.fields]
+    # state TTL is clocked by processing time; without a TTL no time
+    # semantics are needed at all
+    time_mode = "processingTime" if ttl_ms else "none"
+    return df.groupBy(*keys).transformWithStateInPandas(
+        make_latest_by_key_processor(order_col, payload_cols, ttl_ms),
+        out_schema,
+        "update",
+        time_mode,
+    )
+
+
+def make_latest_by_key_processor(
+    order_col: str, payload_cols: list[str], ttl_ms: int | None = None
+):
+    """The state-v2 processor behind ``latest_by_key_stream_tws``,
+    exposed as a factory so its semantics are unit-testable with a
+    fake StatefulProcessorHandle (tests/test_streaming.py) even where
+    the protobuf transport the real worker needs is unavailable."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    out_schema = df.schema
-    payload_cols = [f.name for f in out_schema.fields]
 
     class _LatestByKey(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -291,24 +313,25 @@ def latest_by_key_stream_tws(
             best_row = (
                 pickle.loads(base64.b64decode(held[1])) if held else None
             )
+            n_seen = 0
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
+                n_seen += len(pdf)
                 pdf = pdf.sort_values(order_col)
                 last = pdf.iloc[-1]
                 if best_seq is None or int(last[order_col]) >= best_seq:
                     best_seq = int(last[order_col])
                     best_row = {c: last[c] for c in payload_cols}
-            if best_row is not None:
+            # emit the key's latest on any real input (update-mode
+            # per-record semantics: stale input re-emits the held
+            # winner) — but an all-empty chunk iterator must not
+            # re-emit or rewrite state
+            if n_seen and best_row is not None:
                 self._latest.update((best_seq, _pickle_state(best_row)))
                 yield pd.DataFrame([best_row], columns=payload_cols)
 
         def close(self) -> None:
             pass
 
-    # state TTL is clocked by processing time; without a TTL no time
-    # semantics are needed at all
-    time_mode = "processingTime" if ttl_ms else "none"
-    return df.groupBy(*keys).transformWithStateInPandas(
-        _LatestByKey(), out_schema, "update", time_mode
-    )
+    return _LatestByKey()
