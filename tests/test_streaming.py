@@ -1651,3 +1651,53 @@ def test_state_v2_latest_by_key_processor_logic_with_fake_handle(spark):
     assert handle.state.get()[0] == 3
 
     proc.close()
+
+
+def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
+    """how='left': a left row whose FK has no right match emits
+    NULL-extended (KTable leftJoin semantics) instead of vanishing —
+    and is later refreshed with real values when the right key
+    arrives."""
+    from umn_eda_kafka_stream_processing_spark.streaming.fk_join import (
+        start_fk_table_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "tickets"), str(tmp_path / "events_dim")
+    emissions: list[tuple] = []
+
+    def emit(df, _bid):
+        emissions.extend(
+            (r["ticket_id"], r["event_id"], r["venue"])
+            for r in df.select("ticket_id", "event_id", "venue").collect()
+        )
+
+    def pipe(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    lschema = "ticket_id long, event_id long, event_seq long"
+    rschema = "event_id long, venue string, event_seq long"
+    pipe(rsrc, rschema, [(10, "A", 1)])
+    pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
+    lstream = spark.readStream.schema(lschema).parquet(lsrc)
+    rstream = spark.readStream.schema(rschema).parquet(rsrc)
+    lq, rq = start_fk_table_join(
+        lstream, rstream,
+        left_key="ticket_id", fk_col="event_id", right_key="event_id",
+        left_store=str(tmp_path / "lstore"),
+        right_store=str(tmp_path / "rstore"),
+        emit=emit, how="left",
+    )
+    try:
+        rq.processAllAvailable()
+        lq.processAllAvailable()
+        assert (1, 10, "A") in emissions
+        assert (2, 20, None) in emissions  # NULL pass-through
+        emissions.clear()
+        pipe(rsrc, rschema, [(20, "B", 2)])
+        rq.processAllAvailable()
+        assert emissions == [(2, 20, "B")]  # refreshed, pruned to t2
+    finally:
+        lq.stop()
+        rq.stop()

@@ -1185,11 +1185,12 @@ def incremental_semantic_dedup(
        — never treated as a duplicate.
     4. admit: append survivors' (bucket, id, vector) to the store.
 
-    The store is bucket-keyed parquet — at 100 TB, a bucket-
-    partitioned Delta/Iceberg table; the history comparison then
-    reads only the buckets the batch touches (partition pruning on
-    the bucket equi-key), so per-batch cost is |batch| x
-    |history-in-touched-buckets|, never |history|.
+    The store is hive-partitioned parquet BY BUCKET, and the history
+    read filters to the batch's buckets (collected — a handful of
+    ints) so the scan is partition-pruned: per-batch cost is
+    |batch| x |history-in-touched-buckets|, never |history|. At
+    100 TB the same layout as a Delta/Iceberg table keeps the exact
+    plan shape.
 
     Wire with streaming/runner.py:start_foreach_batch_sink:
     ``lambda b, _id: sink(incremental_semantic_dedup(b, store,
@@ -1239,12 +1240,21 @@ def incremental_semantic_dedup(
     )
     survivors = assigned.join(in_batch_losers, id_col, "left_anti")
     if os.path.isdir(seen_store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(seen_store_path)
+        e.startswith("bucket=") for e in os.listdir(seen_store_path)
     ):
-        seen = spark.read.parquet(seen_store_path).select(
-            F.col("bucket").alias("_sb"),
-            F.col("_v").alias("_sv"),
-            F.col("_n").alias("_sn"),
+        batch_buckets = [
+            r["bucket"] for r in assigned.select("bucket").distinct().collect()
+        ]
+        # isin over a literal handful of bucket ids → the scan is
+        # PartitionFilters-pruned to the touched directories only
+        seen = (
+            spark.read.parquet(seen_store_path)
+            .filter(F.col("bucket").isin(batch_buckets))
+            .select(
+                F.col("bucket").alias("_sb"),
+                F.col("_v").alias("_sv"),
+                F.col("_n").alias("_sn"),
+            )
         )
         hits = (
             survivors.join(
@@ -1266,9 +1276,9 @@ def incremental_semantic_dedup(
     # store path, and lazily re-scanning it mid-append races the
     # file listing (the incremental_simhash_dedup rule)
     survivors = survivors.localCheckpoint()
-    survivors.select(id_col, "bucket", "_v", "_n").write.mode("append").parquet(
-        seen_store_path
-    )
+    survivors.select(id_col, "bucket", "_v", "_n").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(seen_store_path)
     return (
         survivors.select(id_col)
         .join(batch_df, id_col)
