@@ -86,6 +86,11 @@ EXHIBITS = [
     ("sketch_hll_users_by_type",
      "distinct-count sketch: constant-size registers merge in a "
      "hash-agg; no shuffle of distinct keys"),
+    ("urgent_purchase_dom_pairs",
+     "salted fact x fact join on a 31-value key: ShuffledHashJoin on "
+     "(dom, salt) — the hot-key work spreads over salt_buckets "
+     "reducers instead of at most 31, and each pair still matches "
+     "exactly once (property-tested)"),
     ("q4_order_priority",
      "EXISTS subquery plans as ONE left-semi hash join on l_orderkey "
      "with the correlated lateness predicate as join condition — no "

@@ -62,6 +62,7 @@ def salted_join(
     salt_buckets: int = 16,
     left_salt_cols: Sequence[str] | None = None,
     how: str = "inner",
+    right_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join with a salted key: the left side gets ONE
     deterministic salt per row, the right side replicates each row to
@@ -90,6 +91,11 @@ def salted_join(
     ``left_outer``, ``left_semi``, ``left_anti``): a left row owns
     exactly one salt so its match/no-match semantics are unchanged,
     while a right/full outer would emit one unmatched row PER SALT.
+
+    ``right_hint`` (e.g. ``"shuffle_hash"``) pins the join strategy:
+    at small inputs AQE happily broadcasts the exploded right side,
+    which silently voids the salting — pass the hint when the query
+    exists to exercise/exhibit the at-scale distributed shape.
     """
     allowed = {"inner", "left", "left_outer", "leftouter",
                "left_semi", "leftsemi", "left_anti", "leftanti"}
@@ -104,6 +110,8 @@ def salted_join(
     rt = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    if right_hint:
+        rt = rt.hint(right_hint)
     out = lt.join(rt, [*keys, "_salt"], how)
     return out.drop("_salt")
 

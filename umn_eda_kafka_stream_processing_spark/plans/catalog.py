@@ -621,7 +621,10 @@ def urgent_purchase_dom_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("o_orderdate").cast("int").alias("dom"), "o_totalprice"
         )
     )
-    pairs = salted_join(ev, od, "dom", salt_buckets=8)
+    # shuffle_hash pins the at-scale distributed shape: without it AQE
+    # broadcasts the small exploded side at test SFs, which would void
+    # the salting this query exists to exhibit
+    pairs = salted_join(ev, od, "dom", salt_buckets=8, right_hint="shuffle_hash")
     return (
         pairs.filter(F.col("o_totalprice") > F.col("value") * 1000)
         .groupBy("dom")
