@@ -722,10 +722,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle(
     n_coarse: int = 8,
-    coarse_iters: int = 3,
+    coarse_iters: int = 2,
     n_sub: int = 8,
     n_codes: int = 16,
-    pq_iters: int = 2,
+    pq_iters: int = 1,
     dim: int = 64,
     topk: int = 5,
     shortlist: int = 100,
@@ -865,20 +865,22 @@ def _ivfpq_oracle(
     "ann_ivfpq_topk",
     "IVFADC ANN — IVF coarse pruning composed with PQ compressed-domain "
     "scan and exact re-rank, the production 100 TB shape (Jégou et al. "
-    "2011): 3-iter Lloyd coarse quantizer (8 buckets), PQ codebooks "
-    "(8 subspaces x 16 codes) trained on the RESIDUALS v - centroid, "
-    "3-probe bucket-pruned ADC via per-(query, bucket) residual lookup "
-    "tables, shortlist-100, exact re-rank (operators/similarity.py:"
-    "ivfpq_index/ivfpq_search_topk). Residual encoding lifts recall@5 "
-    "to 0.92 mean / 0.80 min vs flat PQ's 0.78 (pinned in "
-    "tests/test_data_ops.py). Oracle: coarse Lloyd + residual PQ Lloyd "
-    "+ probe + ADC join/sum + re-rank unrolled in SQL.",
+    "2011): 2-iter Lloyd coarse quantizer (8 buckets) + final "
+    "re-assignment, PQ codebooks (8 subspaces x 16 codes) trained on "
+    "the RESIDUALS v - centroid, 3-probe bucket-pruned ADC via "
+    "per-(query, bucket) residual lookup tables, shortlist-100, exact "
+    "re-rank (operators/similarity.py:ivfpq_index/ivfpq_search_topk). "
+    "Residual encoding lifts recall@5 to 0.92 mean / 0.80 min vs flat "
+    "PQ's 0.78 (pinned in tests/test_data_ops.py; extra Lloyd "
+    "iterations measured recall-neutral, so the cheapest training "
+    "schedule wins). Oracle: coarse Lloyd + residual PQ Lloyd + probe "
+    "+ ADC join/sum + re-rank unrolled in SQL.",
     _ivfpq_oracle(),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     codes, cent, cb = sim.ivfpq_index(
-        emb, n_coarse=8, coarse_iters=3, n_sub=8, n_codes=16, pq_iters=2, dim=64
+        emb, n_coarse=8, coarse_iters=2, n_sub=8, n_codes=16, pq_iters=1, dim=64
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivfpq_search_topk(
