@@ -1679,7 +1679,12 @@ def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
     lschema = "ticket_id long, event_id long, event_seq long"
     rschema = "event_id long, venue string, event_seq long"
     pipe(rsrc, rschema, [(10, "A", 1)])
-    pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
+    # create the left source dir with a ZERO-ROW file: the left rows
+    # are piped only after the right store exists, so the left batch's
+    # behavior (emit with right store present) is deterministic — a
+    # left batch racing ahead of the first right batch legitimately
+    # emits nothing (inner/left need the right schema)
+    pipe(lsrc, lschema, [])
     lstream = spark.readStream.schema(lschema).parquet(lsrc)
     rstream = spark.readStream.schema(rschema).parquet(rsrc)
     lq, rq = start_fk_table_join(
@@ -1691,6 +1696,7 @@ def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
     )
     try:
         rq.processAllAvailable()
+        pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
         lq.processAllAvailable()
         assert (1, 10, "A") in emissions
         assert (2, 20, None) in emissions  # NULL pass-through
