@@ -25,10 +25,16 @@ not a full re-join:
 
 Both emission joins broadcast the right store (a dimension-sized
 KTable — the case FK joins exist for); the left store read is
-key/FK-pruned, so per-batch cost is O(|batch| + |affected|), never
-O(|left table|). Emission is at-least-once (foreachBatch) in update
-mode: downstream consumers key by the left key and keep the latest,
-exactly like consuming a KTable changelog topic.
+row-pruned by a broadcast semi-join on the affected keys/FKs, so the
+JOIN work per batch is O(|batch| + |affected|), never O(|left
+table|). The left-store SCAN itself is full-width here (plain
+parquet); at 100 TB, hive-partition the store by a bucket of the FK
+(pmod(hash(fk), N) — upsert_snapshot's partition_cols) so the
+right-batch path partition-prunes to the touched FK buckets, the
+exact layout upsert_ivfpq_index uses. Emission is at-least-once
+(foreachBatch) in update mode: downstream consumers key by the left
+key and keep the latest, exactly like consuming a KTable changelog
+topic.
 """
 
 from __future__ import annotations
