@@ -70,19 +70,32 @@ def test_salted_join_matches_plain_join_property(spark):
 
     rng = random.Random(41)
     for trial in range(3):
-        lrows = [(rng.randint(0, 6), i) for i in range(rng.randint(5, 40))]
-        rrows = [(rng.randint(2, 9), 100 + i) for i in range(rng.randint(5, 40))]
+        # NULL keys included: SQL equi-join semantics (NULL matches
+        # nothing) must survive the salting on both sides
+        lrows = [
+            (rng.randint(0, 6) if rng.random() > 0.1 else None, i)
+            for i in range(rng.randint(5, 40))
+        ]
+        rrows = [
+            (rng.randint(2, 9) if rng.random() > 0.1 else None, 100 + i)
+            for i in range(rng.randint(5, 40))
+        ]
         left = spark.createDataFrame(lrows, "k long, lv long")
         right = spark.createDataFrame(rrows, "k long, rv long")
+        nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
         for how in ("inner", "left", "left_semi", "left_anti"):
             plain = sorted(
-                tuple(r) for r in left.join(right, "k", how).collect()
+                (tuple(r) for r in left.join(right, "k", how).collect()),
+                key=nkey,
             )
             salted = sorted(
-                tuple(r)
-                for r in salted_join(
-                    left, right, "k", salt_buckets=5, how=how
-                ).collect()
+                (
+                    tuple(r)
+                    for r in salted_join(
+                        left, right, "k", salt_buckets=5, how=how
+                    ).collect()
+                ),
+                key=nkey,
             )
             assert salted == plain, (trial, how)
 
