@@ -1555,3 +1555,63 @@ def test_bloom_prejoin_census_is_consistent(spark):
     assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
     assert r["n_probe_rows"] >= r["n_pass_bloom"]
     assert r["n_true_match"] > 0
+
+
+def test_char_bigram_model_matches_brute_force(spark):
+    """Model probabilities and doc scores vs a pure-Python reference
+    on a tiny corpus — counts, smoothing, integer-micro rounding, and
+    the per-doc average all line up."""
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators import charlm
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "abba"), (3, "x")],  # doc 3: too short, no bigrams
+        "doc_id long, text string",
+    )
+    model, vocab = charlm.char_bigram_model(docs)
+    texts = {1: "abab", 2: "abba"}
+    ref_bgs = [t[i:i + 2] for t in texts.values() for i in range(len(t) - 1)]
+    # vocab = distinct SECOND chars of bigrams
+    assert vocab == len({b[1] for b in ref_bgs})
+    from collections import Counter
+    cb, cp = Counter(ref_bgs), Counter(b[0] for b in ref_bgs)
+    ref_model = {
+        b: math.floor(
+            math.log((c + 1.0) / (cp[b[0]] + 1.0 * vocab)) * 1e6 + 0.5
+        )
+        for b, c in cb.items()
+    }
+    got = {r["bg"]: r["logp_micro"] for r in model.collect()}
+    assert got == ref_model
+
+    scored = charlm.doc_avg_logprob(docs, model)
+    got_docs = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"]) for r in scored.collect()}
+    for d, t in texts.items():
+        bgs = [t[i:i + 2] for i in range(len(t) - 1)]
+        s = sum(ref_model[b] for b in bgs)
+        want = math.floor(((s / len(bgs)) / 1e6) * 1e6 + 0.5) / 1e6
+        assert got_docs[d] == (len(bgs), want)
+    assert 3 not in got_docs  # sub-2-char doc has no score
+
+
+def test_char_bigram_heldout_floor_scoring(spark):
+    """Held-out text with unseen bigrams: the left-join floor path
+    scores every bigram (no silent drops) and unseen ones take the
+    provided floor."""
+    from umn_eda_kafka_stream_processing_spark.operators import charlm
+
+    train = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    model, _ = charlm.char_bigram_model(train)
+    floor_m = min(r["logp_micro"] for r in model.collect()) - 1_000_000
+    held = spark.createDataFrame([(9, "abzq")], "doc_id long, text string")
+    out = charlm.doc_avg_logprob(held, model, floor_logp_micro=floor_m).collect()
+    assert len(out) == 1
+    # "abzq" -> ab (seen), bz, zq (unseen): all 3 scored
+    assert out[0]["n_bigrams"] == 3
+    # unseen bigrams pull the average below the model's own floor range
+    seen = {r["bg"]: r["logp_micro"] for r in model.collect()}
+    expected_sum = seen["ab"] + 2 * floor_m
+    import math
+    want = math.floor(((expected_sum / 3) / 1e6) * 1e6 + 0.5) / 1e6
+    assert out[0]["avg_logp"] == want

@@ -1,0 +1,131 @@
+"""Character-bigram language-model scoring — the perplexity-style
+quality filter of pretraining pipelines (CCNet/Gopher lineage: score
+each document under a corpus LM, filter or bucket by the score),
+shrunk to a character bigram model so the whole thing stays exact,
+engine-portable, and UDF-free.
+
+Spark shape: training is two hash-aggregations over the exploded
+bigram stream (pair counts + prefix counts) plus one tiny distinct
+for the vocabulary size; the model is |distinct bigrams| rows and
+ALWAYS broadcasts. Scoring is one broadcast join over the scored
+corpus's bigrams and a per-doc sum/count — a single shuffle keyed by
+doc id, map-side combined. Nothing quadratic, nothing collected but
+the vocab scalar.
+
+Engine portability: each bigram's smoothed log-probability
+ln((c + alpha) / (c_prefix + alpha * V)) is rounded half-up to 6 dp
+and held as an integer-micro BIGINT — per-doc SUMS are then exact
+and order-independent (the repo's integer-micros rule), so the
+DuckDB oracle's join+SUM hash-matches Spark's broadcast pass. The
+single ln() per DISTINCT bigram is the only transcendental; both
+engines evaluate it on identical doubles (exact integer-ratio
+inputs), and the 6 dp rounding absorbs any last-ulp libm skew.
+
+Character semantics: Spark ``substring`` and DuckDB ``substr`` are
+both 1-based and codepoint-based, so the bigram streams align.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
+
+
+def char_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pf, bg): every overlapping character bigram of each doc,
+    with its 1-char prefix. Pure column expressions — the
+    sequence(1, greatest(len-1, 1)) guard avoids the DESCENDING
+    sequence(1, 0) trap on short strings; sub-2-char docs contribute
+    no rows (the length filter drops their 1-char remnant)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - 1, 1)),"
+                    f" i -> substring({text_col}, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .filter(F.length("bg") == 2)
+        .withColumn("pf", F.substring("bg", 1, 1))
+    )
+
+
+def char_bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, int]:
+    """Train the smoothed bigram model on a corpus. Returns
+    (model (bg, logp_micro), vocab_size). logp uses Laplace
+    smoothing over the next-char vocabulary V:
+    ln((c_bigram + alpha) / (c_prefix + alpha * V))."""
+    bg = char_bigrams(df, text_col, id_col)
+    vocab = bg.select(F.substring("bg", 2, 1).alias("nc")).distinct().count()
+    cb = bg.groupBy("pf", "bg").agg(F.count(F.lit(1)).alias("c"))
+    cp = bg.groupBy("pf").agg(F.count(F.lit(1)).alias("cp"))
+    model = (
+        cb.join(cp, "pf")
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c") + F.lit(alpha))
+                    / (F.col("cp") + F.lit(alpha * vocab))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return model, vocab
+
+
+def doc_avg_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    floor_logp_micro: int | None = None,
+) -> DataFrame:
+    """Score each document under the model: (id, n_bigrams,
+    avg_logp) where avg_logp = mean per-bigram log-probability
+    (rounded 6 dp; more negative = more surprising — the
+    perplexity-filter ranking key).
+
+    Scoring the TRAINING corpus needs no OOV handling (every bigram
+    is in the model — inner join). For held-out text pass
+    ``floor_logp_micro`` (e.g. the model's minimum) and unseen
+    bigrams take that floor via a left join instead of silently
+    dropping out of the average."""
+    bg = char_bigrams(df, text_col, id_col)
+    if floor_logp_micro is None:
+        scored = bg.join(F.broadcast(model), "bg")
+    else:
+        scored = bg.join(F.broadcast(model), "bg", "left").withColumn(
+            "logp_micro",
+            F.coalesce("logp_micro", F.lit(int(floor_logp_micro)).cast("long")),
+        )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp_micro").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            round_half_up(
+                F.col("_s").cast("double") / F.col("n_bigrams") / F.lit(1000000.0),
+                6,
+            ).alias("avg_logp"),
+        )
+    )

@@ -2067,3 +2067,57 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-style quality scoring (character-bigram LM)
+# ---------------------------------------------------------------------------
+
+_CHARLM_ORACLE = """
+    WITH bgp AS (
+      SELECT doc_id, bg, substr(bg, 1, 1) AS pf FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
+                      i -> substr(text, i, 2))) AS bg
+        FROM documents)
+    ),
+    v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vs FROM bgp),
+    cb AS (SELECT pf, bg, count(*) AS c FROM bgp GROUP BY pf, bg),
+    cp AS (SELECT pf, count(*) AS cp FROM bgp GROUP BY pf),
+    model AS (
+      SELECT cb.bg,
+             CAST(floor(ln((cb.c + 1.0) / (cp.cp + 1.0 * (SELECT vs FROM v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lpm
+      FROM cb JOIN cp ON cp.pf = cb.pf
+    ),
+    sc AS (
+      SELECT d.doc_id, count(*) AS n, CAST(sum(m.lpm) AS BIGINT) AS s
+      FROM bgp d JOIN model m ON m.bg = d.bg GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bigrams,
+           floor(((CAST(s AS DOUBLE) / n) / 1000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logp
+    FROM sc
+"""
+
+
+@_register(
+    "char_bigram_quality",
+    "Perplexity-style quality scoring (CCNet/Gopher lineage): a "
+    "Laplace-smoothed character-bigram LM trained on the corpus (two "
+    "hash-aggs + one vocab scalar), every doc scored by its mean "
+    "per-bigram log-probability via a broadcast model join "
+    "(operators/charlm.py). Per-bigram logp is integer-micro BIGINT so "
+    "per-doc sums are exact and order-independent; the single ln() per "
+    "DISTINCT bigram is the only transcendental and 6dp rounding "
+    "absorbs libm last-ulp skew. Oracle: the same train + score in SQL "
+    "with the identical double-op sequence for the final average.",
+    _CHARLM_ORACLE,
+)
+def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import charlm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, _ = charlm.char_bigram_model(docs)
+    return charlm.doc_avg_logprob(docs, model)

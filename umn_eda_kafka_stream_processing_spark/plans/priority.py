@@ -164,8 +164,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",
-    "q16_part_supplier_counts",
+    # (q16_part_supplier_counts rotated out in r05 for
+    # char_bigram_quality below: driver-verified r04; the TPC-H
+    # family keeps 16 members in-gate)
     "q20_volume_shippers",
+    # -- new in r05, never driver-verified: char-bigram LM
+    # perplexity-style quality scoring --------------------------------
+    "char_bigram_quality",
 )
 
 DRIVER_GATE_SLOTS = 50
