@@ -86,6 +86,11 @@ EXHIBITS = [
     ("sketch_hll_users_by_type",
      "distinct-count sketch: constant-size registers merge in a "
      "hash-agg; no shuffle of distinct keys"),
+    ("char_bigram_quality",
+     "LM quality scoring: the trained bigram model rides ONE "
+     "BroadcastExchange into the scoring join; training is hash-aggs "
+     "with map-side partials over the exploded bigram stream — no "
+     "UDF, no shuffle of raw text beyond the doc-id keyed average"),
     ("urgent_purchase_dom_pairs",
      "salted fact x fact join on a 31-value key: ShuffledHashJoin on "
      "(dom, salt) — the hot-key work spreads over salt_buckets "
