@@ -1615,3 +1615,64 @@ def test_char_bigram_heldout_floor_scoring(spark):
     import math
     want = math.floor(((expected_sum / 3) / 1e6) * 1e6 + 0.5) / 1e6
     assert out[0]["avg_logp"] == want
+
+
+def test_repeated_span_topk_brute_force(spark):
+    """Top shared spans vs a pure-Python reference on a tiny corpus —
+    window extraction, distinct-doc counting, and the
+    (n_docs, n_occ, span) ordering all line up."""
+    import umn_eda_kafka_stream_processing_spark.plans.catalog_analytics  # noqa: F401
+    from collections import Counter
+
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    # build a corpus inline via a temp view? REGISTRY functions read
+    # parquet — drive the operator body directly instead
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    texts = {
+        1: "the quick brown fox jumps over it",
+        2: "xx the quick brown fox sleeps today",
+        3: "completely unrelated content here!!",
+        4: "zz the quick brown fox sleeps again",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                " i -> substring(text, i, 16))"
+            )
+        ).alias("span"),
+    ).filter(F.length("span") == 16)
+    stats = (
+        w.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    got = [
+        (r["span"], r["n_docs"], r["n_occ"], r["rank"])
+        for r in global_topk(
+            stats, [("n_docs", False), ("n_occ", False), ("span", True)], 5
+        ).collect()
+    ]
+
+    occ = Counter()
+    docs_per = {}
+    for d, t in texts.items():
+        for i in range(len(t) - 15):
+            s = t[i:i + 16]
+            occ[s] += 1
+            docs_per.setdefault(s, set()).add(d)
+    shared = [
+        (s, len(docs_per[s]), occ[s])
+        for s in occ if len(docs_per[s]) >= 2
+    ]
+    shared.sort(key=lambda t: (-t[1], -t[2], t[0]))
+    want = [(s, nd, no, i + 1) for i, (s, nd, no) in enumerate(shared[:5])]
+    assert got == want
+    assert any(nd == 3 for _, nd, _, _ in got)  # "the quick brown " in 3 docs

@@ -604,3 +604,61 @@ def bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("double").alias("matched_revenue"),
     )
+
+
+@_register(
+    "repeated_span_topk",
+    "Exact-substring duplication report (the Lee et al. 2022 "
+    "'Deduplicating Training Data' layer between exact-doc and near-dup "
+    "dedup): every overlapping 16-char span, aggregated per span with "
+    "distinct-doc and occurrence counts, spans shared by >= 2 docs "
+    "ranked by (n_docs DESC, n_occ DESC, span ASC) through the "
+    "scale-safe global_topk (TakeOrderedAndProject — no unpartitioned "
+    "window). Plan: one span-keyed hash-agg with map-side partials; at "
+    "100 TB the same shape runs on span HASHES with a candidate-verify "
+    "extraction pass, but the agg/rank skeleton is identical.",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 15, 0) + 1),
+                    i -> substr(text, i, 16))) AS span
+      FROM documents
+    ),
+    s AS (
+      SELECT span,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT span, n_docs, n_occ, rank FROM (
+      SELECT span, n_docs, n_occ,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, n_occ DESC,
+                                     span ASC) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= 100
+    """,
+)
+def repeated_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                " i -> substring(text, i, 16))"
+            )
+        ).alias("span"),
+    ).filter(F.length("span") == 16)
+    stats = (
+        w.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return global_topk(
+        stats, [("n_docs", False), ("n_occ", False), ("span", True)], 100
+    )

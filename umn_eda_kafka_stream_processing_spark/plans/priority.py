@@ -163,14 +163,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # the five partsupp-adapted shapes (lineitem-mediated relation)
     "q2_min_cost_supplier",
     "q9_product_profit",
-    "q11_important_parts",
-    # (q16_part_supplier_counts rotated out in r05 for
-    # char_bigram_quality below: driver-verified r04; the TPC-H
-    # family keeps 16 members in-gate)
+    # (q16_part_supplier_counts + q11_important_parts rotated out in
+    # r05 for char_bigram_quality + repeated_span_topk below: both
+    # driver-verified r04; the TPC-H family keeps 15 members in-gate)
     "q20_volume_shippers",
     # -- new in r05, never driver-verified: char-bigram LM
-    # perplexity-style quality scoring --------------------------------
+    # perplexity-style quality scoring + exact-substring duplication
+    # report ----------------------------------------------------------
     "char_bigram_quality",
+    "repeated_span_topk",
 )
 
 DRIVER_GATE_SLOTS = 50
