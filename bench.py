@@ -48,8 +48,10 @@ def main() -> None:
     # harness timeout, degrade remaining queries to a single run
     # rather than get killed with no output at all
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    heavy_s = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", "4.0"))
     bench_start = time.time()
     degraded = 0
+    heavy_singles = 0
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         n_runs = runs if (time.time() - bench_start) < budget_s else 1
@@ -60,6 +62,15 @@ def main() -> None:
             # runs could overshoot by several multiples of its wall —
             # at least one run always executes so the median exists
             if i and (time.time() - bench_start) >= budget_s:
+                break
+            # heavy queries run ONCE: a >heavy_s query is dominated by
+            # real work, not launch jitter, so its repeat runs buy
+            # little median robustness while costing the budget that
+            # keeps the MANY sub-second queries (where jitter is the
+            # whole signal) at full repeat count. Without this, the
+            # 122-query catalog at 3 runs overflows the budget and
+            # degrades the tail arbitrarily instead.
+            if i and walls[0] > heavy_s:
                 break
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -78,7 +89,11 @@ def main() -> None:
                 for jrdd in persisted.values():
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
-        degraded += len(walls) < runs
+        if len(walls) < runs:
+            if walls and walls[0] > heavy_s:
+                heavy_singles += 1  # deliberate, not budget pressure
+            else:
+                degraded += 1
         timings[name] = round(statistics.median(walls), 3)
 
     print(
@@ -90,6 +105,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "degraded_to_single_run": degraded,
+                "heavy_single_run": heavy_singles,
                 "sf": sf,
                 "box_load": _box_load(),
             }
