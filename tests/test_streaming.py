@@ -1707,3 +1707,32 @@ def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
     finally:
         lq.stop()
         rq.stop()
+
+
+def test_incremental_semantic_dedup_bucket_cap_admits_uncompared(spark, tmp_path):
+    """Hot-bucket cap: a batch whose bucket exceeds the cap skips
+    pairing (all rows admitted — capping is never silent row loss),
+    while an under-cap bucket still dedups normally."""
+    from umn_eda_kafka_stream_processing_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "bucket int, embedding array<double>",
+    ).localCheckpoint()
+    # bucket 0 gets 3 near-identical vectors (over cap=2 -> admitted
+    # uncompared); bucket 1 gets 2 near-identical (under cap -> deduped)
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01]), (2, [1.0, 0.011]), (3, [1.0, 0.012]),
+            (4, [0.01, 1.0]), (5, [0.011, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "store")
+    out = incremental_semantic_dedup(
+        batch, store, centroids, tau=0.9, bucket_cap=2
+    )
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert got == [1, 2, 3, 4]  # bucket 0 uncompared; 5 deduped vs 4

@@ -1163,6 +1163,7 @@ def incremental_semantic_dedup(
     tau: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Semantic near-dedup of ONE microbatch against all history —
     the embedding-space twin of dedup.py:incremental_simhash_dedup,
@@ -1211,13 +1212,27 @@ def incremental_semantic_dedup(
         # self-join below — materialize once (lazy cache races)
         .localCheckpoint()
     )
-    a = assigned.select(
+    # hot-bucket cap, the LSH-family/semantic_dedup_pairs guard: a
+    # degenerate batch landing mostly in one bucket would square that
+    # bucket's size in the self-join below. Rows of an over-cap bucket
+    # are EXCLUDED FROM PAIRING (both in-batch and vs history) but
+    # still admitted — the batch operator's convention: capping is
+    # never silent row loss, only a skipped comparison.
+    pairable = assigned
+    if bucket_cap is not None:
+        wsz = Window.partitionBy("bucket")
+        pairable = (
+            assigned.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
+    a = pairable.select(
         "bucket",
         F.col(id_col).alias("_ida"),
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col("bucket").alias("_bb"),
         F.col(id_col).alias("_idb"),
         F.col("_v").alias("_vb"),
@@ -1256,8 +1271,14 @@ def incremental_semantic_dedup(
                 F.col("_n").alias("_sn"),
             )
         )
+        # over-cap-bucket rows skip the history comparison too (they
+        # were admitted uncompared in-batch; comparing them here
+        # would make the cap's semantics depend on arrival order)
+        pair_surv = survivors.join(
+            pairable.select(id_col), id_col, "left_semi"
+        )
         hits = (
-            survivors.join(
+            pair_surv.join(
                 seen.hint("shuffle_hash"),
                 F.col("bucket") == F.col("_sb"),
             )
