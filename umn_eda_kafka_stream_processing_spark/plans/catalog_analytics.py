@@ -662,3 +662,68 @@ def repeated_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topk(
         stats, [("n_docs", False), ("n_occ", False), ("span", True)], 100
     )
+
+
+@_register(
+    "span_dup_doc_fraction",
+    "The exact-substring dedup DECISION per doc (what Lee et al. "
+    "pipelines act on): fraction of each document's overlapping 16-char "
+    "spans that also appear in ANOTHER document. One span-keyed "
+    "hash-agg builds the shared-span set (distinct-doc count >= 2), a "
+    "left equi-join flags each span occurrence, one doc-keyed agg "
+    "produces (n_spans, n_shared, dup_frac). High-fraction docs are the "
+    "near-verbatim copies the span report surfaces.",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 15, 0) + 1),
+                    i -> substr(text, i, 16))) AS span
+      FROM documents
+    ),
+    shared AS (
+      SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(s.span) AS BIGINT) AS n_shared,
+           floor(CAST(count(s.span) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_frac
+    FROM w LEFT JOIN shared s ON s.span = w.span
+    GROUP BY w.doc_id
+    """,
+)
+def span_dup_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                " i -> substring(text, i, 16))"
+            )
+        ).alias("span"),
+    ).filter(F.length("span") == 16)
+    shared = (
+        w.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("span", F.lit(1).alias("_shared"))
+    )
+    return (
+        w.join(shared, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0))).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            round_half_up(
+                F.col("n_shared").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

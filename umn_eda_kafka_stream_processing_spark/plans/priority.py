@@ -153,7 +153,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q12_late_lines_by_status",
     "q13_customer_order_distribution",
-    "q14_promo_revenue",
+    # (q14_promo_revenue rotated out in r05 for span_dup_doc_fraction
+    # below: driver-verified r04; TPC-H keeps 14 members in-gate)
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
@@ -172,6 +173,7 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # report ----------------------------------------------------------
     "char_bigram_quality",
     "repeated_span_topk",
+    "span_dup_doc_fraction",
 )
 
 DRIVER_GATE_SLOTS = 50
