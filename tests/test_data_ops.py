@@ -1676,3 +1676,63 @@ def test_repeated_span_topk_brute_force(spark):
     want = [(s, nd, no, i + 1) for i, (s, nd, no) in enumerate(shared[:5])]
     assert got == want
     assert any(nd == 3 for _, nd, _, _ in got)  # "the quick brown " in 3 docs
+
+
+def test_incremental_semantic_dedup_single_batch_matches_brute_force(spark, tmp_path):
+    """Randomized differential: one batch, empty history, no cap —
+    survivors must equal the brute-force fixpoint of 'drop the larger
+    id of any within-bucket pair with rounded cosine >= tau' computed
+    in pure Python with the same bucket assignment and rounding."""
+    import math
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    cents = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    centroids = spark.createDataFrame(
+        [(b, v) for b, v in cents.items()], "bucket int, embedding array<double>"
+    ).localCheckpoint()
+
+    def rhu6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return rhu6(num / (math.sqrt(sum(x * x for x in a))
+                           * math.sqrt(sum(x * x for x in b))))
+
+    for trial in range(2):
+        vecs = {
+            i: [rng.uniform(0.0, 1.0) for _ in range(3)] for i in range(1, 25)
+        }
+        tau = 0.97
+        # reference: bucket = argmax rounded cosine (tie -> lowest bucket)
+        bucket = {}
+        for i, v in vecs.items():
+            sims = [(-(cos(v, c)), b) for b, c in cents.items()]
+            bucket[i] = min(sims)[1]
+        # in-batch losers: larger id of any same-bucket pair >= tau
+        losers = set()
+        ids = sorted(vecs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if bucket[a] == bucket[b] and cos(vecs[a], vecs[b]) >= tau:
+                    losers.add(b)
+        want = sorted(set(ids) - losers)
+
+        store = str(tmp_path / f"store_{trial}")
+        batch = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            r["vec_id"]
+            for r in incremental_semantic_dedup(
+                batch, store, centroids, tau=tau, bucket_cap=None
+            ).collect()
+        )
+        assert got == want, (trial, got, want)
