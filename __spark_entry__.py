@@ -1,18 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 118 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 123 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
-similarity incl. PQ ANN with exact re-rank and SemDeDup-style
-semantic dedup, text incl. HTML extraction and distributed BPE tokenizer
+similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
+inside probed coarse buckets), and SemDeDup-style semantic dedup,
+text incl. HTML extraction, char-bigram LM perplexity-style quality
+scoring, exact-substring duplication report + per-doc dedup decision,
+and distributed BPE tokenizer
 training AND encoding, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
 demux and a corrupt-media quarantine scan), temporal operators
 (as-of/interval/windows), the analytics surface, all 22 TPC-H suite
 query shapes, analytic windows/CUBE, set ops, and a deterministic
 epoch shuffle, and an auditable bloom-filter pre-join), where every
 operator family from SURVEY.md §2 (see PARITY.md) is expressed over
-the driver's synthetic tables with a DuckDB oracle twin — 118 of 118,
+the driver's synthetic tables with a DuckDB oracle twin — 123 of 123,
 including the iterative ones (the k-means ANN, PQ-codebook, and
 BPE-training oracles unroll their iterations in generated SQL).
 """
