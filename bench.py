@@ -53,6 +53,7 @@ def main() -> None:
     degraded = 0
     heavy_singles = 0
     timings: dict[str, float] = {}
+    all_walls: dict[str, list[float]] = {}
     for name, spec in REGISTRY.items():
         n_runs = runs if (time.time() - bench_start) < budget_s else 1
         walls = []
@@ -63,14 +64,20 @@ def main() -> None:
             # at least one run always executes so the median exists
             if i and (time.time() - bench_start) >= budget_s:
                 break
-            # heavy queries run ONCE: a >heavy_s query is dominated by
-            # real work, not launch jitter, so its repeat runs buy
-            # little median robustness while costing the budget that
-            # keeps the MANY sub-second queries (where jitter is the
-            # whole signal) at full repeat count. Without this, the
-            # 122-query catalog at 3 runs overflows the budget and
-            # degrades the tail arbitrarily instead.
-            if i and walls[0] > heavy_s:
+            # heavy queries run at most TWICE: a genuinely->heavy_s
+            # query is dominated by real work, not launch jitter, so
+            # its repeat runs buy little median robustness while
+            # costing the budget that keeps the MANY sub-second
+            # queries (where jitter is the whole signal) at full
+            # repeat count. Without this, the 123-query catalog at 3
+            # runs overflows the budget and degrades the tail
+            # arbitrarily instead. The second run is a CONFIRMATION:
+            # a sub-heavy query whose first run merely landed in an
+            # external-load spike gets one repeat to prove it, and is
+            # classified heavy only if min(walls) still exceeds the
+            # threshold — otherwise its one noisy sample would BE the
+            # reported median forever (round-5 advice).
+            if i >= 2 and min(walls) > heavy_s:
                 break
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -90,12 +97,28 @@ def main() -> None:
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
         if len(walls) < runs:
-            if walls and walls[0] > heavy_s:
-                heavy_singles += 1  # deliberate, not budget pressure
+            if len(walls) >= 2 and min(walls) > heavy_s:
+                heavy_singles += 1  # deliberate cap, not budget pressure
             else:
                 degraded += 1
         timings[name] = round(statistics.median(walls), 3)
+        all_walls[name] = [round(w, 3) for w in walls]
 
+    box = _box_load()
+    # integrity gate: an artifact measured under external CPU pressure
+    # is not comparable round-over-round (BENCH_r05 shipped with PSI
+    # avg300=2.13 and its tail read ~1.5x slower than the quiet-window
+    # oracle artifact on identical plans). The JSON self-declares.
+    psi_max = float(os.environ.get("SPARK_GRAFT_PSI_MAX", "0.5"))
+    psi300 = box.get("cpu_psi_some", {}).get("avg300")
+    noisy = psi300 is not None and psi300 > psi_max
+    if noisy:
+        print(
+            f"WARNING: cpu PSI avg300={psi300} > {psi_max} — walls are "
+            "inflated by external load; re-run in a quiet window before "
+            "committing this artifact",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -105,9 +128,11 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "degraded_to_single_run": degraded,
-                "heavy_single_run": heavy_singles,
+                "heavy_capped_two_runs": heavy_singles,
+                "walls": all_walls,
                 "sf": sf,
-                "box_load": _box_load(),
+                "box_load": box,
+                "noisy": noisy,
             }
         )
     )

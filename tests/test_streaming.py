@@ -1485,7 +1485,7 @@ def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
     pipe(rsrc, rschema, [(10, "A", 1)])
     lstream = spark.readStream.schema(lschema).parquet(lsrc)
     rstream = spark.readStream.schema(rschema).parquet(rsrc)
-    lq, rq = start_fk_table_join(
+    q = start_fk_table_join(
         lstream, rstream,
         left_key="ticket_id", fk_col="event_id", right_key="event_id",
         left_store=str(tmp_path / "lstore"),
@@ -1493,10 +1493,9 @@ def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
         emit=emit,
     )
     try:
-        lq.processAllAvailable()
-        rq.processAllAvailable()
-        # after both initial batches: t1 joined to e10/A somewhere in
-        # the emissions (ordering between the two maintainers varies)
+        q.processAllAvailable()
+        # after the initial batch (both sides ride the one serialized
+        # query): t1 joined to e10/A somewhere in the emissions
         flat = {t for batch in emissions for t in batch}
         assert (1, 10, "A") in flat
         assert all(t[0] != 2 for t in flat)  # t2's event 20 unknown: inner join
@@ -1505,12 +1504,12 @@ def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
         # left rows. Add t3 also on event 10 first, then update venue.
         emissions.clear()
         pipe(lsrc, lschema, [(3, 10, 2)])
-        lq.processAllAvailable()
+        q.processAllAvailable()
         assert any((3, 10, "A") in b for b in emissions)
 
         emissions.clear()
         pipe(rsrc, rschema, [(10, "B", 2)])
-        rq.processAllAvailable()
+        q.processAllAvailable()
         # one right update -> BOTH t1 and t3 re-emitted with venue B
         assert any(b == [(1, 10, "B"), (3, 10, "B")] for b in emissions), emissions
 
@@ -1518,13 +1517,12 @@ def test_fk_table_join_propagates_right_side_updates(spark, tmp_path):
         # re-emit t2 only (now joinable), never t1/t3
         emissions.clear()
         pipe(rsrc, rschema, [(20, "C", 3)])
-        rq.processAllAvailable()
+        q.processAllAvailable()
         assert any(b == [(2, 20, "C")] for b in emissions), emissions
         assert all((1, 10, "B") not in b and (3, 10, "B") not in b
                    for b in emissions)
     finally:
-        lq.stop()
-        rq.stop()
+        q.stop()
 
 
 def test_streaming_ivfpq_ingest_index_stays_queryable(spark, tmp_path):
@@ -1656,8 +1654,9 @@ def test_state_v2_latest_by_key_processor_logic_with_fake_handle(spark):
 def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
     """how='left': a left row whose FK has no right match emits
     NULL-extended (KTable leftJoin semantics) instead of vanishing —
-    and is later refreshed with real values when the right key
-    arrives."""
+    INCLUDING a left row processed before the right store first
+    materializes (round-5 advice: the early-return dropped it) — and
+    is later refreshed with real values when the right key arrives."""
     from umn_eda_kafka_stream_processing_spark.streaming.fk_join import (
         start_fk_table_join,
     )
@@ -1678,16 +1677,14 @@ def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
 
     lschema = "ticket_id long, event_id long, event_seq long"
     rschema = "event_id long, venue string, event_seq long"
-    pipe(rsrc, rschema, [(10, "A", 1)])
-    # create the left source dir with a ZERO-ROW file: the left rows
-    # are piped only after the right store exists, so the left batch's
-    # behavior (emit with right store present) is deterministic — a
-    # left batch racing ahead of the first right batch legitimately
-    # emits nothing (inner/left need the right schema)
-    pipe(lsrc, lschema, [])
+    # left rows arrive BEFORE any right row exists: leftJoin must
+    # emit them NULL-extended, not swallow them
+    pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
+    # zero-row file so the right stream has a schema'd source dir
+    pipe(rsrc, rschema, [])
     lstream = spark.readStream.schema(lschema).parquet(lsrc)
     rstream = spark.readStream.schema(rschema).parquet(rsrc)
-    lq, rq = start_fk_table_join(
+    q = start_fk_table_join(
         lstream, rstream,
         left_key="ticket_id", fk_col="event_id", right_key="event_id",
         left_store=str(tmp_path / "lstore"),
@@ -1695,18 +1692,110 @@ def test_fk_table_join_left_outer_emits_null_extended(spark, tmp_path):
         emit=emit, how="left",
     )
     try:
-        rq.processAllAvailable()
-        pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1)])
-        lq.processAllAvailable()
-        assert (1, 10, "A") in emissions
-        assert (2, 20, None) in emissions  # NULL pass-through
+        q.processAllAvailable()
+        assert (1, 10, None) in emissions  # no right store yet
+        assert (2, 20, None) in emissions
+        emissions.clear()
+        pipe(rsrc, rschema, [(10, "A", 1)])
+        q.processAllAvailable()
+        assert emissions == [(1, 10, "A")]  # t1 refreshed, t2 untouched
+        # a later left row with a still-unmatched FK: NULL pass-through
+        # on the normal (store-exists) path
+        emissions.clear()
+        pipe(lsrc, lschema, [(3, 30, 2)])
+        q.processAllAvailable()
+        assert emissions == [(3, 30, None)]
         emissions.clear()
         pipe(rsrc, rschema, [(20, "B", 2)])
-        rq.processAllAvailable()
+        q.processAllAvailable()
         assert emissions == [(2, 20, "B")]  # refreshed, pruned to t2
     finally:
-        lq.stop()
-        rq.stop()
+        q.stop()
+
+
+def test_fk_table_join_bucket_partitioned_store_prunes(spark, tmp_path):
+    """n_fk_buckets: the left store lands hive-partitioned by
+    pmod(hash(fk), N); a right-side update's fan-out scan carries the
+    touched buckets in the parquet scan's PartitionFilters (bytes
+    scanned is O(affected buckets), not O(left table)); join results
+    are identical to the unpartitioned path — including an FK UPDATE
+    that moves a left key across buckets (move-aware upsert)."""
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.fk_join import (
+        start_fk_table_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "tickets"), str(tmp_path / "events_dim")
+    lstore = str(tmp_path / "lstore")
+    emissions: list[tuple] = []
+    plans: list[str] = []
+
+    def emit(df, _bid):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        emissions.append(
+            sorted(
+                (r["ticket_id"], r["event_id"], r["venue"])
+                for r in df.select("ticket_id", "event_id", "venue").collect()
+            )
+        )
+
+    def pipe(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    lschema = "ticket_id long, event_id long, event_seq long"
+    rschema = "event_id long, venue string, event_seq long"
+    pipe(lsrc, lschema, [(1, 10, 1), (2, 20, 1), (3, 10, 1)])
+    pipe(rsrc, rschema, [(10, "A", 1)])
+    lstream = spark.readStream.schema(lschema).parquet(lsrc)
+    rstream = spark.readStream.schema(rschema).parquet(rsrc)
+    q = start_fk_table_join(
+        lstream, rstream,
+        left_key="ticket_id", fk_col="event_id", right_key="event_id",
+        left_store=lstore,
+        right_store=str(tmp_path / "rstore"),
+        emit=emit, n_fk_buckets=8,
+    )
+    try:
+        q.processAllAvailable()
+        # the store is physically bucket-partitioned
+        assert any(e.startswith("_fkb=") for e in os.listdir(lstore))
+        flat = {t for b in emissions for t in b}
+        assert (1, 10, "A") in flat and (3, 10, "A") in flat
+
+        # right update -> fan-out re-emits t1+t3; its left-store scan
+        # must carry the bucket in PartitionFilters
+        emissions.clear()
+        plans.clear()
+        pipe(rsrc, rschema, [(10, "B", 2)])
+        q.processAllAvailable()
+        assert any(b == [(1, 10, "B"), (3, 10, "B")] for b in emissions)
+        import re
+
+        # a NON-EMPTY PartitionFilters list naming the bucket column
+        assert any(
+            re.search(r"PartitionFilters: \[[^\]]*_fkb", p) for p in plans
+        ), "right-batch fan-out did not partition-prune the left store"
+
+        # FK UPDATE moves t2 from event 20's bucket to event 10's:
+        # the move-aware upsert must remove the stale copy, so a later
+        # right update on 10 re-emits t1,t2,t3 and one on 20 re-emits
+        # nothing
+        emissions.clear()
+        pipe(lsrc, lschema, [(2, 10, 2)])
+        q.processAllAvailable()
+        assert any((2, 10, "B") in b for b in emissions)
+        emissions.clear()
+        pipe(rsrc, rschema, [(20, "C", 3), (10, "D", 3)])
+        q.processAllAvailable()
+        assert any(
+            b == [(1, 10, "D"), (2, 10, "D"), (3, 10, "D")] for b in emissions
+        ), emissions
+        assert all((2, 20, "C") not in b for b in emissions)
+    finally:
+        q.stop()
 
 
 def test_incremental_semantic_dedup_bucket_cap_admits_uncompared(spark, tmp_path):

@@ -116,3 +116,89 @@ def upsert_snapshot(
     # drop the session's cached file listing for the path: the old
     # (now deleted) part files otherwise stay visible to future reads
     spark.catalog.refreshByPath(table_path)
+
+
+def upsert_bucket_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    changelog: DataFrame,
+    id_col: str,
+    order_col: str,
+    bucket_col: str,
+) -> None:
+    """Key-compacting upsert into a BUCKET-partitioned parquet store
+    where an update may MOVE a key across partitions (the case
+    ``upsert_snapshot``'s contract excludes): IVF/IVFPQ vector indexes
+    (a re-embedded vector changes buckets), the FK-join left store
+    (an update can change the row's foreign key, hence its
+    pmod(hash(fk), N) partition).
+
+    Move-aware read set: partitions receiving new rows ∪ partitions
+    holding an updated key's OLD row — so the compaction merge always
+    sees (and therefore removes) the stale copy. Partitions the merge
+    emptied are deleted explicitly (dynamic overwrite only replaces
+    partitions the job writes). Touched-partition pruning keeps the
+    job O(|touched|), never O(|table|).
+    """
+    emptied: set = set()
+    try:
+        old = spark.read.parquet(table_path)
+    except AnalysisException:
+        old = None
+
+    if old is None:
+        merged = compact_changelog(None, changelog, id_col, order_col)
+    else:
+        batch_keys = changelog.select(id_col).distinct()
+        # collected BEFORE the overwrite — bucket ids are tiny, and
+        # any plan that still references `old` after the write would
+        # re-list the deleted part files
+        touched_buckets = {
+            r[bucket_col]
+            for r in (
+                changelog.select(bucket_col)
+                .unionByName(
+                    old.join(F.broadcast(batch_keys), id_col, "left_semi")
+                    .select(bucket_col)
+                )
+                .distinct()
+                .collect()
+            )
+        }
+        old_touched = old.filter(
+            F.col(bucket_col).isin(*touched_buckets)
+            if touched_buckets else F.lit(False)
+        )
+        merged = compact_changelog(
+            old_touched, changelog, id_col, order_col
+        ).localCheckpoint()
+        # a touched bucket whose last row moved away produces no
+        # output, so its stale directory would survive the dynamic
+        # overwrite — drop it explicitly (merged is checkpointed, so
+        # this collect is safe)
+        written = {
+            r[bucket_col]
+            for r in merged.select(bucket_col).distinct().collect()
+        }
+        emptied = touched_buckets - written
+
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+
+    if old is not None and emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{bucket_col}={b}"
+            )
+            p.getFileSystem(conf).delete(p, True)
+
+    # the session's shared FileStatusCache still lists the replaced
+    # files; without this, the next read of the store can hit
+    # FILE_NOT_EXIST on the overwritten partitions
+    spark.catalog.refreshByPath(table_path)

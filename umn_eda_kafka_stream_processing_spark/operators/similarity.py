@@ -614,81 +614,18 @@ def _upsert_bucket_partitioned(
 ) -> None:
     """Shared key-compacting upsert into a bucket-partitioned parquet
     index (the upsert_ivf_index write path, reused by the IVFADC
-    variant): touched-partition pruning, move-aware reads, emptied-
-    partition cleanup, file-status-cache refresh."""
-    from pyspark.sql.utils import AnalysisException
-
+    variant and the FK-join left store): touched-partition pruning,
+    move-aware reads, emptied-partition cleanup, file-status-cache
+    refresh. Implementation lives in operators/compaction.py
+    (upsert_bucket_partitioned) with the other snapshot-store
+    maintainers."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        compact_changelog,
+        upsert_bucket_partitioned,
     )
 
-    try:
-        old = spark.read.parquet(index_path)
-    except AnalysisException:
-        old = None
-
-    emptied: set = set()
-    if old is None:
-        merged = compact_changelog(None, assigned, id_col, order_col)
-    else:
-        batch_keys = assigned.select(id_col).distinct()
-        # partitions receiving new rows ∪ partitions holding an
-        # updated key's OLD row (the key may change buckets).
-        # Collected BEFORE the overwrite — bucket ids are tiny, and
-        # any plan that still references `old` after the write would
-        # re-list the deleted part files
-        touched_buckets = {
-            r[bucket_col]
-            for r in (
-                assigned.select(bucket_col)
-                .unionByName(
-                    old.join(F.broadcast(batch_keys), id_col, "left_semi")
-                    .select(bucket_col)
-                )
-                .distinct()
-                .collect()
-            )
-        }
-        old_touched = old.filter(
-            F.col(bucket_col).isin(*touched_buckets)
-            if touched_buckets else F.lit(False)
-        )
-        merged = compact_changelog(
-            old_touched, assigned, id_col, order_col
-        ).localCheckpoint()
-        # dynamic overwrite only replaces partitions the job WRITES: a
-        # touched bucket whose last vector moved away produces no
-        # output rows, so its stale directory would survive — drop it
-        # explicitly (merged is checkpointed, so this collect is safe)
-        written = {
-            r[bucket_col]
-            for r in merged.select(bucket_col).distinct().collect()
-        }
-        emptied = touched_buckets - written
-
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(bucket_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(index_path)
+    upsert_bucket_partitioned(
+        spark, index_path, assigned, id_col, order_col, bucket_col
     )
-
-    if old is not None:
-        if emptied:
-            jvm = spark.sparkContext._jvm
-            jsc = spark.sparkContext._jsc
-            conf = jsc.hadoopConfiguration()
-            for b in emptied:
-                p = jvm.org.apache.hadoop.fs.Path(
-                    f"{index_path}/{bucket_col}={b}"
-                )
-                fs = p.getFileSystem(conf)
-                fs.delete(p, True)
-
-    # the session's shared FileStatusCache still lists the replaced
-    # files; without this, the next read of the index can hit
-    # FILE_NOT_EXIST on the overwritten partitions
-    spark.catalog.refreshByPath(index_path)
 
 
 def upsert_ivfpq_index(
@@ -742,6 +679,12 @@ def upsert_ivfpq_index(
             "_dv",
             F.zip_with("_dv", "_cv", lambda a, b: a - b).alias("resid"),
         )
+        # joined back to itself through pq_encode below — materialize
+        # once, or the residual-encode lineage (bucket assign +
+        # broadcast centroid join + zip_with) recomputes independently
+        # on both join sides every microbatch (the derived-self-join
+        # rule)
+        .localCheckpoint()
     )
     codes = pq_encode(res, codebook, n_sub=n_sub, dim=dim, id_col=id_col,
                       vec_col="resid")
@@ -1267,6 +1210,7 @@ def incremental_semantic_dedup(
             .filter(F.col("bucket").isin(batch_buckets))
             .select(
                 F.col("bucket").alias("_sb"),
+                F.col(id_col).alias("_sid"),
                 F.col("_v").alias("_sv"),
                 F.col("_n").alias("_sn"),
             )
@@ -1280,7 +1224,15 @@ def incremental_semantic_dedup(
         hits = (
             pair_surv.join(
                 seen.hint("shuffle_hash"),
-                F.col("bucket") == F.col("_sb"),
+                # same-id exclusion: on foreachBatch REPLAY after a
+                # crash between the store append and the sink commit,
+                # a survivor's own admitted copy is already in the
+                # store (cosine 1.0) — without this predicate the
+                # replayed row silently dedups against itself and the
+                # at-least-once emission contract degrades to
+                # at-most-once for that batch (round-5 advice)
+                (F.col("bucket") == F.col("_sb"))
+                & (F.col(id_col) != F.col("_sid")),
             )
             .withColumn(
                 "_sim",
