@@ -1736,3 +1736,72 @@ def test_incremental_semantic_dedup_single_batch_matches_brute_force(spark, tmp_
             ).collect()
         )
         assert got == want, (trial, got, want)
+
+
+def test_remove_shared_spans_matches_brute_force_randomized(spark):
+    """The span-removal rewrite (exact-substring dedup ACTION) vs a
+    character-level brute force on randomized corpora with planted
+    shared sentences: keeper-doc preservation, interval union of
+    overlapping removable occurrences, multi-occurrence spans within
+    one doc, full-doc removal of exact copies, and short/empty docs
+    all line up exactly."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    L = 16
+
+    def brute(texts):
+        occ = {}
+        for d, t in texts.items():
+            for i in range(len(t) - L + 1):
+                occ.setdefault(t[i:i + L], set()).add(d)
+        out = {}
+        for d, t in texts.items():
+            keep = [True] * len(t)
+            for i in range(len(t) - L + 1):
+                ds = occ[t[i:i + L]]
+                if len(ds) >= 2 and d != min(ds):
+                    for j in range(i, i + L):
+                        keep[j] = False
+            out[d] = "".join(c for c, k in zip(t, keep) if k)
+        return out
+
+    rng = random.Random(0xC0FFEE)
+    shared_sentences = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    for trial in range(5):
+        texts = {}
+        for d in range(1, 21):
+            parts = []
+            for _ in range(rng.randint(0, 4)):
+                if rng.random() < 0.6:
+                    parts.append(rng.choice(shared_sentences))
+                else:
+                    parts.append(
+                        "".join(
+                            rng.choice("abcdefgh ij")
+                            for _ in range(rng.randint(0, 40))
+                        )
+                    )
+            texts[d] = " ".join(parts)
+        # planted exact copy + short/empty docs every trial
+        texts[21] = texts[1]
+        texts[22] = "tiny"
+        texts[23] = ""
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["rewritten"], r["chars_removed"])
+            for r in remove_shared_spans(docs).collect()
+        }
+        want = brute(texts)
+        for d, t in texts.items():
+            assert got[d][0] == want[d], (trial, d, got[d][0], want[d])
+            assert got[d][1] == len(t) - len(want[d])

@@ -922,3 +922,115 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def _span_windows(
+    df: DataFrame, id_col: str, text_col: str, span_len: int
+) -> DataFrame:
+    """Every overlapping ``span_len``-char window with its 1-based
+    start position: (id, pos, span). Short documents produce no rows."""
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length({text_col}) - {span_len - 1}, 1))"
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.col(text_col).substr(F.col("pos"), F.lit(span_len)).alias("span"),
+    ).filter(F.length("span") == span_len)
+
+
+def remove_shared_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup ACTION (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): emit CLEANED text
+    with duplicated character runs removed, not just a report.
+
+    Semantics — per overlapping ``span_len``-char span VALUE shared by
+    >= 2 distinct documents, the doc with the MIN id (this engine's
+    keeper convention, `exact_dedup_groups`) keeps its occurrences;
+    every other doc removes all characters covered by its occurrences
+    of that span. Overlapping/adjacent removable occurrences within a
+    doc union into maximal runs, so the cut is per character, and the
+    surviving characters concatenate in order. A doc that is keeper
+    for every span it shares (or shares nothing) passes through
+    unchanged.
+
+    Plan shape (all JVM column exprs, no window over the corpus, no
+    per-row Python):
+
+    1. one span-keyed hash-agg -> (span, keeper=min id, n_docs) with
+       map-side partials;
+    2. one shuffle join (windows x removable spans) keyed on span;
+    3. one doc-keyed agg collecting each doc's removable START
+       POSITIONS into a sorted int array (bounded by the doc's own
+       length — the same order of memory as the text itself);
+    4. a single `F.aggregate` fold over that array rebuilds the kept
+       text with a moving cursor: for each removable start p, append
+       text[cursor, p) and advance cursor to max(cursor, p+span_len).
+       Interval union falls out of the max — no gaps-and-islands
+       window needed.
+
+    At 100 TB, run steps 1-2 on md5(span) instead of the raw span
+    (16-byte shuffle keys instead of raw text x span_len; equality is
+    all the pipeline needs, exactly like `repeated_span_topk`'s
+    documented scale path).
+
+    Output: (id, text, rewritten, chars_removed).
+    """
+    w = _span_windows(docs, id_col, text_col, span_len)
+    stats = (
+        w.groupBy("span")
+        .agg(
+            F.min(id_col).alias("_keeper"),
+            F.countDistinct(id_col).alias("_nd"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("span", "_keeper")
+    )
+    rem = (
+        w.join(stats, "span")
+        .filter(F.col(id_col) != F.col("_keeper"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
+    )
+    rebuilt = F.aggregate(
+        "_poss",
+        F.struct(F.lit("").alias("t"), F.lit(1).alias("c")),
+        lambda acc, p: F.struct(
+            F.concat(
+                acc["t"],
+                F.col(text_col).substr(
+                    acc["c"], F.greatest(p - acc["c"], F.lit(0))
+                ),
+            ).alias("t"),
+            F.greatest(acc["c"], p + F.lit(span_len)).alias("c"),
+        ),
+        lambda acc: F.concat(
+            acc["t"],
+            F.col(text_col).substr(acc["c"], F.length(text_col)),
+        ),
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(rem, id_col, "left")
+        .select(
+            id_col,
+            text_col,
+            F.when(F.col("_poss").isNull(), F.col(text_col))
+            .otherwise(rebuilt)
+            .alias("rewritten"),
+        )
+        .withColumn(
+            "chars_removed",
+            (F.length(text_col) - F.length("rewritten")).cast("long"),
+        )
+    )

@@ -727,3 +727,151 @@ def span_dup_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@_register(
+    "span_dedup_rewrite_stats",
+    "Exact-substring dedup ACTION (Lee et al. 2022): rewrite the corpus "
+    "by cutting maximal character runs covered by 16-char spans shared "
+    "with another doc (keeper = min doc_id keeps its occurrences), then "
+    "report the before/after: doc counts, chars removed, corpus dup "
+    "fraction on the original vs the REWRITTEN text. Spark plan: span "
+    "hash-agg + span-keyed join + per-doc sorted-position fold "
+    "(operators/dedup.py:remove_shared_spans — interval union via a "
+    "moving-cursor F.aggregate, no corpus-wide window, no Python); the "
+    "oracle rebuilds the same text via gaps-and-islands + string_agg, a "
+    "deliberately different formulation of the same semantics.",
+    """
+    WITH w AS (
+      SELECT doc_id, pos, substr(text, pos, 16) AS span
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 15, 0) + 1)) AS pos
+            FROM documents)
+    ),
+    st AS (
+      SELECT span, min(doc_id) AS keeper, count(DISTINCT doc_id) AS nd
+      FROM w GROUP BY span
+    ),
+    rem AS (
+      SELECT w.doc_id, w.pos AS s, w.pos + 15 AS e
+      FROM w JOIN st ON st.span = w.span
+      WHERE st.nd >= 2 AND w.doc_id <> st.keeper
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN s > coalesce(pme, 0) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pme
+            FROM rem)
+    ),
+    mrg AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g
+    ),
+    parts AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+      FROM mrg
+    ),
+    rew0 AS (
+      SELECT p.doc_id,
+             concat(string_agg(substr(d.text, p.pe + 1, p.s - p.pe - 1),
+                               '' ORDER BY p.s),
+                    substr(d.text, max(p.e) + 1)) AS rewritten
+      FROM parts p JOIN documents d ON d.doc_id = p.doc_id
+      GROUP BY p.doc_id, d.text
+    ),
+    rew AS (
+      SELECT d.doc_id, d.text, coalesce(r.rewritten, d.text) AS rewritten
+      FROM documents d LEFT JOIN rew0 r ON r.doc_id = d.doc_id
+    ),
+    sh1 AS (SELECT span FROM st WHERE nd >= 2),
+    bef AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1, CAST(count(s.span) AS BIGINT) AS k1
+      FROM w LEFT JOIN sh1 s ON s.span = w.span
+    ),
+    w2 AS (
+      SELECT doc_id, substr(rewritten, pos, 16) AS span
+      FROM (SELECT doc_id, rewritten,
+                   unnest(range(1, greatest(length(rewritten) - 15, 0) + 1))
+                       AS pos
+            FROM rew)
+    ),
+    sh2 AS (SELECT span FROM w2 GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+    aft AS (
+      SELECT CAST(count(*) AS BIGINT) AS n2, CAST(count(s.span) AS BIGINT) AS k2
+      FROM w2 LEFT JOIN sh2 s ON s.span = w2.span
+    ),
+    docstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(text) > length(rewritten)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_rewritten,
+             CAST(sum(length(text)) AS BIGINT) AS chars_before,
+             CAST(sum(length(rewritten)) AS BIGINT) AS chars_after,
+             CAST(sum(length(text)) - sum(length(rewritten)) AS BIGINT)
+                 AS chars_removed
+      FROM rew
+    )
+    SELECT n_docs, docs_rewritten, chars_before, chars_after, chars_removed,
+           CASE WHEN n1 = 0 THEN 0.0
+                ELSE floor(CAST(k1 AS DOUBLE) / n1 * 1000000.0 + 0.5)
+                     / 1000000.0 END AS dup_frac_before,
+           CASE WHEN n2 = 0 THEN 0.0
+                ELSE floor(CAST(k2 AS DOUBLE) / n2 * 1000000.0 + 0.5)
+                     / 1000000.0 END AS dup_frac_after
+    FROM docstats, bef, aft
+    """,
+)
+def span_dedup_rewrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _span_windows,
+        remove_shared_spans,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    # the rewrite feeds three consumers (doc stats + both corpus-frac
+    # passes) — materialize once, not once per branch
+    rew = remove_shared_spans(docs).localCheckpoint()
+
+    def corpus_frac(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = _span_windows(df, "doc_id", col, 16)
+        sh = (
+            w.groupBy("span")
+            .agg(F.countDistinct("doc_id").alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("span", F.lit(1).alias("_s"))
+        )
+        return (
+            w.join(sh, "span", "left")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("_s"), F.lit(0))).alias("_k"),
+            )
+            .select(
+                F.when(F.col("_n") == 0, F.lit(0.0))
+                .otherwise(
+                    round_half_up(F.col("_k").cast("double") / F.col("_n"), 6)
+                )
+                .alias(out)
+            )
+        )
+
+    docstats = rew.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("chars_removed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_rewritten"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.length("rewritten")).cast("long").alias("chars_after"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+    )
+    bef = corpus_frac(rew.select("doc_id", "text"), "text", "dup_frac_before")
+    aft = corpus_frac(
+        rew.select("doc_id", "rewritten"), "rewritten", "dup_frac_after"
+    )
+    return docstats.crossJoin(bef).crossJoin(aft)
