@@ -1805,3 +1805,55 @@ def test_remove_shared_spans_matches_brute_force_randomized(spark):
         for d, t in texts.items():
             assert got[d][0] == want[d], (trial, d, got[d][0], want[d])
             assert got[d][1] == len(t) - len(want[d])
+
+
+def test_gopher_quality_flags_every_rule_cross_engine(spark, tmp_path):
+    """Crafted docs drive each Gopher rule branch (the synthetic corpus
+    only ever fails word_count/stopwords), and the SPARK funnel must
+    agree with the DUCKDB oracle SQL row-for-row on the same parquet —
+    regex-count, line-split, and list-intersect semantics line up on
+    every branch, not just the two the sf-corpus exercises."""
+    import duckdb
+
+    from umn_eda_kafka_stream_processing_spark.plans.registry import REGISTRY
+
+    base = ("the be to of and that have with word " * 8).strip()  # 72 words, passes
+    docs = [
+        # each doc is crafted so every EARLIER rule passes and exactly
+        # the intended rule fires first
+        (1, base, "en"),                                    # kept
+        (2, "too short", "en"),                             # word_count
+        (3, " ".join(["ab"] * 60) + " the be", "en"),       # mean_word_length
+        (4, base + " " + " ".join(["####"] * 9), "en"),     # symbol_ratio
+        (5, "\n".join(["- wonderful things here"] * 20), "en"),   # bullet_lines
+        (6, "\n".join(["pleasant words flowing …"] * 18), "en"),  # ellipsis_lines
+        (7, ("the be to of and that have with " + "1234 " * 50).strip(), "en"),  # alpha_words
+        (8, " ".join(["apple banana cherry dates"] * 15), "en"),   # stopwords
+        (9, base + " …", "en"),  # single-line unicode-ellipsis end → ellipsis_lines
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t, l, "crafted", len(t)) for i, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["gopher_quality_flags"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        REGISTRY["gopher_quality_flags"].oracle
+    ).fetchall())
+    assert got == want, (got, want)
+    verdicts = {v for _, v, _, _ in got}
+    for expect in ("kept", "word_count", "mean_word_length", "symbol_ratio",
+                   "bullet_lines", "ellipsis_lines", "alpha_words",
+                   "stopwords"):
+        assert expect in verdicts, (expect, got)

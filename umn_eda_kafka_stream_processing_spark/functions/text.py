@@ -172,3 +172,73 @@ def quality_score(text: str = "text") -> Column:
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2,
         4,
     )
+
+
+# The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1.1) — the named heuristic
+# filter real curation stacks run BEFORE model-based scoring. The
+# required-stopword list is the paper's.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(text: str = "text") -> dict[str, Column]:
+    """Ordered {rule_name: fail_condition} for the Gopher quality
+    rules, each a pure JVM column expression (regex counts + length
+    arithmetic — codegen'd, full scan speed, no Python):
+
+    word_count        n_words outside [50, 100000]
+    mean_word_length  mean chars/word outside [3, 10]
+    symbol_ratio      ('#' + '...') occurrences / n_words > 0.1
+    bullet_lines      > 90% of lines start with a bullet
+    ellipsis_lines    > 30% of lines end with an ellipsis
+    alpha_words       < 80% of words contain an alphabetic char
+    stopwords         < 2 distinct required stopwords present
+
+    Ratio thresholds compare exact IEEE double quotients of integer
+    counts — deterministic and engine-portable (no summed floats).
+    Iteration order IS the funnel order (dicts preserve insertion
+    order); compose with a first-failing-rule CASE like
+    ``curation_funnel``.
+    """
+    words = tokens(text)
+    nw = F.size(words).cast("double")  # >= 1: split('') == ['']
+    lines = F.split(F.col(text), r"\n")
+    nl = F.size(lines).cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(F.col(text), r"\s+", "")).cast("double") / nw
+    )
+    nsym = (
+        F.regexp_count(F.col(text), F.lit("#"))
+        + F.regexp_count(F.col(text), F.lit(r"\.\.\."))
+    ).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    n_req_stop = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return {
+        "word_count": (nw < 50) | (nw > 100000),
+        "mean_word_length": (mean_wl < 3.0) | (mean_wl > 10.0),
+        "symbol_ratio": (nsym / nw) > 0.1,
+        "bullet_lines": bullet_frac > 0.9,
+        "ellipsis_lines": ellipsis_frac > 0.3,
+        "alpha_words": alpha_frac < 0.8,
+        "stopwords": n_req_stop < 2,
+    }

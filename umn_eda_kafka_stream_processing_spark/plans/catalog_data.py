@@ -2121,3 +2121,74 @@ def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model, _ = charlm.char_bigram_model(docs)
     return charlm.doc_avg_logprob(docs, model)
+
+
+@_register(
+    "gopher_quality_flags",
+    "The named heuristic quality-rule funnel (Gopher, Rae et al. 2021 "
+    "A1.1) real curation stacks run before any model-based scoring: "
+    "word-count bounds, mean word length, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "required-stopword presence — each doc dropped by its FIRST "
+    "failing rule (CASE routing like curation_funnel), per-(lang, "
+    "verdict) doc and token rejection counts out. Pure JVM column "
+    "exprs (functions/text.py:gopher_rules) — regex counts + length "
+    "arithmetic at full scan speed; output is exact integers, so "
+    "cross-engine comparison needs no float care.",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                 AS nchar_ns,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS nsym,
+             string_split_regex(text, '\n') AS lines,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, nw,
+             CASE
+               WHEN nw < 50 OR nw > 100000 THEN 'word_count'
+               WHEN nchar_ns / nw < 3.0 OR nchar_ns / nw > 10.0
+                   THEN 'mean_word_length'
+               WHEN nsym / nw > 0.1 THEN 'symbol_ratio'
+               WHEN CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                    / len(lines) > 0.9 THEN 'bullet_lines'
+               WHEN CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                    / len(lines) > 0.3 THEN 'ellipsis_lines'
+               WHEN CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / nw < 0.8 THEN 'alpha_words'
+               WHEN len(list_intersect(
+                        list_transform(words, w -> lower(w)),
+                        ['the','be','to','of','and','that','have','with']))
+                    < 2 THEN 'stopwords'
+               ELSE 'kept' END AS verdict
+      FROM m
+    )
+    SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(nw AS BIGINT)) AS BIGINT) AS n_tokens_total
+    FROM r GROUP BY lang, verdict
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules("text")
+    verdict = F.lit("kept")
+    for name, fail in reversed(list(rules.items())):
+        verdict = F.when(fail, F.lit(name)).otherwise(verdict)
+    scored = docs.select(
+        "lang",
+        token_count().alias("n_tokens"),
+        verdict.alias("verdict"),
+    )
+    return scored.groupBy("lang", "verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+    )
