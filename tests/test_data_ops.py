@@ -1857,3 +1857,38 @@ def test_gopher_quality_flags_every_rule_cross_engine(spark, tmp_path):
                    "bullet_lines", "ellipsis_lines", "alpha_words",
                    "stopwords"):
         assert expect in verdicts, (expect, got)
+
+
+def test_canonical_url_edge_cases(spark):
+    """canonical_url / registrable_domain edge semantics: default-port
+    strip is scheme-aware, non-default ports survive, utm params strip
+    wherever they sit in the query (no group-reference replacements),
+    the '?' drops when the query empties, fragments always drop, and
+    non-URL input degrades to itself."""
+    from umn_eda_kafka_stream_processing_spark.functions.text import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    cases = [
+        ("HTTP://Ex.COM:80/a?b=1#f", "http://ex.com/a?b=1", "ex.com"),
+        ("https://ex.com:443/a", "https://ex.com/a", "ex.com"),
+        ("http://ex.com:443/a", "http://ex.com:443/a", "ex.com"),  # not http's default
+        ("https://ex.com:8080/a", "https://ex.com:8080/a", "ex.com"),
+        ("http://a.b.Ex.org/p?utm_a=1&id=2&utm_b=3&z=4", "http://a.b.ex.org/p?id=2&z=4", "ex.org"),
+        ("http://ex.com/p?utm_only=x", "http://ex.com/p", "ex.com"),
+        ("http://ex.com/p?", "http://ex.com/p", "ex.com"),
+        ("http://ex.com#frag", "http://ex.com", "ex.com"),
+        ("not a url at all", "not a url at all", ""),
+        ("http://EX.com", "http://ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = [
+        (r["c"], r["d"])
+        for r in df.select(
+            canonical_url("url").alias("c"), registrable_domain("url").alias("d")
+        ).collect()
+    ]
+    for (raw, want_c, want_d), (gc, gd) in zip(cases, got):
+        assert gc == want_c, (raw, gc, want_c)
+        assert gd == want_d, (raw, gd, want_d)

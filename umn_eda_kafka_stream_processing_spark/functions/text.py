@@ -242,3 +242,75 @@ def gopher_rules(text: str = "text") -> dict[str, Column]:
         "alpha_words": alpha_frac < 0.8,
         "stopwords": n_req_stop < 2,
     }
+
+
+def _url_scheme(u: Column) -> Column:
+    return F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+
+
+def _url_hostport(u: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+
+
+def canonical_url(url: str = "url") -> Column:
+    """Canonical form of an absolute http(s) URL — the key web-scale
+    curation stacks dedup and mix on BEFORE doc-level dedup:
+
+    * scheme and host:port lowercased,
+    * default port stripped (:80 for http, :443 for https),
+    * fragment stripped,
+    * ``utm_*`` tracking params stripped (and the '?' dropped when
+      the query empties),
+    * path and the surviving query kept byte-for-byte.
+
+    Pure regexp_extract/regexp_replace + substr chains — Java∩RE2
+    portable (no group references in replacements: DuckDB spells them
+    ``\\1`` where Java says ``$1``, so the twins avoid them entirely),
+    codegen'd, full scan speed. A non-URL input degrades to itself
+    minus fragment (extracts return '').
+    """
+    u = F.col(url)
+    scheme = _url_scheme(u)
+    hostport = _url_hostport(u)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    # everything after scheme://hostport (1-based char arithmetic;
+    # lower() preserves length)
+    rest = u.substr(
+        F.length(scheme) + F.lit(3) + F.length(hostport) + F.lit(1),
+        F.length(u),
+    )
+    nofrag = F.regexp_replace(rest, "#.*$", "")
+    path = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    # sentinel '&' prefix makes every param uniformly '&'-delimited,
+    # so utm params strip without replacement group references
+    q = F.regexp_replace(F.concat(F.lit("&"), query), "&utm_[^&]*", "")
+    q = F.regexp_replace(q, "^&", "")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    # no scheme -> not an absolute URL; the substr arithmetic above
+    # would eat leading chars, so degrade to input-minus-fragment
+    return F.when(scheme == "", F.regexp_replace(u, "#.*$", "")).otherwise(
+        canonical
+    )
+
+
+def registrable_domain(url: str = "url") -> Column:
+    """Naive registrable domain: the last two dot-labels of the
+    lowercased, port-stripped host. Heuristic — a real stack swaps in
+    the public-suffix list (co.uk etc.); the two-label rule is the
+    portable, dependency-free approximation and is exact for the
+    gTLD-style hosts the census queries group on."""
+    host = F.regexp_replace(_url_hostport(F.col(url)), ":[0-9]+$", "")
+    return F.regexp_extract(host, r"([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$", 1)

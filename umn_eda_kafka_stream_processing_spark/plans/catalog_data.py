@@ -2192,3 +2192,150 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens_total"),
     )
+
+
+@_register(
+    "url_canonical_stats",
+    "URL/domain canonicalization census — the key web-scale curation "
+    "stacks dedup and mix on BEFORE doc-level dedup. Deterministic "
+    "messy URLs derived per doc from (lang, doc_id) on BOTH engines "
+    "(scheme/host case variants, default ports, utm params, fragments) "
+    "are canonicalized (functions/text.py:canonical_url — lowercase "
+    "scheme+host, strip :80/:443, fragment, utm_*) and grouped by "
+    "registrable domain: raw-distinct vs canonical-distinct shows how "
+    "many aliases the canonicalizer collapses. Pure regexp chains, no "
+    "group-reference replacements (Java $1 vs RE2 \\1 is not portable).",
+    r"""
+    WITH t AS (
+      -- selectors use DISTINCT integer-division digits of doc_id:
+      -- residues of one modulus are CRT-entangled (a mod-4 scheme
+      -- variant never varies independently of a mod-10 path), which
+      -- would make every alias class a singleton and the census
+      -- degenerate
+      SELECT doc_id, lang,
+             CASE (doc_id // 10) % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                  ELSE '.net' END AS tld
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             concat(
+               CASE (doc_id // 7) % 4
+                 WHEN 0 THEN 'http://' || 'docs.site-' || lang || tld
+                 WHEN 1 THEN 'HTTP://' || upper('docs.site-' || lang || tld)
+                             || ':80'
+                 WHEN 2 THEN 'https://' || 'docs.site-' || lang || tld
+                             || ':443'
+                 ELSE 'HTTPS://' || upper('docs.site-' || lang || tld)
+               END,
+               '/d/', CAST(doc_id % 10 AS VARCHAR),
+               CASE (doc_id // 13) % 3
+                 WHEN 0 THEN ''
+                 WHEN 1 THEN '?utm_source=feed&utm_campaign=spring'
+                 ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                      || '&utm_medium=social'
+               END,
+               CASE WHEN (doc_id // 3) % 2 = 1 THEN '#frag' ELSE '' END
+             ) AS raw
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, raw,
+             lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+                 AS scheme,
+             lower(regexp_extract(raw,
+                 '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport
+      FROM u
+    ),
+    c AS (
+      SELECT doc_id, raw,
+             regexp_extract(regexp_replace(hostport, ':[0-9]+$', ''),
+                 '([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$', 1) AS domain,
+             concat(
+               CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END,
+               CASE WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END,
+               regexp_extract(regexp_replace(
+                   substr(raw, length(scheme) + 3 + length(hostport) + 1),
+                   '#.*$', ''), '^([^?]*)', 1),
+               CASE WHEN q = '' THEN '' ELSE '?' || q END
+             ) AS canonical
+      FROM (
+        SELECT *,
+               regexp_replace(regexp_replace(
+                   '&' || regexp_extract(regexp_replace(
+                       substr(raw, length(scheme) + 3 + length(hostport) + 1),
+                       '#.*$', ''), '\?(.*)$', 1),
+                   '&utm_[^&]*', '', 'g'), '^&', '') AS q
+        FROM p
+      )
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(count(DISTINCT raw) - count(DISTINCT canonical) AS BIGINT)
+               AS n_collapsed
+    FROM c GROUP BY domain
+    """,
+)
+def url_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    def digit(div: int, mod: int):
+        # distinct integer-division digits keep the selectors
+        # independent (see the oracle's CRT note)
+        return F.expr(f"(doc_id div {div}) % {mod}")
+
+    tld = (
+        F.when(digit(10, 3) == 0, ".com")
+        .when(digit(10, 3) == 1, ".org")
+        .otherwise(".net")
+    )
+    base_host = F.concat(F.lit("docs.site-"), F.col("lang"), tld)
+    v = digit(7, 4)
+    head = (
+        F.when(v == 0, F.concat(F.lit("http://"), base_host))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(base_host), F.lit(":80")))
+        .when(v == 2, F.concat(F.lit("https://"), base_host, F.lit(":443")))
+        .otherwise(F.concat(F.lit("HTTPS://"), F.upper(base_host)))
+    )
+    qv = digit(13, 3)
+    query = (
+        F.when(qv == 0, F.lit(""))
+        .when(qv == 1, F.lit("?utm_source=feed&utm_campaign=spring"))
+        .otherwise(
+            F.concat(
+                F.lit("?id="),
+                F.pmod("doc_id", F.lit(10)).cast("string"),
+                F.lit("&utm_medium=social"),
+            )
+        )
+    )
+    raw = F.concat(
+        head,
+        F.lit("/d/"),
+        F.pmod("doc_id", F.lit(10)).cast("string"),
+        query,
+        F.when(digit(3, 2) == 1, "#frag").otherwise(""),
+    )
+    urls = docs.select("doc_id", raw.alias("raw")).select(
+        "raw",
+        registrable_domain("raw").alias("domain"),
+        canonical_url("raw").alias("canonical"),
+    )
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("raw").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("canonical").cast("long").alias("n_canonical"),
+        (F.countDistinct("raw") - F.countDistinct("canonical"))
+        .cast("long")
+        .alias("n_collapsed"),
+    )
