@@ -1892,3 +1892,70 @@ def test_canonical_url_edge_cases(spark):
     for (raw, want_c, want_d), (gc, gd) in zip(cases, got):
         assert gc == want_c, (raw, gc, want_c)
         assert gd == want_d, (raw, gd, want_d)
+
+
+def test_unigram_viterbi_segmentation_and_tiebreak(spark):
+    """Viterbi DP under HAND-SPECIFIED costs (no ln anywhere): picks
+    the min-cost segmentation, prefers the SHORTEST piece on exact
+    ties, and falls back to single chars for OOV spans."""
+    from umn_eda_kafka_stream_processing_spark.operators.unigram import (
+        viterbi_segment,
+    )
+
+    model = {"ab": 10, "a": 30, "b": 30, "c": 100, "abc": 200, "bc": 15,
+             "x": 500}
+    words = spark.createDataFrame(
+        [("abc", 1), ("ababc", 1), ("axc", 1), ("b", 1)],
+        "word string, freq long",
+    )
+    got = {
+        r["word"]: r["pieces"]
+        for r in viterbi_segment(words, model).collect()
+    }
+    # abc: ab+c=110 vs a+bc=45 vs abc=200 vs a+b+c=160 -> a,bc
+    assert got["abc"] == ["a", "bc"]
+    # ababc: ab+a+bc=55 vs ab+ab+c=120 vs a+b+a+bc=105 ... -> ab,a,bc
+    assert got["ababc"] == ["ab", "a", "bc"]
+    # 'ax'/'xc'/'axc' are OOV (INF): the expensive-but-finite single
+    # 'x' routes around them (the trainer always seeds ALL singles,
+    # so this is the real coverage invariant)
+    assert got["axc"] == ["a", "x", "c"]
+    assert got["b"] == ["b"]
+    # exact tie: craft costs where 'a'+'b' == 'ab' -> shortest piece
+    # (the single) must win the backpointer
+    tie = {"ab": 60, "a": 30, "b": 30}
+    tw = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    assert viterbi_segment(tw, tie).collect()[0]["pieces"] == ["a", "b"]
+
+
+def test_unigram_train_matches_python_reference_randomized(spark):
+    """train_unigram vs the pure-Python reference implementation on
+    randomized corpora: candidate selection, both EM rounds, the
+    Laplace re-estimate, and final (usage DESC, piece ASC) ranking
+    are value-identical (including ln micro-rounding)."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.unigram import (
+        reference_train_unigram,
+        train_unigram,
+    )
+
+    rng = random.Random(0x5EED)
+    stems = ["walk", "talk", "jump", "think", "interna", "un", "re"]
+    sufs = ["ing", "ed", "s", "er", "ation", ""]
+    for trial in range(3):
+        texts = []
+        for _ in range(30):
+            n = rng.randint(3, 10)
+            texts.append(
+                " ".join(
+                    rng.choice(stems) + rng.choice(sufs) for _ in range(n)
+                )
+            )
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["rank"], r["piece"], r["usage"], r["cost_micros"])
+            for r in train_unigram(df, k_cand=60, v_final=40).collect()
+        ]
+        want = reference_train_unigram(texts, k_cand=60, v_final=40)
+        assert got == want, (trial, got[:5], want[:5])

@@ -2339,3 +2339,157 @@ def url_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_collapsed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training
+# ---------------------------------------------------------------------------
+
+def _unigram_oracle(
+    maxw: int = 12, plen: int = 4, k_cand: int = 200,
+    v_final: int = 120, rounds: int = 2,
+) -> str:
+    """Generate the fully-unrolled DuckDB twin of
+    operators/unigram.py:train_unigram: the Viterbi DP as ``maxw``
+    nested one-level subqueries (one cost/backpointer column per
+    level — no expression blowup, mirroring why the Spark side is an
+    F.aggregate fold), the backward walk as another unrolled chain,
+    and each EM round's model re-estimate as plain CTEs. Piece-cost
+    lookups go through a scalar map (element_at(mp, piece)[1])."""
+    inf = 10**15
+
+    def K(arg: str) -> str:
+        return f"coalesce(element_at(mp, {arg})[1], {inf})"
+
+    ctes = [
+        r"""wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) BETWEEN 1 AND """ + str(maxw) + """ GROUP BY word
+    )""",
+        f"""cand AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS freq FROM (
+        SELECT w.freq,
+               substr(w.word, CAST(g.i AS INT), CAST(g.j AS INT)) AS piece
+        FROM wf w
+        JOIN (SELECT i.range AS i, j.range AS j
+              FROM range(1, {maxw + 1}) i, range(1, {plen + 1}) j) g
+          ON g.i + g.j - 1 <= length(w.word)
+      ) GROUP BY piece
+    )""",
+        f"""v0 AS (
+      SELECT piece, freq FROM (
+        SELECT piece, freq,
+               row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+        FROM cand) WHERE rn <= {k_cand}
+      UNION
+      SELECT piece, freq FROM cand WHERE length(piece) = 1
+    )""",
+        """m0 AS (
+      SELECT piece,
+             -CAST(floor(ln(CAST(freq AS DOUBLE)
+                 / (SELECT CAST(sum(freq) AS DOUBLE) FROM v0))
+                 * 1000000.0 + 0.5) AS BIGINT) AS cost
+      FROM v0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""lut{r} AS (
+      SELECT map_from_entries(list({{'k': piece, 'v': cost}})) AS mp
+      FROM m{r - 1}
+    )"""
+        )
+        ctes.append(
+            f"d{r}_0 AS (SELECT word, freq, length(word) AS L, mp "
+            f"FROM wf, lut{r})"
+        )
+        for i in range(1, maxw + 1):
+            terms = []
+            for j in range(1, min(plen, i) + 1):
+                prev = "0" if i == j else f"c{i - j}"
+                terms.append(
+                    f"{prev} + {K(f'substr(word, {i - j + 1}, {j})')}"
+                )
+            whens = " ".join(
+                f"WHEN c{i} = {t} THEN {j + 1}"
+                for j, t in enumerate(terms[:-1])
+            )
+            bexpr = (
+                f"CASE {whens} ELSE {len(terms)} END" if whens
+                else str(len(terms))
+            )
+            ctes.append(
+                f"""d{r}_{i} AS (SELECT *,
+        CASE WHEN L >= {i} THEN least({', '.join(terms)}) END AS c{i},
+        CASE WHEN L >= {i} THEN ({bexpr}) END AS b{i}
+      FROM d{r}_{i - 1})"""
+            )
+        bp_case = " ".join(f"WHEN {i} THEN b{i}" for i in range(1, maxw + 1))
+        ctes.append(f"w{r}_0 AS (SELECT *, L AS p0 FROM d{r}_{maxw})")
+        for k in range(1, maxw + 1):
+            pk = k - 1
+            ctes.append(
+                f"""w{r}_{k} AS (SELECT *,
+        CASE WHEN p{pk} > 0 THEN (CASE p{pk} {bp_case} END) END AS j{pk},
+        CASE WHEN p{pk} > 0
+             THEN substr(word, p{pk} - j{pk} + 1, j{pk}) END AS piece{pk},
+        CASE WHEN p{pk} > 0 THEN p{pk} - j{pk} ELSE 0 END AS p{k}
+      FROM w{r}_{k - 1})"""
+            )
+        pieces = ", ".join(f"piece{k}" for k in range(maxw))
+        ctes.append(
+            f"""u{r} AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+        SELECT freq, unnest([{pieces}]) AS piece FROM w{r}_{maxw})
+      WHERE piece IS NOT NULL GROUP BY piece
+    )"""
+        )
+        ctes.append(
+            f"""r{r} AS (
+      SELECT v.piece, CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+      FROM v0 v LEFT JOIN u{r} u ON u.piece = v.piece
+      WHERE coalesce(u.usage, 0) > 0 OR length(v.piece) = 1
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+      SELECT piece, usage,
+             -CAST(floor(ln((usage + 1.0)
+                 / (SELECT CAST(sum(usage) + count(*) AS DOUBLE) FROM r{r}))
+                 * 1000000.0 + 0.5) AS BIGINT) AS cost
+      FROM r{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(rn AS BIGINT) AS rank, piece, usage, cost AS cost_micros
+    FROM (SELECT piece, usage, cost,
+                 row_number() OVER (ORDER BY usage DESC, piece ASC) AS rn
+          FROM m{rounds})
+    WHERE rn <= {v_final}"""
+    )
+
+
+@_register(
+    "unigram_train_vocab",
+    "Unigram-LM (SentencePiece-style) tokenizer training — the BPE "
+    "twin (Kudo 2018), hard-EM variant: substring candidates -> "
+    "integer-micro -ln costs -> Viterbi segmentation of the distinct "
+    "words (shortest-piece tie-break) -> usage-weighted Laplace "
+    "re-estimate, 2 rounds; output = top-120 pieces by usage. Spark "
+    "runs the DP as ONE F.aggregate fold per round (a withColumn "
+    "recurrence would hit CollapseProject's exponential inlining); "
+    "only the vocab-sized model ever reaches the driver (BPE/k-means "
+    "precedent). Oracle: the identical recurrence unrolled as nested "
+    "one-level subqueries + a map-literal LUT.",
+    _unigram_oracle(),
+)
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.unigram import train_unigram
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return train_unigram(docs)
