@@ -99,7 +99,10 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "customer_cumulative_revenue",
     "nation_customer_quartiles",
     "hourly_type_distribution",
-    "events_cube_totals",
+    # (events_cube_totals rotated out in r06 for gopher_quality_flags
+    # below: driver-verified r04+r05; the analytic-window/grouping
+    # family keeps customer_cumulative_revenue,
+    # nation_customer_quartiles, hourly_type_distribution in-gate)
     # (bpe_token_stats + rolling_fingerprints rotated out in r04 for
     # bpe_train_merges + html_extract_stats: both driver-verified r03;
     # the text family keeps multiple members in-gate)
@@ -133,14 +136,19 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # sequence_packing_stats, sketch_histogram_quantiles — all
     # driver-verified r03, families keep >=1 in-gate + >=2 verified
     # across rounds) ------------------------------------------------
-    "jpeg_decode_stats",
+    # (jpeg_decode_stats rotated out in r06 for span_dedup_rewrite_
+    # stats below: driver-verified r04+r05; the media family keeps
+    # mp4_container_stats, mp4_frame_sample, audio_zcr_stats,
+    # media_decode_health in-gate)
     "mp4_container_stats",
     "mp4_frame_sample",
     "audio_zcr_stats",
     "media_decode_health",
     "lsh_bucket_stats",
     "html_extract_stats",
-    "bpe_train_merges",
+    # (bpe_train_merges rotated out in r06 for unigram_train_vocab
+    # below: driver-verified r04+r05; the tokenizer family keeps
+    # bpe_encode_stats + unigram_train_vocab in-gate)
     # (minhash_lsh_pairs + ann_cosine_topk flagship-refresh slots
     # rotated out in the second r04 rotation: driver-verified r02+r03;
     # dedup/LSH family keeps lsh_bucket_stats, ANN family keeps
@@ -166,14 +174,22 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     # (q16_part_supplier_counts + q11_important_parts rotated out in
     # r05 for char_bigram_quality + repeated_span_topk below: both
-    # driver-verified r04; the TPC-H family keeps 15 members in-gate)
-    "q20_volume_shippers",
+    # driver-verified r04; q20_volume_shippers rotated out in r06 for
+    # url_canonical_stats: driver-verified r04+r05; the TPC-H family
+    # keeps 13 members in-gate)
     # -- new in r05, never driver-verified: char-bigram LM
     # perplexity-style quality scoring + exact-substring duplication
     # report ----------------------------------------------------------
     "char_bigram_quality",
     "repeated_span_topk",
     "span_dup_doc_fraction",
+    # -- new in r06, never driver-verified: exact-substring dedup
+    # REWRITE (cleaned-text action), Gopher quality-rule funnel, URL
+    # canonicalization census, unigram-LM tokenizer training ---------
+    "span_dedup_rewrite_stats",
+    "gopher_quality_flags",
+    "url_canonical_stats",
+    "unigram_train_vocab",
 )
 
 DRIVER_GATE_SLOTS = 50
