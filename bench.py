@@ -64,19 +64,23 @@ def main() -> None:
             # at least one run always executes so the median exists
             if i and (time.time() - bench_start) >= budget_s:
                 break
-            # heavy queries run at most TWICE: a genuinely->heavy_s
-            # query is dominated by real work, not launch jitter, so
-            # its repeat runs buy little median robustness while
-            # costing the budget that keeps the MANY sub-second
+            # heavy queries don't get full repeats: a genuinely
+            # >heavy_s query is dominated by real work, not launch
+            # jitter, so its repeat runs buy little median robustness
+            # while costing the budget that keeps the MANY sub-second
             # queries (where jitter is the whole signal) at full
-            # repeat count. Without this, the 123-query catalog at 3
+            # repeat count. Without this, the 127-query catalog at 3
             # runs overflows the budget and degrades the tail
-            # arbitrarily instead. The second run is a CONFIRMATION:
-            # a sub-heavy query whose first run merely landed in an
-            # external-load spike gets one repeat to prove it, and is
-            # classified heavy only if min(walls) still exceeds the
-            # threshold — otherwise its one noisy sample would BE the
-            # reported median forever (round-5 advice).
+            # arbitrarily instead. Two tiers:
+            # * walls[0] > 2*heavy_s: unambiguously heavy — ONE run
+            #   (an external-load spike doesn't inflate a sub-4s
+            #   query past 8s; doubling an 8s+ query buys nothing).
+            # * heavy_s < min(walls) <= 2*heavy_s: borderline — one
+            #   CONFIRMING run, heavy only if min of two runs still
+            #   exceeds the threshold; otherwise its one noisy sample
+            #   would BE the reported median forever (round-5 advice).
+            if i >= 1 and walls[0] > 2 * heavy_s:
+                break
             if i >= 2 and min(walls) > heavy_s:
                 break
             t0 = time.time()
@@ -97,7 +101,7 @@ def main() -> None:
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
         if len(walls) < runs:
-            if len(walls) >= 2 and min(walls) > heavy_s:
+            if min(walls) > heavy_s:
                 heavy_singles += 1  # deliberate cap, not budget pressure
             else:
                 degraded += 1
@@ -128,7 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "degraded_to_single_run": degraded,
-                "heavy_capped_two_runs": heavy_singles,
+                "heavy_capped": heavy_singles,
                 "walls": all_walls,
                 "sf": sf,
                 "box_load": box,

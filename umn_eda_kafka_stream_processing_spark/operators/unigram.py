@@ -162,21 +162,19 @@ def viterbi_segment(
     )
 
 
-def train_unigram(
+def train_unigram_model(
     df: DataFrame,
     text_col: str = "text",
     max_word_len: int = 12,
     max_piece_len: int = 4,
     k_cand: int = 200,
-    v_final: int = 120,
     em_rounds: int = 2,
-) -> DataFrame:
-    """Train the unigram vocab; returns (rank, piece, usage,
-    cost_micros) — the top ``v_final`` pieces after ``em_rounds`` of
-    hard EM, ranked by (usage DESC, piece ASC)."""
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Run the EM loop; returns ({piece: cost_micros}, {piece:
+    usage}) for the retained set after the final round — the model a
+    caller feeds straight into ``viterbi_segment`` to ENCODE text."""
     from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
 
-    spark = df.sparkSession
     wf = (
         word_freqs(df, text_col)
         .filter(F.length("word") <= max_word_len)
@@ -229,7 +227,27 @@ def train_unigram(
         ).collect()
         model = {r["piece"]: int(r["cost"]) for r in model_rows}
         usage = {r["piece"]: int(r["usage"]) for r in model_rows}
+    return model, usage
 
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    k_cand: int = 200,
+    v_final: int = 120,
+    em_rounds: int = 2,
+) -> DataFrame:
+    """Train the unigram vocab; returns (rank, piece, usage,
+    cost_micros) — the top ``v_final`` pieces after ``em_rounds`` of
+    hard EM, ranked by (usage DESC, piece ASC)."""
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    spark = df.sparkSession
+    model, usage = train_unigram_model(
+        df, text_col, max_word_len, max_piece_len, k_cand, em_rounds
+    )
     final = spark.createDataFrame(
         [(p, usage[p], model[p]) for p in sorted(model)],
         "piece string, usage long, cost_micros long",

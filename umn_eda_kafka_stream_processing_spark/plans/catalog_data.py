@@ -2345,22 +2345,65 @@ def url_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM (SentencePiece-style) tokenizer training
 # ---------------------------------------------------------------------------
 
-def _unigram_oracle(
-    maxw: int = 12, plen: int = 4, k_cand: int = 200,
-    v_final: int = 120, rounds: int = 2,
-) -> str:
-    """Generate the fully-unrolled DuckDB twin of
-    operators/unigram.py:train_unigram: the Viterbi DP as ``maxw``
-    nested one-level subqueries (one cost/backpointer column per
-    level — no expression blowup, mirroring why the Spark side is an
-    F.aggregate fold), the backward walk as another unrolled chain,
-    and each EM round's model re-estimate as plain CTEs. Piece-cost
-    lookups go through a scalar map (element_at(mp, piece)[1])."""
+def _unigram_dp_ctes(tag: str, model_cte: str, maxw: int, plen: int) -> list:
+    """The Viterbi DP + backward walk over the distinct words in
+    ``wf`` under the piece costs of ``model_cte``, unrolled as nested
+    one-level subqueries (one cost/backpointer column per level — no
+    expression blowup). Ends at CTE ``w{tag}_{maxw}`` whose
+    piece0..piece{maxw-1} columns are the segmentation."""
     inf = 10**15
 
     def K(arg: str) -> str:
         return f"coalesce(element_at(mp, {arg})[1], {inf})"
 
+    ctes = [
+        f"""lut{tag} AS (
+      SELECT map_from_entries(list({{'k': piece, 'v': cost}})) AS mp
+      FROM {model_cte}
+    )""",
+        f"d{tag}_0 AS (SELECT word, freq, length(word) AS L, mp "
+        f"FROM wf, lut{tag})",
+    ]
+    for i in range(1, maxw + 1):
+        terms = []
+        for j in range(1, min(plen, i) + 1):
+            prev = "0" if i == j else f"c{i - j}"
+            terms.append(f"{prev} + {K(f'substr(word, {i - j + 1}, {j})')}")
+        whens = " ".join(
+            f"WHEN c{i} = {t} THEN {j + 1}" for j, t in enumerate(terms[:-1])
+        )
+        bexpr = f"CASE {whens} ELSE {len(terms)} END" if whens else str(len(terms))
+        ctes.append(
+            f"""d{tag}_{i} AS (SELECT *,
+        CASE WHEN L >= {i} THEN least({', '.join(terms)}) END AS c{i},
+        CASE WHEN L >= {i} THEN ({bexpr}) END AS b{i}
+      FROM d{tag}_{i - 1})"""
+        )
+    bp_case = " ".join(f"WHEN {i} THEN b{i}" for i in range(1, maxw + 1))
+    ctes.append(f"w{tag}_0 AS (SELECT *, L AS p0 FROM d{tag}_{maxw})")
+    for k in range(1, maxw + 1):
+        pk = k - 1
+        ctes.append(
+            f"""w{tag}_{k} AS (SELECT *,
+        CASE WHEN p{pk} > 0 THEN (CASE p{pk} {bp_case} END) END AS j{pk},
+        CASE WHEN p{pk} > 0
+             THEN substr(word, p{pk} - j{pk} + 1, j{pk}) END AS piece{pk},
+        CASE WHEN p{pk} > 0 THEN p{pk} - j{pk} ELSE 0 END AS p{k}
+      FROM w{tag}_{k - 1})"""
+        )
+    return ctes
+
+
+def _unigram_oracle(
+    maxw: int = 12, plen: int = 4, k_cand: int = 200,
+    v_final: int = 120, rounds: int = 2, mode: str = "train",
+) -> str:
+    """Generate the fully-unrolled DuckDB twin of
+    operators/unigram.py: candidate vocab + integer-micro -ln costs +
+    ``rounds`` hard-EM rounds (each = _unigram_dp_ctes + usage agg +
+    Laplace re-estimate). mode='train' ranks the final vocab;
+    mode='encode' runs one more DP under the FINAL model and reports
+    per-lang corpus compression (the tokenizer APPLIED)."""
     ctes = [
         r"""wf AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -2395,49 +2438,7 @@ def _unigram_oracle(
     )""",
     ]
     for r in range(1, rounds + 1):
-        ctes.append(
-            f"""lut{r} AS (
-      SELECT map_from_entries(list({{'k': piece, 'v': cost}})) AS mp
-      FROM m{r - 1}
-    )"""
-        )
-        ctes.append(
-            f"d{r}_0 AS (SELECT word, freq, length(word) AS L, mp "
-            f"FROM wf, lut{r})"
-        )
-        for i in range(1, maxw + 1):
-            terms = []
-            for j in range(1, min(plen, i) + 1):
-                prev = "0" if i == j else f"c{i - j}"
-                terms.append(
-                    f"{prev} + {K(f'substr(word, {i - j + 1}, {j})')}"
-                )
-            whens = " ".join(
-                f"WHEN c{i} = {t} THEN {j + 1}"
-                for j, t in enumerate(terms[:-1])
-            )
-            bexpr = (
-                f"CASE {whens} ELSE {len(terms)} END" if whens
-                else str(len(terms))
-            )
-            ctes.append(
-                f"""d{r}_{i} AS (SELECT *,
-        CASE WHEN L >= {i} THEN least({', '.join(terms)}) END AS c{i},
-        CASE WHEN L >= {i} THEN ({bexpr}) END AS b{i}
-      FROM d{r}_{i - 1})"""
-            )
-        bp_case = " ".join(f"WHEN {i} THEN b{i}" for i in range(1, maxw + 1))
-        ctes.append(f"w{r}_0 AS (SELECT *, L AS p0 FROM d{r}_{maxw})")
-        for k in range(1, maxw + 1):
-            pk = k - 1
-            ctes.append(
-                f"""w{r}_{k} AS (SELECT *,
-        CASE WHEN p{pk} > 0 THEN (CASE p{pk} {bp_case} END) END AS j{pk},
-        CASE WHEN p{pk} > 0
-             THEN substr(word, p{pk} - j{pk} + 1, j{pk}) END AS piece{pk},
-        CASE WHEN p{pk} > 0 THEN p{pk} - j{pk} ELSE 0 END AS p{k}
-      FROM w{r}_{k - 1})"""
-            )
+        ctes += _unigram_dp_ctes(str(r), f"m{r - 1}", maxw, plen)
         pieces = ", ".join(f"piece{k}" for k in range(maxw))
         ctes.append(
             f"""u{r} AS (
@@ -2462,15 +2463,65 @@ def _unigram_oracle(
       FROM r{r}
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
+    if mode == "train":
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + f"""
     SELECT CAST(rn AS BIGINT) AS rank, piece, usage, cost AS cost_micros
     FROM (SELECT piece, usage, cost,
                  row_number() OVER (ORDER BY usage DESC, piece ASC) AS rn
           FROM m{rounds})
     WHERE rn <= {v_final}"""
+        )
+    ctes += _unigram_dp_ctes("e", f"m{rounds}", maxw, plen)
+    pieces_list = ", ".join(f"piece{k}" for k in range(maxw))
+    ctes.append(
+        f"""np AS (
+      SELECT word,
+             CAST(len(list_filter([{pieces_list}],
+                 x -> x IS NOT NULL)) AS BIGINT) AS n_pieces
+      FROM we_{maxw}
+    )"""
+    )
+    ctes.append(
+        r"""wl AS (
+      SELECT lang, word FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) >= 1
+    )"""
+    )
+    ctes.append(
+        f"""per AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS nw
+      FROM wl WHERE length(word) <= {maxw} GROUP BY lang, word
+    )"""
+    )
+    ctes.append(
+        """enc AS (
+      SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nw * np.n_pieces) AS BIGINT) AS n_pieces
+      FROM per JOIN np USING (word) GROUP BY lang
+    )"""
+    )
+    ctes.append(
+        f"""dropped AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words_dropped
+      FROM wl WHERE length(word) > {maxw} GROUP BY lang
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT e.lang, e.n_words,
+           CAST(coalesce(d.n_words_dropped, 0) AS BIGINT) AS n_words_dropped,
+           e.n_pieces,
+           floor(CAST(e.n_pieces AS DOUBLE) / e.n_words * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_pieces_per_word
+    FROM enc e LEFT JOIN dropped d ON d.lang = e.lang"""
     )
 
 
@@ -2493,3 +2544,71 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return train_unigram(docs)
+
+
+@_register(
+    "unigram_encode_stats",
+    "The trained unigram tokenizer APPLIED (the bpe_encode twin): "
+    "train on the corpus, then Viterbi-encode every word under the "
+    "FINAL model and report per-lang compression — words encoded, "
+    "pieces emitted, avg pieces/word, plus the honest count of words "
+    "over the training length cap (excluded, OOV-fallback territory). "
+    "Encoding is one DP over the DISTINCT words joined back to the "
+    "per-(lang, word) counts — the corpus-sized pass stays two "
+    "hash-aggs.",
+    _unigram_oracle(mode="encode"),
+)
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.unigram import (
+        train_unigram_model,
+        viterbi_segment,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    model, _ = train_unigram_model(docs)
+    wl = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("word"),
+    ).filter(F.length("word") >= 1)
+    wdist = (
+        wl.filter(F.length("word") <= 12)
+        .select("word")
+        .distinct()
+        .withColumn("freq", F.lit(1).cast("long"))
+    )
+    seg = viterbi_segment(wdist, model).select(
+        "word", F.size("pieces").cast("long").alias("n_pieces")
+    )
+    per = (
+        wl.filter(F.length("word") <= 12)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    )
+    enc = (
+        per.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum(F.col("nw") * F.col("n_pieces")).cast("long").alias(
+                "n_pieces"
+            ),
+        )
+    )
+    dropped = (
+        wl.filter(F.length("word") > 12)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words_dropped"))
+    )
+    return enc.join(dropped, "lang", "left").select(
+        "lang",
+        "n_words",
+        F.coalesce("n_words_dropped", F.lit(0))
+        .cast("long")
+        .alias("n_words_dropped"),
+        "n_pieces",
+        round_half_up(
+            F.col("n_pieces").cast("double") / F.col("n_words"), 6
+        ).alias("avg_pieces_per_word"),
+    )

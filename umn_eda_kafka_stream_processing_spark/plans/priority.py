@@ -136,11 +136,10 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # sequence_packing_stats, sketch_histogram_quantiles — all
     # driver-verified r03, families keep >=1 in-gate + >=2 verified
     # across rounds) ------------------------------------------------
-    # (jpeg_decode_stats rotated out in r06 for span_dedup_rewrite_
-    # stats below: driver-verified r04+r05; the media family keeps
-    # mp4_container_stats, mp4_frame_sample, audio_zcr_stats,
-    # media_decode_health in-gate)
-    "mp4_container_stats",
+    # (jpeg_decode_stats + mp4_container_stats rotated out in r06 for
+    # span_dedup_rewrite_stats + unigram_encode_stats below: both
+    # driver-verified r04+r05; the media family keeps
+    # mp4_frame_sample, audio_zcr_stats, media_decode_health in-gate)
     "mp4_frame_sample",
     "audio_zcr_stats",
     "media_decode_health",
@@ -190,6 +189,7 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "gopher_quality_flags",
     "url_canonical_stats",
     "unigram_train_vocab",
+    "unigram_encode_stats",
 )
 
 DRIVER_GATE_SLOTS = 50
