@@ -1034,3 +1034,74 @@ def remove_shared_spans(
             (F.length(text_col) - F.length("rewritten")).cast("long"),
         )
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style LINE-level dedup across the corpus (Raffel et al.
+    2020 §2.2 run line dedup before doc filters; the granularity
+    between exact-doc and overlapping-span dedup): every line whose
+    normalized form (trimmed) appears more than once in the corpus is
+    removed EVERYWHERE except its single canonical occurrence — the
+    (min doc_id, then min line index) one, extending this engine's
+    keeper convention to occurrences. Blank lines are never deduped
+    (they are formatting, not content).
+
+    Plan: two hash-aggs on the md5 line key (keeper doc, then keeper
+    index within that doc — both map-side partial), one join back to
+    the exploded lines, and a per-doc rebuild via sorted
+    collect_list + concat_ws. No corpus-wide window, no Python.
+    At 100 TB this is the same shape as exact_dedup_groups: 16-byte
+    shuffle keys, near-uniform distribution.
+
+    Output: (id, text, rewritten, lines_total, lines_removed).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("idx", "line"),
+    ).withColumn("lk", F.md5(F.trim(F.col("line"))))
+    content = lines.filter(F.trim(F.col("line")) != "")
+    keeper_doc = content.groupBy("lk").agg(
+        F.min(id_col).alias("_kd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # canonical occurrence: min index WITHIN the keeper doc
+    keeper_idx = (
+        content.join(keeper_doc, "lk")
+        .filter((F.col(id_col) == F.col("_kd")) & (F.col("_n") >= 2))
+        .groupBy("lk", "_kd")
+        .agg(F.min("idx").alias("_ki"))
+    )
+    flagged = lines.join(keeper_idx, ["lk"], "left")
+    return (
+        flagged.withColumn(
+            "_drop",
+            F.col("_kd").isNotNull()
+            & ~((F.col(id_col) == F.col("_kd")) & (F.col("idx") == F.col("_ki"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"), F.struct("idx", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("rewritten"),
+            F.count(F.lit(1)).cast("long").alias("lines_total"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("lines_removed"),
+        )
+        .join(docs.select(id_col, text_col), id_col)
+        .select(id_col, text_col, "rewritten", "lines_total", "lines_removed")
+    )

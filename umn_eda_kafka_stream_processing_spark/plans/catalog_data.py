@@ -2612,3 +2612,84 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pieces").cast("double") / F.col("n_words"), 6
         ).alias("avg_pieces_per_word"),
     )
+
+
+@_register(
+    "line_dedup_stats",
+    "C4-style LINE-level corpus dedup (Raffel et al. 2020 run this "
+    "before doc filters — the granularity between exact-doc and "
+    "overlapping-span dedup): any trimmed line occurring more than "
+    "once corpus-wide keeps ONE canonical occurrence (min doc_id, "
+    "then min line index — the keeper convention extended to "
+    "occurrences; blank lines never dedup) and is cut everywhere "
+    "else. Spark emits the REBUILT text (operators/dedup.py:"
+    "remove_duplicate_lines — two md5-keyed hash-aggs + per-doc "
+    "sorted collect_list, no corpus window); the oracle instead "
+    "derives the after-chars arithmetically from kept-line lengths, "
+    "so a hash match proves the rebuild. Per-lang census out.",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split_regex(text, '\n') AS ls
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, lang, i - 1 AS idx,
+             ls[CAST(i AS INT)] AS line,
+             md5(trim(ls[CAST(i AS INT)])) AS lk
+      FROM (SELECT doc_id, lang, ls, unnest(range(1, len(ls) + 1)) AS i
+            FROM base)
+    ),
+    content AS (SELECT * FROM l WHERE trim(line) <> ''),
+    kd AS (
+      SELECT lk, min(doc_id) AS kdoc, count(*) AS n
+      FROM content GROUP BY lk
+    ),
+    ki AS (
+      SELECT c.lk, k.kdoc, min(c.idx) AS kidx
+      FROM content c JOIN kd k ON k.lk = c.lk AND c.doc_id = k.kdoc
+      WHERE k.n >= 2 GROUP BY c.lk, k.kdoc
+    ),
+    fl AS (
+      SELECT l.doc_id, l.lang, l.idx, l.line,
+             (ki.kdoc IS NOT NULL
+              AND NOT (l.doc_id = ki.kdoc AND l.idx = ki.kidx)) AS drp
+      FROM l LEFT JOIN ki ON ki.lk = l.lk
+    ),
+    perdoc AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS lines_total,
+             CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS lines_removed,
+             CAST(count(*) - sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept,
+             CAST(sum(CASE WHEN drp THEN 0 ELSE length(line) END) AS BIGINT)
+                 AS kept_chars
+      FROM fl GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lines_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_rewritten,
+           CAST(sum(lines_total) AS BIGINT) AS lines_total,
+           CAST(sum(lines_removed) AS BIGINT) AS lines_removed,
+           CAST(sum(kept_chars + CASE WHEN kept > 0 THEN kept - 1 ELSE 0 END)
+               AS BIGINT) AS chars_after
+    FROM perdoc GROUP BY lang
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    rdl = dd.remove_duplicate_lines(docs.select("doc_id", "text"))
+    return (
+        rdl.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lines_removed") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_rewritten"),
+            F.sum("lines_total").cast("long").alias("lines_total"),
+            F.sum("lines_removed").cast("long").alias("lines_removed"),
+            F.sum(F.length("rewritten")).cast("long").alias("chars_after"),
+        )
+    )
