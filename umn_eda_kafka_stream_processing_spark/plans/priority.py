@@ -117,7 +117,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (sample_domain_mixture + sample_stratified_by_lang rotated out
     # in the second r04 rotation: driver-verified r03; family keeps
     # split_assignment_stats in-gate)
-    "sequence_packing",
+    # (sequence_packing rotated out in r07 for line_dedup_stats below:
+    # driver-verified r03+r04+r05+r06; packing stays covered by the
+    # full-catalog artifact and its pytest suite)
     "sketch_cms_heavy_users",
     # -- never driver-verified as of r03 (rotated in r04; rotated
     # out: sample_bernoulli_docs, sketch_kmv_users_by_type,
@@ -190,6 +192,10 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "url_canonical_stats",
     "unigram_train_vocab",
     "unigram_encode_stats",
+    # -- registered late in r06 (missed that round's rotation — the
+    # red policy test the r06 verdict flagged), never driver-verified:
+    # C4-style exact line dedup ---------------------------------------
+    "line_dedup_stats",
 )
 
 DRIVER_GATE_SLOTS = 50
