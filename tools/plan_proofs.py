@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import sys
 
 from pyspark.sql import functions as F
@@ -213,7 +214,10 @@ def _fk_join_right_batch_plan(spark, sf_dir):
         fk_join_snapshot,
     )
 
+    # cleaned up by main() after the plan string is captured (the
+    # exhibit's scan must still be listable while it executes)
     root = tempfile.mkdtemp(prefix="fkplan-")
+    _TEMP_ROOTS.append(root)
     (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -242,6 +246,10 @@ def _fk_join_right_batch_plan(spark, sf_dir):
         affected, right_snap, "event_id", "event_id", "inner"
     ).drop("_fkb")
 
+
+# scratch stores the custom exhibits write; removed by main() once
+# every plan string is captured (round-6 advice: no leaked mkdtemp)
+_TEMP_ROOTS: list[str] = []
 
 # (name, what the excerpt proves, builder) — for plans the registry
 # query hides behind stage checkpoints
@@ -314,6 +322,8 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLAN_PROOFS.md"), "w") as f:
         f.write("\n".join(out))
+    for root in _TEMP_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
     print(f"PLAN_PROOFS.md written ({len(exhibits)} exhibits)")
     return 0
 

@@ -71,8 +71,15 @@ def upsert_snapshot(
     key_cols: str | Sequence[str],
     order_col: str = "event_seq",
     partition_cols: Sequence[str] = (),
-) -> None:
+) -> DataFrame:
     """Upsert a changelog into the parquet snapshot at table_path.
+
+    Returns the compacted frame it wrote (checkpointed when a merge
+    happened), so a caller that needs the post-upsert snapshot — the
+    FK join's emission path — can reuse it instead of re-listing the
+    store it just overwrote. With ``partition_cols`` the returned
+    frame covers only the touched partitions (the full snapshot has
+    untouched partitions too — re-read the path if those are needed).
 
     With ``partition_cols``, only partitions present in the changelog
     are read, compacted, and dynamically overwritten. Without them,
@@ -116,6 +123,7 @@ def upsert_snapshot(
     # drop the session's cached file listing for the path: the old
     # (now deleted) part files otherwise stay visible to future reads
     spark.catalog.refreshByPath(table_path)
+    return compacted
 
 
 def upsert_bucket_partitioned(

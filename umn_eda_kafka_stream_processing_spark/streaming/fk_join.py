@@ -122,14 +122,19 @@ def start_fk_table_join(
     def on_left_rows(spark: SparkSession, batch_df: DataFrame,
                      batch_id: int) -> None:
         if n_fk_buckets:
+            # bucket upserts merge only the touched buckets; emission
+            # prunes to this batch's keys anyway, so re-reading the
+            # store for the full snapshot is still required here
             upsert_bucket_partitioned(
                 spark, left_store,
                 batch_df.withColumn(_BUCKET_COL, _bucket(F.col(fk_col))),
                 left_key, order_col, _BUCKET_COL,
             )
+            left_snap = _read_or_none(spark, left_store)
         else:
-            upsert_snapshot(spark, left_store, batch_df, left_key, order_col)
-        left_snap = _read_or_none(spark, left_store)
+            left_snap = upsert_snapshot(
+                spark, left_store, batch_df, left_key, order_col
+            )
         right_snap = _read_or_none(spark, right_store)
         if right_snap is None:
             if not left_outer:
@@ -150,7 +155,13 @@ def start_fk_table_join(
 
     def on_right_rows(spark: SparkSession, batch_df: DataFrame,
                       batch_id: int) -> None:
-        upsert_snapshot(spark, right_store, batch_df, right_key, order_col)
+        # upsert_snapshot returns the post-upsert snapshot (the full
+        # right KTable — no partition_cols), so the emission join
+        # reuses it instead of re-listing the store it just wrote
+        # (round-6 advice: one read per batch path)
+        right_snap = upsert_snapshot(
+            spark, right_store, batch_df, right_key, order_col
+        )
         left_snap = _read_or_none(spark, left_store)
         if left_snap is None:
             return  # nothing references anything yet
@@ -176,7 +187,6 @@ def start_fk_table_join(
         # semi-join, not a scan-compare
         touched = batch_df.select(F.col(right_key).alias(fk_col)).distinct()
         affected = left_snap.join(F.broadcast(touched), fk_col, "left_semi")
-        right_snap = _read_or_none(spark, right_store)
         emit(
             fk_join_snapshot(affected, right_snap, fk_col, right_key, how)
             .drop(_BUCKET_COL),
