@@ -1807,6 +1807,85 @@ def test_remove_shared_spans_matches_brute_force_randomized(spark):
             assert got[d][1] == len(t) - len(want[d])
 
 
+def test_remove_shared_spans_min_run_len_matches_brute_force(spark):
+    """The variable-length knob (Lee et al. cut only duplicated runs
+    >= ~50 tokens): merged removable runs under min_run_len are
+    SPARED, runs at/over it are cut, and two barely-overlapping short
+    occurrences that union past the threshold are removed. Verified
+    vs a character-level brute force across span_len x min_run_len
+    grids, including min_run_len == span_len (must equal the default
+    behavior) and run-count columns."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    def brute(texts, L, mrl):
+        occ = {}
+        for d, t in texts.items():
+            for i in range(len(t) - L + 1):
+                occ.setdefault(t[i:i + L], set()).add(d)
+        out = {}
+        for d, t in texts.items():
+            rm = [False] * len(t)
+            for i in range(len(t) - L + 1):
+                ds = occ[t[i:i + L]]
+                if len(ds) >= 2 and d != min(ds):
+                    for j in range(i, i + L):
+                        rm[j] = True
+            runs, i = [], 0
+            while i < len(t):
+                if rm[i]:
+                    j = i
+                    while j < len(t) and rm[j]:
+                        j += 1
+                    runs.append((i, j))
+                    i = j
+                else:
+                    i += 1
+            kept = [r for r in runs if r[1] - r[0] >= mrl]
+            parts, cur = [], 0
+            for s, e in kept:
+                parts.append(t[cur:s])
+                cur = e
+            parts.append(t[cur:])
+            out[d] = ("".join(parts), len(runs), len(kept))
+        return out
+
+    rng = random.Random(0xBEEF)
+    long_shared = "".join(rng.choice("abcd") for _ in range(60))
+    short_shared = "".join(rng.choice("abcd") for _ in range(18))
+    texts = {}
+    for d in range(1, 25):
+        t = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 120)))
+        if d % 3 == 0:
+            t = t[:20] + long_shared + t[20:]
+        if d % 4 == 0:
+            t = short_shared + t
+        texts[d] = t
+    texts[25] = texts[3]  # exact copy: one full-length run
+    texts[26] = ""
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for L, mrl in [(8, 8), (8, 25), (16, 16), (16, 40), (16, 1000)]:
+        got = {
+            r["doc_id"]: (r["rewritten"], r["runs_merged"], r["runs_cut"])
+            for r in remove_shared_spans(
+                docs, span_len=L, min_run_len=mrl
+            ).collect()
+        }
+        want = brute(texts, L, mrl)
+        assert got == want, (L, mrl)
+        if mrl == L:  # threshold == span_len must equal the default
+            dflt = {
+                r["doc_id"]: (r["rewritten"], r["runs_merged"], r["runs_cut"])
+                for r in remove_shared_spans(docs, span_len=L).collect()
+            }
+            assert dflt == got, L
+
+
 def test_gopher_quality_flags_every_rule_cross_engine(spark, tmp_path):
     """Crafted docs drive each Gopher rule branch (the synthetic corpus
     only ever fails word_count/stopwords), and the SPARK funnel must

@@ -949,6 +949,7 @@ def remove_shared_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_len: int = 16,
+    min_run_len: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup ACTION (Lee et al. 2022, 'Deduplicating
     Training Data Makes Language Models Better'): emit CLEANED text
@@ -964,6 +965,16 @@ def remove_shared_spans(
     for every span it shares (or shares nothing) passes through
     unchanged.
 
+    ``min_run_len`` (Lee et al. cut only duplicated runs of >= ~50
+    tokens; fixed ``span_len``-char windows alone over-cut
+    boilerplate-adjacent text) keeps a merged run UNLESS it spans at
+    least that many characters: runs are unioned first, then filtered,
+    then cut — so two barely-overlapping short occurrences that merge
+    past the threshold ARE removed, and an isolated ``span_len``-char
+    hit below it is NOT. Default (None -> ``span_len``) cuts every
+    merged run, the round-6 behavior, since every run covers >= one
+    full span.
+
     Plan shape (all JVM column exprs, no window over the corpus, no
     per-row Python):
 
@@ -973,19 +984,25 @@ def remove_shared_spans(
     3. one doc-keyed agg collecting each doc's removable START
        POSITIONS into a sorted int array (bounded by the doc's own
        length — the same order of memory as the text itself);
-    4. a single `F.aggregate` fold over that array rebuilds the kept
-       text with a moving cursor: for each removable start p, append
-       text[cursor, p) and advance cursor to max(cursor, p+span_len).
-       Interval union falls out of the max — no gaps-and-islands
-       window needed.
+    4. one `F.aggregate` fold merges the sorted starts into maximal
+       runs (start, end) — adjacent/overlapping intervals union —
+       then `F.filter` drops runs under ``min_run_len``, and a second
+       fold over the surviving (disjoint, sorted) runs rebuilds the
+       kept text with a moving cursor. Both folds are per-doc array
+       exprs inside whole-stage codegen.
 
     At 100 TB, run steps 1-2 on md5(span) instead of the raw span
     (16-byte shuffle keys instead of raw text x span_len; equality is
     all the pipeline needs, exactly like `repeated_span_topk`'s
     documented scale path).
 
-    Output: (id, text, rewritten, chars_removed).
+    Output: (id, text, rewritten, chars_removed, runs_merged,
+    runs_cut) — runs_merged counts a doc's maximal removable runs
+    before the threshold, runs_cut after (equal when min_run_len is
+    the default).
     """
+    if min_run_len is None:
+        min_run_len = span_len
     w = _span_windows(docs, id_col, text_col, span_len)
     stats = (
         w.groupBy("span")
@@ -1002,17 +1019,65 @@ def remove_shared_spans(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
     )
-    rebuilt = F.aggregate(
+    # fold 1: sorted starts -> maximal merged runs [(s, e)], 1-based
+    # inclusive. A start p covers [p, p+span_len-1]; it extends the
+    # open run when p <= e+1 (overlap or adjacency — identical union
+    # semantics to the round-6 moving-cursor fold).
+    empty_runs = F.array().cast("array<struct<s:int,e:int>>")
+    run_struct = lambda s, e: F.struct(  # noqa: E731
+        s.cast("int").alias("s"), e.cast("int").alias("e")
+    )
+    merged = F.aggregate(
         "_poss",
+        F.struct(
+            empty_runs.alias("r"),
+            F.lit(-1).alias("s"),
+            F.lit(-1).alias("e"),
+        ),
+        lambda acc, p: F.when(
+            acc["s"] < 0,
+            F.struct(
+                acc["r"].alias("r"),
+                p.cast("int").alias("s"),
+                (p + F.lit(span_len - 1)).cast("int").alias("e"),
+            ),
+        )
+        .when(
+            p <= acc["e"] + 1,
+            F.struct(
+                acc["r"].alias("r"),
+                acc["s"].alias("s"),
+                F.greatest(acc["e"], (p + F.lit(span_len - 1)).cast("int"))
+                .alias("e"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(
+                    acc["r"], F.array(run_struct(acc["s"], acc["e"]))
+                ).alias("r"),
+                p.cast("int").alias("s"),
+                (p + F.lit(span_len - 1)).cast("int").alias("e"),
+            )
+        ),
+        lambda acc: F.when(acc["s"] < 0, acc["r"]).otherwise(
+            F.concat(acc["r"], F.array(run_struct(acc["s"], acc["e"])))
+        ),
+    )
+    kept_runs = F.filter(
+        F.col("_runs"), lambda r: r["e"] - r["s"] + 1 >= F.lit(min_run_len)
+    )
+    # fold 2: cut the surviving runs (disjoint + sorted, so the cursor
+    # only moves forward and substr lengths are never negative)
+    rebuilt = F.aggregate(
+        "_cut",
         F.struct(F.lit("").alias("t"), F.lit(1).alias("c")),
-        lambda acc, p: F.struct(
+        lambda acc, r: F.struct(
             F.concat(
                 acc["t"],
-                F.col(text_col).substr(
-                    acc["c"], F.greatest(p - acc["c"], F.lit(0))
-                ),
+                F.col(text_col).substr(acc["c"], r["s"] - acc["c"]),
             ).alias("t"),
-            F.greatest(acc["c"], p + F.lit(span_len)).alias("c"),
+            (r["e"] + 1).alias("c"),
         ),
         lambda acc: F.concat(
             acc["t"],
@@ -1022,16 +1087,28 @@ def remove_shared_spans(
     return (
         docs.select(id_col, text_col)
         .join(rem, id_col, "left")
+        .withColumn("_runs", F.when(F.col("_poss").isNotNull(), merged))
+        .withColumn("_cut", kept_runs)
         .select(
             id_col,
             text_col,
             F.when(F.col("_poss").isNull(), F.col(text_col))
             .otherwise(rebuilt)
             .alias("rewritten"),
+            F.coalesce(F.size("_runs"), F.lit(0))
+            .cast("long")
+            .alias("runs_merged"),
+            F.coalesce(F.size("_cut"), F.lit(0))
+            .cast("long")
+            .alias("runs_cut"),
         )
         .withColumn(
             "chars_removed",
             (F.length(text_col) - F.length("rewritten")).cast("long"),
+        )
+        .select(
+            id_col, text_col, "rewritten", "chars_removed",
+            "runs_merged", "runs_cut",
         )
     )
 

@@ -875,3 +875,116 @@ def span_dedup_rewrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rew.select("doc_id", "rewritten"), "rewritten", "dup_frac_after"
     )
     return docstats.crossJoin(bef).crossJoin(aft)
+
+
+@_register(
+    "span_dedup_minrun_stats",
+    "Variable-length exact-substring dedup (Lee et al. 2022 remove only "
+    "duplicated RUNS >= a length threshold — ~50 tokens in the paper; "
+    "fixed 16-char windows alone over-cut boilerplate-adjacent text): "
+    "merge each doc's removable 16-char occurrences into maximal runs, "
+    "cut only runs >= 40 chars, spare the rest. Reports run counts on "
+    "both sides of the threshold plus the before/after char totals. "
+    "Spark plan: the same span hash-agg + span-keyed join as the full "
+    "rewrite, then two per-doc array folds (merge runs, cut survivors) "
+    "inside whole-stage codegen (operators/dedup.py:remove_shared_spans "
+    "min_run_len); the oracle merges runs via gaps-and-islands windows "
+    "and filters them with a WHERE on run length — a deliberately "
+    "different formulation of the same interval semantics.",
+    """
+    WITH w AS (
+      SELECT doc_id, pos, substr(text, pos, 16) AS span
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 15, 0) + 1)) AS pos
+            FROM documents)
+    ),
+    st AS (
+      SELECT span, min(doc_id) AS keeper, count(DISTINCT doc_id) AS nd
+      FROM w GROUP BY span
+    ),
+    rem AS (
+      SELECT w.doc_id, w.pos AS s, w.pos + 15 AS e
+      FROM w JOIN st ON st.span = w.span
+      WHERE st.nd >= 2 AND w.doc_id <> st.keeper
+    ),
+    isl AS (
+      -- island break only on a REAL gap (s > pme + 1): adjacent
+      -- removable intervals are one contiguous duplicated run, and
+      -- the length threshold must see them merged (the rewrite-only
+      -- oracle can split on adjacency because the cut text is the
+      -- same either way; run counts and thresholds are not)
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pme
+            FROM rem)
+    ),
+    mrg AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS runs_merged,
+             CAST(coalesce(sum(CASE WHEN e - s + 1 >= 40 THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS runs_cut
+      FROM mrg
+    ),
+    parts AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+      FROM mrg WHERE e - s + 1 >= 40
+    ),
+    rew0 AS (
+      SELECT p.doc_id,
+             concat(string_agg(substr(d.text, p.pe + 1, p.s - p.pe - 1),
+                               '' ORDER BY p.s),
+                    substr(d.text, max(p.e) + 1)) AS rewritten
+      FROM parts p JOIN documents d ON d.doc_id = p.doc_id
+      GROUP BY p.doc_id, d.text
+    ),
+    rew AS (
+      SELECT d.doc_id, d.text, coalesce(r.rewritten, d.text) AS rewritten
+      FROM documents d LEFT JOIN rew0 r ON r.doc_id = d.doc_id
+    ),
+    docstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(text) > length(rewritten)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_rewritten,
+             CAST(sum(length(text)) AS BIGINT) AS chars_before,
+             CAST(sum(length(rewritten)) AS BIGINT) AS chars_after,
+             CAST(sum(length(text)) - sum(length(rewritten)) AS BIGINT)
+                 AS chars_removed
+      FROM rew
+    )
+    SELECT n_docs, docs_rewritten, runs_merged, runs_cut,
+           runs_merged - runs_cut AS runs_spared,
+           chars_before, chars_after, chars_removed
+    FROM docstats, counts
+    """,
+)
+def span_dedup_minrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        remove_shared_spans,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    rew = remove_shared_spans(docs, min_run_len=40)
+    return rew.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("chars_removed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_rewritten"),
+        F.sum("runs_merged").cast("long").alias("runs_merged"),
+        F.sum("runs_cut").cast("long").alias("runs_cut"),
+        (F.sum("runs_merged") - F.sum("runs_cut"))
+        .cast("long")
+        .alias("runs_spared"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.length("rewritten")).cast("long").alias("chars_after"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+    )

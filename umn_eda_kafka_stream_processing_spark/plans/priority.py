@@ -125,7 +125,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # out: sample_bernoulli_docs, sketch_kmv_users_by_type,
     # sketch_hll_users_by_type — each family keeps >=2 verified
     # members in the list above) ------------------------------------
-    "split_assignment_stats",
+    # (split_assignment_stats rotated out in r07 for
+    # span_dedup_minrun_stats below: driver-verified r04+r05+r06; the
+    # sampling family keeps epoch_shuffle_assignment in-gate)
     # (user_activity_similarity rotated out in r05 for ann_ivfpq_topk:
     # driver-verified r03+r04; the ANN/similarity family keeps
     # user_activity_similarity_lsh + ann_pq_topk in-gate)
@@ -196,6 +198,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # red policy test the r06 verdict flagged), never driver-verified:
     # C4-style exact line dedup ---------------------------------------
     "line_dedup_stats",
+    # -- new in r07, never driver-verified: variable-length
+    # exact-substring dedup (Lee et al. min-run threshold) ------------
+    "span_dedup_minrun_stats",
 )
 
 DRIVER_GATE_SLOTS = 50
