@@ -2038,3 +2038,64 @@ def test_unigram_train_matches_python_reference_randomized(spark):
         ]
         want = reference_train_unigram(texts, k_cand=60, v_final=40)
         assert got == want, (trial, got[:5], want[:5])
+
+
+def test_nb_learns_planted_class_vocabulary(spark):
+    """Learnability exhibit for the NB classifier (the synthetic sf
+    corpus has NO text-label correlation — uniform token soup — so
+    the catalog queries only prove engine-exactness; this test proves
+    the operator actually LEARNS): two classes with planted
+    discriminative vocabulary plus shared filler, trained on half the
+    docs, scored on the held-out half. Pins per-class recall, the
+    OOV-floor path (held-out docs carry unseen words), the
+    feature-less-doc bare-prior path, and the deterministic
+    min-label tie-break."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.nb import (
+        nb_score,
+        nb_train,
+        word_features,
+    )
+
+    rng = random.Random(0xB0B)
+    shared = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    spammy = ["win", "free", "prize", "click", "offer"]
+    hammy = ["meeting", "report", "quarterly", "agenda", "minutes"]
+    rows = []
+    for d in range(200):
+        cls = "spam" if d % 2 == 0 else "ham"
+        own = spammy if cls == "spam" else hammy
+        words = [
+            rng.choice(own if rng.random() < 0.6 else shared)
+            for _ in range(rng.randint(8, 30))
+        ]
+        # held-out docs sprinkle OOV words (never in training)
+        if d >= 100 and rng.random() < 0.5:
+            words.append(f"novel{d}")
+        rows.append((d, " ".join(words), cls))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    train = docs.filter("doc_id < 100")
+    test = docs.filter("doc_id >= 100")
+    model, priors, vocab = nb_train(
+        word_features(train), train.select("doc_id", "label")
+    )
+    assert vocab == len(set(shared + spammy + hammy))
+    preds = nb_score(word_features(test), test.select("doc_id"), model, priors)
+    joined = {r["doc_id"]: r for r in preds.join(test, "doc_id").collect()}
+    by_cls = {"spam": [0, 0], "ham": [0, 0]}
+    for r in joined.values():
+        by_cls[r["label"]][0] += 1
+        if r["pred"] == r["label"]:
+            by_cls[r["label"]][1] += 1
+    for cls, (n, hit) in by_cls.items():
+        assert n >= 40
+        assert hit / n >= 0.9, (cls, hit, n)
+
+    # feature-less doc: bare priors decide; equal priors (100 docs
+    # each) tie on score -> min(label) wins deterministically ('ham')
+    blank = spark.createDataFrame([(999, "   ")], "doc_id long, text string")
+    p = nb_score(
+        word_features(blank), blank.select("doc_id"), model, priors
+    ).collect()[0]
+    assert p["pred"] == "ham"

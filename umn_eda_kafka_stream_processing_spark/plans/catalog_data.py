@@ -2693,3 +2693,150 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("rewritten")).cast("long").alias("chars_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes learned classifier (operators/nb.py). Labels derive from
+# the Gopher word_count rule (short = under 50 words — the only
+# text-derived labeling that splits this synthetic corpus; the full
+# keep/filter funnel is degenerate here because EVERY sf doc fails the
+# required-stopword rule, and lang/source are random metadata
+# uncorrelated with the token soup). The crafted-corpus learnability
+# test lives in tests/test_data_ops.py (planted class vocabulary,
+# pinned recall); these queries prove the count/ln/argmax pipeline is
+# engine-exact end to end.
+_NB_LABEL_SQL = (
+    r"SELECT doc_id, CASE WHEN len(string_split_regex(trim(text), '\s+')) < 50 "
+    r"THEN 'short' ELSE 'long' END AS label FROM documents"
+)
+_NB_TRAIN_CTES = r"""
+    lab AS ({label_sql}),
+    f AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\s+'))) AS feat
+      FROM documents
+    ),
+    ff AS (SELECT doc_id, feat FROM f WHERE feat <> ''),
+    v AS (SELECT CAST(count(DISTINCT feat) AS DOUBLE) AS vs FROM ff),
+    cb AS (
+      SELECT l.label, ff.feat, CAST(count(*) AS BIGINT) AS c
+      FROM ff JOIN lab l USING (doc_id) GROUP BY l.label, ff.feat
+    ),
+    nl AS (SELECT label, sum(c) AS n FROM cb GROUP BY label),
+    mdl AS (
+      SELECT cb.label, cb.feat, cb.c,
+             CAST(floor(ln((cb.c + 1.0) / (nl.n + v.vs)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS logp_micro
+      FROM cb JOIN nl USING (label), v
+    )
+""".replace("{label_sql}", _NB_LABEL_SQL)
+
+
+@_register(
+    "nb_train_model",
+    "Multinomial Naive-Bayes TRAINING (the learned classifier of "
+    "fastText-shape curation stacks, done as pure counts because SGD is "
+    "order-dependent and non-portable): word_count-rule labels "
+    "(short/long), lowercased word-unigram features, Laplace-smoothed "
+    "ln((c+1)/(n_label+V)) per observed (label, feature) held as "
+    "integer-micro BIGINT (the charlm recipe — one ln per DISTINCT "
+    "pair, 6dp rounding absorbs libm skew). Spark: one id-keyed join + "
+    "one (label, feat) hash-agg + a vocab scalar "
+    "(operators/nb.py:nb_train); oracle repeats the counts in SQL.",
+    r"""
+    WITH """ + _NB_TRAIN_CTES + r"""
+    SELECT label, feat, c, logp_micro FROM mdl
+    """,
+)
+def nb_train_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.nb import (
+        nb_train,
+        word_features,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    labels = docs.select(
+        "doc_id",
+        F.when(token_count() < 50, F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("label"),
+    )
+    model, _priors, _v = nb_train(word_features(docs), labels)
+    return model
+
+
+@_register(
+    "nb_quality_flags",
+    "Multinomial Naive-Bayes SCORING: every doc scored under the "
+    "trained model as prior + sum of per-token integer-micro "
+    "log-probs (exact, order-independent BIGINT sums — no float "
+    "accumulation), OOV tokens at the label's smoothing floor, argmax "
+    "via min(struct(-score, label)) with ties to the smaller label. "
+    "Spark: feature stream x tiny label list, broadcast model join, "
+    "one (doc, label) hash-agg, map-side-combined argmax "
+    "(operators/nb.py:nb_score — no window over the corpus); oracle "
+    "re-derives the same scores and picks the row_number()=1 label.",
+    r"""
+    WITH """ + _NB_TRAIN_CTES + r""",
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM lab),
+    dl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+           FROM lab GROUP BY label),
+    pr AS (
+      SELECT dl.label,
+             CAST(floor(ln(CAST(dl.n_docs AS DOUBLE) / tot.t) * 1000000.0
+                        + 0.5) AS BIGINT) AS prior_micro,
+             CAST(floor(ln(1.0 / (coalesce(nl.n, 0) + v.vs)) * 1000000.0
+                        + 0.5) AS BIGINT) AS floor_micro
+      FROM dl LEFT JOIN nl USING (label), tot, v
+    ),
+    ts AS (
+      SELECT ff.doc_id, p.label,
+             sum(coalesce(m.logp_micro, p.floor_micro)) AS s
+      FROM ff CROSS JOIN pr p
+      LEFT JOIN mdl m ON m.label = p.label AND m.feat = ff.feat
+      GROUP BY ff.doc_id, p.label
+    ),
+    sc AS (
+      SELECT g.doc_id, g.label AS plabel,
+             g.prior_micro + coalesce(ts.s, 0) AS score
+      FROM (SELECT d.doc_id, p.label, p.prior_micro
+            FROM documents d CROSS JOIN pr p) g
+      LEFT JOIN ts ON ts.doc_id = g.doc_id AND ts.label = g.label
+    ),
+    bs AS (
+      SELECT doc_id, plabel, CAST(score AS BIGINT) AS score_b,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plabel ASC) AS rn
+      FROM sc
+    )
+    SELECT b.doc_id, l.label, b.plabel AS pred,
+           b.score_b AS pred_score_micro,
+           CAST(CASE WHEN b.plabel = l.label THEN 1 ELSE 0 END AS BIGINT)
+               AS correct
+    FROM bs b JOIN lab l USING (doc_id) WHERE b.rn = 1
+    """,
+)
+def nb_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.nb import (
+        nb_score,
+        nb_train,
+        word_features,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    labels = docs.select(
+        "doc_id",
+        F.when(token_count() < 50, F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("label"),
+    )
+    feats = word_features(docs)
+    model, priors, _v = nb_train(feats, labels)
+    preds = nb_score(feats, docs.select("doc_id"), model, priors)
+    return preds.join(labels.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        "label",
+        "pred",
+        "pred_score_micro",
+        (F.col("pred") == F.col("label")).cast("long").alias("correct"),
+    )

@@ -159,10 +159,11 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in second r04 rotation, never driver-verified: TPC-H
     # completion (semi/anti joins, correlated subqueries, outer-join
     # histogram, disjunctive brackets — plans/catalog_tpch.py) -------
-    "q4_order_priority",
+    # (q4_order_priority + q12_late_lines_by_status rotated out in r07
+    # for nb_train_model + nb_quality_flags below: both driver-verified
+    # r04+r05+r06; the TPC-H family keeps 11 members in-gate)
     "q7_volume_shipping",
     "q8_market_share",
-    "q12_late_lines_by_status",
     "q13_customer_order_distribution",
     # (q14_promo_revenue rotated out in r05 for span_dup_doc_fraction
     # below: driver-verified r04; TPC-H keeps 14 members in-gate)
@@ -199,8 +200,11 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # C4-style exact line dedup ---------------------------------------
     "line_dedup_stats",
     # -- new in r07, never driver-verified: variable-length
-    # exact-substring dedup (Lee et al. min-run threshold) ------------
+    # exact-substring dedup (Lee et al. min-run threshold), NB
+    # classifier train + score ----------------------------------------
     "span_dedup_minrun_stats",
+    "nb_train_model",
+    "nb_quality_flags",
 )
 
 DRIVER_GATE_SLOTS = 50
