@@ -1960,6 +1960,15 @@ def test_canonical_url_edge_cases(spark):
         ("http://ex.com#frag", "http://ex.com", "ex.com"),
         ("not a url at all", "not a url at all", ""),
         ("http://EX.com", "http://ex.com", "ex.com"),
+        # PSL-lite: ccSLD suffixes take three labels, the bare suffix
+        # degrades to itself, deep subdomains still yield the
+        # registration, and lookalike non-suffix hosts stay 2-label
+        ("https://Example.CO.UK/p", "https://example.co.uk/p", "example.co.uk"),
+        ("https://a.b.example.co.uk:443/p", "https://a.b.example.co.uk/p", "example.co.uk"),
+        ("http://shop.com.au:8080/", "http://shop.com.au:8080/", "shop.com.au"),
+        ("https://www.x.co.jp", "https://www.x.co.jp", "x.co.jp"),
+        ("https://co.uk/path", "https://co.uk/path", "co.uk"),
+        ("https://foo.co.zz/p", "https://foo.co.zz/p", "co.zz"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
     got = [

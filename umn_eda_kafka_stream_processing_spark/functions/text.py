@@ -306,11 +306,49 @@ def canonical_url(url: str = "url") -> Column:
     )
 
 
+# PSL-lite: the ~50 highest-traffic multi-label public suffixes
+# (country-code second-level domains) from the public-suffix list —
+# the hosts where a 2-label rule returns the SUFFIX (co.uk) instead
+# of the registration (example.co.uk), which are exactly the hot
+# domains of web corpora. A static literal subset keeps the function
+# dependency-free and oracle-twin-able; anything not listed falls
+# back to the 2-label rule. The full PSL (~9k rules incl. wildcards
+# and exceptions) would ship the same way at scale: a broadcast
+# lookup, not a library.
+PSL_LITE_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "co.za", "org.za", "net.za", "gov.za",
+    "com.mx", "org.mx",
+    "com.ar", "com.sg", "com.hk", "com.my", "com.tr", "com.ua",
+    "com.vn", "com.ph", "com.pk", "com.eg", "com.sa", "com.co",
+    "com.pe", "co.il", "co.id", "co.th",
+)
+
+
 def registrable_domain(url: str = "url") -> Column:
-    """Naive registrable domain: the last two dot-labels of the
-    lowercased, port-stripped host. Heuristic — a real stack swaps in
-    the public-suffix list (co.uk etc.); the two-label rule is the
-    portable, dependency-free approximation and is exact for the
-    gTLD-style hosts the census queries group on."""
+    """Registrable domain of the URL's lowercased, port-stripped host
+    under a PSL-lite rule: when the last TWO labels form a known
+    multi-label public suffix (``PSL_LITE_SUFFIXES`` — co.uk,
+    com.au, co.jp, ...), take the last THREE labels; otherwise the
+    last two (the gTLD rule). Pure regexp + literal array membership
+    — codegen'd, exactly twinned in DuckDB. A host that IS a bare
+    listed suffix (no third label) degrades to the suffix itself,
+    and a non-URL input yields ''."""
     host = F.regexp_replace(_url_hostport(F.col(url)), ":[0-9]+$", "")
-    return F.regexp_extract(host, r"([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$", 1)
+    last2 = F.regexp_extract(host, r"([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$", 1)
+    last3 = F.regexp_extract(
+        host, r"([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$", 1
+    )
+    return F.when(
+        last2.isin(*PSL_LITE_SUFFIXES) & (last3 != ""), last3
+    ).otherwise(last2)

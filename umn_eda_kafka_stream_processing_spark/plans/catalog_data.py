@@ -2840,3 +2840,132 @@ def nb_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_score_micro",
         (F.col("pred") == F.col("label")).cast("long").alias("correct"),
     )
+
+
+# DuckDB twin of functions/text.py:registrable_domain — the IN-list is
+# generated from the SAME Python tuple, so the two engines cannot
+# drift. host must already be lowercased + port-stripped.
+def _duck_psl_domain(host: str) -> str:
+    from umn_eda_kafka_stream_processing_spark.functions.text import (
+        PSL_LITE_SUFFIXES,
+    )
+
+    sufs = ", ".join(f"'{s}'" for s in PSL_LITE_SUFFIXES)
+    l2 = rf"regexp_extract({host}, '([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$', 1)"
+    l3 = (
+        rf"regexp_extract({host}, "
+        rf"'([A-Za-z0-9\-]+\.[A-Za-z0-9\-]+\.[A-Za-z0-9\-]+)$', 1)"
+    )
+    return f"CASE WHEN {l2} IN ({sufs}) AND {l3} <> '' THEN {l3} ELSE {l2} END"
+
+
+@_register(
+    "domain_census",
+    "Registrable-domain census under the PSL-lite rule "
+    "(functions/text.py:registrable_domain): hosts spanning gTLDs, "
+    "ccSLD suffixes (co.uk / com.au / co.jp), scheme-case variants, "
+    "subdomain fan-out, and a planted BARE-suffix host are grouped by "
+    "registrable domain — example.co.uk must group apart from co.uk "
+    "(the 2-label rule collapses them, which mis-mixes exactly the hot "
+    "domains of web corpora). The suffix list is a static literal "
+    "broadcast into the expression (the full PSL would ship the same "
+    "way); the oracle's IN-list is generated from the SAME Python "
+    "tuple so the twins cannot drift. Pure regexp chains + literal "
+    "membership, full scan speed.",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             concat(
+               CASE (doc_id // 11) % 3
+                 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'blog.' END,
+               'site', CAST((doc_id // 5) % 4 AS VARCHAR),
+               CASE (doc_id // 7) % 5
+                 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                 WHEN 2 THEN '.com.au' WHEN 3 THEN '.co.jp'
+                 ELSE '.org' END
+             ) AS bh
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'https://co.uk/x'
+                  WHEN (doc_id // 3) % 2 = 1
+                  THEN 'HTTPS://' || upper(bh) || '/x'
+                  ELSE 'https://' || bh || '/x' END AS raw
+      FROM h
+    ),
+    p AS (
+      SELECT raw,
+             regexp_replace(
+                 lower(regexp_extract(raw,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                 ':[0-9]+$', '') AS host
+      FROM u
+    ),
+    d AS (SELECT raw, host, {PSL_DOMAIN} AS domain FROM p)
+    SELECT domain,
+           CAST(length(domain) - length(replace(domain, '.', '')) + 1
+                AS BIGINT) AS n_labels,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM d GROUP BY domain
+    """.replace("{PSL_DOMAIN}", _duck_psl_domain("host")),
+)
+def domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.functions.text import (
+        registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def digit(div: int, mod: int):
+        return F.expr(f"(doc_id div {div}) % {mod}")
+
+    sub = (
+        F.when(digit(11, 3) == 0, F.lit(""))
+        .when(digit(11, 3) == 1, F.lit("www."))
+        .otherwise(F.lit("blog."))
+    )
+    suffix = (
+        F.when(digit(7, 5) == 0, F.lit(".com"))
+        .when(digit(7, 5) == 1, F.lit(".co.uk"))
+        .when(digit(7, 5) == 2, F.lit(".com.au"))
+        .when(digit(7, 5) == 3, F.lit(".co.jp"))
+        .otherwise(F.lit(".org"))
+    )
+    bh = F.concat(
+        sub, F.lit("site"), digit(5, 4).cast("string"), suffix
+    )
+    raw = (
+        F.when(F.pmod("doc_id", F.lit(17)) == 0, F.lit("https://co.uk/x"))
+        .when(
+            digit(3, 2) == 1,
+            F.concat(F.lit("HTTPS://"), F.upper(bh), F.lit("/x")),
+        )
+        .otherwise(F.concat(F.lit("https://"), bh, F.lit("/x")))
+    )
+    urls = docs.select(raw.alias("raw")).select(
+        "raw",
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(
+                    "raw", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+                )
+            ),
+            ":[0-9]+$",
+            "",
+        ).alias("host"),
+        registrable_domain("raw").alias("domain"),
+    )
+    return urls.groupBy("domain").agg(
+        (
+            F.length("domain")
+            - F.length(F.regexp_replace("domain", r"\.", ""))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_labels"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

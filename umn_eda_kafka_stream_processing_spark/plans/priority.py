@@ -98,7 +98,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # windows (frame sums, tiles, distribution ranks, CUBE) ---------
     "customer_cumulative_revenue",
     "nation_customer_quartiles",
-    "hourly_type_distribution",
+    # (hourly_type_distribution rotated out in r07 for domain_census
+    # below: driver-verified r04+r05+r06; the analytic-window family
+    # keeps customer_cumulative_revenue + nation_customer_quartiles)
     # (events_cube_totals rotated out in r06 for gopher_quality_flags
     # below: driver-verified r04+r05; the analytic-window/grouping
     # family keeps customer_cumulative_revenue,
@@ -205,6 +207,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "span_dedup_minrun_stats",
     "nb_train_model",
     "nb_quality_flags",
+    # -- new in r07, never driver-verified: PSL-lite registrable-
+    # domain census (example.co.uk vs co.uk) --------------------------
+    "domain_census",
 )
 
 DRIVER_GATE_SLOTS = 50
