@@ -2108,3 +2108,42 @@ def test_nb_learns_planted_class_vocabulary(spark):
         word_features(blank), blank.select("doc_id"), model, priors
     ).collect()[0]
     assert p["pred"] == "ham"
+
+
+def test_unigram_encode_any_words_window_fallback(spark):
+    """encode_any_words: within-cap words match viterbi_segment
+    exactly; over-cap words split into fixed max_word_len windows
+    whose piece counts SUM (each window independently DP'd, so a
+    piece can be severed at a window boundary — pinned here), and a
+    window string that coincides with a real short word dedups into
+    the same DP row without affecting either count."""
+    from umn_eda_kafka_stream_processing_spark.operators.unigram import (
+        encode_any_words,
+        viterbi_segment,
+    )
+
+    model = {"ab": 10, "a": 30, "b": 30, "c": 100, "bc": 15, "x": 500}
+    # cap=4: 'abab' fits; 'ababab' (6) -> windows 'abab'+'ab' -> 2+1
+    # pieces; 'abcab' (5) -> 'abca'+'b': window 1 = a,bc,a (3) + 1
+    # = 4 pieces, though the unwindowed DP would find ab,c,ab (3) —
+    # the boundary severs nothing here but 'abcab' shows summing;
+    # 'xxxxx' (5) -> 'xxxx'+'x' = 5 single chars
+    words = spark.createDataFrame(
+        [("abab", 1), ("ababab", 1), ("abcab", 1), ("xxxxx", 1), ("ab", 1)],
+        "word string, freq long",
+    )
+    got = {
+        r["word"]: r["n_pieces"]
+        for r in encode_any_words(
+            words, model, max_word_len=4, max_piece_len=2
+        ).collect()
+    }
+    assert got == {"abab": 2, "ababab": 3, "abcab": 4, "xxxxx": 5, "ab": 1}
+    # cross-check the short rows against the raw DP
+    seg = {
+        r["word"]: len(r["pieces"])
+        for r in viterbi_segment(
+            words.filter("length(word) <= 4"), model, 4, 2
+        ).collect()
+    }
+    assert seg == {"abab": 2, "ab": 1}

@@ -162,6 +162,57 @@ def viterbi_segment(
     )
 
 
+def encode_any_words(
+    wdist: DataFrame,
+    model: dict[str, int],
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """(word, freq) -> (word, n_pieces) for words of ANY length —
+    the documented fallback ``viterbi_segment`` requires upstream:
+    words within the cap run the DP directly; LONGER words split into
+    consecutive ``max_word_len``-char windows, each window segmented
+    independently, piece counts summed (the SentencePiece
+    byte-fallback spirit: coverage holds because every window fits
+    the DP bound and the vocab always contains all single chars). A
+    window boundary can split an otherwise-optimal piece — the
+    documented cost of keeping the DP state bounded.
+
+    Plan: one DP pass over the union of (short distinct words,
+    distinct window strings) — window strings that coincide with real
+    short words dedup into the same DP row — then a window->word
+    rollup for the long side. All corpus-sized work remains the
+    distinct-word aggs upstream."""
+    short = wdist.filter(F.length("word") <= max_word_len)
+    longw = wdist.filter(F.length("word") > max_word_len).select("word")
+    wins = longw.select(
+        "word",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(length(word) / "
+                f"{max_word_len}.0) as int)), k -> substring(word, "
+                f"(k - 1) * {max_word_len} + 1, {max_word_len}))"
+            )
+        ).alias("win"),
+    )
+    dp_words = (
+        short.select("word")
+        .union(wins.select(F.col("win").alias("word")))
+        .distinct()
+        .withColumn("freq", F.lit(1).cast("long"))
+    )
+    seg = viterbi_segment(dp_words, model, max_word_len, max_piece_len).select(
+        "word", F.size("pieces").cast("long").alias("n_pieces")
+    )
+    short_np = short.select("word").join(seg, "word")
+    long_np = (
+        wins.join(seg.withColumnRenamed("word", "win"), "win")
+        .groupBy("word")
+        .agg(F.sum("n_pieces").cast("long").alias("n_pieces"))
+    )
+    return short_np.unionByName(long_np)
+
+
 def train_unigram_model(
     df: DataFrame,
     text_col: str = "text",

@@ -2345,12 +2345,14 @@ def url_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM (SentencePiece-style) tokenizer training
 # ---------------------------------------------------------------------------
 
-def _unigram_dp_ctes(tag: str, model_cte: str, maxw: int, plen: int) -> list:
+def _unigram_dp_ctes(
+    tag: str, model_cte: str, maxw: int, plen: int, source: str = "wf"
+) -> list:
     """The Viterbi DP + backward walk over the distinct words in
-    ``wf`` under the piece costs of ``model_cte``, unrolled as nested
-    one-level subqueries (one cost/backpointer column per level — no
-    expression blowup). Ends at CTE ``w{tag}_{maxw}`` whose
-    piece0..piece{maxw-1} columns are the segmentation."""
+    ``source`` under the piece costs of ``model_cte``, unrolled as
+    nested one-level subqueries (one cost/backpointer column per
+    level — no expression blowup). Ends at CTE ``w{tag}_{maxw}``
+    whose piece0..piece{maxw-1} columns are the segmentation."""
     inf = 10**15
 
     def K(arg: str) -> str:
@@ -2362,7 +2364,7 @@ def _unigram_dp_ctes(tag: str, model_cte: str, maxw: int, plen: int) -> list:
       FROM {model_cte}
     )""",
         f"d{tag}_0 AS (SELECT word, freq, length(word) AS L, mp "
-        f"FROM wf, lut{tag})",
+        f"FROM {source}, lut{tag})",
     ]
     for i in range(1, maxw + 1):
         terms = []
@@ -2392,6 +2394,11 @@ def _unigram_dp_ctes(tag: str, model_cte: str, maxw: int, plen: int) -> list:
       FROM w{tag}_{k - 1})"""
         )
     return ctes
+
+
+# deterministic over-length encode fixture (34 chars = 3 windows at
+# the 12-char cap); lowercase letters so lower()/trim() are no-ops
+_UNIGRAM_FIXTURE = "supercalifragilisticexpialidocious"
 
 
 def _unigram_oracle(
@@ -2474,7 +2481,45 @@ def _unigram_oracle(
           FROM m{rounds})
     WHERE rn <= {v_final}"""
         )
-    ctes += _unigram_dp_ctes("e", f"m{rounds}", maxw, plen)
+    # encode word stream: every corpus word PLUS a deterministic
+    # over-length fixture (the corpus itself has no word over the cap
+    # — max observed length is 8 — so without the fixture the
+    # window-fallback path would be dead code in the gate)
+    ctes.append(
+        r"""wl AS (
+      SELECT lang, word FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) >= 1
+      UNION ALL
+      SELECT lang, '""" + _UNIGRAM_FIXTURE + r"""' AS word
+      FROM documents WHERE doc_id % 50 = 0
+    )"""
+    )
+    # DP input: distinct within-cap words UNION the distinct fixed
+    # windows of over-cap words (UNION dedups window strings that
+    # coincide with real words — n_pieces depends only on the string)
+    ctes.append(
+        f"""lwin AS (
+      SELECT word, substr(word, (CAST(k AS INT) - 1) * {maxw} + 1, {maxw})
+                 AS win
+      FROM (SELECT word,
+                   unnest(range(1, CAST(ceil(length(word) / {maxw}.0)
+                       AS INT) + 1)) AS k
+            FROM (SELECT DISTINCT word FROM wl
+                  WHERE length(word) > {maxw}))
+    )"""
+    )
+    ctes.append(
+        f"""segwords AS (
+      SELECT word, CAST(1 AS BIGINT) AS freq FROM (
+        SELECT word FROM wl WHERE length(word) <= {maxw}
+        UNION
+        SELECT win AS word FROM lwin)
+    )"""
+    )
+    ctes += _unigram_dp_ctes("e", f"m{rounds}", maxw, plen, source="segwords")
     pieces_list = ", ".join(f"piece{k}" for k in range(maxw))
     ctes.append(
         f"""np AS (
@@ -2485,43 +2530,36 @@ def _unigram_oracle(
     )"""
     )
     ctes.append(
-        r"""wl AS (
-      SELECT lang, word FROM (
-        SELECT lang,
-               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        FROM documents)
-      WHERE length(word) >= 1
+        f"""allnp AS (
+      SELECT word, n_pieces FROM np WHERE length(word) <= {maxw}
+      UNION ALL
+      SELECT l.word, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces
+      FROM lwin l JOIN np ON np.word = l.win GROUP BY l.word
     )"""
     )
     ctes.append(
-        f"""per AS (
+        """per AS (
       SELECT lang, word, CAST(count(*) AS BIGINT) AS nw
-      FROM wl WHERE length(word) <= {maxw} GROUP BY lang, word
+      FROM wl GROUP BY lang, word
     )"""
     )
     ctes.append(
-        """enc AS (
+        f"""enc AS (
       SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
-             CAST(sum(nw * np.n_pieces) AS BIGINT) AS n_pieces
-      FROM per JOIN np USING (word) GROUP BY lang
-    )"""
-    )
-    ctes.append(
-        f"""dropped AS (
-      SELECT lang, CAST(count(*) AS BIGINT) AS n_words_dropped
-      FROM wl WHERE length(word) > {maxw} GROUP BY lang
+             CAST(sum(CASE WHEN length(word) > {maxw} THEN nw ELSE 0 END)
+                  AS BIGINT) AS n_words_fallback,
+             CAST(sum(nw * allnp.n_pieces) AS BIGINT) AS n_pieces
+      FROM per JOIN allnp USING (word) GROUP BY lang
     )"""
     )
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + """
-    SELECT e.lang, e.n_words,
-           CAST(coalesce(d.n_words_dropped, 0) AS BIGINT) AS n_words_dropped,
-           e.n_pieces,
-           floor(CAST(e.n_pieces AS DOUBLE) / e.n_words * 1000000.0 + 0.5)
+    SELECT lang, n_words, n_words_fallback, n_pieces,
+           floor(CAST(n_pieces AS DOUBLE) / n_words * 1000000.0 + 0.5)
              / 1000000.0 AS avg_pieces_per_word
-    FROM enc e LEFT JOIN dropped d ON d.lang = e.lang"""
+    FROM enc"""
     )
 
 
@@ -2550,67 +2588,66 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_encode_stats",
     "The trained unigram tokenizer APPLIED (the bpe_encode twin): "
     "train on the corpus, then Viterbi-encode every word under the "
-    "FINAL model and report per-lang compression — words encoded, "
-    "pieces emitted, avg pieces/word, plus the honest count of words "
-    "over the training length cap (excluded, OOV-fallback territory). "
-    "Encoding is one DP over the DISTINCT words joined back to the "
-    "per-(lang, word) counts — the corpus-sized pass stays two "
-    "hash-aggs.",
+    "FINAL model — INCLUDING words over the 12-char DP cap, which "
+    "take the char-window fallback (split into fixed 12-char windows, "
+    "each window DP'd, counts summed — SentencePiece byte-fallback "
+    "spirit; operators/unigram.py:encode_any_words). The corpus has "
+    "no over-cap word, so a deterministic 34-char fixture word rides "
+    "along on both engines to keep the fallback path live in the "
+    "gate. Per-lang compression out: words encoded, fallback-encoded "
+    "words, pieces emitted, avg pieces/word.",
     _unigram_oracle(mode="encode"),
 )
 def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.unigram import (
+        encode_any_words,
         train_unigram_model,
-        viterbi_segment,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     model, _ = train_unigram_model(docs)
-    wl = docs.select(
-        "lang",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("word"),
-    ).filter(F.length("word") >= 1)
+    wl = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") >= 1)
+        .unionByName(
+            docs.filter(F.pmod("doc_id", F.lit(50)) == 0).select(
+                "lang", F.lit(_UNIGRAM_FIXTURE).alias("word")
+            )
+        )
+    )
     wdist = (
-        wl.filter(F.length("word") <= 12)
-        .select("word")
-        .distinct()
-        .withColumn("freq", F.lit(1).cast("long"))
+        wl.select("word").distinct().withColumn("freq", F.lit(1).cast("long"))
     )
-    seg = viterbi_segment(wdist, model).select(
-        "word", F.size("pieces").cast("long").alias("n_pieces")
+    word_np = encode_any_words(wdist, model)
+    per = wl.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("nw")
     )
-    per = (
-        wl.filter(F.length("word") <= 12)
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
-    )
-    enc = (
-        per.join(seg, "word")
+    return (
+        per.join(word_np, "word")
         .groupBy("lang")
         .agg(
             F.sum("nw").cast("long").alias("n_words"),
+            F.sum(F.when(F.length("word") > 12, F.col("nw")).otherwise(0))
+            .cast("long")
+            .alias("n_words_fallback"),
             F.sum(F.col("nw") * F.col("n_pieces")).cast("long").alias(
                 "n_pieces"
             ),
         )
-    )
-    dropped = (
-        wl.filter(F.length("word") > 12)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_words_dropped"))
-    )
-    return enc.join(dropped, "lang", "left").select(
-        "lang",
-        "n_words",
-        F.coalesce("n_words_dropped", F.lit(0))
-        .cast("long")
-        .alias("n_words_dropped"),
-        "n_pieces",
-        round_half_up(
-            F.col("n_pieces").cast("double") / F.col("n_words"), 6
-        ).alias("avg_pieces_per_word"),
+        .select(
+            "lang",
+            "n_words",
+            "n_words_fallback",
+            "n_pieces",
+            round_half_up(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("avg_pieces_per_word"),
+        )
     )
 
 
