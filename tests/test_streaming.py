@@ -1825,3 +1825,79 @@ def test_incremental_semantic_dedup_bucket_cap_admits_uncompared(spark, tmp_path
     )
     got = sorted(r["vec_id"] for r in out.collect())
     assert got == [1, 2, 3, 4]  # bucket 0 uncompared; 5 deduped vs 4
+
+
+def test_incremental_span_dedup_matches_batch_rewrite(spark, tmp_path):
+    """foreachBatch exact-substring dedup with a durable md5(span)
+    store: docs streamed in ascending-id microbatches must produce
+    EXACTLY the batch operator's rewrite of the full corpus
+    (incremental == batch, the test_ivf_maintenance pattern) —
+    cross-batch cuts against admitted spans, within-batch min-id
+    keeper, cut-before-admit (a cut doc's ORIGINAL spans still make
+    it keeper for later arrivals), and the min_run_len threshold all
+    riding through the store."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        incremental_span_dedup,
+        remove_shared_spans,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    rng = random.Random(0x5EED)
+    shared_a = "".join(rng.choice("abcd") for _ in range(40))
+    shared_b = "".join(rng.choice("abcd") for _ in range(22))
+    all_docs = []
+    for d in range(1, 19):
+        t = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 90)))
+        if d % 3 == 0:
+            t = t[:10] + shared_a + t[10:]
+        if d % 4 == 1:
+            t = shared_b + t
+        all_docs.append((d, t))
+    all_docs[12] = (13, all_docs[2][1])  # exact copy across batches
+
+    store = str(tmp_path / "span_store")
+    src_dir = str(tmp_path / "docs")
+    got = {}
+
+    def on_batch(batch_df, _bid):
+        out = incremental_span_dedup(
+            batch_df, store, span_len=8, min_run_len=20
+        )
+        got.update(
+            (r["doc_id"], (r["rewritten"], r["chars_removed"],
+                           r["runs_merged"], r["runs_cut"]))
+            for r in out.collect()
+        )
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_docs(all_docs[:6])
+    docs = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = start_foreach_batch_sink(docs, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_docs(all_docs[6:12])
+        q.processAllAvailable()
+        write_docs(all_docs[12:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["rewritten"], r["chars_removed"],
+                      r["runs_merged"], r["runs_cut"])
+        for r in remove_shared_spans(
+            batch, span_len=8, min_run_len=20
+        ).collect()
+    }
+    assert got == want
+    # sanity: the scenario exercised real cross-batch cuts
+    assert any(v[1] > 0 for d, v in got.items() if d > 6)

@@ -1019,6 +1019,24 @@ def remove_shared_spans(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
     )
+    return _rewrite_from_positions(
+        docs, rem, id_col, text_col, span_len, min_run_len
+    )
+
+
+def _rewrite_from_positions(
+    docs: DataFrame,
+    rem: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int,
+    min_run_len: int,
+) -> DataFrame:
+    """Shared rebuild of `remove_shared_spans` / the incremental span
+    dedup: given ``rem`` = (id, _poss sorted removable-start array),
+    merge starts into maximal runs, drop runs under ``min_run_len``,
+    cut the survivors, and emit (id, text, rewritten, chars_removed,
+    runs_merged, runs_cut)."""
     # fold 1: sorted starts -> maximal merged runs [(s, e)], 1-based
     # inclusive. A start p covers [p, p+span_len-1]; it extends the
     # open run when p <= e+1 (overlap or adjacency — identical union
@@ -1111,6 +1129,107 @@ def remove_shared_spans(
             "runs_merged", "runs_cut",
         )
     )
+
+
+def incremental_span_dedup(
+    batch_df: DataFrame,
+    span_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 16,
+    min_run_len: int | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact-substring dedup for a CONTINUOUSLY-INGESTING corpus —
+    the incremental twin of `remove_shared_spans`, completing the
+    incremental family (exact docs `exact_dedup_stream`, simhash
+    `incremental_simhash_dedup`, semantic `similarity.py`): each new
+    document is span-checked against every span ever ADMITTED, its
+    duplicated runs are cut BEFORE admission, and then its ORIGINAL
+    spans are admitted so later arrivals dedup against it.
+
+    Semantics per batch (matches the batch operator when docs arrive
+    in ascending ``id_col`` order across batches — the
+    incremental==batch contract the test pins):
+
+    * an occurrence of span value v in doc d is removable iff
+      min(store keeper of v, min batch id holding v) < d — i.e. some
+      EARLIER distinct doc (prior batch or same batch) carries v;
+    * removable starts merge into maximal runs, runs under
+      ``min_run_len`` are spared, survivors are cut
+      (`_rewrite_from_positions`, identical to the batch fold);
+    * admission records md5(span) -> MIN doc id ever seen, from the
+      ORIGINAL text (batch semantics: a cut doc's spans still make it
+      the keeper for docs after it).
+
+    The store is md5(span)-keyed parquet, hash-bucket-partitioned
+    like the incremental semantic-dedup store; a key's bucket never
+    moves, so `compaction.upsert_snapshot` (touched-partition
+    pruned dynamic overwrite) maintains it — with ``_ord = -keeper``
+    as the order column, so the compaction's latest-wins becomes
+    MIN-keeper-wins. The lookup is one shuffle-hash join on the
+    16-byte hash; at 100 TB both sides shard uniformly (same shape as
+    `exact_dedup_groups`). Wire with
+    streaming/runner.py:start_foreach_batch_sink:
+    ``lambda b, _id: sink(incremental_span_dedup(b, store))``;
+    re-admission on at-least-once replay is idempotent (min of an
+    already-present keeper).
+
+    Output: the batch docs with (id, text, rewritten, chars_removed,
+    runs_merged, runs_cut) — `remove_shared_spans`' schema.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    if min_run_len is None:
+        min_run_len = span_len
+    spark = batch_df.sparkSession
+    w = (
+        _span_windows(batch_df, id_col, text_col, span_len)
+        .withColumn("h", F.md5("span"))
+        .drop("span")
+        .localCheckpoint()
+    )
+    bstats = w.groupBy("h").agg(F.min(id_col).alias("_bmin"))
+    try:
+        store = spark.read.parquet(span_store_path).select("h", "keeper")
+    except AnalysisException:
+        store = None
+    if store is None:
+        hit = bstats.select("h", F.col("_bmin").alias("_kc"))
+    else:
+        hit = bstats.join(store.hint("shuffle_hash"), "h", "left").select(
+            "h",
+            F.least(
+                F.coalesce("keeper", F.col("_bmin")), F.col("_bmin")
+            ).alias("_kc"),
+        )
+    rem = (
+        w.join(hit.hint("shuffle_hash"), "h")
+        .filter(F.col("_kc") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
+    )
+    # materialize the rewrite before admission mutates the store its
+    # lineage (via `hit`) reads
+    out = _rewrite_from_positions(
+        batch_df.select(id_col, text_col), rem, id_col, text_col,
+        span_len, min_run_len,
+    ).localCheckpoint()
+    admit = (
+        w.groupBy("h")
+        .agg(F.min(id_col).cast("long").alias("keeper"))
+        .withColumn("_bkt", F.pmod(F.hash("h"), F.lit(n_buckets)))
+        .withColumn("_ord", -F.col("keeper"))
+    )
+    upsert_snapshot(
+        spark, span_store_path, admit, "h",
+        order_col="_ord", partition_cols=["_bkt"],
+    )
+    return out
 
 
 def remove_duplicate_lines(
