@@ -2147,3 +2147,70 @@ def test_unigram_encode_any_words_window_fallback(spark):
         ).collect()
     }
     assert seg == {"abab": 2, "ab": 1}
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 (Lucene idf, k1=1.2 b=0.75) vs a direct Python
+    implementation on a hand-made corpus: integer-micro scores equal
+    exactly (the contribution rounding is pinned, not approximated),
+    ranks break ties by doc id, OOV query terms contribute nothing,
+    and an empty doc never matches but still counts toward N/avgdl."""
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+    )
+
+    corpus = {
+        1: "spark spark stream join fast",
+        2: "stream table join",
+        3: "fast fast fast hash",
+        4: "",
+        5: "spark hash table stream stream",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    qrows = [(1, "spark"), (1, "stream"), (2, "fast"), (2, "nope")]
+    queries = spark.createDataFrame(qrows, "qid long, term string")
+    postings, doclens, n, t = bm25_index(docs)
+    got = {
+        (r["qid"], r["doc_id"]): (r["rank"], r["score_micro"])
+        for r in bm25_search(
+            postings, doclens, n, t, queries, k=10
+        ).collect()
+    }
+
+    tf = {
+        (d, w): txt.split().count(w)
+        for d, txt in corpus.items()
+        for w in set(txt.split())
+    }
+    dl = {d: len(txt.split()) for d, txt in corpus.items()}
+    N, T = len(corpus), sum(dl.values())
+    df = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    idf = {
+        w: int(math.floor(
+            math.log((N - c + 0.5) / (c + 0.5) + 1.0) * 1e6 + 0.5))
+        for w, c in df.items()
+    }
+    want = {}
+    for qid, terms in {1: ["spark", "stream"], 2: ["fast", "nope"]}.items():
+        scores = {}
+        for d in corpus:
+            s = 0
+            for w in terms:
+                if (d, w) in tf:
+                    f = tf[(d, w)]
+                    norm = 1.0 - 0.75 + 0.75 * ((dl[d] * float(N)) / T)
+                    s += int(math.floor(
+                        idf[w] * ((f * 2.2) / (f + 1.2 * norm)) + 0.5))
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (d, s) in enumerate(ranked):
+            want[(qid, d)] = (i + 1, s)
+    assert got == want

@@ -3006,3 +3006,98 @@ def domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+# the deterministic keyword queries for the BM25 gate query (terms
+# from the corpus vocabulary; q3 carries an OOV term to pin the
+# no-match path — it simply contributes nothing)
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "data"), (1, "stream"), (1, "join"),
+    (2, "fast"), (2, "hash"), (2, "table"),
+    (3, "customer"), (3, "order"), (3, "window"), (3, "zzz"),
+)
+
+
+@_register(
+    "bm25_search_topk",
+    "BM25 keyword search (Lucene idf variant) — the retrieval "
+    "primitive curation stacks run next to embedding ANN for quality "
+    "probes / decontamination lookups / corpus slicing: distributed "
+    "inverted-index build (three hash-aggs over the token stream), "
+    "broadcast query terms, exact integer-micro per-term "
+    "contributions (idf is one ln per DISTINCT term; the tf "
+    "saturation is a fixed-order double chain, micro-rounded before "
+    "the per-doc SUM so scores are order-independent BIGINTs), "
+    "per-query top-10 by (score DESC, id ASC). At 100 TB the "
+    "postings table buckets by term so query lookups prune to the "
+    "queried terms' buckets (operators/bm25.py).",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+        FROM documents)
+      WHERE term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT d.doc_id, CAST(coalesce(t.c, 0) AS BIGINT) AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id) t
+        USING (doc_id)
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+    dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln((nd.n - df + 0.5) / (df + 0.5) + 1.0)
+                 * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+      FROM dfq, nd
+    ),
+    q(qid, term) AS (VALUES {QVALUES}),
+    sc AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(sum(CAST(floor(i.idf_micro
+                 * ((tf.tf * 2.2) / (tf.tf + 1.2
+                     * (1.0 - 0.75 + 0.75 * ((dl.dl * nd.n) / tt.t))))
+                 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf
+      JOIN q USING (term) JOIN idf i USING (term) JOIN dl USING (doc_id),
+           nd, tt
+      GROUP BY q.qid, tf.doc_id
+    ),
+    r AS (
+      SELECT qid, doc_id, score_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_micro DESC, doc_id ASC) AS rn
+      FROM sc
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+           doc_id, score_micro
+    FROM r WHERE rn <= 10
+    """.replace(
+        "{QVALUES}",
+        ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES),
+    ),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "qid long, term string"
+    )
+    return bm25_search(
+        postings, doclens, n_docs, total_tokens, queries, k=10
+    )

@@ -147,7 +147,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # driver-verified r04+r05; the media family keeps
     # mp4_frame_sample, audio_zcr_stats, media_decode_health in-gate)
     "mp4_frame_sample",
-    "audio_zcr_stats",
+    # (audio_zcr_stats rotated out in r07 for bm25_search_topk below:
+    # driver-verified r04+r05+r06; the media family keeps
+    # mp4_frame_sample + media_decode_health in-gate)
     "media_decode_health",
     "lsh_bucket_stats",
     "html_extract_stats",
@@ -208,8 +210,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "nb_train_model",
     "nb_quality_flags",
     # -- new in r07, never driver-verified: PSL-lite registrable-
-    # domain census (example.co.uk vs co.uk) --------------------------
+    # domain census (example.co.uk vs co.uk), BM25 keyword search ----
     "domain_census",
+    "bm25_search_topk",
 )
 
 DRIVER_GATE_SLOTS = 50
