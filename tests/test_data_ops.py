@@ -2214,3 +2214,46 @@ def test_bm25_matches_python_reference(spark):
         for i, (d, s) in enumerate(ranked):
             want[(qid, d)] = (i + 1, s)
     assert got == want
+
+
+def test_pagerank_fixed_matches_python_reference(spark):
+    """Fixed-point PageRank vs a direct Python implementation of the
+    same integer recurrence on a hand-made graph: exact BIGINT
+    equality per node per iteration count, hub outranks spokes, and
+    rank mass stays within the documented div-truncation leak."""
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed,
+    )
+
+    # star a<->{b,c,d} plus a pendant pair d<->e (symmetrized)
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("d", "e")]
+    sym = und + [(y, x) for x, y in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+
+    def ref(iters):
+        from collections import defaultdict
+        out = defaultdict(int)
+        for s, _ in sym:
+            out[s] += 1
+        nodes = sorted(out)
+        n = len(nodes)
+        base = 15 * SCALE // (100 * n)
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(iters):
+            acc = defaultdict(int)
+            for s, d in sym:
+                acc[d] += r[s] // out[s]
+            r = {v: base + (85 * acc[v]) // 100 for v in nodes}
+        return r
+
+    for iters in (1, 5):
+        got = {
+            r["node"]: r["rank_picos"]
+            for r in pagerank_fixed(edges, iterations=iters).collect()
+        }
+        assert got == ref(iters), iters
+    # structure: the hub holds the most rank; total mass within the
+    # truncation leak of SCALE (<= iters * n * max_outdeg picos)
+    assert got["a"] == max(got.values())
+    assert SCALE - sum(got.values()) < 5 * 5 * 3 * 100

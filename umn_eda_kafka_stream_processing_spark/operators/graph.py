@@ -1,0 +1,91 @@
+"""Fixed-point PageRank — iterative graph analytics done the way a
+100 TB engine has to do it: per-iteration hash-aggregations over an
+edge list, exact integer arithmetic so the result is deterministic
+under any partitioning, and checkpointed lineage so N iterations stay
+N shuffles (the connected-components precedent,
+`dedup.py:near_dup_clusters`).
+
+Why FIXED-POINT: textbook PageRank sums floating-point contributions
+per node, and a float sum's value depends on reduction order — the
+same graph on a different partitioning (or a different engine) drifts
+in the last ulps, which breaks this repo's hash-equality bar. Holding
+ranks as integer PICOS (1e12 fixed point) makes every step — share =
+rank div outdeg, damping = (85 * sum) div 100 — an exact BIGINT op:
+order-independent, overflow-safe (total mass <= 1e12, so 85 * sum <
+1e14 << 2^63), and bit-identical on any engine with integer division.
+The div-truncation "leaks" mass (at most outdeg-1 picos per node per
+step) — deterministically, the standard price of fixed-point
+iteration.
+
+Dangling nodes are excluded by construction here: callers pass a
+SYMMETRIZED edge list (every node with an edge has out-degree >= 1);
+isolated nodes don't participate. The general dangling-mass
+redistribution is one more hash-agg per iteration if a directed
+variant ever needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12  # integer "picos" fixed point
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterate rank_{t+1}(v) = base + (d * sum_in shares) div 100
+    over a (src, dst) edge list where every node appears as a src
+    (symmetrize first — see module docstring). Returns (node,
+    rank_picos). All arithmetic BIGINT; ranks checkpointed per
+    iteration so the plan stays one join + one agg per round."""
+    e = edges.select(src_col, dst_col).distinct()
+    outdeg = e.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # out-degree rides the edge list (both are graph-sized — a
+    # broadcast would be wrong at scale; this join happens ONCE, and
+    # each iteration then joins only ranks x edges)
+    e2 = e.join(outdeg.hint("shuffle_hash"), src_col).localCheckpoint()
+    nodes = e2.select(F.col(src_col).alias("node")).distinct()
+    n = nodes.count()
+    base = (100 - damping_pct) * SCALE // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_picos", F.lit(SCALE // n).cast("long")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        shares = (
+            e2.join(
+                ranks.withColumnRenamed("node", src_col).hint(
+                    "shuffle_hash"
+                ),
+                src_col,
+            )
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("rank_picos div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("_in"))
+        )
+        ranks = (
+            nodes.join(shares.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_in, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_picos"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -988,3 +988,103 @@ def span_dedup_minrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("rewritten")).cast("long").alias("chars_after"),
         F.sum("chars_removed").cast("long").alias("chars_removed"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, damping: int = 85) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:pagerank_fixed over
+    the symmetrized customer-supplier purchase graph: one (contribs,
+    ranks) CTE pair per iteration, all-BIGINT fixed-point arithmetic
+    (rank div outdeg shares, (85 * sum) div 100 damping)."""
+    scale = 10**12
+    ctes = [
+        """cs AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        """e AS (
+      SELECT a AS src, b AS dst FROM cs
+      UNION
+      SELECT b AS src, a AS dst FROM cs
+    )""",
+        """od AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    )""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM od)",
+        f"""r0 AS (
+      SELECT od.src AS node, CAST({scale} // nn.n AS BIGINT) AS rank
+      FROM od, nn
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node,
+             CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+      FROM e JOIN r{k - 1} r ON r.node = e.src
+             JOIN od ON od.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+      SELECT od.src AS node,
+             CAST(({100 - damping} * {scale}) // (100 * nn.n)
+                  + ({damping} * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM od CROSS JOIN nn LEFT JOIN c{k} c ON c.node = od.src
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, substr(node, 1, 1) AS node_type,
+           rank AS rank_picos
+    FROM r{iters}"""
+    )
+
+
+@_register(
+    "purchase_graph_pagerank",
+    "Fixed-point PageRank over the symmetrized customer-supplier "
+    "purchase graph (who-buys-from-whom via orders x lineitem) — "
+    "iterative graph analytics at engine scale: 5 rounds of one "
+    "edge x rank join + one in-neighbor hash-agg, ranks checkpointed "
+    "per round (the connected-components shape). Ranks are integer "
+    "PICOS with div-truncation shares and (85*sum) div 100 damping, "
+    "so every step is an exact order-independent BIGINT op and the "
+    "result hash-matches any partitioning/engine — float PageRank "
+    "cannot satisfy that bar (operators/graph.py). Oracle: the five "
+    "iterations unrolled as CTE pairs.",
+    _pagerank_oracle(),
+)
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = cs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ranks = pagerank_fixed(edges, damping_pct=85, iterations=5)
+    return ranks.select(
+        "node",
+        F.substring("node", 1, 1).alias("node_type"),
+        "rank_picos",
+    )

@@ -152,7 +152,10 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # mp4_frame_sample + media_decode_health in-gate)
     "media_decode_health",
     "lsh_bucket_stats",
-    "html_extract_stats",
+    # (html_extract_stats rotated out in r07 for
+    # purchase_graph_pagerank below: driver-verified r04+r05+r06; the
+    # text family keeps gopher_quality_flags, url_canonical_stats,
+    # char_bigram_quality + more in-gate)
     # (bpe_train_merges rotated out in r06 for unigram_train_vocab
     # below: driver-verified r04+r05; the tokenizer family keeps
     # bpe_encode_stats + unigram_train_vocab in-gate)
@@ -213,6 +216,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # domain census (example.co.uk vs co.uk), BM25 keyword search ----
     "domain_census",
     "bm25_search_topk",
+    # -- new in r07, never driver-verified: fixed-point PageRank over
+    # the purchase graph ---------------------------------------------
+    "purchase_graph_pagerank",
 )
 
 DRIVER_GATE_SLOTS = 50
