@@ -163,6 +163,89 @@ def domain_mixture_sample(
     )
 
 
+def temperature_rate_table(
+    df: DataFrame,
+    domain_col: str,
+    size_col: Column | str,
+    target_total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture RATES derived from the corpus
+    itself (the GPT-3/LLaMA recipe: domain weight ∝ tokens^alpha,
+    alpha < 1 upweights small domains): returns one row per domain —
+    (domain, n_docs, n_tokens, w_micro, thr) — where thr is the
+    doc-level u32 acceptance threshold that lands the domain at its
+    share of ``target_total`` tokens in expectation.
+
+    Portability: pow(n_tokens, alpha) is ONE transcendental per
+    DISTINCT domain on an exact-integer double, micro-rounded to
+    BIGINT (the charlm ln rule, extended to pow); the threshold is
+    computed in a fixed double-op order — (target * w) / (W_double *
+    n) * 2^32, floored — identical on both engines, and the
+    selection itself is the exact integer u32-threshold compare. A
+    domain whose fair share exceeds its size keeps everything
+    (thr = 2^32 — epoch oversampling is the caller's next step).
+
+    Plan: one hash-agg to per-domain totals (|domains| rows), one
+    one-row crossJoin for the weight sum — nothing corpus-sized
+    moves."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size).cast("long").alias("n_tokens"),
+    )
+    wts = agg.withColumn(
+        "w_micro",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    total = wts.agg(F.sum("w_micro").cast("long").alias("_W"))
+    return (
+        wts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thr",
+            F.least(
+                F.lit(KEY_SPACE).cast("long"),
+                F.floor(
+                    (F.lit(float(target_total)) * F.col("w_micro"))
+                    / (F.col("_W").cast("double") * F.col("n_tokens"))
+                    * F.lit(float(KEY_SPACE))
+                ).cast("long"),
+            ),
+        )
+        .select("domain", "n_docs", "n_tokens", "w_micro", "thr")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    size_col: Column | str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply `temperature_rate_table`: broadcast the tiny rate table
+    onto the fact and keep rows whose u32 sampling key clears their
+    domain's threshold — the same narrow one-pass filter as
+    `bernoulli_sample`; the fact side never shuffles."""
+    rates = temperature_rate_table(
+        df, domain_col, size_col, target_total, alpha
+    )
+    return (
+        df.join(
+            F.broadcast(rates.select("domain", "thr")),
+            df[domain_col] == F.col("domain"),
+        )
+        .filter(sample_key_u32(key_col, salt) < F.col("thr"))
+        .drop("domain", "thr")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

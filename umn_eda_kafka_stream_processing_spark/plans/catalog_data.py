@@ -3101,3 +3101,91 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         postings, doclens, n_docs, total_tokens, queries, k=10
     )
+
+
+@_register(
+    "temperature_mixture_stats",
+    "Temperature-weighted training-mixture construction (the "
+    "GPT-3/LLaMA recipe: domain weight ∝ tokens^0.5, alpha < 1 "
+    "upweighting small sources) derived from the corpus itself: "
+    "per-source token totals -> one pow per DISTINCT source "
+    "(micro-rounded BIGINT weight — the charlm transcendental rule) "
+    "-> fixed-order double threshold -> exact integer u32 md5 "
+    "acceptance, all deterministic and append-stable. Reports the "
+    "full plan AND its realized sample per source "
+    "(operators/sampling.py:temperature_rate_table / "
+    "temperature_mixture_sample).",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS ntok
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source
+    ),
+    wts AS (
+      SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5)
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM agg
+    ),
+    tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum FROM wts),
+    rt AS (
+      SELECT wts.source, wts.n_docs, wts.n_tokens, wts.w_micro,
+             least(CAST(4294967296 AS BIGINT),
+                   CAST(floor(((CAST(10000 AS DOUBLE) * wts.w_micro)
+                        / (CAST(tot.wsum AS DOUBLE) * wts.n_tokens))
+                        * 4294967296.0) AS BIGINT)) AS thr
+      FROM wts, tot
+    ),
+    sm AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS sampled_docs,
+             CAST(sum(d.ntok) AS BIGINT) AS sampled_tokens
+      FROM d JOIN rt USING (source)
+      WHERE CAST(concat('0x', substr(md5('mix|'
+                || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < rt.thr
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.n_tokens, r.w_micro, r.thr,
+           CAST(coalesce(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+           CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM rt r LEFT JOIN sm s USING (source)
+    """,
+)
+def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        temperature_mixture_sample,
+        temperature_rate_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count().alias("ntok")
+    )
+    rates = temperature_rate_table(docs, "source", "ntok", 10000)
+    sampled = temperature_mixture_sample(
+        docs, "source", "doc_id", "ntok", 10000
+    )
+    sm = sampled.groupBy(F.col("source").alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+        F.sum("ntok").cast("long").alias("sampled_tokens"),
+    )
+    return (
+        rates.withColumnRenamed("domain", "source")
+        .join(F.broadcast(sm), F.col("source") == F.col("_s"), "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_micro",
+            "thr",
+            F.coalesce("sampled_docs", F.lit(0))
+            .cast("long")
+            .alias("sampled_docs"),
+            F.coalesce("sampled_tokens", F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+    )

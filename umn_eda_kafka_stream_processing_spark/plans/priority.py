@@ -92,7 +92,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in fourth r04 rotation, never driver-verified ----------
     "repeat_buyer_customers",
     "churned_customers",
-    "epoch_shuffle_assignment",
+    # (epoch_shuffle_assignment rotated out in r07 for
+    # temperature_mixture_stats below: driver-verified r04+r05+r06;
+    # the sampling family keeps the new mixture query in-gate)
     "daily_orders_vs_events",
     # -- new in third r04 rotation, never driver-verified: analytic
     # windows (frame sums, tiles, distribution ranks, CUBE) ---------
@@ -217,8 +219,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "domain_census",
     "bm25_search_topk",
     # -- new in r07, never driver-verified: fixed-point PageRank over
-    # the purchase graph ---------------------------------------------
+    # the purchase graph, temperature mixture construction ------------
     "purchase_graph_pagerank",
+    "temperature_mixture_stats",
 )
 
 DRIVER_GATE_SLOTS = 50
