@@ -115,3 +115,42 @@ def test_activity_similarity_lsh_recall_vs_exact(spark):
     assert lsh <= exact            # exact-cosine verify => no false pairs
     recall = len(lsh) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} below bound"
+
+
+def test_scd2_intervals_asof_probe_and_ties(spark):
+    """SCD2 materialization: contiguous [valid_from, valid_to)
+    versions per key, is_current on the last, same-timestamp ties
+    ordered by the sequence column, and the as-of probe returns
+    exactly one version per (key, T)."""
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        scd2_intervals,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "a"),
+        (1, 11, "2024-01-02 00:00:00", "b"),
+        (1, 12, "2024-01-02 00:00:00", "c"),  # tie: event_id orders
+        (2, 20, "2024-01-05 00:00:00", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, seq long, ts string, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    scd = scd2_intervals(df, "k", "ts", ["seq"]).collect()
+    by_seq = {r["seq"]: r for r in scd}
+    assert by_seq[10]["valid_to"] == by_seq[11]["valid_from"]
+    # tie resolution: b (seq 11) closes at c's identical timestamp
+    assert by_seq[11]["valid_to"] == by_seq[12]["valid_from"]
+    assert not by_seq[11]["is_current"] and by_seq[12]["is_current"]
+    assert by_seq[20]["is_current"] and by_seq[20]["valid_to"] is None
+
+    # as-of probe at T: exactly one matching version per key
+    scd_df = scd2_intervals(df, "k", "ts", ["seq"])
+    probe = scd_df.filter(
+        (F.col("valid_from") <= F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.lit("2024-01-03").cast("timestamp_ntz") < F.col("valid_to"))
+        )
+    ).collect()
+    assert {(r["k"], r["state"]) for r in probe} == {(1, "c")}

@@ -107,3 +107,36 @@ def with_watermark(df: DataFrame, time_col: str, delay: str) -> DataFrame:
     this is what keeps streaming window state finite; the reference's
     unwindowed stores grow forever (SURVEY.md §2.8)."""
     return df.withWatermark(time_col, delay)
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 materialization of a
+    changelog: every version row gains ``valid_from`` (its own
+    timestamp), ``valid_to`` (the key's NEXT version's timestamp —
+    NULL while current), and ``is_current``. The warehouse pattern
+    for "what was this key's state at time T": probe with
+    ``valid_from <= T AND (valid_to IS NULL OR T < valid_to)``.
+
+    One window partitioned BY KEY (never corpus-wide) ordered by
+    (ts, *order_cols) — lead() per partition, so at 100 TB this is a
+    single shuffle keyed by the dimension key with per-key frames;
+    ties on ts break by ``order_cols`` (pass the changelog sequence
+    column — required whenever one key can change twice in one tick).
+    """
+    from pyspark.sql.window import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changelog.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -346,3 +346,67 @@ def user_activity_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.srp_lsh_pairs(
         prof, threshold=0.8, dim=24, id_col="user_id", vec_col="vec"
     )
+
+
+@_register(
+    "user_state_scd2",
+    "Slowly-changing-dimension type-2 materialization of the event "
+    "changelog (operators/windows.py:scd2_intervals): every (user, "
+    "event) version gains [valid_from, valid_to) with valid_to = the "
+    "user's next version's timestamp (NULL while current) via ONE "
+    "lead() window partitioned by user — the warehouse as-of-time "
+    "probe pattern, never a corpus-wide window. Versions summarize "
+    "per event_type; closed-version durations sum in exact "
+    "MICROSECONDS (both engines are microsecond-precision on this "
+    "data, so timestampdiff == date_diff exactly — no float time "
+    "arithmetic, per the repo's NTZ rules).",
+    """
+    WITH v AS (
+      SELECT event_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_closed,
+           CAST(coalesce(sum(CASE WHEN valid_to IS NULL THEN 0
+                ELSE date_diff('microsecond', valid_from, valid_to) END), 0)
+               AS BIGINT) AS sum_duration_us
+    FROM v GROUP BY event_type
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", event_ts("ts").alias("ts")
+    )
+    scd = scd2_intervals(ev, "user_id", "ts", ["event_id"])
+    return scd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.sum(F.when(F.col("is_current"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_closed"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_current"), F.lit(0)).otherwise(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, valid_from, valid_to)"
+                    )
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_duration_us"),
+    )

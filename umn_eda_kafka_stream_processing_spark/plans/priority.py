@@ -124,7 +124,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (sequence_packing rotated out in r07 for line_dedup_stats below:
     # driver-verified r03+r04+r05+r06; packing stays covered by the
     # full-catalog artifact and its pytest suite)
-    "sketch_cms_heavy_users",
+    # (sketch_cms_heavy_users rotated out in r07 for user_state_scd2
+    # below: driver-verified r03+r04+r05+r06; sketches stay covered by
+    # the full-catalog artifact and their pytest suite)
     # -- never driver-verified as of r03 (rotated in r04; rotated
     # out: sample_bernoulli_docs, sketch_kmv_users_by_type,
     # sketch_hll_users_by_type — each family keeps >=2 verified
@@ -222,6 +224,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # the purchase graph, temperature mixture construction ------------
     "purchase_graph_pagerank",
     "temperature_mixture_stats",
+    # -- new in r07, never driver-verified: SCD2 validity intervals --
+    "user_state_scd2",
 )
 
 DRIVER_GATE_SLOTS = 50
