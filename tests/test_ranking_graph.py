@@ -1,0 +1,194 @@
+"""Unit tests for the exact-ranking operators (operators/ranking.py),
+triangle census (operators/graph.py:triangle_stats), and the
+funnel / Markov-transition temporal operators — each checked against
+an independent brute-force Python reference on randomized micro data.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.operators.graph import triangle_stats
+from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+    binary_auc,
+    exact_quantiles,
+    value_ranks,
+)
+from umn_eda_kafka_stream_processing_spark.operators.windows import (
+    funnel_steps,
+    transition_counts,
+)
+
+
+def test_value_ranks_matches_sorted_bruteforce(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(0, 40) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: (r["cnt"], r["below"])
+        for r in value_ranks(df, "v", n_buckets=8).collect()
+    }
+    s = sorted(vals)
+    for v in set(vals):
+        below = sum(1 for x in s if x < v)
+        cnt = vals.count(v)
+        assert got[v] == (cnt, below)
+
+
+def test_value_ranks_single_distinct_value(spark):
+    df = spark.createDataFrame([(5,)] * 9, "v long")
+    rows = value_ranks(df, "v").collect()
+    assert [(r["v"], r["cnt"], r["below"]) for r in rows] == [(5, 9, 0)]
+
+
+def test_exact_quantiles_type1_semantics(spark):
+    rng = random.Random(11)
+    vals = [rng.uniform(-5, 5) for _ in range(301)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    probs = [(1, 4), (1, 2), (3, 4), (99, 100)]
+    got = {
+        r["pct_ppm"]: r["value"]
+        for r in exact_quantiles(df, "v", probs, n_buckets=16).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    for num, den in probs:
+        rank = -(-num * n // den)  # ceil
+        assert got[1_000_000 * num // den] == s[rank - 1]
+
+
+def test_binary_auc_matches_pair_counting(spark):
+    rng = random.Random(3)
+    rows = [
+        (rng.choice([0.1, 0.2, 0.2, 0.5, 0.9]), rng.randint(0, 1))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "s double, lb long")
+    got = binary_auc(df, "s", "lb", n_buckets=4).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    u2 = sum(
+        2 if p > q else (1 if p == q else 0)
+        for p in pos
+        for q in neg
+    )
+    assert (got["n_pos"], got["n_neg"], got["u2"]) == (
+        len(pos),
+        len(neg),
+        u2,
+    )
+    expect_auc = (1_000_000 * u2 + len(pos) * len(neg)) // (
+        2 * len(pos) * len(neg)
+    )
+    assert got["auc_micro"] == expect_auc
+
+
+def test_binary_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, lb long")
+    got = binary_auc(df, "s", "lb").collect()[0]
+    assert got["n_neg"] == 0 and got["auc_micro"] == 0
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    rng = random.Random(5)
+    nodes = list(range(14))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = triangle_stats(df).collect()[0]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tris = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(nodes), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(
+        len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes if adj[n]
+    )
+    n_nodes = sum(1 for n in nodes if adj[n])
+    assert (
+        got["n_nodes"],
+        got["n_edges"],
+        got["n_wedges"],
+        got["n_triangles"],
+    ) == (n_nodes, len(edges), wedges, tris)
+
+
+def test_triangle_stats_empty_graph(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    got = triangle_stats(df).collect()[0]
+    assert (
+        got["n_nodes"],
+        got["n_edges"],
+        got["n_wedges"],
+        got["n_triangles"],
+    ) == (0, 0, 0, 0)
+
+
+def _ts(minutes: int) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(minutes=minutes)
+
+
+def test_funnel_strict_ordering_and_window(spark):
+    rows = [
+        # u1 completes in order
+        (1, "view", _ts(0)),
+        (1, "click", _ts(10)),
+        (1, "purchase", _ts(20)),
+        # u2: click BEFORE view -> stalls at view
+        (2, "click", _ts(0)),
+        (2, "view", _ts(5)),
+        (2, "purchase", _ts(30)),
+        # u3: purchase outside the 1-hour window
+        (3, "view", _ts(0)),
+        (3, "click", _ts(10)),
+        (3, "purchase", _ts(120)),
+        # u4: same-timestamp click does NOT chain (strict >)
+        (4, "view", _ts(0)),
+        (4, "click", _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], window="1 hour"
+        ).collect()
+    }
+    assert got[1] == (_ts(0), _ts(10), _ts(20))
+    assert got[2][1] is None and got[2][2] is None
+    assert got[3][1] == _ts(10) and got[3][2] is None
+    assert got[4][1] is None
+    # u2 did later have no click after view? click was at t0 < view t5 -> None
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_transition_counts_rows_and_probs(spark):
+    rows = [
+        (1, 1, "a", _ts(0)),
+        (1, 2, "b", _ts(1)),
+        (1, 3, "a", _ts(2)),
+        (2, 4, "a", _ts(0)),
+        (2, 5, "b", _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_micro"])
+        for r in transition_counts(df).collect()
+    }
+    # a->b twice, b->a once
+    assert got[("a", "b")] == (2, 1_000_000)
+    assert got[("b", "a")] == (1, 1_000_000)

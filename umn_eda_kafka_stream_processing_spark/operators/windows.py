@@ -109,6 +109,100 @@ def with_watermark(df: DataFrame, time_col: str, delay: str) -> DataFrame:
     return df.withWatermark(time_col, delay)
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: str | None = "7 days",
+) -> DataFrame:
+    """Ordered-funnel analysis (earliest-completion semantics): for
+    each user, step k is reached at the user's EARLIEST step-k event
+    STRICTLY AFTER their step-(k-1) reach time, with every step
+    landing within ``window`` of the step-1 time (None = unbounded).
+    Returns one row per user with ``t1..tN`` reach timestamps (NULL
+    where the funnel stalled).
+
+    Scale shape: NO per-user event-sequence window — each step is one
+    filtered hash-agg (min ts per user over only that step's events)
+    plus one user-keyed join against the reach frontier, so at 100 TB
+    the work is k tiny aggregations over type-pruned scans (the
+    event_type filter reaches the parquet scan) rather than a
+    corpus-wide sort. The strict ``>`` makes same-microsecond
+    step-k/step-k+1 events NOT chain — deterministic and identical in
+    any engine (no tie-break needed because min() is used per side).
+    """
+    tc = event_ts(ts_col)
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(tc).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            user_col, tc.alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(f"t{k - 1}")
+        if window is not None:
+            cond = cond & (
+                F.col("_ts") <= F.col("t1") + F.expr(f"INTERVAL {window}")
+            )
+        reach = (
+            frontier.join(nxt.hint("shuffle_hash"), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t{k}"))
+        )
+        frontier = frontier.join(
+            reach.hint("shuffle_hash"), user_col, "left"
+        )
+    return frontier
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    sequence: count (from_type -> to_type) over consecutive event
+    pairs, plus ``prob_micro`` — the row-normalized transition
+    probability as floor(1e6 * n / row_total + 0.5) (integer micros:
+    one division per OUTPUT row of exact BIGINT aggregates, never a
+    float sum — the repo's cross-engine rule).
+
+    One lag() window partitioned BY USER (the scd2_intervals shape —
+    per-key frames, never corpus-wide), ties broken by
+    ``order_cols``; then two hash-aggs (pair counts + a from_type
+    window sum over the already-aggregated matrix, which is
+    #types² rows — trivially partition-local).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        event_ts(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.withColumn(
+        "prob_micro",
+        F.expr(
+            "(1000000 * n + sum(n) over (partition by from_type) div 2) "
+            "div sum(n) over (partition by from_type)"
+        ).cast("long"),
+    )
+
+
 def scd2_intervals(
     changelog: DataFrame,
     key_cols: str | list[str],

@@ -1088,3 +1088,151 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("node", 1, 1).alias("node_type"),
         "rank_picos",
     )
+
+
+@_register(
+    "cosupply_triangle_stats",
+    "Exact triangle census of the lift-thresholded supplier "
+    "co-supply graph (edge iff two suppliers share an order at least "
+    "1.2x as often as independence predicts — the 6*cnt_a*cnt_b <= "
+    "5*obs*total comparison is exact BIGINT cross-multiplication, no "
+    "float lift). Spark counts triangles on the DEGREE-ORDERED "
+    "orientation (operators/graph.py:triangle_stats — per-node probe "
+    "work sum C(outdeg,2), the hub-proof shape at 100 TB); the "
+    "oracle lists triangles from the raw a<b edge list instead — "
+    "different algorithm, same exact counts. clustering_micro = "
+    "floor(1e6*3*tri/wedges+0.5) via the identical integer formula "
+    "both sides.",
+    """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM p),
+    d AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+          FROM p GROUP BY 1),
+    co AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    e AS (SELECT co.s1 AS a, co.s2 AS b
+          FROM co JOIN d d1 ON d1.l_suppkey = co.s1
+                  JOIN d d2 ON d2.l_suppkey = co.s2
+                  CROSS JOIN n
+          WHERE 5 * obs * total >= 6 * d1.cnt * d2.cnt),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY 1),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+            FROM deg),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN coalesce(n_wedges, 0) = 0 THEN 0
+                ELSE (3000000 * n_triangles + n_wedges // 2) // n_wedges
+                END AS BIGINT) AS clustering_micro
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def cosupply_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import triangle_stats
+
+    p = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    total = p.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("total")
+    )
+    d = p.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a, b = p.alias("pa"), p.alias("pb")
+    co = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+            & (F.col("pa.l_suppkey") < F.col("pb.l_suppkey")),
+        )
+        .groupBy(
+            F.col("pa.l_suppkey").alias("s1"),
+            F.col("pb.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    edges = (
+        co.join(
+            F.broadcast(d.select(F.col("l_suppkey").alias("s1"),
+                                 F.col("cnt").alias("cnt1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(d.select(F.col("l_suppkey").alias("s2"),
+                                 F.col("cnt").alias("cnt2"))),
+            "s2",
+        )
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.expr("5 * obs * total >= 6 * cnt1 * cnt2")
+        )
+        .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    )
+    stats = triangle_stats(edges)
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN coalesce(n_wedges, 0) = 0 THEN 0 "
+            "ELSE (3000000 * n_triangles + n_wedges div 2) div n_wedges END"
+        )
+        .cast("long")
+        .alias("clustering_micro"),
+    )
+
+
+@_register(
+    "order_price_exact_quantiles",
+    "GLOBAL exact type-1 quantiles of order price via the two-level "
+    "histogram rank operator (operators/ranking.py:exact_quantiles): "
+    "distinct-value hash-agg, monotone bucket map, bounded per-bucket "
+    "totals collected + prefix-broadcast, within-bucket prefix window "
+    "PARTITIONED BY BUCKET — global order statistics with no "
+    "corpus-wide window (which explain_audit rightly bans). Rational "
+    "probabilities make the target rank ceil(num*N/den) exact BIGINT; "
+    "the oracle uses a plain corpus-wide window — different "
+    "algorithm, same integers.",
+    """
+    WITH dv AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+    r AS (SELECT v, c,
+                 coalesce(CAST(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb
+          FROM dv),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM dv),
+    p AS (SELECT * FROM (VALUES (250000, 1, 4), (500000, 1, 2),
+                                (750000, 3, 4), (900000, 9, 10),
+                                (990000, 99, 100)) t(pct_ppm, pn, pd))
+    SELECT CAST(pct_ppm AS BIGINT) AS pct_ppm, min(v) AS value
+    FROM r CROSS JOIN n CROSS JOIN p
+    WHERE nb + c >= (pn * nt + pd - 1) // pd
+    GROUP BY 1
+    """,
+)
+def order_price_exact_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import exact_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders,
+        "o_totalprice",
+        [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+    )

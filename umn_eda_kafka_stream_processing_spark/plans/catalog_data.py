@@ -2073,8 +2073,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perplexity-style quality scoring (character-bigram LM)
 # ---------------------------------------------------------------------------
 
-_CHARLM_ORACLE = """
-    WITH bgp AS (
+_CHARLM_CTES = """bgp AS (
       SELECT doc_id, bg, substr(bg, 1, 1) AS pf FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
@@ -2093,13 +2092,17 @@ _CHARLM_ORACLE = """
     sc AS (
       SELECT d.doc_id, count(*) AS n, CAST(sum(m.lpm) AS BIGINT) AS s
       FROM bgp d JOIN model m ON m.bg = d.bg GROUP BY d.doc_id
-    )
+    )"""
+
+_CHARLM_ORACLE = (
+    "WITH " + _CHARLM_CTES + """
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_bigrams,
            floor(((CAST(s AS DOUBLE) / n) / 1000000.0) * 1000000.0 + 0.5)
              / 1000000.0 AS avg_logp
     FROM sc
 """
+)
 
 
 @_register(
@@ -2123,21 +2126,8 @@ def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm.doc_avg_logprob(docs, model)
 
 
-@_register(
-    "gopher_quality_flags",
-    "The named heuristic quality-rule funnel (Gopher, Rae et al. 2021 "
-    "A1.1) real curation stacks run before any model-based scoring: "
-    "word-count bounds, mean word length, symbol-to-word ratio, "
-    "bullet/ellipsis line fractions, alphabetic-word fraction, "
-    "required-stopword presence — each doc dropped by its FIRST "
-    "failing rule (CASE routing like curation_funnel), per-(lang, "
-    "verdict) doc and token rejection counts out. Pure JVM column "
-    "exprs (functions/text.py:gopher_rules) — regex counts + length "
-    "arithmetic at full scan speed; output is exact integers, so "
-    "cross-engine comparison needs no float care.",
-    r"""
-    WITH m AS (
-      SELECT lang,
+_GOPHER_CTES = r"""m AS (
+      SELECT doc_id, lang,
              CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
              CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
                  AS nchar_ns,
@@ -2148,7 +2138,7 @@ def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     r AS (
-      SELECT lang, nw,
+      SELECT doc_id, lang, nw,
              CASE
                WHEN nw < 50 OR nw > 100000 THEN 'word_count'
                WHEN nchar_ns / nw < 3.0 OR nchar_ns / nw > 10.0
@@ -2169,7 +2159,22 @@ def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     < 2 THEN 'stopwords'
                ELSE 'kept' END AS verdict
       FROM m
-    )
+    )"""
+
+
+@_register(
+    "gopher_quality_flags",
+    "The named heuristic quality-rule funnel (Gopher, Rae et al. 2021 "
+    "A1.1) real curation stacks run before any model-based scoring: "
+    "word-count bounds, mean word length, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "required-stopword presence — each doc dropped by its FIRST "
+    "failing rule (CASE routing like curation_funnel), per-(lang, "
+    "verdict) doc and token rejection counts out. Pure JVM column "
+    "exprs (functions/text.py:gopher_rules) — regex counts + length "
+    "arithmetic at full scan speed; output is exact integers, so "
+    "cross-engine comparison needs no float care.",
+    "WITH " + _GOPHER_CTES + r"""
     SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CAST(nw AS BIGINT)) AS BIGINT) AS n_tokens_total
     FROM r GROUP BY lang, verdict
@@ -3189,3 +3194,72 @@ def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_tokens"),
         )
     )
+
+
+@_register(
+    "charlm_langid_auc",
+    "MODEL EVALUATION: exact ROC-AUC of the char-bigram LM quality "
+    "score as an English-ness detector (label = lang='en'; the "
+    "mixed-language corpus model assigns English bigrams higher "
+    "probability, so kept-vs-other ranking is the langid evaluation "
+    "real curation stacks run; per-bigram normalization makes this a "
+    "deliberately WEAK signal (~0.47 here) — the exact metric is the "
+    "deliverable). Computed as Mann-Whitney rank sums "
+    "over the two-level histogram rank operator "
+    "(operators/ranking.py:binary_auc — distinct-score hash-agg, "
+    "bounded bucket-total collect, bucket-partitioned prefix window; "
+    "NO corpus-wide window), u2 = 2U kept integer so score ties "
+    "contribute exact halves; auc_micro via the identical BIGINT "
+    "formula both engines. Oracle: same rank sums from a plain "
+    "corpus-wide window — different algorithm, same integers.",
+    "WITH " + _CHARLM_CTES + """,
+    q AS (
+      SELECT doc_id,
+             floor(((CAST(s AS DOUBLE) / n) / 1000000.0) * 1000000.0
+                   + 0.5) / 1000000.0 AS avg_logp
+      FROM sc
+    ),
+    j AS (
+      SELECT q.avg_logp AS sv,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS p
+      FROM q JOIN documents d USING (doc_id)
+    ),
+    gg AS (
+      SELECT sv, CAST(sum(p) AS BIGINT) AS pos,
+             CAST(count(*) - sum(p) AS BIGINT) AS neg
+      FROM j GROUP BY sv
+    ),
+    rr AS (
+      SELECT pos, neg,
+             coalesce(CAST(sum(neg) OVER (ORDER BY sv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS nb
+      FROM gg
+    ),
+    t AS (
+      SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+             CAST(coalesce(sum(pos * (2 * nb + neg)), 0) AS BIGINT) AS u2
+      FROM rr
+    )
+    SELECT n_pos, n_neg, u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE (1000000 * u2 + n_pos * n_neg)
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micro
+    FROM t
+    """,
+)
+def charlm_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import charlm
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, _ = charlm.char_bigram_model(docs)
+    scores = charlm.doc_avg_logprob(docs, model).select(
+        "doc_id", "avg_logp"
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("label")
+    )
+    j = scores.join(labels.hint("shuffle_hash"), "doc_id")
+    return binary_auc(j, "avg_logp", "label")

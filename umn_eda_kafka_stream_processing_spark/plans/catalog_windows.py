@@ -410,3 +410,134 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_duration_us"),
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@_register(
+    "funnel_conversion",
+    "Ordered funnel (view -> click -> purchase, 7-day completion "
+    "window, earliest-completion semantics): per-step reached-user "
+    "counts + conversion vs step 1 in integer micros "
+    "(operators/windows.py:funnel_steps). Scale shape: each step is "
+    "one type-pruned filtered hash-agg + one user-keyed join against "
+    "the reach frontier — never a corpus-wide event-sequence window. "
+    "Oracle: the same step chain as DuckDB CTEs with the identical "
+    "integer rounding formula, so the division is exact-match by "
+    "construction.",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT s1.user_id, s1.t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY 1, 2
+    ), s3 AS (
+      SELECT s2.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        AND CAST(e.ts AS TIMESTAMP) <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY 1
+    ), c AS (
+      SELECT (SELECT count(*) FROM s1) AS r1,
+             (SELECT count(*) FROM s2) AS r2,
+             (SELECT count(*) FROM s3) AS r3
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST(r1 AS BIGINT) AS users_reached,
+             CAST(CASE WHEN r1 = 0 THEN 0
+                  ELSE (1000000 * r1 + r1 // 2) // r1 END AS BIGINT)
+                 AS conversion_micro
+      FROM c
+      UNION ALL
+      SELECT 2, 'click', CAST(r2 AS BIGINT),
+             CAST(CASE WHEN r1 = 0 THEN 0
+                  ELSE (1000000 * r2 + r1 // 2) // r1 END AS BIGINT)
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(r3 AS BIGINT),
+             CAST(CASE WHEN r1 = 0 THEN 0
+                  ELSE (1000000 * r3 + r1 // 2) // r1 END AS BIGINT)
+      FROM c
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.windows import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    frontier = funnel_steps(ev, _FUNNEL_STEPS, window="7 days")
+    counts = frontier.agg(
+        *[
+            F.count(f"t{k}").cast("long").alias(f"r{k}")
+            for k in range(1, len(_FUNNEL_STEPS) + 1)
+        ]
+    )
+    rows = counts.selectExpr(
+        "stack({n}, {args}) as (step_idx, step, users_reached)".format(
+            n=len(_FUNNEL_STEPS),
+            args=", ".join(
+                f"CAST({k} AS BIGINT), '{s}', r{k}"
+                for k, s in enumerate(_FUNNEL_STEPS, start=1)
+            ),
+        ),
+        "r1",
+    )
+    return rows.select(
+        "step_idx",
+        "step",
+        "users_reached",
+        F.expr(
+            "CASE WHEN r1 = 0 THEN 0 ELSE (1000000 * users_reached "
+            "+ r1 div 2) div r1 END"
+        )
+        .cast("long")
+        .alias("conversion_micro"),
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    "First-order Markov transition matrix of per-user event "
+    "sequences (operators/windows.py:transition_counts): one lag() "
+    "window partitioned BY USER (per-key frames, never corpus-wide; "
+    "event_id tie-break), pair hash-agg, then row-normalized "
+    "transition probability as integer micros computed with the "
+    "IDENTICAL integer formula on both engines (one division per "
+    "matrix cell of exact BIGINT aggregates — #types^2 rows).",
+    """
+    WITH seq AS (
+      SELECT event_type AS ft,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS nt
+      FROM events
+    ), p AS (
+      SELECT ft AS from_type, nt AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST((1000000 * n + sum(n) OVER (PARTITION BY from_type) // 2)
+                // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS prob_micro
+    FROM p
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        transition_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return transition_counts(ev)

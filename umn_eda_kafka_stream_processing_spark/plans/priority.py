@@ -95,10 +95,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (epoch_shuffle_assignment rotated out in r07 for
     # temperature_mixture_stats below: driver-verified r04+r05+r06;
     # the sampling family keeps the new mixture query in-gate)
-    "daily_orders_vs_events",
+    # (daily_orders_vs_events rotated out in r07 for
+    # event_transition_matrix below: driver-verified r04+r05+r06; the
+    # scenario family keeps events_occurred_total in-gate)
     # -- new in third r04 rotation, never driver-verified: analytic
     # windows (frame sums, tiles, distribution ranks, CUBE) ---------
-    "customer_cumulative_revenue",
+    # (customer_cumulative_revenue rotated out in r07 for
+    # order_price_exact_quantiles below: driver-verified r04+r05+r06;
+    # the analytic-window family keeps nation_customer_quartiles
+    # in-gate)
     "nation_customer_quartiles",
     # (hourly_type_distribution rotated out in r07 for domain_census
     # below: driver-verified r04+r05+r06; the analytic-window family
@@ -116,7 +121,10 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r03; temporal family keeps hourly_event_type_counts in-gate.
     # user_prop_gaps + first_week_event_counts rotated out earlier in
     # r04 for media_decode_health + lsh_bucket_stats)
-    "hourly_event_type_counts",
+    # (hourly_event_type_counts rotated out in r07 for
+    # funnel_conversion below: driver-verified r03+r04+r05+r06; the
+    # temporal family keeps funnel_conversion + event_transition_matrix
+    # in-gate)
     # -- sampling / packing / sketches (driver-verified r03) --------
     # (sample_domain_mixture + sample_stratified_by_lang rotated out
     # in the second r04 rotation: driver-verified r03; family keeps
@@ -175,11 +183,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r04+r05+r06; the TPC-H family keeps 11 members in-gate)
     "q7_volume_shipping",
     "q8_market_share",
-    "q13_customer_order_distribution",
+    # (q13_customer_order_distribution rotated out in r07 for
+    # cosupply_triangle_stats below: driver-verified r04+r05+r06; the
+    # TPC-H family keeps 9 members in-gate)
     # (q14_promo_revenue rotated out in r05 for span_dup_doc_fraction
     # below: driver-verified r04; TPC-H keeps 14 members in-gate)
     "q15_top_supplier",
-    "q17_small_qty_revenue",
+    # (q17_small_qty_revenue rotated out in r07 for charlm_langid_auc
+    # below: driver-verified r04+r05+r06; the TPC-H family keeps 9
+    # members in-gate)
     "q18_large_volume_customers",
     "q19_brackets_revenue",
     "q21_waiting_suppliers",
@@ -226,6 +238,16 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "temperature_mixture_stats",
     # -- new in r07, never driver-verified: SCD2 validity intervals --
     "user_state_scd2",
+    # -- new in r07 (second batch), never driver-verified: ordered
+    # funnel + Markov transition matrix (temporal), lift-thresholded
+    # co-supply triangle census (graph), global exact quantiles via
+    # the two-level histogram rank operator, and rank-sum ROC-AUC
+    # model evaluation ------------------------------------------------
+    "funnel_conversion",
+    "event_transition_matrix",
+    "cosupply_triangle_stats",
+    "order_price_exact_quantiles",
+    "charlm_langid_auc",
 )
 
 DRIVER_GATE_SLOTS = 50
