@@ -1,0 +1,90 @@
+"""Unit tests for the blocked fuzzy join (operators/joins.py),
+Z-order interleave (operators/compaction.py:zorder_expr), and the
+weekly-retention cohort shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from umn_eda_kafka_stream_processing_spark.operators.compaction import zorder_expr
+from umn_eda_kafka_stream_processing_spark.operators.joins import (
+    best_fuzzy_match,
+    fuzzy_join,
+)
+
+
+def test_fuzzy_join_distances_and_blocking(spark):
+    dirty = spark.createDataFrame(
+        [(1, "cold widgt"), (2, "blue rod"), (3, "xold widget")],
+        "id long, dn string",
+    )
+    clean = spark.createDataFrame(
+        [("cold widget",), ("blue rod",), ("cold rod",)], "cn string"
+    )
+    got = {
+        (r["id"], r["cn"]): r["dist"]
+        for r in fuzzy_join(dirty, clean, "dn", "cn", max_dist=1).collect()
+    }
+    assert got[(1, "cold widget")] == 1
+    assert got[(2, "blue rod")] == 0
+    # id 3's typo changed the first char -> escapes the 'c' block:
+    # the documented recall loss of first-char blocking
+    assert not any(k[0] == 3 for k in got)
+    # 'cold rod' is dist 4 from 'cold widgt' -> filtered
+    assert (1, "cold rod") not in got
+
+
+def test_best_fuzzy_match_argmin_ties(spark):
+    m = spark.createDataFrame(
+        [(1, "bb", 1), (1, "aa", 1), (1, "zz", 0)],
+        "id long, cn string, dist int",
+    )
+    r = best_fuzzy_match(m, ["id"], "cn").collect()[0]
+    assert (r["best_dist"], r["best_cn"]) == (0, "zz")
+    # equal dists tie-break to the smaller name
+    m2 = spark.createDataFrame(
+        [(1, "bb", 1), (1, "aa", 1)], "id long, cn string, dist int"
+    )
+    r2 = best_fuzzy_match(m2, ["id"], "cn").collect()[0]
+    assert (r2["best_dist"], r2["best_cn"]) == (1, "aa")
+
+
+def _py_morton(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_expr_matches_python_bit_interleave(spark):
+    rng = random.Random(9)
+    rows = [
+        (rng.randrange(1024), rng.randrange(1024)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", F.expr(zorder_expr("a", "b", 10)).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_morton(r["a"], r["b"], 10)
+
+
+def test_zorder_locality_beats_linear_on_grid(spark):
+    # full 32x32 grid: a centered 8x8 range touches fewer z-blocks
+    # than row-major blocks of the same size
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = df.select(
+        "a",
+        "b",
+        F.expr(f"{zorder_expr('a', 'b', 5)} div 32").alias("zb"),
+        F.expr("(a * 32 + b) div 32").alias("lb"),
+    ).where((F.col("a") >= 12) & (F.col("a") < 20)
+            & (F.col("b") >= 12) & (F.col("b") < 20))
+    got = z.agg(
+        F.countDistinct("zb").alias("nz"), F.countDistinct("lb").alias("nl")
+    ).collect()[0]
+    assert got["nz"] < got["nl"]

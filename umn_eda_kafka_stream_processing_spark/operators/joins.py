@@ -131,3 +131,69 @@ def interval_join(
         intervals[c] for c in intervals.columns if c not in keys
     ]
     return joined.select(*out_cols)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    block: "Callable[[Column], Column] | None" = None,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+    primitive. Candidate pairs come from an EQUI-join on a blocking
+    key (never an all-pairs cross product), are pre-pruned by the
+    length band |len_l - len_r| <= max_dist (a free lower bound on
+    edit distance), and survive iff levenshtein <= max_dist. Returns
+    left.* + right.* + ``dist``.
+
+    ``block`` maps a name column to its blocking key (default: first
+    character lowercased). Blocking trades recall for scale — a typo
+    that changes the key escapes its block; callers choose keys their
+    dirt model preserves (and should report match rates, which makes
+    the recall loss measurable rather than silent — the hot_bucket_cap
+    census convention). At 100 TB this is one shuffle on the block
+    key; a degenerate block (everything keyed alike) is the caller's
+    skew to salt (operators/skew.py).
+    """
+    if block is None:
+        def block(c: Column) -> Column:  # noqa: ANN001
+            return F.lower(F.substring(c, 1, 1))
+
+    lb = left.withColumn("_blk", block(F.col(left_col)))
+    rb = right.withColumn("_blk", block(F.col(right_col)))
+    return (
+        lb.join(rb.hint("shuffle_hash"), "_blk")
+        .where(
+            F.abs(F.length(left_col) - F.length(right_col))
+            <= F.lit(max_dist)
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col(left_col), F.col(right_col))
+        )
+        .where(F.col("dist") <= F.lit(max_dist))
+        .drop("_blk")
+    )
+
+
+def best_fuzzy_match(
+    matches: DataFrame,
+    group_cols: Sequence[str],
+    tie_col: str,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Pick each group's best fuzzy candidate: min (dist, tie_col) —
+    a min(struct) argmin, which gets map-side partial aggregation
+    instead of shuffling every candidate (the pq_encode rule). Both
+    key components must be non-null (dist always is; pass a non-null
+    tie column), so the NULL-sorts-first min(struct) trap cannot
+    bite. Returns group_cols + best_<dist_col> + best_<tie_col>."""
+    g = matches.groupBy(*group_cols).agg(
+        F.min(F.struct(F.col(dist_col), F.col(tie_col))).alias("_b")
+    )
+    return g.select(
+        *group_cols,
+        F.col(f"_b.{dist_col}").alias(f"best_{dist_col}"),
+        F.col(f"_b.{tie_col}").alias(f"best_{tie_col}"),
+    )

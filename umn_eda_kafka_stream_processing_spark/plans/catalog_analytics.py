@@ -1236,3 +1236,192 @@ def order_price_exact_quantiles(
         "o_totalprice",
         [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
     )
+
+
+@_register(
+    "fuzzy_part_match_stats",
+    "Blocked fuzzy-join entity resolution with measurable ground "
+    "truth: every part name gets a deterministic typo by "
+    "p_partkey % 4 (none / char delete / char double / char "
+    "substitute — all at positions >= 2, so the first-char blocking "
+    "key is recall-complete BY CONSTRUCTION and the match-rate "
+    "census proves it). Dirty names re-match the clean vocabulary "
+    "via operators/joins.py:fuzzy_join (block equi-join + length "
+    "band + levenshtein <= 1 — never an all-pairs product) and "
+    "best_fuzzy_match (min(struct(dist, name)) argmin — map-side "
+    "combined, no candidate shuffle). Output: per-edit-type match "
+    "and accuracy counts. Oracle: direct blocked join + "
+    "row_number() argmin — different argmin algorithm, same rows.",
+    """
+    WITH p AS (SELECT p_partkey, lower(p_name) AS orig,
+                      p_partkey % 4 AS et
+               FROM part),
+    d AS (SELECT p_partkey, orig, et,
+                 CASE et
+                   WHEN 0 THEN orig
+                   WHEN 1 THEN substr(orig, 1, 2) || substr(orig, 4)
+                   WHEN 2 THEN substr(orig, 1, 2) || substr(orig, 2, 1)
+                               || substr(orig, 3)
+                   ELSE substr(orig, 1, 3) || 'x' || substr(orig, 5)
+                 END AS dn
+          FROM p),
+    c AS (SELECT DISTINCT lower(p_name) AS cn FROM part),
+    m AS (SELECT d.p_partkey, d.orig, d.et, c.cn,
+                 levenshtein(d.dn, c.cn) AS dist
+          FROM d JOIN c ON substr(d.dn, 1, 1) = substr(c.cn, 1, 1)
+                        AND abs(length(d.dn) - length(c.cn)) <= 1
+          WHERE levenshtein(d.dn, c.cn) <= 1),
+    b AS (SELECT p_partkey, orig, et, cn,
+                 row_number() OVER (PARTITION BY p_partkey
+                                    ORDER BY dist ASC, cn ASC) AS rn
+          FROM m),
+    bm AS (SELECT et,
+                  CAST(count(*) AS BIGINT) AS n_matched,
+                  CAST(sum(CASE WHEN cn = orig THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_correct
+           FROM b WHERE rn = 1 GROUP BY et),
+    tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n_parts
+            FROM d GROUP BY et)
+    SELECT CAST(tot.et AS BIGINT) AS edit_type, tot.n_parts,
+           coalesce(bm.n_matched, 0) AS n_matched,
+           coalesce(bm.n_correct, 0) AS n_correct
+    FROM tot LEFT JOIN bm ON bm.et = tot.et
+    """,
+)
+def fuzzy_part_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.joins import (
+        best_fuzzy_match,
+        fuzzy_join,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        "p_partkey",
+        F.lower("p_name").alias("orig"),
+        (F.col("p_partkey") % 4).alias("et"),
+    ).withColumn(
+        "dn",
+        F.expr(
+            "CASE et WHEN 0 THEN orig "
+            "WHEN 1 THEN substr(orig, 1, 2) || substr(orig, 4) "
+            "WHEN 2 THEN substr(orig, 1, 2) || substr(orig, 2, 1) "
+            "|| substr(orig, 3) "
+            "ELSE substr(orig, 1, 3) || 'x' || substr(orig, 5) END"
+        ),
+    )
+    clean = part.select(F.lower("p_name").alias("cn")).distinct()
+    matches = fuzzy_join(dirty, clean, "dn", "cn", max_dist=1)
+    best = best_fuzzy_match(
+        matches, ["p_partkey", "orig", "et"], "cn"
+    )
+    matched = best.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum((F.col("best_cn") == F.col("orig")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    totals = dirty.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    return (
+        totals.join(F.broadcast(matched), "et", "left")
+        .select(
+            F.col("et").cast("long").alias("edit_type"),
+            "n_parts",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        zorder_expr,
+    )
+
+    z = zorder_expr("cx", "dyn", 10, div="//")
+    return f"""
+    WITH o AS (
+      SELECT o_custkey,
+             date_part('doy', CAST(o_orderdate AS TIMESTAMP)) AS dy
+      FROM orders
+    ),
+    mm AS (SELECT CAST(min(o_custkey) AS BIGINT) AS mn,
+                  CAST(max(o_custkey) AS BIGINT) AS mx FROM o),
+    k AS (
+      SELECT ((o_custkey - mn) * 1024) // (mx - mn + 1) AS cx,
+             ((dy - 1) * 1024) // 366 AS dyn
+      FROM o CROSS JOIN mm
+    ),
+    z AS (
+      SELECT cx, dyn, {z} // 1024 AS zb,
+             (cx * 1024 + dyn) // 1024 AS lb
+      FROM k
+    ),
+    m AS (SELECT * FROM z WHERE cx >= 448 AND cx < 576
+                            AND dyn >= 448 AND dyn < 576)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_rows_matched,
+           (SELECT CAST(count(DISTINCT zb) AS BIGINT) FROM m)
+               AS z_blocks_touched,
+           (SELECT CAST(count(DISTINCT lb) AS BIGINT) FROM m)
+               AS linear_blocks_touched,
+           (SELECT CAST(count(DISTINCT zb) AS BIGINT) FROM z)
+               AS z_blocks_total,
+           (SELECT CAST(count(DISTINCT lb) AS BIGINT) FROM z)
+               AS linear_blocks_total
+    """
+
+
+@_register(
+    "zorder_locality_stats",
+    "Multi-dimensional data layout: Morton (Z-order) interleave of "
+    "normalized (customer, day-of-year) — the layout key that makes "
+    "a conjunctive 2-D range predicate touch O(boundary) storage "
+    "blocks instead of every block holding each customer's full date "
+    "range. The query MEASURES that win: blocks (key div 1024) "
+    "touched by a middle-1/8 x middle-1/8 range under z-order vs a "
+    "row-major linear key, same data. zorder_expr generates the "
+    "identical pure div/mod bit-interleave text for BOTH engines "
+    "(operators/compaction.py:zorder_expr — one generator, zero "
+    "drift). At 100 TB this is the write_partitioned sort key; all "
+    "stats are exact BIGINT.",
+    _zorder_oracle(),
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        zorder_expr,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.dayofyear("o_orderdate").alias("dy")
+    )
+    mm = o.agg(
+        F.min("o_custkey").cast("long").alias("mn"),
+        F.max("o_custkey").cast("long").alias("mx"),
+    )
+    k = o.crossJoin(F.broadcast(mm)).select(
+        F.expr("((o_custkey - mn) * 1024) div (mx - mn + 1)").alias("cx"),
+        F.expr("((dy - 1) * 1024) div 366").alias("dyn"),
+    )
+    z = k.select(
+        "cx",
+        "dyn",
+        F.expr(f"{zorder_expr('cx', 'dyn', 10)} div 1024").alias("zb"),
+        F.expr("(cx * 1024 + dyn) div 1024").alias("lb"),
+    ).localCheckpoint()
+    m = z.where(
+        (F.col("cx") >= 448)
+        & (F.col("cx") < 576)
+        & (F.col("dyn") >= 448)
+        & (F.col("dyn") < 576)
+    )
+    stats_m = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.countDistinct("zb").cast("long").alias("z_blocks_touched"),
+        F.countDistinct("lb").cast("long").alias("linear_blocks_touched"),
+    )
+    stats_all = z.agg(
+        F.countDistinct("zb").cast("long").alias("z_blocks_total"),
+        F.countDistinct("lb").cast("long").alias("linear_blocks_total"),
+    )
+    return stats_m.crossJoin(stats_all)

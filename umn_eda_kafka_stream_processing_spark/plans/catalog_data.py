@@ -3263,3 +3263,109 @@ def charlm_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = scores.join(labels.hint("shuffle_hash"), "doc_id")
     return binary_auc(j, "avg_logp", "label")
+
+
+@_register(
+    "token_pmi_pairs",
+    "Word-association mining: pointwise mutual information over "
+    "within-document co-occurrence of the top-50 document-frequency "
+    "vocabulary (Latin letter runs; CJK excluded by the documented "
+    "[a-z]+ tokenizer). Vocabulary selection is the scale guard — "
+    "per-doc pair fan-out is bounded by C(50,2), never the raw "
+    "token count squared; global top-50 via global_topk "
+    "(TakeOrderedAndProject, no corpus window). pmi = ln(N*c_ab/"
+    "(df_a*df_b)) — ONE ln per DISTINCT surviving pair of integer "
+    "counts, 6dp-rounded (the char_bigram ln rule: transcendentals "
+    "never sum across rows). Pairs need c_ab >= 5. Oracle: same "
+    "counts, row_number vocab ranking.",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY t),
+    voc AS (SELECT t, dfc FROM (
+              SELECT t, dfc, row_number() OVER (ORDER BY dfc DESC, t ASC)
+                     AS rn FROM dfq) WHERE rn <= 50),
+    dt AS (SELECT tok.doc_id, tok.t, voc.dfc
+           FROM tok JOIN voc ON voc.t = tok.t),
+    pr AS (SELECT a.t AS ta, b.t AS tb,
+                  min(a.dfc) AS dfa, min(b.dfc) AS dfb,
+                  CAST(count(*) AS BIGINT) AS c_ab
+           FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+           GROUP BY a.t, b.t)
+    SELECT ta, tb, c_ab, dfa, dfb,
+           floor(ln(CAST(c_ab AS DOUBLE) * nd / (dfa * dfb))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pr CROSS JOIN n
+    WHERE c_ab >= 5
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                )
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    dfq = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    voc = global_topk(dfq, [("dfc", False), ("t", True)], 50).drop("rank")
+    dt = tok.join(F.broadcast(voc), "t").localCheckpoint()
+    a = dt.select(
+        F.col("doc_id"), F.col("t").alias("ta"), F.col("dfc").alias("dfa")
+    )
+    b = dt.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("t").alias("tb"),
+        F.col("dfc").alias("dfb"),
+    )
+    pr = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.min("dfa").alias("dfa"),
+            F.min("dfb").alias("dfb"),
+            F.count(F.lit(1)).cast("long").alias("c_ab"),
+        )
+    )
+    return (
+        pr.where(F.col("c_ab") >= 5)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            "dfa",
+            "dfb",
+            (
+                F.floor(
+                    F.log(
+                        F.col("c_ab").cast("double")
+                        * F.col("nd")
+                        / (F.col("dfa") * F.col("dfb"))
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("pmi"),
+        )
+    )

@@ -541,3 +541,76 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts"
     )
     return transition_counts(ev)
+
+
+@_register(
+    "weekly_retention_cohorts",
+    "Cohort retention matrix — the product-analytics staple: users "
+    "cohorted by the Monday week of their FIRST event, then each "
+    "(cohort, week-offset) cell counts users active k weeks later, "
+    "with retention vs cohort size in integer micros (identical "
+    "BIGINT rounding formula both engines). Shape: distinct "
+    "(user, week) hash-agg, per-user min() cohort, one user-keyed "
+    "join, one (cohort, offset) hash-agg — no corpus window, no "
+    "per-user sequence materialization; at 100 TB every step is "
+    "keyed by user or by the tiny cohort matrix. Weeks via "
+    "date_trunc('week') (Monday on both engines), offsets via exact "
+    "day arithmetic div 7.",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events
+    ),
+    fw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+    act AS (
+      SELECT fw.cw, date_diff('day', fw.cw, uw.wk) // 7 AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM uw JOIN fw ON fw.user_id = uw.user_id
+      GROUP BY 1, 2
+    ),
+    cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+           FROM fw GROUP BY cw)
+    SELECT strftime(act.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_active, cs.n_cohort,
+           CAST((1000000 * n_active + cs.n_cohort // 2) // cs.n_cohort
+                AS BIGINT) AS retention_micro
+    FROM act JOIN cs ON cs.cw = act.cw
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", event_ts("ts").alias("ts")
+    )
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    act = (
+        uw.join(fw.hint("shuffle_hash"), "user_id")
+        .select(
+            "cw",
+            (F.datediff("wk", "cw") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    cs = fw.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        act.join(F.broadcast(cs), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.expr(
+                "(1000000 * n_active + n_cohort div 2) div n_cohort"
+            )
+            .cast("long")
+            .alias("retention_micro"),
+        )
+    )

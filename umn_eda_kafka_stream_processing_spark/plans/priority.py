@@ -87,10 +87,16 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
     "ann_pq_topk",
     "semantic_dedup_pairs",
-    "bpe_encode_stats",
+    # (bpe_encode_stats rotated out in r07 for token_pmi_pairs below:
+    # driver-verified r04+r05+r06; the tokenizer/text family keeps
+    # unigram_train_vocab + unigram_encode_stats + char_bigram_quality
+    # in-gate)
     "bloom_prejoin_stats",
     # -- new in fourth r04 rotation, never driver-verified ----------
-    "repeat_buyer_customers",
+    # (repeat_buyer_customers rotated out in r07 for
+    # weekly_retention_cohorts below: driver-verified r04+r05+r06;
+    # the scenario family keeps churned_customers +
+    # events_occurred_total in-gate)
     "churned_customers",
     # (epoch_shuffle_assignment rotated out in r07 for
     # temperature_mixture_stats below: driver-verified r04+r05+r06;
@@ -188,12 +194,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # TPC-H family keeps 9 members in-gate)
     # (q14_promo_revenue rotated out in r05 for span_dup_doc_fraction
     # below: driver-verified r04; TPC-H keeps 14 members in-gate)
-    "q15_top_supplier",
+    # (q15_top_supplier rotated out in r07 for fuzzy_part_match_stats
+    # below: driver-verified r04+r05+r06; TPC-H keeps 8 in-gate)
     # (q17_small_qty_revenue rotated out in r07 for charlm_langid_auc
     # below: driver-verified r04+r05+r06; the TPC-H family keeps 9
     # members in-gate)
     "q18_large_volume_customers",
-    "q19_brackets_revenue",
+    # (q19_brackets_revenue rotated out in r07 for
+    # zorder_locality_stats below: driver-verified r04+r05+r06; the
+    # TPC-H family keeps 7 members in-gate)
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     # the five partsupp-adapted shapes (lineitem-mediated relation)
@@ -248,6 +257,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "cosupply_triangle_stats",
     "order_price_exact_quantiles",
     "charlm_langid_auc",
+    # -- new in r07 (third batch), never driver-verified: blocked
+    # fuzzy-join entity resolution, PMI word association, cohort
+    # retention, Z-order layout locality --------------------------------
+    "fuzzy_part_match_stats",
+    "token_pmi_pairs",
+    "weekly_retention_cohorts",
+    "zorder_locality_stats",
 )
 
 DRIVER_GATE_SLOTS = 50
