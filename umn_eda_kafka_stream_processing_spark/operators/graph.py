@@ -185,3 +185,57 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_rounds: int = 6
+) -> tuple[DataFrame, int, bool]:
+    """k-core decomposition by iterative peeling: drop nodes with
+    degree < k (and their edges) until fixpoint or ``max_rounds``.
+    Returns (core_edges, rounds_run, converged).
+
+    Each round is one degree hash-agg + two semi-joins keyed on the
+    endpoints, with the shrinking edge set localCheckpointed so N
+    rounds stay N shuffles (the connected-components/pagerank
+    precedent); only per-round edge COUNTS reach the driver (loop
+    control). Peeling is monotone (each round's set is a subset of
+    the last), so count-stability == set-stability, and running
+    extra rounds past the fixpoint is a no-op — which is what lets
+    a fixed-round SQL unrolling (the oracle) match an early-stopping
+    loop exactly. ``edges`` must be the a<b-normalized undirected
+    edge list."""
+    e = edges.select(
+        F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
+    ).localCheckpoint()
+    n_before = e.count()
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(
+                keep.withColumnRenamed("node", "a").hint("shuffle_hash"),
+                "a",
+                "semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "b").hint("shuffle_hash"),
+                "b",
+                "semi",
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+        n_after = e2.count()
+        e = e2
+        if n_after == n_before:
+            converged = True
+            break
+        n_before = n_after
+    return e, rounds, converged

@@ -137,3 +137,41 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def key_skew_census(
+    df: DataFrame, key_col: str, label: str
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key: total
+    rows, distinct keys, the heaviest key and its count, and
+    skew_micro = floor(1e6 * max_cnt * n_keys / n_rows + 0.5) — how
+    many times the heaviest key exceeds the uniform share (1e6 =
+    perfectly uniform). The planning signal for whether a key needs
+    salting (salted_join/salted_agg) before it becomes the one task
+    that runs forever at 100 TB.
+
+    Two hash-aggs: key counts, then a min(struct(-cnt, key)) argmax
+    (map-side combined — no corpus sort, no window). NULL keys are
+    counted as a key (they hash-partition together too — a mostly-
+    NULL FK is the classic silent skew); the struct coalesces NULL
+    to '' so the argmax stays total."""
+    c = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("k"))).alias(
+            "_b"
+        ),
+    ).select(
+        F.lit(label).alias("key"),
+        "n_rows",
+        "n_keys",
+        (-F.col("_b.nc")).cast("long").alias("max_cnt"),
+        F.col("_b.k").alias("top_key"),
+        F.expr(
+            "CAST((1000000 * (-_b.nc) * n_keys + n_rows div 2) "
+            "div n_rows AS BIGINT)"
+        ).alias("skew_micro"),
+    )

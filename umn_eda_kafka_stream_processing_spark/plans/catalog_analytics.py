@@ -1090,21 +1090,7 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "cosupply_triangle_stats",
-    "Exact triangle census of the lift-thresholded supplier "
-    "co-supply graph (edge iff two suppliers share an order at least "
-    "1.2x as often as independence predicts — the 6*cnt_a*cnt_b <= "
-    "5*obs*total comparison is exact BIGINT cross-multiplication, no "
-    "float lift). Spark counts triangles on the DEGREE-ORDERED "
-    "orientation (operators/graph.py:triangle_stats — per-node probe "
-    "work sum C(outdeg,2), the hub-proof shape at 100 TB); the "
-    "oracle lists triangles from the raw a<b edge list instead — "
-    "different algorithm, same exact counts. clustering_micro = "
-    "floor(1e6*3*tri/wedges+0.5) via the identical integer formula "
-    "both sides.",
-    """
-    WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+_COSUPPLY_EDGE_CTES = """p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM p),
     d AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
           FROM p GROUP BY 1),
@@ -1117,28 +1103,16 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM co JOIN d d1 ON d1.l_suppkey = co.s1
                   JOIN d d2 ON d2.l_suppkey = co.s2
                   CROSS JOIN n
-          WHERE 5 * obs * total >= 6 * d1.cnt * d2.cnt),
-    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-              SELECT a AS node FROM e UNION ALL SELECT b FROM e
-            ) GROUP BY 1),
-    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-            FROM e e1 JOIN e e2 ON e2.a = e1.b
-                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-                   CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
-                       AS n_wedges
-            FROM deg),
-    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
-    SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           CAST(CASE WHEN coalesce(n_wedges, 0) = 0 THEN 0
-                ELSE (3000000 * n_triangles + n_wedges // 2) // n_wedges
-                END AS BIGINT) AS clustering_micro
-    FROM agg CROSS JOIN ne CROSS JOIN tri
-    """,
-)
-def cosupply_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from umn_eda_kafka_stream_processing_spark.operators.graph import triangle_stats
+          WHERE 5 * obs * total >= 6 * d1.cnt * d2.cnt)"""
 
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift-thresholded supplier co-supply graph (a<b-normalized
+    undirected edges): two suppliers connect iff they share an order
+    at least 1.2x as often as independence predicts — exact BIGINT
+    cross-multiplication (5*obs*total >= 6*cnt_a*cnt_b), no float
+    lift. One per-order self-join bounded by order size, one pair
+    hash-agg, dim-sized degree broadcasts."""
     p = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -1164,7 +1138,7 @@ def cosupply_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
     )
-    edges = (
+    return (
         co.join(
             F.broadcast(d.select(F.col("l_suppkey").alias("s1"),
                                  F.col("cnt").alias("cnt1"))),
@@ -1176,12 +1150,47 @@ def cosupply_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s2",
         )
         .crossJoin(F.broadcast(total))
-        .where(
-            F.expr("5 * obs * total >= 6 * cnt1 * cnt2")
-        )
+        .where(F.expr("5 * obs * total >= 6 * cnt1 * cnt2"))
         .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     )
-    stats = triangle_stats(edges)
+
+
+@_register(
+    "cosupply_triangle_stats",
+    "Exact triangle census of the lift-thresholded supplier "
+    "co-supply graph (edge iff two suppliers share an order at least "
+    "1.2x as often as independence predicts — the 6*cnt_a*cnt_b <= "
+    "5*obs*total comparison is exact BIGINT cross-multiplication, no "
+    "float lift). Spark counts triangles on the DEGREE-ORDERED "
+    "orientation (operators/graph.py:triangle_stats — per-node probe "
+    "work sum C(outdeg,2), the hub-proof shape at 100 TB); the "
+    "oracle lists triangles from the raw a<b edge list instead — "
+    "different algorithm, same exact counts. clustering_micro = "
+    "floor(1e6*3*tri/wedges+0.5) via the identical integer formula "
+    "both sides.",
+    "WITH " + _COSUPPLY_EDGE_CTES + """,
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY 1),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+            FROM deg),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN coalesce(n_wedges, 0) = 0 THEN 0
+                ELSE (3000000 * n_triangles + n_wedges // 2) // n_wedges
+                END AS BIGINT) AS clustering_micro
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def cosupply_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import triangle_stats
+
+    stats = triangle_stats(_cosupply_edges(spark, sf_dir))
     return stats.select(
         "n_nodes",
         "n_edges",
@@ -1425,3 +1434,209 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lb").cast("long").alias("linear_blocks_total"),
     )
     return stats_m.crossJoin(stats_all)
+
+
+_SKEW_KEYS = (
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+)
+
+
+def _skew_census_oracle() -> str:
+    blocks = []
+    for i, (label, tbl, col) in enumerate(_SKEW_KEYS):
+        blocks.append(
+            f"""SELECT '{label}' AS key, n_rows, n_keys, max_cnt,
+           (SELECT k FROM (SELECT k, cnt FROM (
+              SELECT coalesce(CAST({col} AS VARCHAR), '') AS k,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM {tbl} GROUP BY 1))
+            ORDER BY cnt DESC, k ASC LIMIT 1) AS top_key,
+           CAST((1000000 * max_cnt * n_keys + n_rows // 2) // n_rows
+                AS BIGINT) AS skew_micro
+    FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt
+          FROM (SELECT coalesce(CAST({col} AS VARCHAR), '') AS k,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM {tbl} GROUP BY 1))"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+@_register(
+    "join_key_skew_census",
+    "Skew diagnostics for the engine's join/agg keys — the planning "
+    "census that decides which keys need salting "
+    "(operators/skew.py:key_skew_census): per key, rows / distinct "
+    "keys / heaviest key + count / skew_micro = heaviest-vs-uniform "
+    "ratio in integer micros. Two hash-aggs per key with a "
+    "min(struct(-cnt, key)) argmax (map-side combined, no corpus "
+    "sort); NULL keys count as a key (a mostly-NULL FK is the "
+    "classic silent skew). Oracle: ORDER BY LIMIT 1 argmax — "
+    "different algorithm, same row.",
+    _skew_census_oracle(),
+)
+def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import key_skew_census
+
+    out = None
+    for label, tbl, col in _SKEW_KEYS:
+        c = key_skew_census(load_table(spark, sf_dir, tbl), col, label)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def _kcore_oracle(k: int = 8, rounds: int = 6) -> str:
+    # every e{r} is referenced 3x by round r+1 (FROM + two IN
+    # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the
+    # expansion is ~5^rounds scans of lineitem ("too many open files")
+    ctes = [
+        _COSUPPLY_EDGE_CTES.replace("e AS (", "e AS MATERIALIZED ("),
+        "e0 AS MATERIALIZED (SELECT a, b FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+             SELECT node, CAST(count(*) AS BIGINT) AS deg
+             FROM (SELECT a AS node FROM e{r - 1}
+                   UNION ALL SELECT b FROM e{r - 1}) GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (SELECT a, b FROM e{r - 1}
+             WHERE a IN (SELECT node FROM d{r} WHERE deg >= {k})
+               AND b IN (SELECT node FROM d{r} WHERE deg >= {k}))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+              (SELECT a AS node FROM e{rounds}
+               UNION ALL SELECT b FROM e{rounds})) AS n_core_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{rounds})
+               AS n_core_edges,
+           CAST(CASE WHEN (SELECT count(*) FROM e{rounds})
+                        = (SELECT count(*) FROM e{rounds - 1})
+                THEN 1 ELSE 0 END AS BIGINT) AS converged"""
+    )
+
+
+@_register(
+    "cosupply_kcore_stats",
+    "k-core decomposition (k=8) of the lift-thresholded co-supply "
+    "graph by iterative peeling (operators/graph.py:k_core): each "
+    "round one degree hash-agg + two endpoint semi-joins over the "
+    "checkpointed shrinking edge set; only per-round counts reach "
+    "the driver. Peeling is MONOTONE, so count-stability == "
+    "set-stability and rounds past the fixpoint are no-ops — which "
+    "is exactly why the fixed-6-round SQL unrolling (oracle) equals "
+    "the early-stopping Spark loop, converged-or-not. The dense-core "
+    "extraction step community mining runs before clique-ish "
+    "analysis.",
+    _kcore_oracle(),
+)
+def cosupply_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import k_core
+
+    core, _rounds, converged = k_core(
+        _cosupply_edges(spark, sf_dir), k=8, max_rounds=6
+    )
+    nodes = (
+        core.select(F.col("a").alias("node"))
+        .union(core.select(F.col("b").alias("node")))
+        .agg(F.countDistinct("node").cast("long").alias("n_core_nodes"))
+    )
+    edges = core.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_edges")
+    )
+    return nodes.crossJoin(edges).select(
+        "n_core_nodes",
+        "n_core_edges",
+        F.lit(1 if converged else 0).cast("long").alias("converged"),
+    )
+
+
+def _eigencentrality_oracle(iters: int = 10) -> str:
+    """Unrolled twin of power_iteration over the symmetrized lift
+    adjacency (entries 1e9). MATERIALIZED throughout (each round
+    references its predecessor repeatedly — the k-core inlining
+    lesson)."""
+    ctes = [
+        _COSUPPLY_EDGE_CTES.replace("e AS (", "e AS MATERIALIZED ("),
+        """adj AS MATERIALIZED (
+      SELECT a AS i, b AS j, CAST(1000000000 AS BIGINT) AS g FROM e
+      UNION ALL
+      SELECT b AS i, a AS j, CAST(1000000000 AS BIGINT) AS g FROM e
+    )""",
+        """v0 AS (SELECT DISTINCT i AS pos, CAST(125000 AS BIGINT) AS v
+           FROM adj)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT adj.i AS pos,
+             CAST(sum((adj.g * v.v) // 1000000) AS BIGINT) AS w
+      FROM adj JOIN v{t - 1} v ON v.pos = adj.j GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"u{t} AS (SELECT pos, w // 10000 AS u FROM w{t})"
+        )
+        ctes.append(
+            f"""n{t} AS (SELECT CAST(floor(sqrt(CAST(sum(u * u) AS DOUBLE)))
+                    AS BIGINT) AS nrm FROM u{t})"""
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+      SELECT pos, (u * 1000000) // greatest(nrm, 1) AS v
+      FROM u{t} CROSS JOIN n{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT pos AS l_suppkey, CAST(v AS BIGINT) AS cent_micro
+    FROM v{iters}"""
+    )
+
+
+@_register(
+    "supplier_eigencentrality",
+    "Eigenvector centrality (the Perron vector) of the "
+    "lift-thresholded co-supply graph: 10 rounds of fixed-point "
+    "power iteration (operators/linalg.py:power_iteration — exact "
+    "BIGINT matvec + trunc-div normalization with the one "
+    "IEEE-correctly-rounded sqrt; identical under any partitioning "
+    "or engine, which float centrality cannot claim). The spectral "
+    "gap of this adjacency (lambda2/lambda1 ~ 0.48 at sf0.01) makes "
+    "10 rounds converge to ~1e-3 — measured, not assumed. The "
+    "node-count vector joins shuffle_hash, NOT broadcast (a "
+    "graph-sized vector must never broadcast at 100 TB — the "
+    "pagerank rule); norm_shift=10000 keeps sum(u^2) in BIGINT for "
+    "degrees up to ~1e4 (overflow audit in the operator docstring). "
+    "Oracle: the ten rounds unrolled.",
+    _eigencentrality_oracle(),
+)
+def supplier_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.linalg import (
+        power_iteration,
+    )
+
+    edges = _cosupply_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("a").alias("i"), F.col("b").alias("j"))
+        .union(edges.select(F.col("b").alias("i"), F.col("a").alias("j")))
+        .withColumn("g", F.lit(10**9).cast("long"))
+    )
+    v = power_iteration(
+        adj, iterations=10, norm_shift=10000, vec_join="shuffle_hash"
+    )
+    return v.select(
+        F.col("pos").alias("l_suppkey"),
+        F.col("v_micro").alias("cent_micro"),
+    )

@@ -3369,3 +3369,54 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_GRAM_CTES = """ex AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS m
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM embeddings),
+    g AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(a.m * b.m) AS BIGINT) // (nr * 1000) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id CROSS JOIN n
+      GROUP BY a.pos, b.pos, nr
+    )"""
+
+
+@_register(
+    "embedding_gram_topk",
+    "Distributed EXACT gram (uncentered covariance) matrix of the "
+    "embedding corpus in integer fixed-point "
+    "(operators/linalg.py:gram_micro — element micros, exact BIGINT "
+    "pair sums, one dim^2 hash-agg; no float accumulation, so the "
+    "matrix is identical under any partitioning), reporting the "
+    "top-20 strongest off-diagonal couplings |g| — the feature-"
+    "redundancy census an embedding pipeline runs before whitening/"
+    "pruning. Ranking via global_topk (TakeOrderedAndProject, no "
+    "corpus window). Oracle: same integer gram, row_number ranking.",
+    "WITH " + _GRAM_CTES + """
+    SELECT i, j, g,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT i, j, g,
+                 row_number() OVER (ORDER BY abs(g) DESC, i ASC, j ASC)
+                     AS rn
+          FROM g WHERE i < j)
+    WHERE rn <= 20
+    """,
+)
+def embedding_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+    from umn_eda_kafka_stream_processing_spark.operators.linalg import gram_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram, _n = gram_micro(emb)
+    off = gram.where(F.col("i") < F.col("j")).withColumn(
+        "absg", F.abs("g")
+    )
+    top = global_topk(
+        off, [("absg", False), ("i", True), ("j", True)], 20
+    )
+    return top.select("i", "j", "g", F.col("rank").cast("long"))

@@ -86,12 +86,18 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in fifth r04 rotation, never driver-verified: PQ ANN
     # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
     "ann_pq_topk",
-    "semantic_dedup_pairs",
+    # (semantic_dedup_pairs rotated out in r07 for embedding_gram_topk
+    # below: driver-verified r04+r05+r06; the similarity family keeps
+    # ann_pq_topk + ann_ivfpq_topk + user_activity_similarity_lsh
+    # in-gate)
     # (bpe_encode_stats rotated out in r07 for token_pmi_pairs below:
     # driver-verified r04+r05+r06; the tokenizer/text family keeps
     # unigram_train_vocab + unigram_encode_stats + char_bigram_quality
     # in-gate)
-    "bloom_prejoin_stats",
+    # (bloom_prejoin_stats rotated out in r07 for
+    # supplier_eigencentrality below: driver-verified r04+r05+r06; the
+    # runtime-filter family stays covered by the full-catalog artifact
+    # and its oracle-audited census)
     # -- new in fourth r04 rotation, never driver-verified ----------
     # (repeat_buyer_customers rotated out in r07 for
     # weekly_retention_cohorts below: driver-verified r04+r05+r06;
@@ -164,7 +170,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # span_dedup_rewrite_stats + unigram_encode_stats below: both
     # driver-verified r04+r05; the media family keeps
     # mp4_frame_sample, audio_zcr_stats, media_decode_health in-gate)
-    "mp4_frame_sample",
+    # (mp4_frame_sample rotated out in r07 for cosupply_kcore_stats
+    # below: driver-verified r04+r05+r06; the media family keeps
+    # media_decode_health in-gate)
     # (audio_zcr_stats rotated out in r07 for bm25_search_topk below:
     # driver-verified r04+r05+r06; the media family keeps
     # mp4_frame_sample + media_decode_health in-gate)
@@ -187,7 +195,8 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (q4_order_priority + q12_late_lines_by_status rotated out in r07
     # for nb_train_model + nb_quality_flags below: both driver-verified
     # r04+r05+r06; the TPC-H family keeps 11 members in-gate)
-    "q7_volume_shipping",
+    # (q7_volume_shipping rotated out in r07 for join_key_skew_census
+    # below: driver-verified r04+r05+r06; TPC-H keeps 6 in-gate)
     "q8_market_share",
     # (q13_customer_order_distribution rotated out in r07 for
     # cosupply_triangle_stats below: driver-verified r04+r05+r06; the
@@ -264,6 +273,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "token_pmi_pairs",
     "weekly_retention_cohorts",
     "zorder_locality_stats",
+    # -- new in r07 (fourth batch), never driver-verified: key-skew
+    # diagnostics, k-core peeling, exact integer gram census, and
+    # eigenvector centrality by fixed-point power iteration ------------
+    "join_key_skew_census",
+    "cosupply_kcore_stats",
+    "embedding_gram_topk",
+    "supplier_eigencentrality",
 )
 
 DRIVER_GATE_SLOTS = 50
