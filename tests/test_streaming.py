@@ -1901,3 +1901,92 @@ def test_incremental_span_dedup_matches_batch_rewrite(spark, tmp_path):
     assert got == want
     # sanity: the scenario exercised real cross-batch cuts
     assert any(v[1] > 0 for d, v in got.items() if d > 6)
+
+
+def test_incremental_funnel_matches_batch(spark, tmp_path):
+    """foreachBatch funnel frontiers with a durable per-user store:
+    events streamed in ascending-event-time microbatches must land
+    on EXACTLY the batch funnel of the full history (incremental ==
+    batch) — cross-batch chaining (view in batch 1, click in batch
+    2), within-batch chaining, the completion window, and the strict
+    > ordering all riding through the store."""
+    from datetime import datetime, timedelta
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        funnel_steps,
+        incremental_funnel,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    t0 = datetime(2024, 3, 1)
+
+    def ts(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    all_events = [
+        # u1 completes across three batches
+        (1, "view", ts(0)), (1, "click", ts(70)), (1, "purchase", ts(140)),
+        # u2: click arrives before any view -> never chains (strict >)
+        (2, "click", ts(1)), (2, "view", ts(65)), (2, "purchase", ts(139)),
+        # u3: purchase lands outside the 2-hour window
+        (3, "view", ts(2)), (3, "click", ts(75)), (3, "purchase", ts(150)),
+        # u4: full chain within one batch
+        (4, "view", ts(60)), (4, "click", ts(61)), (4, "purchase", ts(62)),
+        # u5: duplicate views across batches keep the first t1
+        (5, "view", ts(3)), (5, "view", ts(80)), (5, "click", ts(82)),
+    ]
+    all_events.sort(key=lambda r: r[2])  # ascending event time
+    batches = [all_events[:5], all_events[5:10], all_events[10:]]
+    steps = ["view", "click", "purchase"]
+    store = str(tmp_path / "funnel_store")
+    src_dir = str(tmp_path / "events")
+    seq = [0]
+
+    def on_batch(batch_df, _bid):
+        incremental_funnel(
+            batch_df, store, steps, batch_seq=seq[0], window="2 hours"
+        )
+        seq[0] += 1
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_events(batches[0])
+    ev = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src_dir)
+    q = start_foreach_batch_sink(ev, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_events(batches[1])
+        q.processAllAvailable()
+        write_events(batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.read.parquet(store)
+        .select("user_id", "t1", "t2", "t3")
+        .collect()
+    }
+    full = spark.createDataFrame(
+        all_events, "user_id long, event_type string, ts timestamp"
+    )
+    batch = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(full, steps, window="2 hours").collect()
+    }
+    # incremental covers every user the batch funnel reached...
+    assert set(batch) <= set(stored)
+    for u, f in batch.items():
+        assert stored[u] == f, (u, stored[u], f)
+    # u2's early click never chains (strict >): stalled after step 1
+    assert stored[2][1] is None and stored[2][2] is None
+    # u3's purchase fell outside the window
+    assert stored[3][2] is None and stored[3][1] is not None
