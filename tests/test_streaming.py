@@ -1990,3 +1990,69 @@ def test_incremental_funnel_matches_batch(spark, tmp_path):
     assert stored[2][1] is None and stored[2][2] is None
     # u3's purchase fell outside the window
     assert stored[3][2] is None and stored[3][1] is not None
+
+
+def test_incremental_transitions_match_batch(spark, tmp_path):
+    """foreachBatch Markov pairs with a per-user last-event store:
+    summing each microbatch's emitted (from, to) counts — including
+    the cross-batch boundary pairs — must equal transition_counts
+    over the full history."""
+    import collections
+    from datetime import datetime, timedelta
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        incremental_transitions,
+        transition_counts,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    pattern = {1: "abcab", 2: "aabba", 3: "cc", 4: "a"}
+    eid = 0
+    for step in range(5):
+        for u, pat in pattern.items():
+            if step < len(pat):
+                rows.append((u, eid, pat[step], t0 + timedelta(minutes=step)))
+                eid += 1
+    batches = [rows[:6], rows[6:11], rows[11:]]
+    store = str(tmp_path / "last_store")
+    src_dir = str(tmp_path / "tev")
+    total = collections.Counter()
+    seq = [0]
+
+    def on_batch(batch_df, _bid):
+        out = incremental_transitions(batch_df, store, batch_seq=seq[0])
+        seq[0] += 1
+        for r in out.collect():
+            total[(r["from_type"], r["to_type"])] += r["n"]
+
+    def write(rows_):
+        spark.createDataFrame(
+            rows_, "user_id long, event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write(batches[0])
+    ev = spark.readStream.schema(
+        "user_id long, event_id long, event_type string, ts timestamp"
+    ).parquet(src_dir)
+    q = start_foreach_batch_sink(ev, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write(batches[1])
+        q.processAllAvailable()
+        write(batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_counts(full).collect()
+    }
+    assert dict(total) == batch

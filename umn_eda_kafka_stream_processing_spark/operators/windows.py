@@ -331,3 +331,105 @@ def incremental_funnel(
         partition_cols=("_fb",),
     )
     return frontier.select(user_col, *tcols)
+
+
+def incremental_transitions(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_seq: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Markov transition pairs over a CONTINUOUS event stream — the
+    incremental twin of `transition_counts`: each microbatch emits
+    its (from_type, to_type) consecutive pairs, INCLUDING the
+    boundary pair that chains a user's first in-batch event to their
+    last event from prior batches, held in a per-user last-event
+    store. Summing the emitted pair counts over all batches equals
+    `transition_counts` over the full history (the incremental ==
+    batch contract, pinned by the streaming test) when event order
+    (ts, *order_cols) is non-decreasing across batches per user.
+
+    Per batch: one per-user lag window WITHIN the batch (per-key
+    frames, never corpus-wide), one pruned store read joining only
+    the batch's users, one `upsert_snapshot` of the new per-user
+    last event (bucket = pmod(hash(user), n_buckets) — stable, so
+    the no-move contract holds; latest-wins on ``batch_seq``).
+    Returns this batch's pairs (from_type, to_type, n).
+    """
+    from pyspark.sql.utils import AnalysisException
+    from pyspark.sql.window import Window
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    spark = batch_df.sparkSession
+    ev = batch_df.select(
+        user_col,
+        F.col(type_col).alias("_et"),
+        event_ts(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+    ).localCheckpoint()
+    okeys = [f"_o{i}" for i in range(len(order_cols))]
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_ts").asc(), *[F.col(c).asc() for c in okeys]
+    )
+    seq = ev.withColumn("_prev", F.lag("_et").over(w)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    within = seq.where(F.col("_prev").isNotNull()).select(
+        F.col("_prev").alias("from_type"), F.col("_et").alias("to_type")
+    )
+    firsts = seq.where(F.col("_rn") == 1).select(user_col, "_et")
+    try:
+        store = spark.read.parquet(store_path)
+        boundary = firsts.join(
+            store.select(user_col, F.col("last_type")).hint(
+                "shuffle_hash"
+            ),
+            user_col,
+        ).select(
+            F.col("last_type").alias("from_type"),
+            F.col("_et").alias("to_type"),
+        )
+        pairs = within.union(boundary)
+    except AnalysisException:
+        pairs = within
+    # per-user new last event = max (ts, *order) in batch (arrival is
+    # non-decreasing across batches, so the batch max IS the global
+    # last)
+    lasts = (
+        seq.withColumn(
+            "_rmax",
+            F.row_number().over(
+                Window.partitionBy(user_col).orderBy(
+                    F.col("_ts").desc(),
+                    *[F.col(c).desc() for c in okeys],
+                )
+            ),
+        )
+        .where(F.col("_rmax") == 1)
+        .select(
+            user_col,
+            F.col("_et").alias("last_type"),
+            F.expr(f"pmod(hash({user_col}), {n_buckets})").alias("_fb"),
+            F.lit(batch_seq).cast("long").alias("_seq"),
+        )
+        .localCheckpoint()
+    )
+    out = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    upsert_snapshot(
+        spark,
+        store_path,
+        lasts,
+        key_cols=user_col,
+        order_col="_seq",
+        partition_cols=("_fb",),
+    )
+    return out
