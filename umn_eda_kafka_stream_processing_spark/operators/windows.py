@@ -292,30 +292,39 @@ def incremental_funnel(
             prior = prior.withColumn(t, F.lit(None).cast("timestamp_ntz"))
     frontier = prior.select(user_col, *tcols)
     for k, step in enumerate(steps, start=1):
-        batch_min = (
-            ev.where(F.col("_et") == step)
-            .groupBy(user_col)
-            .agg(F.min("_ts").alias("_bt"))
-        )
-        j = frontier.join(batch_min.hint("shuffle_hash"), user_col, "left")
+        # Join the step's RAW batch events to the frontier and apply
+        # the chain condition PER EVENT before the per-user min — the
+        # funnel_steps shape. Aggregating first (the round-7 code)
+        # broke the within-batch contract: a user with a step-k event
+        # before t_{k-1} and another after it had their batch min fail
+        # the strict > test and the reach dropped forever (set-once).
+        step_ev = ev.where(F.col("_et") == step).select(user_col, "_ts")
+        j = frontier.join(step_ev.hint("shuffle_hash"), user_col, "left")
         if k == 1:
-            nt = F.least(F.col("t1"), F.col("_bt"))
-            # least() skips NULLs, so an unset store t1 takes _bt
-            nt = F.coalesce(nt, F.col("t1"), F.col("_bt"))
+            # least() skips NULLs, so an unset store t1 takes the min
+            new_t = F.least(F.max("t1"), F.min("_ts"))
         else:
-            cond = F.col("_bt") > F.col(f"t{k - 1}")
+            cond = F.col("_ts") > F.col(f"t{k - 1}")
             if window is not None:
                 cond = cond & (
-                    F.col("_bt")
+                    F.col("_ts")
                     <= F.col("t1") + F.expr(f"INTERVAL {window}")
                 )
-            # set-once: keep the stored reach if present, else admit
-            # the batch min when it chains from the prior step
-            nt = F.coalesce(
-                F.col(f"t{k}"),
-                F.when(F.coalesce(cond, F.lit(False)), F.col("_bt")),
+            cand = F.min(
+                F.when(F.coalesce(cond, F.lit(False)), F.col("_ts"))
             )
-        frontier = j.withColumn(f"t{k}", nt).drop("_bt")
+            # set-once: keep the stored reach if present, else admit
+            # the earliest batch event that chains from step k-1
+            new_t = F.coalesce(F.max(F.col(f"t{k}")), cand)
+        # t1..t{k-1} / t{k+1}..tN are constant per user post-join:
+        # max() re-materializes them through the single hash-agg, so
+        # each step costs exactly one join + one agg (no self-join of
+        # the frontier — the AMBIGUOUS_REFERENCE trap).
+        frontier = j.groupBy(user_col).agg(
+            *[F.max(t).alias(t) for t in tcols[: k - 1]],
+            new_t.alias(f"t{k}"),
+            *[F.max(t).alias(t) for t in tcols[k:]],
+        )
     frontier = frontier.select(
         user_col,
         *tcols,
