@@ -607,6 +607,29 @@ def test_domain_mixture_sample_weights_and_cap(spark):
     assert smp.domain_mixture_sample(df2, "dom", "k", {"big_a": 1}, 10).count() == 0
 
 
+def test_temperature_mixture_sample_domain_named_domain(spark):
+    """Regression: the rate table derives from df and exposes a
+    'domain' column — a caller whose domain_col is literally 'domain'
+    must not trip AMBIGUOUS_REFERENCE (the derived-side join trap);
+    the join key carries a reserved alias instead."""
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    rows = [(i, "a") for i in range(2000)] + [
+        (10000 + i, "b") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, domain string")
+    got = smp.temperature_mixture_sample(
+        df, "domain", "k", F.lit(1), target_total=600, alpha=0.5
+    ).collect()
+    assert got and set(df.columns) == set(got[0].asDict())
+    n = {}
+    for r in got:
+        n[r["domain"]] = n.get(r["domain"], 0) + 1
+    # alpha=0.5 temperature: the small domain is up-weighted relative
+    # to its size share (sqrt weighting), both domains survive
+    assert n.get("b", 0) > 0 and n.get("a", 0) > 0
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""

@@ -40,6 +40,25 @@ def test_gram_micro_matches_numpy_integer_gram(spark):
             assert got[(i + 1, j + 1)] == expect
 
 
+def test_gram_micro_exact_past_bigint_overflow(spark):
+    """The DECIMAL(38,0) partial-sum path: element micros of ~3e9
+    (|x| = 3000) give per-term products of 9e18 — just inside BIGINT
+    — whose 4-row sum (3.6e19) wraps int64. The decimal gram must
+    return the exact scaled value, not a wrapped one."""
+    x = 3000.0  # m = 3_000_000_000
+    rows = [(i, [x, -x]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gram, _ = gram_micro(df)
+    got = {(r["i"], r["j"]): r["g"] for r in gram.collect()}
+    m = int(x * 1e6)  # 3e9, exact
+    c_diag = 4 * m * m  # 3.6e19 > 2^63: overflows BIGINT, not DECIMAL
+    assert c_diag > 2**63
+    expect_diag = c_diag // (4 * 1000)
+    expect_off = -((4 * m * m) // (4 * 1000))  # trunc-div on negatives
+    assert got[(1, 1)] == got[(2, 2)] == expect_diag
+    assert got[(1, 2)] == got[(2, 1)] == expect_off
+
+
 def _fixed_point_power(G, iters, norm_shift):
     dim = len(G)
     v = [125000] * dim

@@ -21,12 +21,14 @@ identically, so even that step is bit-portable. Integer div/% on
 NEGATIVES truncates toward zero in BOTH Spark (`div`) and DuckDB
 (`//`) — verified — so sign handling needs no special casing.
 
-Overflow audit for |x| <= 1, dim <= 64, n <= 1e9 rows: m <= 1e6,
-c_ij <= n*1e12 — EXCEEDS BIGINT for n > 9e6, which is why g divides
-by n as part of ONE aggregate-then-scale step; at larger n the gram
-agg should sum per-partition partials into DECIMAL(38,0) first (the
-exact-decimal money pattern). For this corpus (n <= 5e3) every
-intermediate is <= ~1e15. The quantization (three trunc-divs per
+Overflow audit for |x| <= 1, dim <= 64: m <= 1e6 and the gram sum
+c_ij <= n*1e12 would exceed BIGINT past n ~ 9e6 rows, so the gram
+agg sums per-term DECIMAL(38,0) products (exact partial sums — the
+exact-decimal money pattern; Spark's decimal sum is exact and
+order-independent, same as BIGINT) and only the SCALED
+g = c div (n*1000) <= 1e9 returns to BIGINT — safe to n ~ 1e26
+rows, i.e. unbounded for any real corpus. DuckDB's oracle twin sums
+HUGEINT (int128) — same integers. The quantization (three trunc-divs per
 iteration) costs ~1e-4 relative per round — deterministic, identical
 on both engines; the contract is "exact arithmetic on a defined
 iteration", not infinite-precision PCA.
@@ -70,15 +72,26 @@ def gram_micro(
         F.col(id_col).alias("_id"), F.col("pos").alias("j"),
         F.col("m").alias("mb"),
     )
+    # DECIMAL(38,0) per-term products + exact decimal partial sums:
+    # BIGINT c_ij wraps past n ~ 9e6 rows (module overflow audit);
+    # only the scaled g (<= 1e9) returns to BIGINT.
     c = (
         a.join(b.hint("shuffle_hash"), "_id")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("c"))
+        .agg(
+            F.sum(
+                F.col("ma").cast("decimal(38,0)") * F.col("mb")
+            ).alias("c")
+        )
     )
     n = emb.agg(F.count(F.lit(1)).cast("long").alias("nr"))
     gram = (
         c.crossJoin(F.broadcast(n))
-        .select("i", "j", F.expr("c div (nr * 1000)").alias("g"))
+        .select(
+            "i",
+            "j",
+            F.expr("c div (nr * 1000)").cast("long").alias("g"),
+        )
         .localCheckpoint()
     )
     return gram, n

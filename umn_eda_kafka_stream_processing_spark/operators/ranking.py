@@ -155,8 +155,12 @@ def binary_auc(
     """ROC-AUC of a score against a 0/1 label, exactly, from rank
     sums: one row (n_pos, n_neg, u2, auc_micro) where u2 = 2U counts
     each (pos, neg) pair twice (+1 per tied pair) so ties need no
-    fractions, and auc_micro applies the identical BIGINT rounding
-    formula both engines."""
+    fractions. The final ratio routes through exact int128 on both
+    engines — Spark DECIMAL(38,0) ``div``, DuckDB HUGEINT ``//``,
+    verified to agree — because 1e6·u2 wraps BIGINT once
+    n_pos·n_neg exceeds ~4.6e12 (a few million rows per class; at
+    100 TB that's every run). u2 itself stays BIGINT-safe up to
+    ~2.1e9 rows per class (u2 <= 2·n_pos·n_neg < 2^63)."""
     g = (
         df.where(
             F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
@@ -184,7 +188,9 @@ def binary_auc(
         "u2",
         F.expr(
             "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0 "
-            "ELSE (1000000 * u2 + n_pos * n_neg) div (2 * n_pos * n_neg) "
+            "ELSE (1000000 * CAST(u2 AS DECIMAL(38,0)) "
+            "+ CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
+            "div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
             "END"
         )
         .cast("long")

@@ -236,13 +236,19 @@ def temperature_mixture_sample(
     rates = temperature_rate_table(
         df, domain_col, size_col, target_total, alpha
     )
+    # rates derives from df, so its key must carry a reserved alias:
+    # an unqualified F.col("domain") is AMBIGUOUS_REFERENCE whenever
+    # the caller's domain_col is itself named "domain" (the CLAUDE.md
+    # derived-side join trap).
     return (
         df.join(
-            F.broadcast(rates.select("domain", "thr")),
-            df[domain_col] == F.col("domain"),
+            F.broadcast(
+                rates.select(F.col("domain").alias("_mix_domain"), "thr")
+            ),
+            df[domain_col] == F.col("_mix_domain"),
         )
         .filter(sample_key_u32(key_col, salt) < F.col("thr"))
-        .drop("domain", "thr")
+        .drop("_mix_domain", "thr")
     )
 
 

@@ -3209,8 +3209,9 @@ def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/ranking.py:binary_auc — distinct-score hash-agg, "
     "bounded bucket-total collect, bucket-partitioned prefix window; "
     "NO corpus-wide window), u2 = 2U kept integer so score ties "
-    "contribute exact halves; auc_micro via the identical BIGINT "
-    "formula both engines. Oracle: same rank sums from a plain "
+    "contribute exact halves; auc_micro through exact int128 on "
+    "both engines (Spark DECIMAL(38,0) div == DuckDB HUGEINT //) — "
+    "1e6*u2 wraps BIGINT past ~2e6 rows/class. Oracle: same rank sums from a plain "
     "corpus-wide window — different algorithm, same integers.",
     "WITH " + _CHARLM_CTES + """,
     q AS (
@@ -3244,8 +3245,8 @@ def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_pos, n_neg, u2,
            CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
-                ELSE (1000000 * u2 + n_pos * n_neg)
-                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micro
+                ELSE (1000000 * CAST(u2 AS HUGEINT) + CAST(n_pos AS HUGEINT) * n_neg)
+                     // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_micro
     FROM t
     """,
 )
@@ -3380,7 +3381,8 @@ _GRAM_CTES = """ex AS MATERIALIZED (
     n AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM embeddings),
     g AS MATERIALIZED (
       SELECT a.pos AS i, b.pos AS j,
-             CAST(sum(a.m * b.m) AS BIGINT) // (nr * 1000) AS g
+             CAST(sum(CAST(a.m AS HUGEINT) * b.m)
+                  // (nr * 1000) AS BIGINT) AS g
       FROM ex a JOIN ex b ON a.vec_id = b.vec_id CROSS JOIN n
       GROUP BY a.pos, b.pos, nr
     )"""
@@ -3390,8 +3392,9 @@ _GRAM_CTES = """ex AS MATERIALIZED (
     "embedding_gram_topk",
     "Distributed EXACT gram (uncentered covariance) matrix of the "
     "embedding corpus in integer fixed-point "
-    "(operators/linalg.py:gram_micro — element micros, exact BIGINT "
-    "pair sums, one dim^2 hash-agg; no float accumulation, so the "
+    "(operators/linalg.py:gram_micro — element micros, exact "
+    "DECIMAL(38,0) pair sums (HUGEINT on the oracle; BIGINT wraps "
+    "past ~9e6 rows), one dim^2 hash-agg; no float accumulation, so the "
     "matrix is identical under any partitioning), reporting the "
     "top-20 strongest off-diagonal couplings |g| — the feature-"
     "redundancy census an embedding pipeline runs before whitening/"
