@@ -36,6 +36,58 @@ def test_fuzzy_join_distances_and_blocking(spark):
     assert (1, "cold rod") not in got
 
 
+def test_fuzzy_join_salted_equals_unsalted_degenerate_block(spark):
+    """Property: under a DEGENERATE block (every row keyed alike — the
+    worst-case skew), salting must (a) return exactly the unsalted
+    result — each pair meets once, recall unchanged — and (b) spread
+    the block's left rows across salt buckets so no task owns the
+    whole block² (bounded per-task pair counts)."""
+    rng = random.Random(7)
+    vocab = [f"name{i:03d}" for i in range(40)]
+    dirty_rows = [
+        (i, rng.choice(vocab) + ("x" if i % 3 == 0 else ""))
+        for i in range(240)
+    ]
+    dirty = spark.createDataFrame(dirty_rows, "id long, dn string")
+    clean = spark.createDataFrame([(v,) for v in vocab], "cn string")
+
+    def degenerate(_c):
+        return F.lit("ALL")
+
+    salt = 8
+    unsalted = {
+        (r["id"], r["cn"], r["dist"])
+        for r in fuzzy_join(
+            dirty, clean, "dn", "cn", max_dist=1,
+            block=degenerate, salt_buckets=1,
+        ).collect()
+    }
+    salted = [
+        (r["id"], r["cn"], r["dist"])
+        for r in fuzzy_join(
+            dirty, clean, "dn", "cn", max_dist=1,
+            block=degenerate, salt_buckets=salt,
+        ).collect()
+    ]
+    assert len(salted) == len(set(salted)), "a pair met more than once"
+    assert set(salted) == unsalted
+    # per-(block, salt) left-row counts are balanced: with 240 rows
+    # over 8 salts the heaviest bucket must stay well under the whole
+    # block (each task's pair work = bucket_rows x |clean|, so this
+    # bounds per-task pairs at ~2x the uniform share instead of 8x)
+    per_bucket = (
+        dirty.withColumn(
+            "_fzs",
+            F.pmod(F.hash(F.col("id"), F.col("dn")), F.lit(salt)),
+        )
+        .groupBy("_fzs")
+        .count()
+        .collect()
+    )
+    assert len(per_bucket) == salt
+    assert max(r["count"] for r in per_bucket) <= 2 * 240 // salt
+
+
 def test_best_fuzzy_match_argmin_ties(spark):
     m = spark.createDataFrame(
         [(1, "bb", 1), (1, "aa", 1), (1, "zz", 0)],

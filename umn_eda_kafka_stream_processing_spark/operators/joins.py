@@ -140,6 +140,7 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 1,
     block: "Callable[[Column], Column] | None" = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the entity-resolution
     primitive. Candidate pairs come from an EQUI-join on a blocking
@@ -153,9 +154,21 @@ def fuzzy_join(
     that changes the key escapes its block; callers choose keys their
     dirt model preserves (and should report match rates, which makes
     the recall loss measurable rather than silent — the hot_bucket_cap
-    census convention). At 100 TB this is one shuffle on the block
-    key; a degenerate block (everything keyed alike) is the caller's
-    skew to salt (operators/skew.py).
+    census convention).
+
+    Skew: a blocking key is low-cardinality BY DESIGN (the default is
+    ~26 buckets, each quadratic), so the join key is salted — the left
+    side takes ONE deterministic salt per row (pmod of the full-row
+    hash — replay-stable, the skew.py no-F.rand() rule), the right
+    side replicates each row to all ``salt_buckets`` salts, and the
+    equi-key becomes (block, salt). Every (left, right) pair still
+    meets EXACTLY once (inner join, one salt per left row), but one
+    block's pair work spreads over ``salt_buckets`` tasks instead of
+    one reducer running the whole block² forever at 100 TB. Cost: the
+    (small, deduped) clean side shuffles ``salt_buckets`` times.
+    ``salt_buckets=1`` disables salting; the shuffle_hash hint keeps
+    AQE from broadcasting the exploded side at test SFs (which would
+    silently void the salt — the salted_join lesson).
     """
     if block is None:
         def block(c: Column) -> Column:  # noqa: ANN001
@@ -163,8 +176,22 @@ def fuzzy_join(
 
     lb = left.withColumn("_blk", block(F.col(left_col)))
     rb = right.withColumn("_blk", block(F.col(right_col)))
+    keys = ["_blk"]
+    if salt_buckets > 1:
+        lb = lb.withColumn(
+            "_fzs",
+            F.pmod(
+                F.hash(*[F.col(c) for c in left.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        rb = rb.withColumn(
+            "_fzs",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        keys = ["_blk", "_fzs"]
     return (
-        lb.join(rb.hint("shuffle_hash"), "_blk")
+        lb.join(rb.hint("shuffle_hash"), keys)
         .where(
             F.abs(F.length(left_col) - F.length(right_col))
             <= F.lit(max_dist)
@@ -173,7 +200,7 @@ def fuzzy_join(
             "dist", F.levenshtein(F.col(left_col), F.col(right_col))
         )
         .where(F.col("dist") <= F.lit(max_dist))
-        .drop("_blk")
+        .drop(*keys)
     )
 
 

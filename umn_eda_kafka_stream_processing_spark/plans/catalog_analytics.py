@@ -1256,7 +1256,10 @@ def order_price_exact_quantiles(
     "key is recall-complete BY CONSTRUCTION and the match-rate "
     "census proves it). Dirty names re-match the clean vocabulary "
     "via operators/joins.py:fuzzy_join (block equi-join + length "
-    "band + levenshtein <= 1 — never an all-pairs product) and "
+    "band + levenshtein <= 1 — never an all-pairs product; the "
+    "~26-bucket block key is SALTED 8 ways — left-salt/right-"
+    "explode, each pair meets once — so no task owns a whole "
+    "block^2 at scale) and "
     "best_fuzzy_match (min(struct(dist, name)) argmin — map-side "
     "combined, no candidate shuffle). Output: per-edit-type match "
     "and accuracy counts. Oracle: direct blocked join + "
