@@ -2280,3 +2280,49 @@ def test_pagerank_fixed_matches_python_reference(spark):
     # truncation leak of SCALE (<= iters * n * max_outdeg picos)
     assert got["a"] == max(got.values())
     assert SCALE - sum(got.values()) < 5 * 5 * 3 * 100
+
+
+def test_pagerank_directed_dangling_matches_python_reference(spark):
+    """Directed PageRank with dangling-mass redistribution vs a
+    direct Python implementation of the same integer recurrence:
+    sinks (no out-edges) donate their mass uniformly each round, so
+    a pure-sink graph neither loses mass to the void nor freezes."""
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        SCALE,
+        pagerank_directed,
+    )
+
+    # a -> {b, c}; b -> c; c and e are sinks; e only reachable from d
+    dir_edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e")]
+    edges = spark.createDataFrame(dir_edges, "src string, dst string")
+
+    def ref(iters):
+        from collections import defaultdict
+        out = defaultdict(int)
+        for s, _ in dir_edges:
+            out[s] += 1
+        nodes = sorted({x for e in dir_edges for x in e})
+        n = len(nodes)
+        base = 15 * SCALE // (100 * n)
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(iters):
+            dt = sum(r[v] for v in nodes if out[v] == 0)
+            acc = defaultdict(int)
+            for s, d in dir_edges:
+                acc[d] += r[s] // out[s]
+            r = {
+                v: base + (85 * (acc[v] + dt // n)) // 100
+                for v in nodes
+            }
+        return r
+
+    for iters in (1, 4):
+        got = {
+            r["node"]: r["rank_picos"]
+            for r in pagerank_directed(edges, iterations=iters).collect()
+        }
+        assert got == ref(iters), iters
+    # the double-fed sink c outranks everything; redistribution keeps
+    # total mass near SCALE (no sink black-hole)
+    assert got["c"] == max(got.values())
+    assert SCALE - sum(got.values()) < 4 * 5 * 2 * 100 + 5 * 100

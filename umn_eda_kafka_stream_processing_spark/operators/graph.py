@@ -17,11 +17,13 @@ The div-truncation "leaks" mass (at most outdeg-1 picos per node per
 step) — deterministically, the standard price of fixed-point
 iteration.
 
-Dangling nodes are excluded by construction here: callers pass a
-SYMMETRIZED edge list (every node with an edge has out-degree >= 1);
-isolated nodes don't participate. The general dangling-mass
-redistribution is one more hash-agg per iteration if a directed
-variant ever needs it.
+``pagerank_fixed`` excludes dangling nodes by construction: callers
+pass a SYMMETRIZED edge list (every node with an edge has out-degree
+>= 1); isolated nodes don't participate. ``pagerank_directed`` is the
+general form for real directed graphs (web links, purchases): nodes
+with no out-edges are sinks, and their mass is redistributed
+uniformly each round — one extra one-row hash-agg per iteration
+(sum the dangling picos, add DT div n into every node's damped term).
 """
 
 from __future__ import annotations
@@ -89,6 +91,98 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a DIRECTED (src, dst) edge list with dangling-
+    mass redistribution — the general form for web/purchase graphs
+    where sinks are real. Returns (node, rank_picos) over all nodes
+    appearing as src OR dst.
+
+    Exact fixed-point step (all BIGINT, order-independent — the
+    module's determinism contract):
+
+        DT_t        = sum of rank_t over nodes with outdeg = 0
+        in_{t+1}(v) = sum over in-edges of rank_t(u) div outdeg(u)
+        rank_{t+1}  = base + (d * (in + DT_t div n)) div 100
+        base        = ((100-d) * 1e12) div (100 * n)
+
+    Scale shape: the dangling flag is computed ONCE (node-list left
+    join on out-degrees, checkpointed); each iteration is one
+    rank x edge join + one in-neighbor hash-agg (graph-sized, always
+    shuffle_hash — never broadcast) plus a ONE-ROW dangling-mass agg
+    broadcast back, and ranks are the single checkpointed frame per
+    round (the round-7 one-checkpoint lesson). Overflow: total mass
+    stays <= ~2e12 picos, so 85 * (in + dt) < 2e14 << 2^63."""
+    e = edges.select(src_col, dst_col).distinct()
+    outdeg = e.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    e2 = e.join(outdeg.hint("shuffle_hash"), src_col).localCheckpoint()
+    nodes = (
+        e2.select(F.col(src_col).alias("node"))
+        .union(e2.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .join(
+            outdeg.withColumnRenamed(src_col, "node").hint(
+                "shuffle_hash"
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("outdeg").isNull().alias("dangling"))
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (100 - damping_pct) * SCALE // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_picos", F.lit(SCALE // n).cast("long")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        shares = (
+            e2.join(
+                ranks.select(
+                    F.col("node").alias(src_col), "rank_picos"
+                ).hint("shuffle_hash"),
+                src_col,
+            )
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("rank_picos div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("_in"))
+        )
+        dt = ranks.where(F.col("dangling")).agg(
+            F.coalesce(F.sum("rank_picos"), F.lit(0))
+            .cast("long")
+            .alias("_dt")
+        )
+        ranks = (
+            nodes.join(shares.hint("shuffle_hash"), "node", "left")
+            .crossJoin(F.broadcast(dt))
+            .select(
+                "node",
+                "dangling",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_in, 0) "
+                        f"+ _dt div {n})) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_picos"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank_picos")
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

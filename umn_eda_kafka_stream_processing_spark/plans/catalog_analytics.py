@@ -1090,6 +1090,118 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_directed_oracle(iters: int = 5, damping: int = 85) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:pagerank_directed
+    over the DIRECTED customer->supplier purchase graph: every
+    supplier is a sink, so each iteration carries a dangling-mass CTE
+    (d{k}) redistributed uniformly. r{k} is referenced twice per
+    round (contribs + dangling sum) — AS MATERIALIZED, or DuckDB's
+    CTE inlining goes exponential (the round-7 lesson)."""
+    scale = 10**12
+    ctes = [
+        """cs AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        """od AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM cs GROUP BY src
+    )""",
+        """nd AS MATERIALIZED (
+      SELECT v.node, (od.src IS NULL) AS dangling
+      FROM (SELECT src AS node FROM cs UNION SELECT dst FROM cs) v
+      LEFT JOIN od ON od.src = v.node
+    )""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd)",
+        f"""r0 AS MATERIALIZED (
+      SELECT node, dangling, CAST({scale} // nn.n AS BIGINT) AS rank
+      FROM nd, nn
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT cs.dst AS node,
+             CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+      FROM cs JOIN r{k - 1} r ON r.node = cs.src
+             JOIN od ON od.src = cs.src
+      GROUP BY cs.dst
+    )"""
+        )
+        ctes.append(
+            f"""d{k} AS (
+      SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dt
+      FROM r{k - 1} WHERE dangling
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT nd.node, nd.dangling,
+             CAST(({100 - damping} * {scale}) // (100 * nn.n)
+                  + ({damping} * (coalesce(c.s, 0) + d.dt // nn.n)) // 100
+                  AS BIGINT) AS rank
+      FROM nd CROSS JOIN nn CROSS JOIN d{k} d
+      LEFT JOIN c{k} c ON c.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, substr(node, 1, 1) AS node_type,
+           rank AS rank_picos
+    FROM r{iters}"""
+    )
+
+
+@_register(
+    "purchase_pagerank_directed",
+    "PageRank over the DIRECTED customer->supplier purchase graph "
+    "with dangling-mass redistribution "
+    "(operators/graph.py:pagerank_directed): every supplier is a "
+    "sink, so each of the 5 rounds sums the sinks' picos (one-row "
+    "agg, broadcast back) and feeds DT div n into every node's "
+    "damped term — without it the graph's mass drains to zero and "
+    "customer ranks collapse to the base term. Same exact-BIGINT "
+    "fixed-point contract as purchase_graph_pagerank (order-"
+    "independent, hash-equal on any partitioning); the dangling "
+    "flag is computed once and checkpointed, each round is one "
+    "edge x rank shuffle_hash join + one hash-agg. Oracle: the five "
+    "iterations unrolled as (contribs, dangling, ranks) CTE triples, "
+    "ranks MATERIALIZED (each is referenced twice per round).",
+    _pagerank_directed_oracle(),
+)
+def purchase_pagerank_directed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        pagerank_directed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    ranks = pagerank_directed(cs, damping_pct=85, iterations=5)
+    return ranks.select(
+        "node",
+        F.substring("node", 1, 1).alias("node_type"),
+        "rank_picos",
+    )
+
+
 _COSUPPLY_EDGE_CTES = """p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM p),
     d AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
