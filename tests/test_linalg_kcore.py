@@ -10,7 +10,10 @@ import random
 
 from pyspark.sql import functions as F
 
-from umn_eda_kafka_stream_processing_spark.operators.graph import k_core
+from umn_eda_kafka_stream_processing_spark.operators.graph import (
+    core_numbers,
+    k_core,
+)
 from umn_eda_kafka_stream_processing_spark.operators.linalg import (
     gram_micro,
     power_iteration,
@@ -123,6 +126,52 @@ def test_k_core_matches_bruteforce_peel(spark):
         E = E2
     assert got == E
     assert converged and rounds <= 10
+
+
+def _py_core_numbers(edges):
+    """Textbook min-degree peeling — the independent reference."""
+    import heapq
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    h = [(d, v) for v, d in deg.items()]
+    heapq.heapify(h)
+    alive = set(adj)
+    core, k = {}, 0
+    while h:
+        d, v = heapq.heappop(h)
+        if v not in alive or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+                heapq.heappush(h, (deg[u], u))
+    return core
+
+
+def test_core_numbers_match_peeling_reference(spark):
+    rng = random.Random(17)
+    nodes = list(range(24))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)}
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    est, rounds, converged = core_numbers(df, max_rounds=32)
+    got = {r["node"]: r["core"] for r in est.collect()}
+    want = _py_core_numbers(edges)
+    assert converged and got == want
+    # capped variant: exact truncation at the cap, never slower
+    cap = 3
+    est_c, rounds_c, conv_c = core_numbers(df, cap=cap, max_rounds=32)
+    got_c = {r["node"]: r["core"] for r in est_c.collect()}
+    assert conv_c and got_c == {v: min(c, cap) for v, c in want.items()}
+    assert rounds_c <= rounds
 
 
 def test_key_skew_census_matches_counter(spark):

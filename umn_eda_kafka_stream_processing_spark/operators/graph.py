@@ -281,6 +281,97 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def core_numbers(
+    edges: DataFrame,
+    cap: int | None = None,
+    max_rounds: int = 32,
+) -> tuple[DataFrame, int, bool]:
+    """FULL k-core decomposition — every node's core number (the
+    largest k whose k-core contains it) — by the distributed h-index
+    iteration (Montresor, De Pellegrini, Miorandi, "Distributed
+    k-core decomposition", 2011 — a public algorithm): start each
+    node at its degree (an upper bound on coreness) and repeatedly
+    set est(v) = h-index of its neighbors' estimates (the largest h
+    such that >= h neighbors have est >= h), which is monotone
+    non-increasing and converges exactly to the core number. Returns
+    (frame (node, core), rounds_run, converged).
+
+    Level-by-level peeling is NOT viable for the full decomposition
+    at scale — a graph with max core K needs K sequential peels, and
+    K grows with density (274 on the sf0.1 co-supply graph). The
+    h-index iteration instead converges in rounds bounded by the
+    longest strictly-decreasing estimate chain (7 and 31 there).
+
+    ``cap`` truncates the deliverable to min(core, cap): estimates
+    start at min(deg, cap) and every update re-clamps. The capped
+    operator is still monotone with the same fixpoint truncated at
+    cap (verified against peeling), converges MUCH faster on dense
+    graphs (1 round instead of 31 at sf0.1), and is what a curation
+    dashboard usually wants ("which nodes are in at least a 16-core"
+    — not the exact 274).
+
+    Scale shape: per round one adj x estimates shuffle_hash join
+    (graph-sized — never broadcast), one per-NODE window (frame
+    bounded by max degree — the wedge rule; no corpus-wide sort) for
+    the h-index rank, one hash-agg; estimates are the single
+    checkpointed frame per round. Early stop: sum(est) is a monotone
+    non-increasing integer, so sum-stability == pointwise stability
+    — one scalar to the driver per round (loop control, the k_core
+    precedent). Ties in the descending neighbor sort don't need a
+    deterministic break: max(min(est, rank)) over a multiset is
+    tie-order invariant."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(edges.columns[0]).alias("a"),
+        F.col(edges.columns[1]).alias("b"),
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    est = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("core")
+    )
+    if cap is not None:
+        est = est.select(
+            "node", F.least(F.col("core"), F.lit(cap)).alias("core")
+        )
+    est = est.localCheckpoint()
+    prev_sum = est.agg(F.sum("core")).collect()[0][0]
+    w = Window.partitionBy("node").orderBy(F.desc("core"))
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        nb = adj.join(
+            est.withColumnRenamed("node", "nbr").hint("shuffle_hash"),
+            "nbr",
+        )
+        h = (
+            nb.select(
+                "node",
+                F.least(
+                    F.col("core"), F.row_number().over(w).cast("long")
+                ).alias("_m"),
+            )
+            .groupBy("node")
+            .agg(F.max("_m").cast("long").alias("core"))
+        )
+        if cap is not None:
+            h = h.select(
+                "node", F.least(F.col("core"), F.lit(cap)).alias("core")
+            )
+        est = h.localCheckpoint()
+        rounds += 1
+        s = est.agg(F.sum("core")).collect()[0][0]
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    return est, rounds, converged
+
+
 def k_core(
     edges: DataFrame, k: int, max_rounds: int = 6
 ) -> tuple[DataFrame, int, bool]:
