@@ -2066,3 +2066,103 @@ def test_incremental_transitions_match_batch(spark, tmp_path):
         for r in transition_counts(full).collect()
     }
     assert dict(total) == batch
+
+def test_incremental_retention_matches_batch(spark, tmp_path):
+    """foreachBatch weekly-retention cohorts with a per-user
+    (cohort_week, active_weeks) store: events streamed in
+    ascending-event-time microbatches must land on EXACTLY the batch
+    retention matrix over the full history — cross-batch week
+    accumulation, set-once cohort weeks, and users whose cohort and
+    activity land in different batches all riding through the store."""
+    from datetime import datetime, timedelta
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        incremental_retention,
+        retention_matrix_from_store,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    t0 = datetime(2024, 3, 4)  # a Monday
+
+    def ts(days, hours=0):
+        return t0 + timedelta(days=days, hours=hours)
+
+    all_events = [
+        # u1: active in weeks 0, 1, 3
+        (1, ts(0)), (1, ts(1)), (1, ts(8)), (1, ts(22)),
+        # u2: cohort week 0, then silent
+        (2, ts(2)),
+        # u3: cohort week 1, active weeks 1 and 2
+        (3, ts(7)), (3, ts(15)),
+        # u4: joins late, single week
+        (4, ts(21)),
+        # u5: two events same week -> one active week
+        (5, ts(14)), (5, ts(14, 5)),
+    ]
+    all_events.sort(key=lambda r: r[1])
+    batches = [all_events[:4], all_events[4:7], all_events[7:]]
+    store = str(tmp_path / "retention_store")
+    src_dir = str(tmp_path / "events")
+    seq = [0]
+
+    def on_batch(batch_df, _bid):
+        incremental_retention(batch_df, store, batch_seq=seq[0])
+        seq[0] += 1
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_events(batches[0])
+    ev = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        src_dir
+    )
+    q = start_foreach_batch_sink(ev, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_events(batches[1])
+        q.processAllAvailable()
+        write_events(batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"], r["n_cohort"], r["retention_micro"]
+        )
+        for r in retention_matrix_from_store(spark, store).collect()
+    }
+
+    # independent Python reference over the full history
+    def monday(d):
+        dd = d.date()
+        return dd - timedelta(days=dd.weekday())
+
+    uw = {(u, monday(t)) for u, t in all_events}
+    cw = {}
+    for u, w in uw:
+        cw[u] = min(cw.get(u, w), w)
+    cohort_sizes = {}
+    for u, c in cw.items():
+        cohort_sizes[c] = cohort_sizes.get(c, 0) + 1
+    act = {}
+    for u, w in uw:
+        key = (cw[u].isoformat(), (w - cw[u]).days // 7)
+        act[key] = act.get(key, 0) + 1
+    want = {
+        k: (
+            n,
+            cohort_sizes[datetime.fromisoformat(k[0]).date()],
+            (1_000_000 * n + cohort_sizes[datetime.fromisoformat(k[0]).date()] // 2)
+            // cohort_sizes[datetime.fromisoformat(k[0]).date()],
+        )
+        for k, n in act.items()
+    }
+    assert got == want
+    # the scenario exercised real cross-batch accumulation: u1's
+    # week-3 activity arrived two batches after their cohort week
+    assert got[(t0.date().isoformat(), 3)][0] == 1

@@ -442,3 +442,127 @@ def incremental_transitions(
         partition_cols=("_fb",),
     )
     return out
+
+def incremental_retention(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_seq: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Continuously-maintained weekly retention cohorts — the
+    incremental twin of the `weekly_retention_cohorts` catalog shape:
+    a per-user (cohort_week, active_weeks) store advances under each
+    microbatch, so a dashboard reads the current retention matrix
+    (via `retention_matrix_from_store`) without rescanning history.
+
+    incremental == batch CONTRACT (pinned by the streaming test):
+    the matrix from the store equals the batch computation over the
+    full history when event time is non-decreasing across batches
+    (within a batch, any order). Under that order the cohort week is
+    SET-ONCE (the first batch carrying a user holds their earliest
+    week) and active weeks only ACCUMULATE — both closed under the
+    per-batch merge below, so no reach is ever revised. Per-user
+    state is bounded by the number of distinct active weeks (an
+    array<date>, NOT a 64-bit bitmap — real histories outlive 64
+    weeks).
+
+    Per batch: one distinct (user, week) hash-agg collapsed to one
+    row per user (min week + week set), one store read pruned to the
+    batch's users, an array merge (distinct ∪, sorted for
+    deterministic storage), one `upsert_snapshot` write (bucket =
+    pmod(hash(user), n_buckets) — stable per user, latest-wins on
+    ``batch_seq``). Returns the affected users' merged state."""
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    spark = batch_df.sparkSession
+    uw = (
+        batch_df.select(
+            user_col,
+            F.date_trunc("week", event_ts(ts_col)).cast("date").alias("wk"),
+        )
+        .distinct()
+        .groupBy(user_col)
+        .agg(
+            F.min("wk").alias("_bcw"),
+            F.collect_set("wk").alias("_bwks"),
+        )
+        .localCheckpoint()
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        prior = uw.join(
+            store.select(user_col, "cw", "weeks").hint("shuffle_hash"),
+            user_col,
+            "left",
+        )
+    except AnalysisException:
+        prior = uw.withColumn("cw", F.lit(None).cast("date")).withColumn(
+            "weeks", F.lit(None).cast("array<date>")
+        )
+    merged = prior.select(
+        user_col,
+        # least() skips NULLs, so an unset store cw takes the batch min
+        F.coalesce(
+            F.least(F.col("cw"), F.col("_bcw")), F.col("cw"), F.col("_bcw")
+        ).alias("cw"),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(
+                        F.col("weeks"), F.expr("CAST(array() AS array<date>)")
+                    ),
+                    F.col("_bwks"),
+                )
+            )
+        ).alias("weeks"),
+        F.expr(f"pmod(hash({user_col}), {n_buckets})").alias("_fb"),
+        F.lit(batch_seq).cast("long").alias("_seq"),
+    ).localCheckpoint()
+    upsert_snapshot(
+        spark,
+        store_path,
+        merged,
+        key_cols=user_col,
+        order_col="_seq",
+        partition_cols=("_fb",),
+    )
+    return merged.select(user_col, "cw", "weeks")
+
+
+def retention_matrix_from_store(
+    spark, store_path: str
+) -> DataFrame:
+    """Read the `incremental_retention` store into the retention
+    matrix — identical output shape (cohort_week, week_offset,
+    n_active, n_cohort, retention_micro) and identical integer
+    rounding to the batch `weekly_retention_cohorts` query. One
+    explode + two hash-aggs over per-user state (users x active
+    weeks rows — the same cardinality the batch path shuffles)."""
+    st = spark.read.parquet(store_path)
+    uw = st.select("cw", F.explode("weeks").alias("wk"))
+    act = (
+        uw.select(
+            "cw",
+            (F.datediff("wk", "cw") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    cs = st.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return act.join(F.broadcast(cs), "cw").select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("(1000000 * n_active + n_cohort div 2) div n_cohort")
+        .cast("long")
+        .alias("retention_micro"),
+    )
