@@ -89,6 +89,68 @@ def char_bigram_model(
     return model, vocab
 
 
+_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def cached_char_bigram_model(
+    df: DataFrame,
+    cache_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, int]:
+    """Train-once/serve-many: the production LM is trained once and
+    served to every downstream scorer, so queries sharing a corpus
+    (char_bigram_quality, charlm_langid_auc) must not each retrain
+    it. The trained model frame is localCheckpointed (eager, breaks
+    lineage — safe to reuse across actions) and cached per
+    (SparkSession application, cache_key); entries from dead
+    sessions are pruned on insert because a checkpointed frame does
+    not outlive its session. Pass the sf_dir (or another corpus
+    identity) as ``cache_key``."""
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, cache_key)
+    hit = _MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    model, vocab = char_bigram_model(df, text_col, id_col, alpha)
+    model = model.localCheckpoint()
+    for k in [k for k in _MODEL_CACHE if k[0] != app]:
+        del _MODEL_CACHE[k]
+    _MODEL_CACHE[key] = (model, vocab)
+    return model, vocab
+
+
+_SCORES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_doc_scores(
+    df: DataFrame,
+    cache_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train-once/SCORE-once: the per-doc (id, n_bigrams, avg_logp)
+    frame under the cached corpus model, localCheckpointed and cached
+    per (session application, cache_key). Scoring re-explodes every
+    document's bigram stream — the dominant cost at corpus scale —
+    and every consumer of the quality score (the quality query
+    itself, langid AUC evaluation, downstream filters) needs the
+    SAME frame, so it is computed once per session per corpus."""
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, cache_key)
+    hit = _SCORES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    model, _ = cached_char_bigram_model(df, cache_key, text_col, id_col, alpha)
+    scores = doc_avg_logprob(df, model, text_col, id_col).localCheckpoint()
+    for k in [k for k in _SCORES_CACHE if k[0] != app]:
+        del _SCORES_CACHE[k]
+    _SCORES_CACHE[key] = scores
+    return scores
+
+
 def doc_avg_logprob(
     df: DataFrame,
     model: DataFrame,

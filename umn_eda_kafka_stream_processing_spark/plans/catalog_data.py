@@ -2122,8 +2122,8 @@ def char_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators import charlm
 
     docs = load_table(spark, sf_dir, "documents")
-    model, _ = charlm.char_bigram_model(docs)
-    return charlm.doc_avg_logprob(docs, model)
+    # train-once/score-once: charlm_langid_auc shares this frame
+    return charlm.cached_doc_scores(docs, sf_dir)
 
 
 _GOPHER_CTES = r"""m AS (
@@ -3255,8 +3255,8 @@ def charlm_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.ranking import binary_auc
 
     docs = load_table(spark, sf_dir, "documents")
-    model, _ = charlm.char_bigram_model(docs)
-    scores = charlm.doc_avg_logprob(docs, model).select(
+    # train-once/score-once: shares char_bigram_quality's frame
+    scores = charlm.cached_doc_scores(docs, sf_dir).select(
         "doc_id", "avg_logp"
     )
     labels = docs.select(
