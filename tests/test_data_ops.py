@@ -71,6 +71,68 @@ def test_ngram_jaccard_guard_not_tripped_when_under_cap(spark, docs):
     assert (1, 3) in got
 
 
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """Prefix filtering is EXACT: on a randomized corpus of
+    mutated base strings, the operator's pair set must equal the
+    brute-force all-pairs Jaccard at the same integer threshold —
+    no blocking/banding recall loss anywhere."""
+    import random
+
+    rng = random.Random(31)
+    base = [
+        "".join(rng.choice("abcdefgh ") for _ in range(60))
+        for _ in range(6)
+    ]
+    rows = []
+    for i in range(40):
+        t = list(rng.choice(base))
+        for _ in range(rng.randrange(0, 10)):  # 0-9 point mutations
+            t[rng.randrange(len(t))] = rng.choice("abcdefgh ")
+        rows.append((i, "".join(t)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (
+            r["inter"], r["uni"], r["jaccard_micro"]
+        )
+        for r in dd.prefix_jaccard_pairs(
+            df, shingle_n=8, threshold_micro=600_000
+        ).collect()
+    }
+
+    def sh8(s):
+        return {s[i : i + 8] for i in range(max(len(s) - 7, 1))}
+
+    want = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            a, b = sh8(ta), sh8(tb)
+            inter, uni = len(a & b), len(a | b)
+            if 1_000_000 * inter >= 600_000 * uni:
+                want[(i, j)] = (
+                    inter, uni, (1_000_000 * inter + uni // 2) // uni
+                )
+    assert want and got == want
+
+
+def test_prefix_jaccard_guard_raises_and_delegates(spark):
+    # 10 identical docs: every prefix shingle collides across all
+    # of them -> candidate count >= C(10,2) = 45 trips a cap of 20
+    rows = [(i, "aaaa bbbb cccc dddd eeee") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="prefix candidates exceed"):
+        dd.prefix_jaccard_pairs(df, max_candidate_pairs=20)
+    out = dd.prefix_jaccard_pairs(
+        df, max_candidate_pairs=20, on_explosion="delegate"
+    )
+    assert set(out.columns) == {
+        "doc_id_a", "doc_id_b", "inter", "uni", "jaccard_micro"
+    }
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()}
+    assert (0, 1) in got  # identical docs survive the LSH path
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.7)
     got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}

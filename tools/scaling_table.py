@@ -27,9 +27,9 @@ _MARK_BEGIN = "<!-- SCALING-TABLE:BEGIN (tools/scaling_table.py) -->"
 _MARK_END = "<!-- SCALING-TABLE:END -->"
 
 ARTIFACTS = [
-    ("sf0.001", "ORACLE_FULL_r07_sf0001.json"),
-    ("sf0.01", "ORACLE_FULL_r07.json"),
-    ("sf0.1", "ORACLE_FULL_r07_sf01.json"),
+    ("sf0.001", "ORACLE_FULL_r08_sf0001.json"),
+    ("sf0.01", "ORACLE_FULL_r08.json"),
+    ("sf0.1", "ORACLE_FULL_r08_sf01.json"),
 ]
 
 

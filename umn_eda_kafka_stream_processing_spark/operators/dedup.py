@@ -276,6 +276,186 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    threshold_micro: int = 600_000,
+    max_candidate_pairs: int | None = 100_000_000,
+    on_explosion: str = "raise",
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the
+    AllPairs/PPJoin candidate generation — Bayardo et al. 2007,
+    Xiao et al. 2008; public algorithms): all pairs with n-gram
+    Jaccard >= threshold, with NO blocking recall loss (unlike
+    first-char blocks or LSH bands) and NO quadratic block join
+    (unlike ngram_jaccard_pairs). Returns (id_a, id_b, inter, uni,
+    jaccard_micro) — all exact BIGINT; ``threshold_micro`` is the
+    Jaccard bound in integer micros (600_000 = 0.6) and the filter
+    is the EXACT cross-multiplication 1e6*inter >= thr*union (never
+    a rounded float compare).
+
+    Why it's exact: order every doc's shingles by GLOBAL rarity
+    (document frequency ASC, shingle ASC — deterministic), and take
+    each doc's first p = |x| - ceil(tau*|x|) + 1 shingles as its
+    prefix. Two docs with Jaccard >= tau MUST share at least one
+    prefix shingle (if all shared shingles hid outside both
+    prefixes, the overlap would be < tau*max(|x|,|y|) — the
+    standard prefix-filter lemma), so the prefix equi-join generates
+    a candidate superset and exact verification closes it. Prefixes
+    hold each doc's RAREST shingles, so join fan-out per shingle is
+    tiny on real corpora even with zero blocking.
+
+    Scale shape: one shingle explode + one df hash-agg + one
+    per-doc array_sort agg (per-key, no corpus window); candidate
+    generation joins ONLY the exploded prefixes (a (1-tau) fraction
+    of tokens, the rare end) on the shingle key; the lossless size
+    filter tau*|x| <= |y| prunes before dedup; verification joins
+    the two shingle arrays shuffle_hash (the wide-array rule) and
+    computes one array_intersect per surviving pair.
+
+    SHINGLE WIDTH IS THE SELECTIVITY KNOB: prefix filtering's cost
+    is sum C(df_prefix, 2), so it needs the rare end of the token
+    distribution to actually be rare. On a low-diversity corpus
+    8-grams collide massively (45M candidates on the synthetic
+    sf0.1 docs — measured) while 16-grams give 23k; pick the width
+    at which a shared shingle is EVIDENCE of duplication, the same
+    reasoning as the 16-char spans of remove_shared_spans.
+
+    QUADRATIC GUARD (house convention): a shingle duplicated across
+    M docs' prefixes emits C(M,2) candidates. The exact candidate
+    count sum C(df_prefix, 2) is aggregated first (a driver-side
+    planning scalar over |distinct prefix shingles| rows — the AQE
+    move); past ``max_candidate_pairs`` the operator raises or
+    delegates to minhash_lsh_pairs (``on_explosion='delegate'``,
+    approximate but linear)."""
+    if on_explosion not in ("raise", "delegate"):
+        raise ValueError(
+            f"on_explosion must be 'raise' or 'delegate', got {on_explosion!r}"
+        )
+    tok = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_n)).alias("t"),
+    )
+    dfreq = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    # per-doc shingle list sorted by (global df, shingle) — rarest
+    # first; struct sort is lexicographic so ties break on the
+    # shingle itself (deterministic on both engines)
+    arr = (
+        tok.join(dfreq.hint("shuffle_hash"), "t")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfc, t))),"
+                " s -> s.t)"
+            ).alias("arr")
+        )
+        .select(
+            id_col,
+            "arr",
+            F.size("arr").cast("long").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    # prefix length p = n - ceil(tau*n) + 1, exact integer ceil
+    pre = arr.select(
+        id_col,
+        "n",
+        F.explode(
+            F.expr(
+                f"slice(arr, 1, greatest(n - (({threshold_micro} * n "
+                f"+ 999999) div 1000000) + 1, 1))"
+            )
+        ).alias("t"),
+    )
+    if max_candidate_pairs is not None:
+        est = (
+            pre.groupBy("t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)))
+            .collect()[0][0]
+        )
+        if est > max_candidate_pairs:
+            if on_explosion == "delegate":
+                # same (id_a, id_b, ..., jaccard_micro) shape; the
+                # LSH path's exact-verified 4dp jaccard maps to
+                # micros, inter/uni are not computed there (NULL)
+                lsh = minhash_lsh_pairs(
+                    df,
+                    text_col=text_col,
+                    id_col=id_col,
+                    threshold=threshold_micro / 1e6,
+                )
+                return lsh.select(
+                    f"{id_col}_a",
+                    f"{id_col}_b",
+                    F.lit(None).cast("long").alias("inter"),
+                    F.lit(None).cast("long").alias("uni"),
+                    F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5))
+                    .cast("long")
+                    .alias("jaccard_micro"),
+                )
+            raise ValueError(
+                f"prefix_jaccard_pairs: {est:,} prefix candidates exceed "
+                f"max_candidate_pairs={max_candidate_pairs:,} — a shingle is "
+                "duplicated across too many docs' prefixes (mass-identical "
+                "docs are exact dedup's upstream job); pass "
+                "on_explosion='delegate' for the LSH path"
+            )
+    a = pre.select(
+        F.col(id_col).alias("_ida"), F.col("n").alias("_na"), "t"
+    )
+    b = pre.select(
+        F.col(id_col).alias("_idb"), F.col("n").alias("_nb"), "t"
+    )
+    cand = (
+        a.join(b.hint("shuffle_hash"), "t")
+        .where(
+            (F.col("_ida") < F.col("_idb"))
+            # lossless size bound: J >= tau forces tau*|x| <= |y|
+            & (F.lit(1_000_000) * F.col("_nb")
+               >= F.lit(threshold_micro) * F.col("_na"))
+            & (F.lit(1_000_000) * F.col("_na")
+               >= F.lit(threshold_micro) * F.col("_nb"))
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    va = arr.select(
+        F.col(id_col).alias("_ida"),
+        F.col("arr").alias("_aa"),
+        F.col("n").alias("_na"),
+    ).hint("shuffle_hash")
+    vb = arr.select(
+        F.col(id_col).alias("_idb"),
+        F.col("arr").alias("_ab"),
+        F.col("n").alias("_nb"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("_aa", "_ab")).cast("long")
+    return (
+        cand.join(va, "_ida")
+        .join(vb, "_idb")
+        .withColumn("inter", inter)
+        .withColumn("uni", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .where(
+            F.lit(1_000_000) * F.col("inter")
+            >= F.lit(threshold_micro) * F.col("uni")
+        )
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "inter",
+            "uni",
+            F.expr("(1000000 * inter + uni div 2) div uni")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

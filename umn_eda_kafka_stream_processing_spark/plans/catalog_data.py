@@ -110,6 +110,80 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "prefix_jaccard_pairs",
+    "EXACT blockless set-similarity join by prefix filtering "
+    "(operators/dedup.py:prefix_jaccard_pairs — the AllPairs/PPJoin "
+    "candidate generation): every doc's 16-gram shingles are ordered "
+    "by global rarity (df ASC, shingle ASC) and only each doc's "
+    "first n - ceil(tau*n) + 1 shingles join; the prefix-filter "
+    "lemma guarantees every Jaccard >= 0.7 pair shares a prefix "
+    "shingle, so unlike LSH bands or first-char blocks there is "
+    "ZERO recall loss, and unlike the banded quadratic baseline no "
+    "block^2 join exists — candidates are rare-shingle collisions "
+    "plus a lossless size-ratio prune, closed by one exact "
+    "array_intersect per candidate. All-BIGINT thresholding "
+    "(1e6*inter >= 7e5*union). Shingle width is the selectivity "
+    "knob: 8-grams collide massively on this corpus (45M candidates "
+    "at sf0.1) while 16-grams give 23k — a shared 16-gram is "
+    "EVIDENCE of duplication (the remove_shared_spans width). "
+    "Guarded by an exact candidate-count planning scalar that "
+    "delegates/raises past the cap. "
+    "Oracle: the same ordering/prefix/verify mirrored in SQL.",
+    f"""
+    WITH d8 AS MATERIALIZED (
+      SELECT doc_id, {_duck_shingles(16)} AS sh FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(sh) AS t FROM d8
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY t
+    ),
+    arr AS MATERIALIZED (
+      SELECT doc_id,
+             list(tok.t ORDER BY dfreq.dfc, tok.t) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tok JOIN dfreq USING (t)
+      GROUP BY doc_id
+    ),
+    pre AS MATERIALIZED (
+      SELECT doc_id, n,
+             unnest(arr[1:CAST(greatest(
+               n - ((700000 * n + 999999) // 1000000) + 1, 1) AS INT)])
+               AS t
+      FROM arr
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id
+       AND 1000000 * b.n >= 700000 * a.n
+       AND 1000000 * a.n >= 700000 * b.n
+    )
+    SELECT ida AS doc_id_a, idb AS doc_id_b, inter, uni,
+           CAST((1000000 * inter + uni // 2) // uni AS BIGINT)
+               AS jaccard_micro
+    FROM (
+      SELECT c.ida, c.idb,
+             CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s)))
+                  AS BIGINT) AS inter,
+             CAST(len(x.sh) + len(y.sh)
+                  - len(list_filter(x.sh, s -> list_contains(y.sh, s)))
+                  AS BIGINT) AS uni
+      FROM cand c JOIN d8 x ON x.doc_id = c.ida
+                  JOIN d8 y ON y.doc_id = c.idb
+    )
+    WHERE 1000000 * inter >= 700000 * uni
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=16,
+        threshold_micro=700_000,
+    )
+
+
 def _minhash_parts(
     k: int = 16, r: int = 2, shingle_n: int = 8, gate: float = 0.5
 ) -> tuple[str, str]:

@@ -177,7 +177,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # driver-verified r04+r05+r06; the media family keeps
     # mp4_frame_sample + media_decode_health in-gate)
     "media_decode_health",
-    "lsh_bucket_stats",
+    # (lsh_bucket_stats rotated out in r08 for prefix_jaccard_pairs
+    # below: driver-verified r04+r05+r06+r07; the LSH family keeps
+    # user_activity_similarity_lsh in-gate and the census stays in
+    # the full-catalog artifact)
+    # -- new in r08, never driver-verified: exact blockless
+    # set-similarity join by AllPairs/PPJoin prefix filtering --------
+    "prefix_jaccard_pairs",
     # (html_extract_stats rotated out in r07 for
     # purchase_graph_pagerank below: driver-verified r04+r05+r06; the
     # text family keeps gopher_quality_flags, url_canonical_stats,
@@ -250,10 +256,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # domain census (example.co.uk vs co.uk), BM25 keyword search ----
     "domain_census",
     "bm25_search_topk",
-    # -- new in r07, never driver-verified: fixed-point PageRank over
-    # the purchase graph, temperature mixture construction ------------
-    "purchase_graph_pagerank",
+    # (purchase_graph_pagerank rotated out in r08 for
+    # purchase_pagerank_directed below: driver-verified r07; the
+    # PageRank family keeps the directed variant in-gate)
     "temperature_mixture_stats",
+    # -- new in r08, never driver-verified: directed PageRank with
+    # dangling-mass redistribution, full k-core decomposition by the
+    # capped h-index iteration ---------------------------------------
+    "purchase_pagerank_directed",
+    "cosupply_core_levels",
     # -- new in r07, never driver-verified: SCD2 validity intervals --
     "user_state_scd2",
     # -- new in r07 (second batch), never driver-verified: ordered
@@ -277,7 +288,9 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # diagnostics, k-core peeling, exact integer gram census, and
     # eigenvector centrality by fixed-point power iteration ------------
     "join_key_skew_census",
-    "cosupply_kcore_stats",
+    # (cosupply_kcore_stats rotated out in r08 for cosupply_core_levels
+    # above: driver-verified r07; the k-core family keeps the full
+    # decomposition census in-gate)
     "embedding_gram_topk",
     "supplier_eigencentrality",
 )
