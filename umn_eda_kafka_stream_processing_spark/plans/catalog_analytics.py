@@ -1218,9 +1218,6 @@ _COSUPPLY_EDGE_CTES = """p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineit
           WHERE 5 * obs * total >= 6 * d1.cnt * d2.cnt)"""
 
 
-_COSUPPLY_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lift-thresholded supplier co-supply graph (a<b-normalized
     undirected edges): two suppliers connect iff they share an order
@@ -1231,14 +1228,17 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Derive-once/serve-many: four catalog queries (triangles, k-core,
     core levels, eigencentrality) analyze this same graph, so the
-    edge frame is localCheckpointed and cached per (session
-    application, sf_dir) — the production shape where the graph is
-    materialized once and each analysis reads it."""
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    hit = _COSUPPLY_CACHE.get(key)
-    if hit is not None:
-        return hit
+    edge frame goes through the session parquet cache
+    (caching.materialized) — the production shape where the graph is
+    materialized once and each analysis reads the table."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+
+    return materialized(
+        spark, f"cosupply_edges|{sf_dir}", lambda: _cosupply_edges_build(spark, sf_dir)
+    )
+
+
+def _cosupply_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -1264,7 +1264,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
     )
-    edges = (
+    return (
         co.join(
             F.broadcast(d.select(F.col("l_suppkey").alias("s1"),
                                  F.col("cnt").alias("cnt1"))),
@@ -1278,12 +1278,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .where(F.expr("5 * obs * total >= 6 * cnt1 * cnt2"))
         .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-        .localCheckpoint()
     )
-    for k in [k for k in _COSUPPLY_CACHE if k[0] != app]:
-        del _COSUPPLY_CACHE[k]
-    _COSUPPLY_CACHE[key] = edges
-    return edges
 
 
 @_register(
