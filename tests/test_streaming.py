@@ -2166,3 +2166,82 @@ def test_incremental_retention_matches_batch(spark, tmp_path):
     # the scenario exercised real cross-batch accumulation: u1's
     # week-3 activity arrived two batches after their cohort week
     assert got[(t0.date().isoformat(), 3)][0] == 1
+
+def test_incremental_bm25_index_matches_batch(spark, tmp_path):
+    """foreachBatch BM25 index maintenance: postings/doclens/df
+    stores advanced per microbatch must serve EXACTLY the same top-k
+    (same integer scores) as a from-scratch batch index over the
+    full corpus — idf recomputed at search time from the current
+    global (N, df) is what makes this exact, not stale."""
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+        search_bm25_index,
+        upsert_bm25_index,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    all_docs = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "kafka streams process records one at a time"),
+        (3, "spark and kafka integrate through structured streaming"),
+        (4, "the quick brown fox"),
+        (5, "streaming joins buffer state bounded by watermarks"),
+        (6, "spark spark spark tuning guide"),
+        (7, ""),  # empty doc: counts toward N, never matches
+        (8, "cluster capacity planning for kafka"),
+    ]
+    batches = [all_docs[:3], all_docs[3:6], all_docs[6:]]
+    idx = str(tmp_path / "bm25_index")
+    src_dir = str(tmp_path / "docs")
+    seq = [0]
+
+    def on_batch(batch_df, _bid):
+        upsert_bm25_index(batch_df, idx, batch_seq=seq[0], n_buckets=8)
+        seq[0] += 1
+
+    def write_docs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_docs(batches[0])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src_dir
+    )
+    q = start_foreach_batch_sink(stream, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_docs(batches[1])
+        q.processAllAvailable()
+        write_docs(batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "kafka"), (2, "streaming"), (2, "state"),
+         (3, "fox")],
+        "qid long, term string",
+    )
+    got = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in search_bm25_index(
+            spark, idx, queries, k=5, n_buckets=8
+        ).collect()
+    }
+    full = spark.createDataFrame(all_docs, "doc_id long, text string")
+    postings, doclens, n, t = bm25_index(full)
+    want = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in bm25_search(
+            postings, doclens, n, t, queries, k=5
+        ).collect()
+    }
+    assert got == want
+    # the scenario exercised real cross-batch df drift: 'spark'
+    # gained documents in batches 1 and 2, so its idf at search time
+    # differs from any single batch's view
+    assert any(d == 6 for d, _ in got.values())

@@ -144,3 +144,192 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", id_col, "score_micro")
     )
+
+def upsert_bm25_index(
+    batch_df: DataFrame,
+    index_dir: str,
+    batch_seq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Incrementally maintain the BM25 inverted index under a
+    document stream — the search-index member of the incremental
+    family (exact/simhash/semantic dedup, IVF/IVFPQ, funnel,
+    transitions, retention): each microbatch upserts three
+    bucket-partitioned parquet stores under ``index_dir`` so
+    `search_bm25_index` serves current results without ever
+    rescanning the corpus.
+
+    Stores: ``postings/`` (term, id, tf; bucket = pmod(hash(term))),
+    ``doclens/`` (id, dl; bucket = pmod(hash(id))), ``df/`` (term,
+    document frequency; term buckets). IDF is deliberately NOT
+    stored: it depends on the GLOBAL (N, df) which move every batch,
+    so it is computed at search time from the current stores — that
+    is what makes incremental == batch EXACT rather than
+    stale-within-epsilon.
+
+    incremental == batch CONTRACT (pinned by the streaming test):
+    searching the incrementally-built index equals bm25_index +
+    bm25_search over the full history, for an APPEND-ONLY stream
+    (each doc_id arrives in exactly one batch — re-ingesting a
+    changed doc would need its OLD terms' postings/df retracted,
+    which an upsert store cannot see; the reference stores share
+    this contract).
+
+    Per batch: ONE token explode + (id, term, tf) hash-agg; postings
+    and doclens upserts touch only the batch's buckets; the df merge
+    reads prior (term, df) rows for the batch's terms and adds the
+    batch's distinct-doc counts (counts are additive under
+    append-only). Bucket values are stable per key — the
+    upsert_snapshot no-move contract holds."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+    from pyspark.sql.utils import AnalysisException
+
+    spark = batch_df.sparkSession
+    toks = batch_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda w: F.lower(w),
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    seq = F.lit(batch_seq).cast("long").alias("_seq")
+    upsert_snapshot(
+        spark,
+        f"{index_dir}/postings",
+        tf.select(
+            "term",
+            id_col,
+            "tf",
+            F.expr(f"pmod(hash(term), {n_buckets})").alias("_tb"),
+            seq,
+        ),
+        key_cols=["term", id_col],
+        order_col="_seq",
+        partition_cols=("_tb",),
+    )
+    doclens = (
+        batch_df.select(id_col)
+        .join(
+            tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+            F.expr(f"pmod(hash({id_col}), {n_buckets})").alias("_db"),
+            seq,
+        )
+    )
+    upsert_snapshot(
+        spark,
+        f"{index_dir}/doclens",
+        doclens,
+        key_cols=id_col,
+        order_col="_seq",
+        partition_cols=("_db",),
+    )
+    bdf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_dfb")
+    )
+    try:
+        prior = spark.read.parquet(f"{index_dir}/df").select(
+            "term", F.col("df").alias("_dfp")
+        )
+        bdf = bdf.join(prior.hint("shuffle_hash"), "term", "left")
+    except AnalysisException:
+        bdf = bdf.withColumn("_dfp", F.lit(None).cast("long"))
+    merged = bdf.select(
+        "term",
+        (F.coalesce("_dfp", F.lit(0)) + F.col("_dfb"))
+        .cast("long")
+        .alias("df"),
+        F.expr(f"pmod(hash(term), {n_buckets})").alias("_tb"),
+        seq,
+    ).localCheckpoint()
+    upsert_snapshot(
+        spark,
+        f"{index_dir}/df",
+        merged,
+        key_cols="term",
+        order_col="_seq",
+        partition_cols=("_tb",),
+    )
+
+
+def search_bm25_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Serve top-k BM25 from the incrementally-maintained index:
+    corpus scalars derive from the doclens store (one 2-column agg),
+    idf is computed from the CURRENT (N, df) — the same formula and
+    rounding as bm25_index, so results equal a from-scratch batch
+    index — and the postings read is PARTITION-PRUNED to the queried
+    terms' hash buckets (the queried-term list is collected once: a
+    bounded planning action, queries are human-sized; bucket ids
+    come through the engine's own hash, never Python's)."""
+    doclens = spark.read.parquet(f"{index_dir}/doclens").select(
+        id_col, "dl"
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
+    ).collect()[0]
+    n_docs, total_tokens = int(stats["n"]), int(stats["tt"])
+    buckets = sorted(
+        {
+            r["b"]
+            for r in queries.select(
+                F.expr(f"pmod(hash(term), {n_buckets})").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    dfreq = (
+        spark.read.parquet(f"{index_dir}/df")
+        .where(F.col("_tb").isin(buckets))
+        .join(F.broadcast(queries.select("term").distinct()), "term", "semi")
+        .select("term", "df")
+    )
+    idf = dfreq.select(
+        "term",
+        F.floor(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("_tb").isin(buckets))
+        .join(F.broadcast(idf), "term")
+        .select("term", id_col, "tf", "idf_micro")
+    )
+    return bm25_search(
+        postings, doclens, n_docs, total_tokens, queries, id_col, k
+    )
+
+
