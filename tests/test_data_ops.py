@@ -692,6 +692,50 @@ def test_temperature_mixture_sample_domain_named_domain(spark):
     assert n.get("b", 0) > 0 and n.get("a", 0) > 0
 
 
+def test_weighted_sample_k_matches_python_reference(spark):
+    """A-Res weighted sampling: the engine's (priority, rank) per
+    stratum must exactly equal a Python replica of the identical
+    md5 -> u32 -> floor((-ln u)/w * 1e6 + .5) chain; and across many
+    salts, a weight-10 item must be drawn roughly 10x as often as a
+    weight-1 item (the without-replacement inclusion property)."""
+    import hashlib
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    rows = [(i, "g", (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, w long")
+
+    def py_prio(key, wgt, salt="wrs"):
+        u32 = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        return math.floor((-math.log(u)) / float(wgt) * 1000000.0 + 0.5)
+
+    got = [
+        (r["k"], r["priority_micro"], r["draw_rank"])
+        for r in smp.weighted_sample_k(
+            df, "k", "w", k=10, strata_cols="g"
+        ).collect()
+    ]
+    ref = sorted((py_prio(k, w_), k) for k, _, w_ in rows)[:10]
+    want = [(k, p, i + 1) for i, (p, k) in enumerate(ref)]
+    assert sorted(got) == sorted(want)
+    # proportional inclusion: weight 10 vs weight 1, 40 salts
+    heavy_hits = light_hits = 0
+    rows2 = [(i, 10 if i < 25 else 1) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "k long, w long")
+    for s in range(12):
+        drawn = {
+            r["k"]
+            for r in smp.weighted_sample_k(
+                df2, "k", "w", k=10, strata_cols=(), salt=f"s{s}"
+            ).collect()
+        }
+        heavy_hits += sum(1 for k in drawn if k < 25)
+        light_hits += sum(1 for k in drawn if k >= 25)
+    assert heavy_hits > 3 * light_hits  # ~10x expected; 3x is a safe floor
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""

@@ -115,6 +115,76 @@ def uniform_k_per_stratum(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: str | Sequence[str] = (),
+    salt: str = "wrs",
+    rank_name: str = "draw_rank",
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement — the A-Res /
+    exponential-race scheme (Efraimidis & Spirakis 2006, a public
+    algorithm): each row draws a deterministic u in (0,1) from
+    md5(salt|key) and competes with priority -ln(u)/w ascending; the
+    k smallest priorities per stratum are distributed exactly like k
+    sequential weighted draws without replacement. This is the
+    data-mixing primitive `uniform_k_per_stratum` lacks: heavier
+    rows (token counts, quality weights) are proportionally likelier
+    to be drawn, and inclusion is a pure function of the key — the
+    split_assign re-ingestion stability property.
+
+    Portability: u = (u32 + 0.5) / 2^32 is an exact dyadic double
+    (never 0 or 1); priority_micro = floor((-ln(u)) / w * 1e6 + 0.5)
+    is ONE ln per row on that exact input, 6dp micro-rounded and
+    only ever COMPARED (the charlm ln rule — transcendentals are
+    safe to rank, never to sum raw); ties break on the key.
+    ``weight_col`` must be a POSITIVE integral column — exact on
+    both engines, and the fixed double-op order (-ln, /w, *1e6) is
+    what the oracle mirrors.
+
+    Plan: the row_number <= k filter plans as WindowGroupLimit —
+    each task pre-prunes to its local top-k before the per-stratum
+    shuffle (the uniform_k_per_stratum shape), so a billion-row
+    stratum moves only k rows per map partition.
+    """
+    from pyspark.sql.window import Window
+
+    keys = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    u = (
+        sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(KEY_SPACE))
+    prio = F.floor(
+        (-F.log(u))
+        / F.col(weight_col).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = df.withColumn("priority_micro", prio)
+    if not keys:
+        # a global draw must never plan an unpartitioned Window (one
+        # task sorts the corpus — explain_audit fails it); global_topk
+        # is TakeOrderedAndProject
+        from umn_eda_kafka_stream_processing_spark.operators.core import (
+            global_topk,
+        )
+
+        out = global_topk(
+            scored, [("priority_micro", True), (key_col, True)], k
+        )
+        return out.withColumnRenamed("rank", rank_name)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("priority_micro").asc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn(rank_name, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def domain_mixture_sample(
     df: DataFrame,
     domain_col: str,

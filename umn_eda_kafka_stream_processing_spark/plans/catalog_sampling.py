@@ -184,3 +184,46 @@ def split_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return smp.epoch_shuffle(docs, "doc_id", n_batches=32, epoch=1)
+
+@_register(
+    "weighted_doc_sample",
+    "Weighted random sampling WITHOUT replacement, 20 docs per lang "
+    "weighted by n_chars (operators/sampling.py:weighted_sample_k — "
+    "the A-Res exponential-race scheme): deterministic u from "
+    "md5(key), priority = floor((-ln(u))/w * 1e6 + 0.5) ranked "
+    "ascending per stratum, WindowGroupLimit pre-prune. One ln per "
+    "row on an exact dyadic input, 6dp micro-rounded and only "
+    "COMPARED (the charlm ln rule); inclusion is a pure function of "
+    "the key, so the draw is stable under re-ingestion. Oracle: the "
+    "identical double-op chain in SQL.",
+    f"""
+    SELECT lang, CAST(rn AS BIGINT) AS draw_rank, doc_id, n_chars,
+           priority_micro
+    FROM (
+      SELECT lang, doc_id, n_chars, priority_micro,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY priority_micro ASC, doc_id ASC
+             ) AS rn
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               CAST(floor(
+                 (-ln((CAST({_duck_key('doc_id', 'wrs')} AS DOUBLE) + 0.5)
+                      / 4294967296.0))
+                 / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5
+               ) AS BIGINT) AS priority_micro
+        FROM documents WHERE n_chars > 0
+      )
+    ) WHERE rn <= 20
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
+    out = smp.weighted_sample_k(
+        docs, "doc_id", "n_chars", k=20, strata_cols="lang"
+    )
+    return out.select(
+        "lang", "draw_rank", "doc_id", "n_chars", "priority_micro"
+    )

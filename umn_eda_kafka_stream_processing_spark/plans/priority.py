@@ -80,9 +80,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (salted_event_type_totals rotated out in r05 for
     # urgent_purchase_dom_pairs below: driver-verified r03+r04; the
     # skew family keeps the new salted_join query in-gate)
-    # -- new in r05, never driver-verified: reusable salted_join on a
-    # dom-keyed fact x fact join ------------------------------------
-    "urgent_purchase_dom_pairs",
+    # (urgent_purchase_dom_pairs rotated out in r08 for
+    # weighted_doc_sample below: driver-verified r05+r06+r07; the
+    # skew family keeps join_key_skew_census + the salted fuzzy join
+    # in-gate)
+    # -- new in r08, never driver-verified: A-Res weighted sampling
+    # without replacement ---------------------------------------------
+    "weighted_doc_sample",
     # -- new in fifth r04 rotation, never driver-verified: PQ ANN
     # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
     "ann_pq_topk",
