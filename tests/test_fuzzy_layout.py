@@ -140,3 +140,69 @@ def test_zorder_locality_beats_linear_on_grid(spark):
         F.countDistinct("zb").alias("nz"), F.countDistinct("lb").alias("nl")
     ).collect()[0]
     assert got["nz"] < got["nl"]
+
+def _py_hilbert(order_n, x, y):
+    d = 0
+    s = order_n // 2
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * (3 * rx + ry - 2 * rx * ry)
+        x %= s
+        y %= s
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_python_and_is_adjacent(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        with_hilbert,
+    )
+
+    n = 32  # 5 bits — full grid
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["h"]
+        for r in with_hilbert(df, "a", "b", bits=5).collect()
+    }
+    pos = {}
+    for a, b in rows:
+        want = _py_hilbert(n, a, b)
+        assert got[(a, b)] == want, (a, b)
+        pos[want] = (a, b)
+    # bijective and every consecutive index is grid-adjacent — the
+    # defining Hilbert property (Z-order jumps at power-of-two seams)
+    assert len(pos) == n * n
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_locality_at_least_zorder_on_grid(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        with_hilbert,
+        zorder_expr,
+    )
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = with_hilbert(
+        spark.createDataFrame(rows, "a long, b long"), "a", "b", bits=5
+    )
+    z = df.select(
+        "a",
+        "b",
+        F.expr(f"{zorder_expr('a', 'b', 5)} div 32").alias("zb"),
+        F.expr("h div 32").alias("hb"),
+    ).where((F.col("a") >= 12) & (F.col("a") < 20)
+            & (F.col("b") >= 12) & (F.col("b") < 20))
+    got = z.agg(
+        F.countDistinct("zb").alias("nz"), F.countDistinct("hb").alias("nh")
+    ).collect()[0]
+    assert got["nh"] <= got["nz"]

@@ -287,7 +287,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "fuzzy_part_match_stats",
     "token_pmi_pairs",
     "weekly_retention_cohorts",
-    "zorder_locality_stats",
+    # (zorder_locality_stats rotated out in r08 for
+    # hilbert_locality_stats below: driver-verified r07; the layout
+    # family keeps the Hilbert census — whose output carries the
+    # z-block counts too — in-gate)
+    # -- new in r08, never driver-verified: Hilbert-curve layout
+    # census (adjacency-true locality vs Z-order vs row-major) ------
+    "hilbert_locality_stats",
     # -- new in r07 (fourth batch), never driver-verified: key-skew
     # diagnostics, k-core peeling, exact integer gram census, and
     # eigenvector centrality by fixed-point power iteration ------------
