@@ -42,6 +42,50 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert got_left["f0"] is None and len(got_left) == 4
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """direction='forward' picks the EARLIEST update at-or-after the
+    fact; tolerance bounds the gap in both directions (too-old /
+    too-far matches become no-match: dropped inner, NULL left)."""
+    facts = spark.createDataFrame(
+        [("k1", _ts("2024-01-01T10:00:00"), "f1"),
+         ("k1", _ts("2024-01-01T12:00:00"), "f2"),
+         ("k1", _ts("2024-01-01T23:00:00"), "f3")],  # no update within 2h
+        "k string, t timestamp, fact_id string",
+    )
+    updates = spark.createDataFrame(
+        [("k1", _ts("2024-01-01T10:00:00"), "u-a"),   # == f1 → inclusive
+         ("k1", _ts("2024-01-01T13:30:00"), "u-b")],
+        "k string, ut timestamp, val string",
+    )
+    fwd = {
+        r["fact_id"]: r["val"]
+        for r in asof_join(
+            facts, updates, "k", "t", "ut", ["val"], direction="forward"
+        ).collect()
+    }
+    # f1 matches u-a (inclusive at equal time), f2 looks forward to
+    # u-b, f3 has nothing after it -> dropped (inner)
+    assert fwd == {"f1": "u-a", "f2": "u-b"}
+    tol = {
+        r["fact_id"]: r["val"]
+        for r in asof_join(
+            facts, updates, "k", "t", "ut", ["val"],
+            direction="forward", tolerance="1 hour", how="left",
+        ).collect()
+    }
+    # u-b is 1.5h after f2 -> outside the 1h tolerance -> NULL
+    assert tol == {"f1": "u-a", "f2": None, "f3": None}
+    back_tol = {
+        r["fact_id"]: r["val"]
+        for r in asof_join(
+            facts, updates, "k", "t", "ut", ["val"], tolerance="2 hours"
+        ).collect()
+    }
+    # backward: f2's latest prior update is u-a (exactly 2h — the
+    # bound is inclusive); f3's latest prior u-b is 9.5h stale -> dropped
+    assert back_tol == {"f1": "u-a", "f2": "u-a"}
+
+
 def test_interval_join(spark):
     facts = spark.createDataFrame(
         [("k1", 5, "a"), ("k1", 10, "b"), ("k1", 15, "c"), ("k2", 5, "d")],

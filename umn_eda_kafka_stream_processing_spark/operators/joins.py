@@ -35,22 +35,38 @@ def asof_join(
     update_time: str,
     payload_cols: Sequence[str],
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """As-of join: attach to each fact row the payload of the latest
-    update (by ``update_time``) with time <= the fact's ``fact_time``,
-    per key.
+    """As-of join: attach to each fact row the payload of the
+    nearest update per key — ``direction='backward'`` (default) the
+    LATEST update with update_time <= fact_time, ``'forward'`` the
+    EARLIEST with update_time >= fact_time (both inclusive).
+    ``tolerance`` (an SQL interval string, e.g. ``'7 days'``) bounds
+    how far the match may be from the fact: a match older/farther
+    than the bound is treated as no match (dropped under 'inner',
+    NULL payload under 'left') — the pandas merge_asof / kdb wj
+    surface.
 
     ``updates`` must be unique per (key, update_time) — pre-dedupe
     with latest_by_key otherwise (ties would be nondeterministic in
-    ANY engine's as-of). ``how``: 'inner' drops facts with no prior
-    update; 'left' keeps them with null payload.
+    ANY engine's as-of). ``how``: 'inner' drops unmatched facts;
+    'left' keeps them with null payload.
 
     Implementation: union updates (tag 0) and facts (tag 1) on
-    (key, time, tag), then one window pass carrying the last non-null
-    payload forward; updates at exactly the fact's time win (<= is
-    inclusive), because tag 0 sorts first within a timestamp.
+    (key, time, tag), then ONE window pass per key carrying the last
+    non-null payload (and its timestamp, for the tolerance test)
+    forward — time ASC for backward, time DESC for forward; tag 0
+    sorts first within a timestamp either way, so an update at
+    exactly the fact's time wins (inclusive). Still the canonical
+    distributed as-of: one shuffle+sort on the key, no per-row
+    lookups, no broadcast requirement on either side.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     fact_payload = [c for c in facts.columns if c not in keys and c != fact_time]
     clash = set(fact_payload) & set(payload_cols)
     if clash:
@@ -80,16 +96,35 @@ def asof_join(
         ).alias("_p"),
         F.struct(*[F.col(c) for c in fact_payload]).alias("_f"),
     )
+    t_order = (
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_tag")
+        .orderBy(t_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     attached = (
         u.unionByName(f)
         .withColumn("_asof", F.last("_p", ignorenulls=True).over(w))
+        .withColumn(
+            "_asof_t",
+            F.last(
+                F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
+            ).over(w),
+        )
         .filter(F.col("_tag") == 1)
     )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("_t") <= F.col("_asof_t") + F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_asof_t")
+            <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        attached = attached.withColumn(
+            "_asof", F.when(gap_ok, F.col("_asof"))
+        )
     if how == "inner":
         attached = attached.filter(F.col("_asof").isNotNull())
     elif how != "left":
