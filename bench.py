@@ -13,7 +13,16 @@ startup isn't attributed to the first query.
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
 the per-query MEDIAN — single-run walls on a shared box jitter enough
 that round-over-round regression claims need it. "value" is the sum
-of medians; "runs" records the repeat count.
+of medians.
+
+The stdout line is deliberately COMPACT (metric, total, sf, noisy
+flag, per-query medians only): the driver's capture buffer truncated
+the old full-detail line (>20 KB) every round since r02, leaving the
+official bench record unparseable. Everything else — raw walls per
+run, repeat counts, budget degradations, box-load telemetry — goes to
+the BENCH_DETAIL.json sidecar next to this script. Spark console
+logging is forced to ERROR so warning spam can't push the JSON line
+out of a bounded capture window.
 """
 
 from __future__ import annotations
@@ -37,6 +46,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="umn_eda_kafka_stream_processing_spark-bench")
+    # keep stdout/stderr near-silent: the driver's capture window is
+    # bounded, and WindowExec/parquet warnings have historically pushed
+    # the result line out of it
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, parquet footer reads, codegen
     REGISTRY["user_event_count"].spark(spark, sf_dir).write.format("noop").mode(
@@ -138,22 +151,41 @@ def main() -> None:
             "committing this artifact",
             file=sys.stderr,
         )
+    # full detail to a sidecar file (never stdout: the driver's capture
+    # buffer truncates long lines and the official record goes null)
+    detail = {
+        "metric": "catalog_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "degraded_to_single_run": degraded,
+        "heavy_capped": heavy_singles,
+        "walls": all_walls,
+        "sf": sf,
+        "box_load_pre": box_pre,
+        "box_load": box,
+        "noisy": noisy,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"detail -> {detail_path}", file=sys.stderr)
+    # stdout: ONE compact line — metric, total, sf, noisy, per-query
+    # medians (2dp; separators strip whitespace). Keep this SMALL.
     print(
         json.dumps(
             {
                 "metric": "catalog_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "degraded_to_single_run": degraded,
-                "heavy_capped": heavy_singles,
-                "walls": all_walls,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-                "box_load_pre": box_pre,
-                "box_load": box,
                 "noisy": noisy,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

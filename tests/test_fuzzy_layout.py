@@ -73,19 +73,36 @@ def test_fuzzy_join_salted_equals_unsalted_degenerate_block(spark):
     assert set(salted) == unsalted
     # per-(block, salt) left-row counts are balanced: with 240 rows
     # over 8 salts the heaviest bucket must stay well under the whole
-    # block (each task's pair work = bucket_rows x |clean|, so this
-    # bounds per-task pairs at ~2x the uniform share instead of 8x)
+    # block (each task's pair work = bucket_rows x |clean|). The salt
+    # hashes ONLY the join column (payload columns may be unhashable
+    # maps, and payload edits must not move a row's salt), so rows
+    # cluster per distinct name — ~80 distinct names spread the block
+    # far below one task owning all 240 rows
     per_bucket = (
         dirty.withColumn(
-            "_fzs",
-            F.pmod(F.hash(F.col("id"), F.col("dn")), F.lit(salt)),
+            "_fzs", F.pmod(F.hash(F.col("dn")), F.lit(salt))
         )
         .groupBy("_fzs")
         .count()
         .collect()
     )
     assert len(per_bucket) == salt
-    assert max(r["count"] for r in per_bucket) <= 2 * 240 // salt
+    assert max(r["count"] for r in per_bucket) <= 240 // 3
+
+
+def test_fuzzy_join_salt_tolerates_map_payload(spark):
+    """Spark's hash() raises for MapType inputs — the salt must hash
+    only the join column so a map-typed payload column on the left
+    frame cannot break analysis (round-8 advice)."""
+    dirty = spark.createDataFrame(
+        [(1, "cold widgt", {"k": "v"})],
+        "id long, dn string, attrs map<string,string>",
+    )
+    clean = spark.createDataFrame([("cold widget",)], "cn string")
+    got = fuzzy_join(dirty, clean, "dn", "cn", max_dist=1).collect()
+    assert [(r["id"], r["cn"], r["dist"]) for r in got] == [
+        (1, "cold widget", 1)
+    ]
 
 
 def test_best_fuzzy_match_argmin_ties(spark):

@@ -2168,11 +2168,14 @@ def test_incremental_retention_matches_batch(spark, tmp_path):
     assert got[(t0.date().isoformat(), 3)][0] == 1
 
 def test_incremental_bm25_index_matches_batch(spark, tmp_path):
-    """foreachBatch BM25 index maintenance: postings/doclens/df
-    stores advanced per microbatch must serve EXACTLY the same top-k
-    (same integer scores) as a from-scratch batch index over the
-    full corpus — idf recomputed at search time from the current
-    global (N, df) is what makes this exact, not stale."""
+    """foreachBatch BM25 index maintenance: postings/doclens stores
+    advanced per microbatch must serve EXACTLY the same top-k (same
+    integer scores) as a from-scratch batch index over the full
+    corpus — idf recomputed at search time from the current global
+    (N, df-counted-from-postings) is what makes this exact, not
+    stale — and a REPLAYED microbatch (foreachBatch is
+    at-least-once) must be a no-op, since both stores are
+    latest-wins keyed upserts with no read-modify-add state."""
     from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
         bm25_index,
         bm25_search,
@@ -2245,3 +2248,20 @@ def test_incremental_bm25_index_matches_batch(spark, tmp_path):
     # gained documents in batches 1 and 2, so its idf at search time
     # differs from any single batch's view
     assert any(d == 6 for d, _ in got.values())
+
+    # at-least-once replay: re-apply the middle batch verbatim (the
+    # retry a foreachBatch sink can deliver) — document frequencies
+    # must NOT inflate, search must be byte-identical
+    upsert_bm25_index(
+        spark.createDataFrame(batches[1], "doc_id long, text string"),
+        idx,
+        batch_seq=1,
+        n_buckets=8,
+    )
+    replayed = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in search_bm25_index(
+            spark, idx, queries, k=5, n_buckets=8
+        ).collect()
+    }
+    assert replayed == want

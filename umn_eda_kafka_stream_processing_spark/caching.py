@@ -21,15 +21,28 @@ Entries are keyed by (applicationId, cache_key); entries from dead
 applications are dropped on insert (their temp files die with the
 OS temp dir). Keys must identify the INPUT corpus (pass the sf_dir
 or another corpus identity) — the cache never inspects the data.
+
+STORAGE CONTRACT (cluster vs local): the parquet base directory is
+``spark.sparkgraft.cacheDir`` (a Spark conf, settable at session
+build or via spark.conf.set before first use). On a REAL cluster
+this MUST point at shared storage every executor can read (HDFS/
+S3/NFS) — the default fallback, a driver-local tempfile.mkdtemp(),
+is only readable off-driver on single-node deployments like the
+local[n] test/bench setup. Each application writes under its own
+``<cacheDir>/<applicationId>/`` subdirectory, so one shared root
+serves many concurrent applications without key collisions.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import tempfile
 
 from pyspark.sql import DataFrame
+
+CACHE_DIR_CONF = "spark.sparkgraft.cacheDir"
 
 _FRAMES: dict[tuple[str, str], DataFrame] = {}
 _SCALARS: dict[tuple[str, str], object] = {}
@@ -37,7 +50,29 @@ _DIRS: dict[str, str] = {}
 
 
 def _slug(key: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.-]+", "_", key).strip("_")[:120]
+    # the readable prefix is lossy (collapses '|', '/', spaces; 120-char
+    # truncation), so two distinct keys could alias one path and the
+    # second build would silently overwrite the first's files while its
+    # cached frame still scans them — the md5 suffix makes the path
+    # injective in the full key
+    readable = re.sub(r"[^A-Za-z0-9_.-]+", "_", key).strip("_")[:120]
+    return f"{readable}-{hashlib.md5(key.encode()).hexdigest()[:8]}"
+
+
+def _base_dir(spark, app: str) -> str:
+    """Per-application cache root: <spark.sparkgraft.cacheDir>/<appId>,
+    falling back to a driver-local temp dir when the conf is unset
+    (correct on local[n]; on a cluster, set the conf to shared
+    storage — see module docstring)."""
+    if app in _DIRS:
+        return _DIRS[app]
+    root = spark.conf.get(CACHE_DIR_CONF, None)
+    if root:
+        base = os.path.join(root, app)
+    else:
+        base = tempfile.mkdtemp(prefix="sparkgraft_session_cache_")
+    _DIRS[app] = base
+    return base
 
 
 def materialized(spark, cache_key: str, build) -> DataFrame:
@@ -50,10 +85,7 @@ def materialized(spark, cache_key: str, build) -> DataFrame:
     hit = _FRAMES.get(key)
     if hit is not None:
         return hit
-    base = _DIRS.setdefault(
-        app, tempfile.mkdtemp(prefix="sparkgraft_session_cache_")
-    )
-    path = os.path.join(base, _slug(cache_key))
+    path = os.path.join(_base_dir(spark, app), _slug(cache_key))
     build().write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     for k in [k for k in _FRAMES if k[0] != app]:

@@ -161,13 +161,20 @@ def upsert_bm25_index(
     `search_bm25_index` serves current results without ever
     rescanning the corpus.
 
-    Stores: ``postings/`` (term, id, tf; bucket = pmod(hash(term))),
-    ``doclens/`` (id, dl; bucket = pmod(hash(id))), ``df/`` (term,
-    document frequency; term buckets). IDF is deliberately NOT
-    stored: it depends on the GLOBAL (N, df) which move every batch,
-    so it is computed at search time from the current stores — that
-    is what makes incremental == batch EXACT rather than
-    stale-within-epsilon.
+    Stores: ``postings/`` (term, id, tf; bucket = pmod(hash(term)))
+    and ``doclens/`` (id, dl; bucket = pmod(hash(id))). IDF is
+    deliberately NOT stored: it depends on the GLOBAL (N, df) which
+    move every batch, so it is computed at search time from the
+    current stores — that is what makes incremental == batch EXACT
+    rather than stale-within-epsilon. There is deliberately NO
+    separate document-frequency store either: df is a COUNT over the
+    postings keys, and a read-modify-add (prior df + batch count)
+    merge is not idempotent under foreachBatch's at-least-once
+    semantics — a replayed microbatch would re-add counts already in
+    the store and permanently inflate idf. Both surviving stores are
+    latest-wins keyed upserts, so replaying a batch (same rows, any
+    batch_seq) is a no-op, and search counts df from postings
+    exactly.
 
     incremental == batch CONTRACT (pinned by the streaming test):
     searching the incrementally-built index equals bm25_index +
@@ -178,15 +185,12 @@ def upsert_bm25_index(
     this contract).
 
     Per batch: ONE token explode + (id, term, tf) hash-agg; postings
-    and doclens upserts touch only the batch's buckets; the df merge
-    reads prior (term, df) rows for the batch's terms and adds the
-    batch's distinct-doc counts (counts are additive under
-    append-only). Bucket values are stable per key — the
-    upsert_snapshot no-move contract holds."""
+    and doclens upserts touch only the batch's buckets. Bucket
+    values are stable per key — the upsert_snapshot no-move contract
+    holds."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
-    from pyspark.sql.utils import AnalysisException
 
     spark = batch_df.sparkSession
     toks = batch_df.select(
@@ -240,32 +244,6 @@ def upsert_bm25_index(
         order_col="_seq",
         partition_cols=("_db",),
     )
-    bdf = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("_dfb")
-    )
-    try:
-        prior = spark.read.parquet(f"{index_dir}/df").select(
-            "term", F.col("df").alias("_dfp")
-        )
-        bdf = bdf.join(prior.hint("shuffle_hash"), "term", "left")
-    except AnalysisException:
-        bdf = bdf.withColumn("_dfp", F.lit(None).cast("long"))
-    merged = bdf.select(
-        "term",
-        (F.coalesce("_dfp", F.lit(0)) + F.col("_dfb"))
-        .cast("long")
-        .alias("df"),
-        F.expr(f"pmod(hash(term), {n_buckets})").alias("_tb"),
-        seq,
-    ).localCheckpoint()
-    upsert_snapshot(
-        spark,
-        f"{index_dir}/df",
-        merged,
-        key_cols="term",
-        order_col="_seq",
-        partition_cols=("_tb",),
-    )
 
 
 def search_bm25_index(
@@ -280,10 +258,20 @@ def search_bm25_index(
     corpus scalars derive from the doclens store (one 2-column agg),
     idf is computed from the CURRENT (N, df) — the same formula and
     rounding as bm25_index, so results equal a from-scratch batch
-    index — and the postings read is PARTITION-PRUNED to the queried
+    index — and df itself is COUNTED from the bucket-pruned postings
+    at search time (postings rows are keyed latest-wins, so this is
+    exact and replay-safe; a stored df would drift under microbatch
+    replays). The postings read is PARTITION-PRUNED to the queried
     terms' hash buckets (the queried-term list is collected once: a
     bounded planning action, queries are human-sized; bucket ids
-    come through the engine's own hash, never Python's)."""
+    come through the engine's own hash, never Python's). The two
+    corpus-scalar driver actions per call are the price of serving
+    CURRENT stats; hot-path callers issuing many searches against a
+    frozen store should batch their queries into one `queries` frame.
+
+    Raises ``ValueError`` on an empty index (n_docs == 0): scoring
+    against ln of a negative ratio would otherwise surface as silent
+    NULL scores."""
     doclens = spark.read.parquet(f"{index_dir}/doclens").select(
         id_col, "dl"
     )
@@ -292,6 +280,11 @@ def search_bm25_index(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
     ).collect()[0]
     n_docs, total_tokens = int(stats["n"]), int(stats["tt"])
+    if n_docs == 0:
+        raise ValueError(
+            f"BM25 index at {index_dir!r} is empty (no documents "
+            "ingested yet) — cannot score against n_docs=0"
+        )
     buckets = sorted(
         {
             r["b"]
@@ -302,11 +295,17 @@ def search_bm25_index(
             .collect()
         }
     )
-    dfreq = (
-        spark.read.parquet(f"{index_dir}/df")
+    pruned = (
+        spark.read.parquet(f"{index_dir}/postings")
         .where(F.col("_tb").isin(buckets))
-        .join(F.broadcast(queries.select("term").distinct()), "term", "semi")
-        .select("term", "df")
+        .join(
+            F.broadcast(queries.select("term").distinct()), "term", "semi"
+        )
+        .select("term", id_col, "tf")
+        .localCheckpoint()
+    )
+    dfreq = pruned.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     idf = dfreq.select(
         "term",
@@ -322,11 +321,8 @@ def search_bm25_index(
         .cast("long")
         .alias("idf_micro"),
     )
-    postings = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .where(F.col("_tb").isin(buckets))
-        .join(F.broadcast(idf), "term")
-        .select("term", id_col, "tf", "idf_micro")
+    postings = pruned.join(F.broadcast(idf), "term").select(
+        "term", id_col, "tf", "idf_micro"
     )
     return bm25_search(
         postings, doclens, n_docs, total_tokens, queries, id_col, k

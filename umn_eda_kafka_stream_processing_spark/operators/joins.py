@@ -193,10 +193,12 @@ def fuzzy_join(
 
     Skew: a blocking key is low-cardinality BY DESIGN (the default is
     ~26 buckets, each quadratic), so the join key is salted — the left
-    side takes ONE deterministic salt per row (pmod of the full-row
-    hash — replay-stable, the skew.py no-F.rand() rule), the right
-    side replicates each row to all ``salt_buckets`` salts, and the
-    equi-key becomes (block, salt). Every (left, right) pair still
+    side takes ONE deterministic salt per row (pmod of the hash of the
+    JOIN column only — replay-stable, the skew.py no-F.rand() rule,
+    and independent of unrelated payload columns, which may be
+    unhashable types like maps and whose edits must not move a row's
+    salt), the right side replicates each row to all ``salt_buckets``
+    salts, and the equi-key becomes (block, salt). Every (left, right) pair still
     meets EXACTLY once (inner join, one salt per left row), but one
     block's pair work spreads over ``salt_buckets`` tasks instead of
     one reducer running the whole block² forever at 100 TB. Cost: the
@@ -215,10 +217,7 @@ def fuzzy_join(
     if salt_buckets > 1:
         lb = lb.withColumn(
             "_fzs",
-            F.pmod(
-                F.hash(*[F.col(c) for c in left.columns]),
-                F.lit(salt_buckets),
-            ),
+            F.pmod(F.hash(F.col(left_col)), F.lit(salt_buckets)),
         )
         rb = rb.withColumn(
             "_fzs",
