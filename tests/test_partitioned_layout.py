@@ -40,3 +40,62 @@ def test_files_per_partition_caps_small_files(spark, tmp_path):
     for d in glob.glob(out + "/lang=*"):
         n = len(glob.glob(d + "/*.parquet"))
         assert 1 <= n <= 2
+
+
+def test_write_sorted_total_order_manifest_and_plan(spark, tmp_path):
+    """Sorted-export writer (operators/compaction.py:write_sorted):
+    (a) the physical plan is a RangeExchange + per-partition sort —
+    never a global single-partition Sort; (b) the written files form
+    one total order: manifest ranges are DISJOINT across files and
+    concatenating files by manifest order yields the globally sorted
+    data; (c) the manifest's per-file min/max/count agree with the
+    files' contents."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        write_sorted,
+    )
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(10_000), i) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = str(tmp_path / "sorted_export")
+
+    # plan proof on the exact pre-write frame shape
+    shaped = df.repartitionByRange(8, F.col("k")).sortWithinPartitions(
+        F.col("k").asc()
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "rangepartitioning(k" in plan, plan
+    # Sort [cols], <global>, ... — must be the per-partition (false)
+    # variant, never a global sort
+    sorts = re.findall(r"Sort \[[^\]]*\], (\w+),", plan)
+    assert sorts and all(g == "false" for g in sorts), plan
+    assert "SinglePartition" not in plan, plan
+
+    manifest = write_sorted(df, out, "k", n_files=8).collect()
+    assert 1 < len(manifest) <= 8
+    assert sum(m["n_rows"] for m in manifest) == len(rows)
+    # disjoint, ordered ranges: each file's max <= next file's min
+    # (equal only when one key value straddles... it can't: range
+    # partitioning keeps equal keys in one partition, so strictly <)
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_k"] < b["min_k"], (a, b)
+    # reading files in manifest order concatenates to the global sort
+    got = []
+    for m in manifest:
+        part = [
+            r["k"]
+            for r in spark.read.parquet(m["file"])
+            .select("k")
+            .collect()
+        ]
+        assert part == sorted(part)
+        assert part[0] == m["min_k"] and part[-1] == m["max_k"]
+        assert len(part) == m["n_rows"]
+        got.extend(part)
+    assert got == sorted(k for k, _ in rows)

@@ -100,6 +100,69 @@ def test_salted_join_matches_plain_join_property(spark):
             assert salted == plain, (trial, how)
 
 
+def test_maybe_salted_join_decision_and_equivalence(spark, caplog):
+    """Auto-salt advisor property: on BOTH a skewed and a uniform
+    fixture the result equals the plain join exactly, and the census
+    decision salts ONLY the skewed one (observable via the audit
+    log)."""
+    import logging
+
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        maybe_salted_join,
+    )
+
+    right = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(20)], "k string, payload long"
+    )
+    skewed = spark.createDataFrame(
+        [("k1", i) for i in range(400)]
+        + [(f"k{i % 20}", 1000 + i) for i in range(50)],
+        "k string, v long",
+    )
+    uniform = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(400)], "k string, v long"
+    )
+    logger = "umn_eda_kafka_stream_processing_spark.skew"
+    for df, expect_salted in ((skewed, True), (uniform, False)):
+        plain = {
+            (r["k"], r["v"], r["payload"])
+            for r in df.join(right, "k").collect()
+        }
+        with caplog.at_level(logging.INFO, logger=logger):
+            caplog.clear()
+            advised = maybe_salted_join(
+                df, right, "k", salt_buckets=4, left_salt_cols=["v"]
+            )
+            got = [
+                (r["k"], r["v"], r["payload"]) for r in advised.collect()
+            ]
+        assert len(got) == len(set(got)), "a pair met more than once"
+        assert set(got) == plain
+        decisions = [
+            rec for rec in caplog.records if rec.name == logger
+        ]
+        assert len(decisions) == 1
+        assert ("SALTED" in decisions[0].getMessage()) is expect_salted
+
+    # a precomputed census skips the planning job and drives the same
+    # decision (train-once/serve-many)
+    pre = {"n_rows": 100, "max_cnt": 50, "top_key": "k1"}
+    with caplog.at_level(logging.INFO, logger=logger):
+        caplog.clear()
+        got = {
+            (r["k"], r["v"], r["payload"])
+            for r in maybe_salted_join(
+                skewed, right, "k", census=pre, salt_buckets=4,
+                left_salt_cols=["v"],
+            ).collect()
+        }
+    assert got == {
+        (r["k"], r["v"], r["payload"])
+        for r in skewed.join(right, "k").collect()
+    }
+    assert "SALTED" in caplog.records[-1].getMessage()
+
+
 def test_salted_join_rejects_right_preserving_how(spark):
     from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
 

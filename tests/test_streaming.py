@@ -2265,3 +2265,89 @@ def test_incremental_bm25_index_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert replayed == want
+
+
+def test_incremental_scd2_matches_batch(spark, tmp_path):
+    """foreachBatch SCD2 dimension maintenance: the per-batch
+    affected-key timeline recompute must leave the store EQUAL to
+    scd2_intervals over the concatenated history after every batch —
+    including a LATE version spliced into the middle of a key's
+    existing timeline (it must close the late row against its
+    successor and re-close its predecessor), and a replayed
+    microbatch must be a no-op."""
+    from datetime import datetime
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        incremental_scd2,
+        scd2_from_store,
+        scd2_intervals,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_foreach_batch_sink,
+    )
+
+    def t(h):
+        return datetime(2024, 3, 1, h)
+
+    # (event_id, user_id, state, ts) — u1 gets a LATE middle version
+    # in batch 3 (ts between its batch-1 and batch-2 versions)
+    batches = [
+        [(1, "u1", "bronze", t(1)), (2, "u2", "bronze", t(2))],
+        [(3, "u1", "gold", t(9)), (4, "u3", "bronze", t(3))],
+        [(5, "u1", "silver", t(5)), (6, "u2", "gold", t(7))],
+    ]
+    schema = "event_id long, user_id string, state string, ts timestamp_ntz"
+    store = str(tmp_path / "scd2_store")
+    src_dir = str(tmp_path / "changelog")
+    seq = [0]
+
+    def on_batch(batch_df, _bid):
+        incremental_scd2(
+            batch_df, store, batch_seq=seq[0], key_cols="user_id",
+            ts_col="ts", order_cols=("event_id",), n_buckets=8,
+        )
+        seq[0] += 1
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def snap(df):
+        return {
+            (r["user_id"], r["ts"], r["event_id"]): (
+                r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+            )
+            for r in df.collect()
+        }
+
+    write_rows(batches[0])
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = start_foreach_batch_sink(stream, on_batch, output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_rows(batches[1])
+        q.processAllAvailable()
+        write_rows(batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(sum(batches, []), schema)
+    want = snap(scd2_intervals(full, "user_id", "ts", ["event_id"]))
+    got = snap(scd2_from_store(spark, store))
+    assert got == want
+    # the late splice really happened: u1's silver (ts 05:00, arrived
+    # last) is closed by gold (ts 09:00, arrived earlier), and u1's
+    # bronze was re-closed against silver
+    assert got[("u1", t(5), 5)] == ("silver", t(5), t(9), False)
+    assert got[("u1", t(1), 1)] == ("bronze", t(1), t(5), False)
+    assert got[("u1", t(9), 3)][3] is True
+
+    # at-least-once replay: re-apply batch 2 verbatim — byte-identical
+    incremental_scd2(
+        spark.createDataFrame(batches[1], schema), store, batch_seq=99,
+        key_cols="user_id", ts_col="ts", order_cols=("event_id",),
+        n_buckets=8,
+    )
+    assert snap(scd2_from_store(spark, store)) == want

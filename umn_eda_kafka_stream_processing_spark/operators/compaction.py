@@ -212,6 +212,67 @@ def upsert_bucket_partitioned(
     spark.catalog.refreshByPath(table_path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cols: str | Sequence[str],
+    n_files: int = 32,
+) -> DataFrame:
+    """Globally-sorted export — the training-shard write path: emit
+    ``df`` as ``n_files`` parquet files that together form one total
+    order on ``cols``, WITHOUT a single-task global sort.
+
+    Plan shape (the only scale-correct one): ``repartitionByRange``
+    samples the sort key and plans a RangeExchange into ``n_files``
+    key-disjoint partitions, and ``sortWithinPartitions`` sorts each
+    independently — so the sort is n_files parallel local sorts, and
+    reading file 0..k-1 yields the first k shards of the global
+    order. A plain ``orderBy().write`` at 100 TB would also range-
+    exchange, but gives no control over shard count/size and no
+    manifest; ``coalesce(1)``-style exports (one task sorts
+    everything) are the anti-pattern this replaces.
+
+    Returns the per-file MANIFEST: (file, n_rows, min_/max_ of each
+    sort column independently — the parquet-footer-style file-
+    skipping stats — plus ``min_key``/``max_key``, the lexicographic
+    min/max of the full sort TUPLE). Computed by one column-pruned
+    scan of the written files grouped by ``input_file_name()``.
+    Disjointness is a TUPLE property: per-column stats of a
+    multi-column sort DO overlap across files (a file ending at
+    (5, 3) can contain (4, 9), so its independent max is (5, 9)) —
+    audit with min_key/max_key, where ordering files by min_key
+    gives every file's max_key < the next file's min_key.
+
+    Equal keys land in ONE partition (range partitioning is by key),
+    so a single dominant key caps parallelism at one file — pre-salt
+    by extending ``cols`` with a tiebreaker column when the export
+    key is skewed (the key_skew_census signal)."""
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    spark = df.sparkSession
+    (
+        df.repartitionByRange(n_files, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*[F.col(k).asc() for k in keys])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark.catalog.refreshByPath(path)
+    written = spark.read.parquet(path)
+    tup = F.struct(*[F.col(k) for k in keys])
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(tup).alias("min_key"),
+        F.max(tup).alias("max_key"),
+    ]
+    for k in keys:
+        aggs.append(F.min(k).alias(f"min_{k}"))
+        aggs.append(F.max(k).alias(f"max_{k}"))
+    return (
+        written.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .orderBy(F.col("min_key").asc())
+    )
+
+
 def zorder_expr(a: str, b: str, bits: int = 10, div: str = "div") -> str:
     """SQL text for the 2-D Morton (Z-order) interleave of two
     already-normalized integer expressions in [0, 2^bits): bit i of

@@ -26,6 +26,7 @@ which is harmless for distributive aggregates).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -137,6 +138,108 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+ADVISOR_MAX_SHARE_MICRO = 50_000  # heaviest key > 5% of rows → salt
+
+_LOG = logging.getLogger("umn_eda_kafka_stream_processing_spark.skew")
+
+
+def maybe_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt_buckets: int = 16,
+    max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
+    census: "dict | None" = None,
+    how: str = "inner",
+    right_hint: str | None = None,
+    left_salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Auto-salt advisor: join plain when the key is healthy, via
+    `salted_join` when it is skewed — wiring `key_skew_census` (the
+    decision signal) into the join path so callers stop hand-picking.
+
+    The decision is ONE bounded planning scalar (a 1-row census agg
+    over the left side's join key — the prefix-join guard shape):
+    salt iff the heaviest key's row share exceeds
+    ``max_share_micro``/1e6 (default 5% — at that share one reducer
+    owns ≥5% of the join's probe work regardless of parallelism,
+    the straggler regime AQE's skew splitting handles only
+    per-stage; salting fixes the shape). Pass a precomputed
+    ``census`` (any mapping with n_rows/max_cnt, e.g. a collected
+    `key_skew_census` row) to skip the planning job — the
+    train-once/serve-many pattern for a key joined repeatedly.
+
+    Both outcomes are logged on the
+    ``umn_eda_kafka_stream_processing_spark.skew`` logger with the
+    census numbers, so a pipeline's salting decisions are auditable
+    after the fact. Result is identical either way (property test:
+    plain == salted on both skewed and uniform fixtures); ``how``
+    must be left-preserving when salting triggers (salted_join's
+    contract)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salt, census, share_micro = advise_salting(
+        left, keys, max_share_micro, census
+    )
+    n_rows = int(census["n_rows"] or 0)
+    max_cnt = int(census["max_cnt"] or 0)
+    if salt:
+        _LOG.info(
+            "maybe_salted_join(%s): SALTED (top key %r holds %d/%d rows, "
+            "share %dppm > %dppm) with %d salt buckets",
+            keys, census.get("top_key"), max_cnt, n_rows,
+            share_micro, max_share_micro, salt_buckets,
+        )
+        return salted_join(
+            left, right, keys,
+            salt_buckets=salt_buckets,
+            left_salt_cols=left_salt_cols,
+            how=how,
+            right_hint=right_hint,
+        )
+    _LOG.info(
+        "maybe_salted_join(%s): PLAIN (top key %r holds %d/%d rows, "
+        "share %dppm <= %dppm)",
+        keys, census.get("top_key"), max_cnt, n_rows,
+        share_micro, max_share_micro,
+    )
+    rt = right.hint(right_hint) if right_hint else right
+    return left.join(rt, keys, how)
+
+
+def advise_salting(
+    left: DataFrame,
+    keys: Sequence[str],
+    max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
+    census: "dict | None" = None,
+) -> tuple[bool, dict, int]:
+    """The advisor's decision, reusable standalone: returns
+    (salt?, census, share_micro) where share_micro = round-half-up
+    ppm share of the heaviest key. Computes the `key_skew_census`
+    (multi-column keys concat through a non-printing separator) when
+    no precomputed census is passed."""
+    if census is None:
+        probe = left.select(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(k).cast("string"), F.lit(""))
+                    for k in keys
+                ],
+            ).alias("_k")
+        )
+        census = (
+            key_skew_census(probe, "_k", "+".join(keys))
+            .collect()[0]
+            .asDict()
+        )
+    n_rows = int(census["n_rows"] or 0)
+    max_cnt = int(census["max_cnt"] or 0)
+    share_micro = (
+        (1_000_000 * max_cnt + n_rows // 2) // n_rows if n_rows else 0
+    )
+    return share_micro > max_share_micro, census, share_micro
 
 
 def key_skew_census(

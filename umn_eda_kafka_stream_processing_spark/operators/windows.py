@@ -535,6 +535,103 @@ def incremental_retention(
     return merged.select(user_col, "cw", "weeks")
 
 
+def incremental_scd2(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_seq: int,
+    key_cols: str | list[str] = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Continuously-maintained SCD2 dimension table — the incremental
+    twin of `scd2_intervals` and the KTable-HISTORY analogue of
+    `compaction.upsert_snapshot` (which keeps only each key's latest
+    row): under a changelog stream the store holds EVERY version of
+    every key with [valid_from, valid_to) validity and is_current,
+    advanced per microbatch without ever rescanning history.
+
+    incremental == batch CONTRACT (pinned by the streaming test):
+    after any sequence of batches the store equals `scd2_intervals`
+    over the concatenated history — under ANY arrival order,
+    including late data. Unlike the funnel/retention twins (set-once
+    frontiers needing non-decreasing event time), each batch
+    RECOMPUTES the full timeline of only its AFFECTED KEYS: closing
+    an open interval, splicing a late version into the middle, and
+    re-opening are all the same one recompute. The changelog must be
+    append-only with version identity (key, ts, *order_cols)
+    determining the payload — a replayed microbatch (foreachBatch is
+    at-least-once) re-merges rows already in the store and dedupes
+    to a no-op.
+
+    Per batch: one store read partition-pruned to the batch keys'
+    hash buckets (≤ n_buckets literal values, collected once —
+    bucket ids come through the engine's own hash) and semi-joined
+    to the affected keys, one per-key lead() window over prior ∪
+    batch versions (the `scd2_intervals` shape — never corpus-wide),
+    one `upsert_snapshot` keyed by the version identity (bucket =
+    pmod(hash(key), n_buckets) is stable per key, so the no-move
+    contract holds; stale valid_to rows are overwritten latest-wins
+    on ``batch_seq``). Cost is O(affected keys' version counts), not
+    O(|store|). Returns the affected keys' recomputed timelines.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    spark = batch_df.sparkSession
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ident = keys + [ts_col] + list(order_cols)
+    batch = batch_df.withColumn(ts_col, event_ts(ts_col)).localCheckpoint()
+    affected = batch.select(*keys).distinct()
+    key_hash = "hash(" + ", ".join(keys) + ")"
+    try:
+        store = spark.read.parquet(store_path)
+        bids = [
+            r["b"]
+            for r in affected.select(
+                F.expr(f"pmod({key_hash}, {n_buckets})").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prior = (
+            store.where(F.col("_vb").isin(bids))
+            .join(affected, keys, "left_semi")
+            .select(*batch.columns)
+        )
+        merged = prior.unionByName(batch).dropDuplicates(ident)
+    except AnalysisException:
+        merged = batch.dropDuplicates(ident)
+    merged = merged.localCheckpoint()
+    recomputed = scd2_intervals(
+        merged, keys, ts_col, list(order_cols)
+    ).select(
+        "*",
+        F.expr(f"pmod({key_hash}, {n_buckets})").alias("_vb"),
+        F.lit(batch_seq).cast("long").alias("_seq"),
+    ).localCheckpoint()
+    upsert_snapshot(
+        spark,
+        store_path,
+        recomputed,
+        key_cols=ident,
+        order_col="_seq",
+        partition_cols=("_vb",),
+    )
+    return recomputed.drop("_vb", "_seq")
+
+
+def scd2_from_store(spark, store_path: str) -> DataFrame:
+    """Read the `incremental_scd2` store back as the dimension table
+    (same schema as `scd2_intervals` over the full history). As-of-T
+    probes should instead read the store directly and push
+    ``valid_from <= T`` down the partition-pruned scan."""
+    return spark.read.parquet(store_path).drop("_vb", "_seq")
+
+
 def retention_matrix_from_store(
     spark, store_path: str
 ) -> DataFrame:

@@ -1738,6 +1738,200 @@ def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ADVISOR_ORACLE = """
+    WITH ec AS (
+      SELECT coalesce(CAST(event_type AS VARCHAR), '') AS k,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), esh AS (
+      SELECT CAST((1000000 * max(cnt) + sum(cnt) // 2) // sum(cnt)
+                  AS BIGINT) AS share_micro FROM ec
+    ), ej AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_out,
+             CAST(sum((event_id % 97) * length(event_type)) AS BIGINT)
+                 AS checksum
+      FROM events
+      WHERE event_type IN (SELECT DISTINCT event_type FROM events
+                           WHERE length(event_type) >= 5)
+    ), oc AS (
+      SELECT coalesce(CAST(o_custkey AS VARCHAR), '') AS k,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), osh AS (
+      SELECT CAST((1000000 * max(cnt) + sum(cnt) // 2) // sum(cnt)
+                  AS BIGINT) AS share_micro FROM oc
+    ), oj AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_out,
+             CAST(sum((o.o_orderkey % 97) * c.c_nationkey) AS BIGINT)
+                 AS checksum
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey < 10
+    )
+    SELECT 'events.event_type' AS key,
+           CAST(CASE WHEN esh.share_micro > 50000 THEN 1 ELSE 0 END
+                AS BIGINT) AS salted,
+           esh.share_micro, ej.n_out, ej.checksum
+    FROM esh, ej
+    UNION ALL
+    SELECT 'orders.o_custkey',
+           CAST(CASE WHEN osh.share_micro > 50000 THEN 1 ELSE 0 END
+                AS BIGINT),
+           osh.share_micro, oj.n_out, oj.checksum
+    FROM osh, oj
+"""
+
+
+@_register(
+    "salt_advisor_join_census",
+    "Auto-salt advisor wired into the join path (operators/skew.py:"
+    "maybe_salted_join): for a SKEWED key (events.event_type — a "
+    "handful of values, heaviest far above the 5% share threshold) "
+    "and a HEALTHY key (orders.o_custkey), the advisor computes the "
+    "one-row key_skew_census (a bounded planning scalar), salts only "
+    "the skewed join (left-salt/right-explode via salted_join, "
+    "shuffle_hash-pinned so AQE can't void the salt at test SFs), and "
+    "the query emits each decision plus the joined row count and an "
+    "integer checksum over BOTH sides' columns — so a pair lost or "
+    "duplicated by salting hash-mismatches. Oracle recomputes the "
+    "share, the threshold decision, and the PLAIN join's checksum in "
+    "SQL: advisor-salted == plain is the property under test.",
+    _ADVISOR_ORACLE,
+)
+def salt_advisor_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_salting,
+        maybe_salted_join,
+    )
+
+    def branch(label, left, right, key, checksum, buckets):
+        salt, census, share = advise_salting(left, [key])
+        j = maybe_salted_join(
+            left, right, key, salt_buckets=buckets, census=census,
+            right_hint="shuffle_hash",
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(checksum).cast("long").alias("checksum"),
+        ).select(
+            F.lit(label).alias("key"),
+            F.lit(1 if salt else 0).cast("long").alias("salted"),
+            F.lit(share).cast("long").alias("share_micro"),
+            "n_out",
+            "checksum",
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    # independent scan for the dim side (the self-join rule)
+    etypes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.length("event_type") >= 5)
+        .select("event_type")
+        .distinct()
+    )
+    skewed = branch(
+        "events.event_type",
+        ev,
+        etypes,
+        "event_type",
+        F.pmod("event_id", F.lit(97)) * F.length("event_type"),
+        8,
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 10)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    healthy = branch(
+        "orders.o_custkey",
+        orders,
+        cust,
+        "o_custkey",
+        F.pmod("o_orderkey", F.lit(97)) * F.col("c_nationkey"),
+        8,
+    )
+    return skewed.unionByName(healthy)
+
+
+@_register(
+    "sorted_export_census",
+    "Sorted-export write path (operators/compaction.py:write_sorted): "
+    "lineitem is exported as 8 parquet shards forming ONE total order "
+    "on (l_orderkey, l_linenumber) via repartitionByRange + "
+    "sortWithinPartitions — a RangeExchange into key-disjoint "
+    "partitions with n parallel LOCAL sorts, never a global "
+    "single-partition Sort (plan pinned in tests). The census audits "
+    "the invariants sampling can't perturb: every row landed exactly "
+    "once (n_rows, global min/max key vs SQL), the per-file manifest "
+    "ranges are pairwise DISJOINT in manifest order, each file is "
+    "internally sorted (a per-file lag() window over the read-back — "
+    "partitioned by input_file_name, never corpus-wide), and the "
+    "shard count stayed within budget. The oracle pins the three "
+    "booleans at 1: a lost row, an overlapping shard, or an unsorted "
+    "file hash-mismatches.",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(1 AS BIGINT) AS files_ok,
+           CAST(1 AS BIGINT) AS disjoint_ok,
+           CAST(1 AS BIGINT) AS files_sorted_ok
+    FROM lineitem
+    """,
+)
+def sorted_export_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        write_sorted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    out = tempfile.mkdtemp(prefix="sparkgraft_sorted_export_") + "/shards"
+    # manifest is <= n_files rows — a bounded planning collect
+    man = write_sorted(
+        li, out, ["l_orderkey", "l_linenumber"], n_files=8
+    ).collect()
+    n_rows = sum(m["n_rows"] for m in man)
+    files_ok = int(1 <= len(man) <= 8)
+    # disjointness is a TUPLE property (per-column file stats overlap
+    # legitimately under a multi-column sort) — compare min_key/max_key
+    disjoint_ok = int(
+        all(
+            tuple(a["max_key"]) < tuple(b["min_key"])
+            for a, b in zip(man, man[1:])
+        )
+    )
+    # within-file sortedness, distributed: scan order within a file is
+    # preserved, so monotonically_increasing_id orders rows per file
+    key = F.struct("l_orderkey", "l_linenumber")
+    back = spark.read.parquet(out).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy(F.input_file_name()).orderBy("_mid")
+    violations = (
+        back.select(
+            F.when(F.lag(key).over(w) > key, 1).otherwise(0).alias("bad")
+        )
+        .agg(F.sum("bad").alias("n"))
+        .collect()[0]["n"]
+    )
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(man[0]["min_l_orderkey"]).cast("long").alias("min_okey"),
+        F.lit(man[-1]["max_l_orderkey"]).cast("long").alias("max_okey"),
+        F.lit(files_ok).cast("long").alias("files_ok"),
+        F.lit(disjoint_ok).cast("long").alias("disjoint_ok"),
+        F.lit(int(violations == 0)).cast("long").alias("files_sorted_ok"),
+    )
+
+
 def _kcore_oracle(k: int = 8, rounds: int = 6) -> str:
     # every e{r} is referenced 3x by round r+1 (FROM + two IN
     # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the

@@ -412,6 +412,85 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_scd2_census",
+    "Incrementally-maintained SCD2 dimension (operators/windows.py:"
+    "incremental_scd2): the event changelog is ingested in THREE "
+    "microbatches split by pmod(hash(event_id), 3) — deliberately NOT "
+    "time-ordered, so versions arrive late and splice into existing "
+    "timelines — each batch recomputing only its affected keys' "
+    "intervals into a bucket-partitioned store (upsert_snapshot, "
+    "latest-wins). The census over the final store must equal batch "
+    "scd2_intervals over the full history: the oracle IS that batch "
+    "computation in SQL, so a single stale valid_to or missed splice "
+    "hash-mismatches. Per-user version counts also pin the store's "
+    "exact row multiset (n_keys, max_versions).",
+    """
+    WITH v AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           CAST(coalesce(sum(CASE WHEN valid_to IS NULL THEN 0
+                ELSE date_diff('microsecond', valid_from, valid_to) END), 0)
+               AS BIGINT) AS sum_duration_us
+    FROM v GROUP BY event_type
+    """,
+)
+def incremental_scd2_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        incremental_scd2,
+        scd2_from_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", event_ts("ts").alias("ts")
+    )
+    store = tempfile.mkdtemp(prefix="sparkgraft_scd2_census_") + "/store"
+    for i in range(3):
+        incremental_scd2(
+            ev.where(F.expr(f"pmod(hash(event_id), 3) = {i}")),
+            store,
+            batch_seq=i,
+            key_cols="user_id",
+            ts_col="ts",
+            order_cols=("event_id",),
+            # census-sized store: fewer buckets = fewer tiny files per
+            # dynamic overwrite (the per-batch cost here is fixed job
+            # overhead, not data volume)
+            n_buckets=8,
+        )
+    scd = scd2_from_store(spark, store)
+    return scd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.countDistinct("user_id").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_current"), F.lit(0)).otherwise(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, valid_from, valid_to)"
+                    )
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_duration_us"),
+    )
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
