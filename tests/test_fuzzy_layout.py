@@ -223,3 +223,105 @@ def test_hilbert_locality_at_least_zorder_on_grid(spark):
         F.countDistinct("zb").alias("nz"), F.countDistinct("hb").alias("nh")
     ).collect()[0]
     assert got["nh"] <= got["nz"]
+
+
+def _py_skilling(coords, bits):
+    # transcription of Skilling's AxesToTranspose + bit interleave
+    # (AIP Conf. Proc. 707, 2004) — the public n-D Hilbert algorithm
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0
+    for j in range(bits):
+        for i in range(n):
+            d |= ((X[i] >> j) & 1) << (j * n + (n - 1 - i))
+    return d
+
+
+def test_hilbert_nd_matches_python_bijective_adjacent(spark):
+    from itertools import product
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        with_hilbert_nd,
+    )
+
+    for n, bits in [(3, 3), (4, 2)]:
+        side = 1 << bits
+        cols = [f"c{i}" for i in range(n)]
+        rows = list(product(range(side), repeat=n))
+        df = spark.createDataFrame(
+            rows, ", ".join(f"{c} long" for c in cols)
+        )
+        got = {
+            tuple(r[c] for c in cols): r["h"]
+            for r in with_hilbert_nd(df, cols, bits=bits).collect()
+        }
+        pos = {}
+        for coords in rows:
+            want = _py_skilling(coords, bits)
+            assert got[coords] == want, (n, bits, coords)
+            pos[want] = coords
+        total = side**n
+        assert len(pos) == total and min(pos) == 0 and max(pos) == total - 1
+        # defining Hilbert property in any dimension: consecutive
+        # indexes are grid-adjacent (exactly one coordinate, by 1)
+        for d in range(total - 1):
+            diff = sum(abs(a - b) for a, b in zip(pos[d], pos[d + 1]))
+            assert diff == 1, (n, bits, d)
+
+
+def test_hilbert_nd_duckdb_text_matches_spark():
+    """Cross-engine drift guard at the generator level: the DuckDB
+    step text (div='//', xor()) chained as CTEs must produce the
+    same index as the Python reference on a 3-D grid."""
+    import duckdb
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        duck_xor,
+        hilbert_nd_exprs,
+    )
+
+    n, bits = 3, 3
+    steps, idx = hilbert_nd_exprs(n, bits, div="//", xor=duck_xor)
+    cols = [f"_g{i}" for i in range(n)]
+    ctes = [
+        "s0 AS (SELECT a.r AS c0, b.r AS c1, c.r AS c2, "
+        "a.r AS _g0, b.r AS _g1, c.r AS _g2 "
+        f"FROM range({1 << bits}) a(r), range({1 << bits}) b(r), "
+        f"range({1 << bits}) c(r))"
+    ]
+    for k, step in enumerate(steps, start=1):
+        sets = ", ".join(
+            f"{e} AS {c}" for c, e in step.items()
+        )
+        keep = ", ".join(
+            ["c0", "c1", "c2"]
+            + [c for c in cols if c not in step]
+        )
+        ctes.append(f"s{k} AS (SELECT {keep}, {sets} FROM s{k - 1})")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT c0, c1, c2, {idx} AS h FROM s{len(steps)}"
+    )
+    for c0, c1, c2, h in duckdb.sql(sql).fetchall():
+        assert h == _py_skilling((c0, c1, c2), bits), (c0, c1, c2)

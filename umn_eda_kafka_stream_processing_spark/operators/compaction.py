@@ -366,3 +366,127 @@ def with_hilbert(
     return cur.withColumn(out, F.col("_hd").cast("long")).drop(
         "_hx", "_hy", "_hd"
     )
+
+
+def _spark_xor(a: str, b: str) -> str:
+    return f"({a} ^ {b})"
+
+
+def duck_xor(a: str, b: str) -> str:
+    """DuckDB spells bitwise xor as a function (its ``^`` is
+    exponentiation, the classic silent cross-engine trap)."""
+    return f"xor({a}, {b})"
+
+
+def hilbert_nd_exprs(
+    n: int,
+    bits: int,
+    cols: Sequence[str] | None = None,
+    div: str = "div",
+    xor=None,
+) -> tuple[list[dict[str, str]], str]:
+    """n-dimensional Hilbert index as SQL text — Skilling's
+    axes-to-transpose algorithm ("Programming the Hilbert curve",
+    AIP Conf. Proc. 707, 2004 — public), generalizing the 2-D
+    quadrant walk to any dimension count. ONE generator emits both
+    engines' text (the zorder_expr convention): Spark with
+    div='div' / the default ``^`` xor, DuckDB with div='//' /
+    ``duck_xor`` — so the engines cannot drift.
+
+    Returns (steps, index_expr): ``steps`` is an ordered list of
+    SIMULTANEOUS-update dicts {state_col: expr} over the n working
+    columns (each dict must see one consistent pre-step snapshot —
+    withColumns / one CTE per dict), and ``index_expr`` interleaves
+    the transposed bits into the final index (bit j of X[i] lands at
+    j*n + (n-1-i) — X[0] carries the most significant bit of each
+    group). Inputs must be normalized longs in [0, 2^bits).
+
+    Arithmetic stays engine-portable: bit tests and low-bit masks are
+    div/% on non-negative values (P = Q-1 masks spell ``% Q``); only
+    genuine XOR goes through the formatter. Per step i of round Q,
+    coordinate i either reflects X[0] (bit set: X0 ^= Q-1) or swaps
+    its low bits with X[0] through t = (X0 ^ Xi) & (Q-1); the gray
+    code runs SEQUENTIALLY (X[i] ^= X[i-1] reads the updated
+    predecessor — one step per i), then the parity correction t
+    (xor-fold of Q-1 over the set bits of X[n-1]) applies to every
+    coordinate at once. Verified bijective + unit-step-adjacent for
+    n=2..4 against a Python transcription of the paper's loop."""
+    if xor is None:
+        xor = _spark_xor
+    X = list(cols) if cols else [f"_g{i}" for i in range(n)]
+    assert len(X) == n
+    steps: list[dict[str, str]] = []
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            cond = f"(({X[i]} {div} {q}) % 2) = 1"
+            if i == 0:
+                steps.append(
+                    {
+                        X[0]: (
+                            f"CASE WHEN {cond} THEN {xor(X[0], str(p))} "
+                            f"ELSE {X[0]} END"
+                        )
+                    }
+                )
+            else:
+                t = f"({xor(X[0], X[i])} % {q})"
+                steps.append(
+                    {
+                        X[0]: (
+                            f"CASE WHEN {cond} THEN {xor(X[0], str(p))} "
+                            f"ELSE {xor(X[0], t)} END"
+                        ),
+                        X[i]: (
+                            f"CASE WHEN {cond} THEN {X[i]} "
+                            f"ELSE {xor(X[i], t)} END"
+                        ),
+                    }
+                )
+        q >>= 1
+    for i in range(1, n):
+        steps.append({X[i]: xor(X[i], X[i - 1])})
+    t_expr = "0"
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_expr = xor(
+            t_expr, f"((({X[n - 1]} {div} {q}) % 2) * {q - 1})"
+        )
+        q >>= 1
+    steps.append({X[i]: xor(X[i], t_expr) for i in range(n)})
+    terms = [
+        f"(({X[i]} {div} {1 << j}) % 2) * {1 << (j * n + (n - 1 - i))}"
+        for j in range(bits)
+        for i in range(n)
+    ]
+    return steps, "(" + " + ".join(terms) + ")"
+
+
+def with_hilbert_nd(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, out: str = "h"
+) -> DataFrame:
+    """Add the n-D Hilbert index of ``cols`` (normalized longs in
+    [0, 2^bits)) as ``out`` — the layout key for 3+-dimensional
+    exports (date, tenant, key), where `with_hilbert` stops at 2-D.
+    Chained projections, no shuffle; Catalyst collapses the walk
+    into whole-stage-codegen Projects like the 2-D variant. Index
+    range is [0, 2^(n*bits)) — keep n*bits < 63."""
+    cols = list(cols)
+    n = len(cols)
+    if n < 2:
+        raise ValueError("with_hilbert_nd needs >= 2 columns")
+    if n * bits >= 63:
+        raise ValueError(
+            f"n*bits = {n * bits} overflows the BIGINT index range"
+        )
+    state = [f"_g{i}" for i in range(n)]
+    cur = df.withColumns(
+        {s: F.col(c).cast("long") for s, c in zip(state, cols)}
+    )
+    steps, index_expr = hilbert_nd_exprs(n, bits, state)
+    for step in steps:
+        cur = cur.withColumns({c: F.expr(e) for c, e in step.items()})
+    return cur.withColumn(out, F.expr(index_expr).cast("long")).drop(
+        *state
+    )

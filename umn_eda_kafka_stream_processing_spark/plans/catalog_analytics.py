@@ -1684,6 +1684,131 @@ def hilbert_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_m.crossJoin(stats_all)
 
 
+def _hilbert3_oracle(bits: int = 7) -> str:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        duck_xor,
+        hilbert_nd_exprs,
+    )
+
+    side = 1 << bits
+    steps, idx = hilbert_nd_exprs(3, bits, div="//", xor=duck_xor)
+    ctes = [
+        """e AS (
+      SELECT user_id,
+             date_part('doy', CAST(ts AS TIMESTAMP)) AS dy,
+             date_part('hour', CAST(ts AS TIMESTAMP)) AS hr
+      FROM events
+    )""",
+        """mm AS (SELECT CAST(min(user_id) AS BIGINT) AS mn,
+                  CAST(max(user_id) AS BIGINT) AS mx FROM e)""",
+        f"""s0 AS (
+      SELECT ((user_id - mn) * {side}) // (mx - mn + 1) AS cx,
+             ((dy - 1) * {side}) // 366 AS dyn,
+             (hr * {side}) // 24 AS hx,
+             ((user_id - mn) * {side}) // (mx - mn + 1) AS _g0,
+             ((dy - 1) * {side}) // 366 AS _g1,
+             (hr * {side}) // 24 AS _g2
+      FROM e CROSS JOIN mm
+    )""",
+    ]
+    state = ["_g0", "_g1", "_g2"]
+    for k, step in enumerate(steps, start=1):
+        keep = ["cx", "dyn", "hx"] + [c for c in state if c not in step]
+        sets = ", ".join(f"{e} AS {c}" for c, e in step.items())
+        ctes.append(
+            f"s{k} AS (SELECT {', '.join(keep)}, {sets} FROM s{k - 1})"
+        )
+    last = f"s{len(steps)}"
+    lo, hi = (7 * side) // 16, (9 * side) // 16
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    s AS MATERIALIZED (
+      SELECT cx, dyn, hx, {idx} // 1024 AS hb,
+             ((cx * {side} + dyn) * {side} + hx) // 1024 AS lb
+      FROM {last}
+    ),
+    m AS MATERIALIZED (SELECT * FROM s
+                       WHERE cx >= {lo} AND cx < {hi}
+                         AND dyn >= {lo} AND dyn < {hi}
+                         AND hx >= {lo} AND hx < {hi})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_rows_matched,
+           (SELECT CAST(count(DISTINCT hb) AS BIGINT) FROM m)
+               AS h3_blocks_touched,
+           (SELECT CAST(count(DISTINCT lb) AS BIGINT) FROM m)
+               AS linear_blocks_touched,
+           (SELECT CAST(count(DISTINCT hb) AS BIGINT) FROM s)
+               AS h3_blocks_total"""
+    )
+
+
+@_register(
+    "hilbert3_locality_stats",
+    "THREE-dimensional Hilbert layout census on the (user, "
+    "day-of-year, hour-of-day) grid — the n-D generalization "
+    "(operators/compaction.py:hilbert_nd_exprs/with_hilbert_nd, "
+    "Skilling's axes-to-transpose walk, a public algorithm) of the "
+    "2-D quadrant walk, for the real layout ask (date, tenant, key) "
+    "that 2-D keys can't serve. Narrow chained projections, no "
+    "shuffle; ONE generator emits both engines' step text (Spark "
+    "div/'^', DuckDB '//'/xor() — DuckDB's ^ is exponentiation, the "
+    "silent trap), so the oracle runs the IDENTICAL walk. Census: "
+    "1024-row blocks touched by a centered 3-D range under the "
+    "Hilbert key vs a row-major linear key. Bijectivity + unit-step "
+    "adjacency for n=3,4 pinned against a Python transcription of "
+    "the paper in tests.",
+    _hilbert3_oracle(),
+)
+def hilbert3_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        with_hilbert_nd,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        event_ts,
+    )
+
+    bits = 7
+    side = 1 << bits
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofyear(event_ts("ts")).alias("dy"),
+        F.hour(event_ts("ts")).alias("hr"),
+    )
+    mm = e.agg(
+        F.min("user_id").cast("long").alias("mn"),
+        F.max("user_id").cast("long").alias("mx"),
+    )
+    k = e.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((user_id - mn) * {side}) div (mx - mn + 1)").alias("cx"),
+        F.expr(f"((dy - 1) * {side}) div 366").alias("dyn"),
+        F.expr(f"(hr * {side}) div 24").alias("hx"),
+    )
+    h = with_hilbert_nd(k, ["cx", "dyn", "hx"], bits=bits, out="_h")
+    s = h.select(
+        "cx",
+        "dyn",
+        "hx",
+        F.expr("_h div 1024").alias("hb"),
+        F.expr(f"((cx * {side} + dyn) * {side} + hx) div 1024").alias("lb"),
+    ).localCheckpoint()
+    lo, hi = (7 * side) // 16, (9 * side) // 16
+    m = s.where(
+        (F.col("cx") >= lo) & (F.col("cx") < hi)
+        & (F.col("dyn") >= lo) & (F.col("dyn") < hi)
+        & (F.col("hx") >= lo) & (F.col("hx") < hi)
+    )
+    stats_m = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.countDistinct("hb").cast("long").alias("h3_blocks_touched"),
+        F.countDistinct("lb").cast("long").alias("linear_blocks_touched"),
+    )
+    stats_all = s.agg(
+        F.countDistinct("hb").cast("long").alias("h3_blocks_total")
+    )
+    return stats_m.crossJoin(stats_all)
+
+
 _SKEW_KEYS = (
     ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
     ("lineitem.l_partkey", "lineitem", "l_partkey"),

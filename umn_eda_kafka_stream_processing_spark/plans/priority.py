@@ -107,7 +107,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # weekly_retention_cohorts below: driver-verified r04+r05+r06;
     # the scenario family keeps churned_customers +
     # events_occurred_total in-gate)
-    "churned_customers",
+    # (churned_customers rotated out in r09 for incremental_scd2_census
+    # below: driver-verified r04+r05+r06+r07+r08; the scenario family
+    # keeps events_occurred_total in-gate)
+    # -- new in r09, never driver-verified: incrementally-maintained
+    # SCD2 dimension (3 hash-interleaved microbatches == batch oracle)
+    "incremental_scd2_census",
     # (epoch_shuffle_assignment rotated out in r07 for
     # temperature_mixture_stats below: driver-verified r04+r05+r06;
     # the sampling family keeps the new mixture query in-gate)
@@ -161,7 +166,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (user_activity_similarity rotated out in r05 for ann_ivfpq_topk:
     # driver-verified r03+r04; the ANN/similarity family keeps
     # user_activity_similarity_lsh + ann_pq_topk in-gate)
-    "user_activity_similarity_lsh",
+    # (user_activity_similarity_lsh rotated out in r09 for
+    # salt_advisor_join_census below: driver-verified r04+r05+r06+r07+
+    # r08; the LSH/similarity family keeps ann_pq_topk + ann_ivfpq_topk
+    # + prefix_jaccard_pairs in-gate)
+    # -- new in r09, never driver-verified: auto-salt advisor wired
+    # into the join path (census-driven plain-vs-salted decision) ----
+    "salt_advisor_join_census",
     # -- new in r05, never driver-verified: IVFADC (IVF coarse
     # pruning x residual PQ x exact re-rank) ------------------------
     "ann_ivfpq_topk",
@@ -207,7 +218,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r04+r05+r06; the TPC-H family keeps 11 members in-gate)
     # (q7_volume_shipping rotated out in r07 for join_key_skew_census
     # below: driver-verified r04+r05+r06; TPC-H keeps 6 in-gate)
-    "q8_market_share",
+    # (q8_market_share rotated out in r09 for sorted_export_census
+    # below: driver-verified r04+r05+r06+r07+r08; TPC-H keeps 5
+    # members in-gate)
+    # -- new in r09, never driver-verified: total-order sorted-export
+    # write path (range-exchange shards + disjoint manifest) ---------
+    "sorted_export_census",
     # (q13_customer_order_distribution rotated out in r07 for
     # cosupply_triangle_stats below: driver-verified r04+r05+r06; the
     # TPC-H family keeps 9 members in-gate)
@@ -218,7 +234,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (q17_small_qty_revenue rotated out in r07 for charlm_langid_auc
     # below: driver-verified r04+r05+r06; the TPC-H family keeps 9
     # members in-gate)
-    "q18_large_volume_customers",
+    # (q18_large_volume_customers rotated out in r09 for
+    # hilbert3_locality_stats below: driver-verified r04+r05+r06+r07+
+    # r08; TPC-H keeps q21/q22/q2/q9 in-gate)
+    # -- new in r09, never driver-verified: n-D (3-col) Hilbert layout
+    # census via Skilling's walk -------------------------------------
+    "hilbert3_locality_stats",
     # (q19_brackets_revenue rotated out in r07 for
     # zorder_locality_stats below: driver-verified r04+r05+r06; the
     # TPC-H family keeps 7 members in-gate)
