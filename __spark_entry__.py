@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 123 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 163 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -13,11 +13,14 @@ training AND encoding, multimodal with real WAV/PNG/JPEG/GIF/netpbm codecs + MP4
 demux and a corrupt-media quarantine scan), temporal operators
 (as-of/interval/windows), the analytics surface, all 22 TPC-H suite
 query shapes, analytic windows/CUBE, set ops, and a deterministic
-epoch shuffle, and an auditable bloom-filter pre-join), where every
-operator family from SURVEY.md §2 (see PARITY.md) is expressed over
-the driver's synthetic tables with a DuckDB oracle twin — 123 of 123,
-including the iterative ones (the k-means ANN, PQ-codebook, and
-BPE-training oracles unroll their iterations in generated SQL).
+epoch shuffle, and an auditable bloom-filter pre-join, graph/linalg/
+ranking analytics, layout keys incl. n-D Hilbert, the auto-salt join
+advisor, the sorted-export writer, and the incremental SCD2 / funnel
+/ retention / transition / BM25 family), where every operator family
+from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
+synthetic tables with a DuckDB oracle twin — 163 of 163, including
+the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
+oracles unroll their iterations in generated SQL).
 """
 
 from __future__ import annotations

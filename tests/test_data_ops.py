@@ -116,6 +116,74 @@ def test_prefix_jaccard_matches_bruteforce(spark):
     assert want and got == want
 
 
+def test_prefix_containment_matches_bruteforce(spark):
+    """The containment join is EXACT and ASYMMETRIC: on a corpus of
+    short snippets embedded into longer documents (the quote/
+    boilerplate shape — tiny Jaccard, high containment), the pair
+    set must equal brute-force all-ordered-pairs containment at the
+    same integer threshold."""
+    import random
+
+    rng = random.Random(47)
+    snippets = [
+        "".join(rng.choice("abcdefgh ") for _ in range(30))
+        for _ in range(5)
+    ]
+    rows = []
+    for i in range(12):  # the short, possibly-contained docs
+        t = list(rng.choice(snippets))
+        for _ in range(rng.randrange(0, 3)):
+            t[rng.randrange(len(t))] = rng.choice("abcdefgh ")
+        rows.append((i, "".join(t)))
+    for i in range(12, 24):  # long docs embedding a snippet
+        pad1 = "".join(rng.choice("qrstuv ") for _ in range(40))
+        pad2 = "".join(rng.choice("qrstuv ") for _ in range(40))
+        rows.append((i, pad1 + rng.choice(snippets) + pad2))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): (
+            r["inter"], r["n_contained"], r["containment_micro"]
+        )
+        for r in dd.prefix_containment_pairs(
+            df, shingle_n=8, threshold_micro=800_000
+        ).collect()
+    }
+
+    def sh8(s):
+        return {s[i : i + 8] for i in range(max(len(s) - 7, 1))}
+
+    want = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i == j:
+                continue
+            a, b = sh8(ta), sh8(tb)
+            inter, na = len(a & b), len(a)
+            if 1_000_000 * inter >= 800_000 * na:
+                want[(i, j)] = (
+                    inter, na, (1_000_000 * inter + na // 2) // na
+                )
+    assert want and got == want
+    # the scenario exercised real asymmetry: at least one surviving
+    # pair has Jaccard BELOW the containment threshold (a snippet
+    # inside a long doc — exactly what the Jaccard join misses)
+    texts = dict(rows)
+    asym = [
+        (i, j)
+        for (i, j) in want
+        if 1_000_000 * len(sh8(texts[i]) & sh8(texts[j]))
+        < 800_000 * len(sh8(texts[i]) | sh8(texts[j]))
+    ]
+    assert asym
+
+
+def test_prefix_containment_guard_raises(spark):
+    rows = [(i, "aaaa bbbb cccc dddd eeee") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="candidates exceed"):
+        dd.prefix_containment_pairs(df, shingle_n=8, max_candidate_pairs=20)
+
+
 def test_prefix_jaccard_guard_raises_and_delegates(spark):
     # 10 identical docs: every prefix shingle collides across all
     # of them -> candidate count >= C(10,2) = 45 trips a cap of 20

@@ -325,3 +325,31 @@ def test_hilbert_nd_duckdb_text_matches_spark():
     )
     for c0, c1, c2, h in duckdb.sql(sql).fetchall():
         assert h == _py_skilling((c0, c1, c2), bits), (c0, c1, c2)
+
+
+def test_zorder_nd_expr_matches_python(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        zorder_nd_expr,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randrange(16), rng.randrange(16), rng.randrange(16))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        F.expr(zorder_nd_expr(["a", "b", "c"], 4)).alias("z"),
+    ).collect()
+
+    def morton3(a, b, c, bits):
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (3 * j + 2)
+            z |= ((b >> j) & 1) << (3 * j + 1)
+            z |= ((c >> j) & 1) << (3 * j)
+        return z
+
+    for r in got:
+        assert r["z"] == morton3(r["a"], r["b"], r["c"], 4)

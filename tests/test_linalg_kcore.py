@@ -184,3 +184,52 @@ def test_key_skew_census_matches_counter(spark):
     assert (r["key"], r["n_rows"], r["n_keys"]) == ("t.k", 300, len(c))
     assert (r["max_cnt"], r["top_key"]) == (cnt, top)
     assert r["skew_micro"] == (1_000_000 * cnt * len(c) + 150) // 300
+
+
+def test_grouped_linreg_matches_python_exact(spark):
+    """Per-group simple linear regression in exact integer
+    arithmetic: slope_ppm must equal the Python int reference
+    (truncation toward zero — Spark div semantics) including a
+    NEGATIVE-slope group, and zero-variance / single-row groups get
+    NULL slope."""
+    from umn_eda_kafka_stream_processing_spark.operators.linalg import (
+        grouped_linreg,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(300):  # g=up: y ~ 3x + noise
+        x = rng.randrange(1, 1_000_000)
+        rows.append(("up", x, 3 * x + rng.randrange(-1000, 1000)))
+    for i in range(300):  # g=down: negative covariance
+        x = rng.randrange(1, 1_000_000)
+        rows.append(("down", x, -2 * x + rng.randrange(-1000, 1000)))
+    rows += [("flat", 7, 10), ("flat", 7, 99)]  # zero x-variance
+    rows += [("one", 5, 5)]  # single row
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["slope_ppm"], r["x_mean_micro"], r["y_mean_micro"])
+        for r in grouped_linreg(df, "g", "x", "y").collect()
+    }
+
+    def tdiv(a, b):  # truncation toward zero, both engines' div
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    by_g = collections.defaultdict(list)
+    for g, x, y in rows:
+        by_g[g].append((x, y))
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        var = n * sxx - sx * sx
+        slope = tdiv(1_000_000 * (n * sxy - sx * sy), var) if var else None
+        # means use the same div (truncation toward zero): half-up
+        # for non-negative sums, half-toward-zero for negative ones
+        want = (n, slope, tdiv(sx + n // 2, n), tdiv(sy + n // 2, n))
+        assert got[g] == want, (g, got[g], want)
+    assert got["down"][1] < 0 < got["up"][1]
+    assert got["flat"][1] is None and got["one"][1] is None

@@ -62,6 +62,35 @@ def test_exact_quantiles_type1_semantics(spark):
         assert got[1_000_000 * num // den] == s[rank - 1]
 
 
+def test_weighted_quantiles_matches_bruteforce(spark):
+    """Type-1 weighted quantiles: smallest value whose cumulative
+    WEIGHT reaches ceil(q*W) — brute-force check with ties, repeated
+    values, and a zero-weight row that must be ignored."""
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        weighted_quantiles,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice([1.5, 2.0, 2.0, 3.5, 7.0, 9.0]), rng.randint(1, 9))
+        for _ in range(200)
+    ] + [(0.5, 0)]  # zero weight: never a quantile
+    df = spark.createDataFrame(rows, "v double, w long")
+    probs = [(1, 4), (1, 2), (3, 4), (99, 100)]
+    got = {
+        r["pct_ppm"]: r["value"]
+        for r in weighted_quantiles(
+            df, "v", "w", probs, n_buckets=8
+        ).collect()
+    }
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    tot = len(expanded)
+    for num, den in probs:
+        rank = -(-num * tot // den)  # ceil
+        assert got[1_000_000 * num // den] == expanded[rank - 1]
+    assert 0.5 not in got.values()
+
+
 def test_binary_auc_matches_pair_counting(spark):
     rng = random.Random(3)
     rows = [

@@ -300,6 +300,33 @@ def zorder_key(df: DataFrame, a: str, b: str, bits: int = 10) -> Column:
     return F.expr(zorder_expr(a, b, bits)).cast("long")
 
 
+def zorder_nd_expr(
+    cols: Sequence[str], bits: int = 8, div: str = "div"
+) -> str:
+    """n-column Morton (Z-order) interleave as SQL text: bit j of
+    ``cols[i]`` lands at position j*n + (n-1-i), so ``cols[0]``
+    carries the most significant bit of each group — the same bit
+    layout as `hilbert_nd_exprs`' final interleave, making the two
+    keys directly comparable block-for-block. Pure div/mod
+    arithmetic, one generator for both engines (div='div' Spark,
+    '//' DuckDB). Inputs normalized longs in [0, 2^bits);
+    n*bits < 63. Z is one flat expression (cheaper to compute than
+    the Hilbert walk) but jumps at power-of-two seams — use the
+    locality censuses to pick per layout."""
+    cols = list(cols)
+    n = len(cols)
+    if n * bits >= 63:
+        raise ValueError(
+            f"n*bits = {n * bits} overflows the BIGINT key range"
+        )
+    terms = [
+        f"(({cols[i]} {div} {1 << j}) % 2) * {1 << (j * n + (n - 1 - i))}"
+        for j in range(bits)
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def hilbert_step_exprs(
     s: int,
     x: str = "_hx",

@@ -456,6 +456,143 @@ def prefix_jaccard_pairs(
     )
 
 
+def prefix_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 16,
+    threshold_micro: int = 800_000,
+    max_candidate_pairs: int | None = 100_000_000,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT join by prefix filtering — the
+    asymmetric sibling of `prefix_jaccard_pairs` and the shape of
+    the real dedup ask Jaccard misses: a short document quoted or
+    templated inside a long one has tiny Jaccard (the union is
+    dominated by the container) but containment |x∩y|/|x| ≈ 1.
+    Returns every ORDERED pair (contained x, container y), x != y,
+    with containment >= threshold: (contained_id, container_id,
+    inter, n_contained, n_container, containment_micro) — all exact
+    BIGINT; the filter is the exact cross-multiplication
+    1e6*inter >= thr*|x|, never a rounded float compare.
+
+    Exactness: x keeps the same rarest-first prefix of length
+    |x| - ceil(tau*|x|) + 1, but joins against the container side's
+    FULL shingle stream — containment puts no upper bound on |y|,
+    so y cannot take a prefix (the shared shingles may all sit at
+    y's common end). If none of x's prefix shingles appear anywhere
+    in y, the overlap is confined to x's last ceil(tau*|x|) - 1
+    shingles — below the required ceil(tau*|x|) (the containment
+    form of the prefix-filter lemma, Bayardo et al. 2007 §3.2). The
+    only lossless size prune is one-directional: |y| >= tau*|x|.
+
+    Scale shape: identical corpus passes to the Jaccard join (the
+    explode / df hash-agg / per-doc sort are shared work at the
+    plan level), candidate generation joins |prefix| x full-stream
+    on the shingle key — per-key fan-out is df_prefix(t) *
+    df_all(t), kept tiny by rarest-first prefixes; the same
+    planning-scalar guard raises past ``max_candidate_pairs``
+    (containment has no approximate LSH fallback: MinHash estimates
+    Jaccard, not containment, so the guard only raises)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_n)).alias("t"),
+    )
+    dfreq = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    arr = (
+        tok.join(dfreq.hint("shuffle_hash"), "t")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfc, t))),"
+                " s -> s.t)"
+            ).alias("arr")
+        )
+        .select(id_col, "arr", F.size("arr").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    pre = arr.select(
+        F.col(id_col).alias("_ida"),
+        F.col("n").alias("_na"),
+        F.explode(
+            F.expr(
+                f"slice(arr, 1, greatest(n - (({threshold_micro} * n "
+                f"+ 999999) div 1000000) + 1, 1))"
+            )
+        ).alias("t"),
+    )
+    full = arr.select(
+        F.col(id_col).alias("_idb"),
+        F.col("n").alias("_nb"),
+        F.explode("arr").alias("t"),
+    )
+    if max_candidate_pairs is not None:
+        pc = pre.groupBy("t").agg(
+            F.count(F.lit(1)).cast("long").alias("_pc")
+        )
+        fc = full.groupBy("t").agg(
+            F.count(F.lit(1)).cast("long").alias("_fc")
+        )
+        est = (
+            pc.join(fc.hint("shuffle_hash"), "t")
+            .agg(F.coalesce(F.sum(F.expr("_pc * _fc")), F.lit(0)))
+            .collect()[0][0]
+        )
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"prefix_containment_pairs: {est:,} prefix-x-stream "
+                f"candidates exceed max_candidate_pairs="
+                f"{max_candidate_pairs:,} — widen shingle_n (a shared "
+                "shingle must be EVIDENCE of duplication) or exact-dedup "
+                "the mass-identical docs upstream"
+            )
+    cand = (
+        pre.join(full.hint("shuffle_hash"), "t")
+        .where(
+            (F.col("_ida") != F.col("_idb"))
+            # lossless one-directional size bound: inter <= |y| and
+            # inter >= tau*|x| force 1e6*|y| >= thr*|x|
+            & (
+                F.lit(1_000_000) * F.col("_nb")
+                >= F.lit(threshold_micro) * F.col("_na")
+            )
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    va = arr.select(
+        F.col(id_col).alias("_ida"),
+        F.col("arr").alias("_aa"),
+        F.col("n").alias("_na"),
+    ).hint("shuffle_hash")
+    vb = arr.select(
+        F.col(id_col).alias("_idb"),
+        F.col("arr").alias("_ab"),
+        F.col("n").alias("_nb"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("_aa", "_ab")).cast("long")
+    return (
+        cand.join(va, "_ida")
+        .join(vb, "_idb")
+        .withColumn("inter", inter)
+        .where(
+            F.lit(1_000_000) * F.col("inter")
+            >= F.lit(threshold_micro) * F.col("_na")
+        )
+        .select(
+            F.col("_ida").alias("contained_id"),
+            F.col("_idb").alias("container_id"),
+            "inter",
+            F.col("_na").alias("n_contained"),
+            F.col("_nb").alias("n_container"),
+            F.expr("(1000000 * inter + _na div 2) div _na")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

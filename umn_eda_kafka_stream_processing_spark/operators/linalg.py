@@ -160,3 +160,62 @@ def power_iteration(
             .alias("v"),
         )
     return v.select("pos", F.col("v").alias("v_micro"))
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: "str | list[str]",
+    x_micro: str,
+    y_micro: str,
+) -> DataFrame:
+    """EXACT per-group simple linear regression (the segment-level
+    A/B / elasticity shape: one slope per group, thousands of groups,
+    billions of rows) — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) on
+    integer-micro inputs, entirely in exact integer arithmetic.
+
+    One hash-agg per group (map-side combined — the only shuffle),
+    with per-term products and partial sums in DECIMAL(38,0): x,y
+    micros up to ~1e11 square to ~1e22 per row, which wraps BIGINT
+    after a handful of rows but holds exactly to ~1e16 rows in
+    decimal128 (the gram_micro overflow rule: cast BEFORE the
+    product). The final ratio is one int128 division per group —
+    Spark DECIMAL(38,0) ``div`` == DuckDB HUGEINT ``//`` exactly,
+    including truncation toward zero on NEGATIVE covariances (the
+    round-7 verified rule), so the oracle is exact-match by
+    construction.
+
+    Returns (group_cols..., n, slope_ppm, x_mean_micro,
+    y_mean_micro): slope_ppm = 1e6 · cov/var, means =
+    (Σ + n div 2) div n — every division truncates toward zero
+    (half-up for non-negative sums, half-toward-zero for negative;
+    identical in both engines). Groups with zero x-variance (or a
+    single row) return NULL slope — a 0/0 slope is undefined, not
+    zero."""
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = df.where(
+        F.col(x_micro).isNotNull() & F.col(y_micro).isNotNull()
+    ).groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(x_micro)).alias("_sx"),
+        F.sum(d(y_micro)).alias("_sy"),
+        F.sum(d(x_micro) * F.col(y_micro)).alias("_sxy"),
+        F.sum(d(x_micro) * F.col(x_micro)).alias("_sxx"),
+    )
+    return g.select(
+        *groups,
+        "n",
+        F.expr(
+            "CASE WHEN n * _sxx - _sx * _sx = 0 THEN NULL "
+            "ELSE CAST((1000000 * (n * _sxy - _sx * _sy)) "
+            "div (n * _sxx - _sx * _sx) AS BIGINT) END"
+        ).alias("slope_ppm"),
+        F.expr("CAST((_sx + n div 2) div n AS BIGINT)").alias(
+            "x_mean_micro"
+        ),
+        F.expr("CAST((_sy + n div 2) div n AS BIGINT)").alias(
+            "y_mean_micro"
+        ),
+    )

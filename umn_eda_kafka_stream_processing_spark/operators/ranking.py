@@ -146,6 +146,50 @@ def exact_quantiles(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[tuple[int, int]],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Type-1 WEIGHTED exact quantiles: the smallest value whose
+    cumulative integer weight reaches ceil(num * W / den) — the
+    curation ask behind "where does the token-MASS sit", where every
+    document counts by its token/byte weight, not once. Same
+    two-level-histogram shape as `exact_quantiles` (which is this
+    with weight 1): one distinct-value hash-agg summing weights, the
+    bounded per-bucket collect, a bucket-partitioned prefix window —
+    the corpus never sorts globally. Weights are cast to BIGINT
+    (exact, order-independent sums); rows with NULL value/weight or
+    non-positive weight are ignored. Returns (pct_ppm, value)."""
+    dv = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+    r = _with_below(dv, value_col, "cnt", n_buckets)
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(1_000_000 * n // d, n, d) for n, d in probs],
+        "pct_ppm long, p_num long, p_den long",
+    )
+    tot = r.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pdf))
+        .where(
+            F.col("below") + F.col("cnt")
+            >= F.expr("(p_num * n_total + p_den - 1) div p_den")
+        )
+        .groupBy("pct_ppm")
+        .agg(F.min(value_col).alias("value"))
+    )
+
+
 def binary_auc(
     df: DataFrame,
     score_col: str,

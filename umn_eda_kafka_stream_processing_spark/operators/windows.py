@@ -605,7 +605,9 @@ def incremental_scd2(
         merged = prior.unionByName(batch).dropDuplicates(ident)
     except AnalysisException:
         merged = batch.dropDuplicates(ident)
-    merged = merged.localCheckpoint()
+    # no checkpoint on merged: it is consumed exactly once, and the
+    # recomputed checkpoint below materializes the whole lineage
+    # (including the store read) BEFORE the upsert overwrites it
     recomputed = scd2_intervals(
         merged, keys, ts_col, list(order_cols)
     ).select(

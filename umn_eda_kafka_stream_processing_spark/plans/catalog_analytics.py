@@ -1374,6 +1374,111 @@ def order_price_exact_quantiles(
 
 
 @_register(
+    "quantity_weighted_price_quantiles",
+    "WEIGHTED exact type-1 quantiles (operators/ranking.py:"
+    "weighted_quantiles): the smallest line price whose cumulative "
+    "QUANTITY reaches ceil(q*W) — the token-mass/byte-mass curation "
+    "shape ('below what price sits half the shipped volume'), where "
+    "every row counts by its integer weight, not once. Same "
+    "two-level histogram as exact_quantiles (distinct-value hash-agg "
+    "summing weights, bounded bucket collect, bucket-partitioned "
+    "prefix window — no corpus-wide window); weights cast to BIGINT "
+    "so cumulative mass is exact and order-independent. Oracle: "
+    "plain corpus-wide cumulative-weight window — different "
+    "algorithm, same integers.",
+    """
+    WITH dv AS (SELECT l_extendedprice AS v,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1),
+    r AS (SELECT v, c,
+                 coalesce(CAST(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb
+          FROM dv),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM dv),
+    p AS (SELECT * FROM (VALUES (250000, 1, 4), (500000, 1, 2),
+                                (750000, 3, 4), (900000, 9, 10),
+                                (990000, 99, 100)) t(pct_ppm, pn, pd))
+    SELECT CAST(pct_ppm AS BIGINT) AS pct_ppm, min(v) AS value
+    FROM r CROSS JOIN n CROSS JOIN p
+    WHERE nb + c >= (pn * nt + pd - 1) // pd
+    GROUP BY 1
+    """,
+)
+def quantity_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles(
+        li,
+        "l_extendedprice",
+        "qty",
+        [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+    )
+
+
+@_register(
+    "qty_price_slope_by_flag",
+    "EXACT per-group simple linear regression (operators/linalg.py:"
+    "grouped_linreg) — the segment-level elasticity/A-B shape: per "
+    "return flag, the slope of line price (cents) against quantity "
+    "(micros), slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) entirely in "
+    "integer arithmetic. ONE map-side-combined hash-agg per group "
+    "with DECIMAL(38,0) per-term products and partial sums (micro "
+    "squares wrap BIGINT after a handful of rows — the gram_micro "
+    "cast-before-product rule), then one int128 division per group "
+    "(Spark DECIMAL(38,0) div == DuckDB HUGEINT //, truncation "
+    "toward zero verified on negatives). Oracle: the identical "
+    "formula over HUGEINT sums — exact-match by construction.",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), g AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT flag, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx) AS BIGINT) END
+               AS slope_ppm,
+           CAST((sx + n // 2) // n AS BIGINT) AS x_mean_micro,
+           CAST((sy + n // 2) // n AS BIGINT) AS y_mean_micro
+    FROM g
+    """,
+)
+def qty_price_slope_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.linalg import (
+        grouped_linreg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    return grouped_linreg(li, "flag", "x", "y")
+
+
+@_register(
     "fuzzy_part_match_stats",
     "Blocked fuzzy-join entity resolution with measurable ground "
     "truth: every part name gets a deterministic typo by "
@@ -1690,8 +1795,13 @@ def _hilbert3_oracle(bits: int = 7) -> str:
         hilbert_nd_exprs,
     )
 
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        zorder_nd_expr,
+    )
+
     side = 1 << bits
     steps, idx = hilbert_nd_exprs(3, bits, div="//", xor=duck_xor)
+    z3 = zorder_nd_expr(["cx", "dyn", "hx"], bits, div="//")
     ctes = [
         """e AS (
       SELECT user_id,
@@ -1726,6 +1836,7 @@ def _hilbert3_oracle(bits: int = 7) -> str:
         + f""",
     s AS MATERIALIZED (
       SELECT cx, dyn, hx, {idx} // 1024 AS hb,
+             {z3} // 1024 AS zb,
              ((cx * {side} + dyn) * {side} + hx) // 1024 AS lb
       FROM {last}
     ),
@@ -1736,6 +1847,8 @@ def _hilbert3_oracle(bits: int = 7) -> str:
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_rows_matched,
            (SELECT CAST(count(DISTINCT hb) AS BIGINT) FROM m)
                AS h3_blocks_touched,
+           (SELECT CAST(count(DISTINCT zb) AS BIGINT) FROM m)
+               AS z3_blocks_touched,
            (SELECT CAST(count(DISTINCT lb) AS BIGINT) FROM m)
                AS linear_blocks_touched,
            (SELECT CAST(count(DISTINCT hb) AS BIGINT) FROM s)
@@ -1755,14 +1868,16 @@ def _hilbert3_oracle(bits: int = 7) -> str:
     "div/'^', DuckDB '//'/xor() — DuckDB's ^ is exponentiation, the "
     "silent trap), so the oracle runs the IDENTICAL walk. Census: "
     "1024-row blocks touched by a centered 3-D range under the "
-    "Hilbert key vs a row-major linear key. Bijectivity + unit-step "
-    "adjacency for n=3,4 pinned against a Python transcription of "
-    "the paper in tests.",
+    "Hilbert key vs the n-D Morton key (zorder_nd_expr — same bit "
+    "layout, block-for-block comparable) vs a row-major linear key. "
+    "Bijectivity + unit-step adjacency for n=3,4 pinned against a "
+    "Python transcription of the paper in tests.",
     _hilbert3_oracle(),
 )
 def hilbert3_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         with_hilbert_nd,
+        zorder_nd_expr,
     )
     from umn_eda_kafka_stream_processing_spark.operators.windows import (
         event_ts,
@@ -1790,6 +1905,8 @@ def hilbert3_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dyn",
         "hx",
         F.expr("_h div 1024").alias("hb"),
+        F.expr(f"{zorder_nd_expr(['cx', 'dyn', 'hx'], bits)} div 1024")
+        .alias("zb"),
         F.expr(f"((cx * {side} + dyn) * {side} + hx) div 1024").alias("lb"),
     ).localCheckpoint()
     lo, hi = (7 * side) // 16, (9 * side) // 16
@@ -1801,6 +1918,7 @@ def hilbert3_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_m = m.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
         F.countDistinct("hb").cast("long").alias("h3_blocks_touched"),
+        F.countDistinct("zb").cast("long").alias("z3_blocks_touched"),
         F.countDistinct("lb").cast("long").alias("linear_blocks_touched"),
     )
     stats_all = s.agg(

@@ -184,6 +184,79 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "shingle_containment_pairs",
+    "EXACT set-CONTAINMENT join (operators/dedup.py:"
+    "prefix_containment_pairs) — the asymmetric dedup ask Jaccard "
+    "misses: a snippet quoted/templated inside a long document has "
+    "tiny Jaccard (union dominated by the container) but containment "
+    "|x∩y|/|x| ~ 1. The contained side keeps the rarest-first prefix "
+    "(n - ceil(tau*n) + 1); the CONTAINER side joins its FULL shingle "
+    "stream — containment has no upper size bound, so a container "
+    "prefix would lose recall (the containment form of the "
+    "prefix-filter lemma). One-directional lossless size prune "
+    "(1e6*|y| >= thr*|x|), exact array_intersect verify, all-BIGINT "
+    "cross-multiplied threshold, ordered pairs both ways. Guarded by "
+    "the sum(df_prefix*df_stream) planning scalar (raise-only: "
+    "MinHash estimates Jaccard, not containment — no honest "
+    "approximate fallback exists). Oracle: the same ordering/prefix/"
+    "stream-join/verify mirrored in SQL.",
+    f"""
+    WITH d8 AS MATERIALIZED (
+      SELECT doc_id, {_duck_shingles(16)} AS sh FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(sh) AS t FROM d8
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY t
+    ),
+    arr AS MATERIALIZED (
+      SELECT doc_id,
+             list(tok.t ORDER BY dfreq.dfc, tok.t) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tok JOIN dfreq USING (t)
+      GROUP BY doc_id
+    ),
+    pre AS MATERIALIZED (
+      SELECT doc_id, n,
+             unnest(arr[1:CAST(greatest(
+               n - ((800000 * n + 999999) // 1000000) + 1, 1) AS INT)])
+               AS t
+      FROM arr
+    ),
+    fulltok AS MATERIALIZED (
+      SELECT doc_id, n, unnest(arr) AS t FROM arr
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM pre a JOIN fulltok b ON a.t = b.t AND a.doc_id <> b.doc_id
+       AND 1000000 * b.n >= 800000 * a.n
+    )
+    SELECT ida AS contained_id, idb AS container_id, inter,
+           n_contained, n_container,
+           CAST((1000000 * inter + n_contained // 2) // n_contained
+                AS BIGINT) AS containment_micro
+    FROM (
+      SELECT c.ida, c.idb,
+             CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s)))
+                  AS BIGINT) AS inter,
+             CAST(len(x.sh) AS BIGINT) AS n_contained,
+             CAST(len(y.sh) AS BIGINT) AS n_container
+      FROM cand c JOIN d8 x ON x.doc_id = c.ida
+                  JOIN d8 y ON y.doc_id = c.idb
+    )
+    WHERE 1000000 * inter >= 800000 * n_contained
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.prefix_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=16,
+        threshold_micro=800_000,
+    )
+
+
 def _minhash_parts(
     k: int = 16, r: int = 2, shingle_n: int = 8, gate: float = 0.5
 ) -> tuple[str, str]:

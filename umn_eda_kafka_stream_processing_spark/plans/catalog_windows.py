@@ -491,6 +491,67 @@ def incremental_scd2_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_week_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events
+    ), wk AS (
+      SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+      FROM events
+    )
+    SELECT strftime(wk.w, '%Y-%m-%d') AS week,
+           v.event_type,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM v JOIN wk
+      ON v.valid_from <= wk.w
+     AND (v.valid_to IS NULL OR wk.w < v.valid_to)
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "scd2_asof_week_census",
+    "The SCD2 as-of-T probe (the reason the dimension is "
+    "materialized at all): at every week boundary present in the "
+    "stream, how many users sat in each state — valid_from <= T < "
+    "valid_to against scd2_intervals' per-key lead() windows "
+    "(operators/windows.py). Plan: the tiny week grid (O(weeks) "
+    "rows) BROADCASTS into a nested-loop range probe against the "
+    "version table — at 100 TB the versions side stays partitioned "
+    "and never shuffles for this; a valid_from sort key would make "
+    "it a pruned range scan. Week boundaries via date_trunc "
+    "(engine-portable per the retention queries); boundary ties are "
+    "deterministic (inclusive from, exclusive to).",
+    _scd2_week_oracle(),
+)
+def scd2_asof_week_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.windows import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", event_ts("ts").alias("ts")
+    )
+    scd = scd2_intervals(ev, "user_id", "ts", ["event_id"])
+    weeks = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("week", event_ts("ts")).alias("w"))
+        .distinct()
+    )
+    probed = scd.join(
+        F.broadcast(weeks),
+        (F.col("valid_from") <= F.col("w"))
+        & (F.col("valid_to").isNull() | (F.col("w") < F.col("valid_to"))),
+    )
+    return probed.groupBy(
+        F.date_format("w", "yyyy-MM-dd").alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 

@@ -243,11 +243,27 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (q19_brackets_revenue rotated out in r07 for
     # zorder_locality_stats below: driver-verified r04+r05+r06; the
     # TPC-H family keeps 7 members in-gate)
-    "q21_waiting_suppliers",
+    # (q21_waiting_suppliers rotated out in r09 for
+    # shingle_containment_pairs below: driver-verified r04+r05+r06+
+    # r07+r08; TPC-H keeps q22/q2/q9 in-gate)
+    # -- new in r09, never driver-verified: exact asymmetric
+    # set-containment join (snippet-inside-document dedup) ----------
+    "shingle_containment_pairs",
     "q22_dormant_customers",
     # the five partsupp-adapted shapes (lineitem-mediated relation)
-    "q2_min_cost_supplier",
-    "q9_product_profit",
+    # (q2_min_cost_supplier rotated out in r09 for
+    # quantity_weighted_price_quantiles below: driver-verified r04+
+    # r05+r06+r07+r08; TPC-H keeps q22/q9 in-gate)
+    # -- new in r09, never driver-verified: weighted exact quantiles
+    # (cumulative integer-weight mass) --------------------------------
+    "quantity_weighted_price_quantiles",
+    # (q9_product_profit rotated out in r09 for qty_price_slope_by_flag
+    # below: driver-verified r04+r05+r06+r07+r08; TPC-H keeps
+    # q22_dormant_customers in-gate, plus the whole family in the
+    # full-catalog artifact)
+    # -- new in r09, never driver-verified: exact per-group linear
+    # regression (int128 sums + one int128 division per group) -------
+    "qty_price_slope_by_flag",
     # (q16_part_supplier_counts + q11_important_parts rotated out in
     # r05 for char_bigram_quality + repeated_span_topk below: both
     # driver-verified r04; q20_volume_shippers rotated out in r06 for
@@ -257,7 +273,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # perplexity-style quality scoring + exact-substring duplication
     # report ----------------------------------------------------------
     "char_bigram_quality",
-    "repeated_span_topk",
+    # (repeated_span_topk rotated out in r09 for scd2_asof_week_census
+    # below: driver-verified r05+r06+r07+r08; the span family keeps
+    # span_dup_doc_fraction + span_dedup_rewrite_stats +
+    # span_dedup_minrun_stats in-gate)
+    # -- new in r09, never driver-verified: the SCD2 as-of-T probe --
+    "scd2_asof_week_census",
     "span_dup_doc_fraction",
     # -- new in r06, never driver-verified: exact-substring dedup
     # REWRITE (cleaned-text action), Gopher quality-rule funnel, URL
