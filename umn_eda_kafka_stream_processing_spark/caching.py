@@ -96,6 +96,31 @@ def materialized(spark, cache_key: str, build) -> DataFrame:
     return out
 
 
+def materialized_group(
+    spark, prefix: str, names, build
+) -> dict[str, DataFrame]:
+    """Cache SEVERAL frames produced by one training pass (an index's
+    codes/centroids/codebooks): ``build()`` -> {name: DataFrame} is
+    called at most once per (application, prefix); each frame is
+    parquet-backed under its own ``{prefix}|{name}`` key. Safe as a
+    group because all members are written inside the same first call
+    — a later application misses (and rebuilds) all of them
+    together, never a partial mix of generations."""
+    built: dict[str, DataFrame] = {}
+
+    def thunk(n: str):
+        def f() -> DataFrame:
+            if not built:
+                built.update(build())
+            return built[n]
+
+        return f
+
+    return {
+        n: materialized(spark, f"{prefix}|{n}", thunk(n)) for n in names
+    }
+
+
 def cached_scalar(spark, cache_key: str, compute):
     """Driver-side scalar twin of `materialized` (e.g. a vocab size
     that rides along a cached model frame)."""

@@ -276,6 +276,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def rarity_sorted_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """(id, arr, n): each doc's distinct shingles sorted by GLOBAL
+    rarity (document frequency ASC, shingle ASC — struct sort is
+    lexicographic so ties break deterministically on the shingle
+    itself on both engines). The shared substrate of the prefix-
+    filtered Jaccard and containment joins — one shingle explode +
+    one df hash-agg + one per-key sort-agg (never a corpus window);
+    cacheable per (corpus, shingle_n) and passed to either join via
+    ``arr=`` (train-once/serve-many)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_n)).alias("t"),
+    )
+    dfreq = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    return (
+        tok.join(dfreq.hint("shuffle_hash"), "t")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfc, t))),"
+                " s -> s.t)"
+            ).alias("arr")
+        )
+        .select(
+            id_col,
+            "arr",
+            F.size("arr").cast("long").alias("n"),
+        )
+        .localCheckpoint()
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -284,6 +323,7 @@ def prefix_jaccard_pairs(
     threshold_micro: int = 600_000,
     max_candidate_pairs: int | None = 100_000_000,
     on_explosion: str = "raise",
+    arr: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity join by prefix filtering (the
     AllPairs/PPJoin candidate generation — Bayardo et al. 2007,
@@ -334,32 +374,8 @@ def prefix_jaccard_pairs(
         raise ValueError(
             f"on_explosion must be 'raise' or 'delegate', got {on_explosion!r}"
         )
-    tok = df.select(
-        F.col(id_col),
-        F.explode(char_shingles(text_col, shingle_n)).alias("t"),
-    )
-    dfreq = tok.groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("dfc")
-    )
-    # per-doc shingle list sorted by (global df, shingle) — rarest
-    # first; struct sort is lexicographic so ties break on the
-    # shingle itself (deterministic on both engines)
-    arr = (
-        tok.join(dfreq.hint("shuffle_hash"), "t")
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dfc, t))),"
-                " s -> s.t)"
-            ).alias("arr")
-        )
-        .select(
-            id_col,
-            "arr",
-            F.size("arr").cast("long").alias("n"),
-        )
-        .localCheckpoint()
-    )
+    if arr is None:
+        arr = rarity_sorted_shingles(df, text_col, id_col, shingle_n)
     # prefix length p = n - ceil(tau*n) + 1, exact integer ceil
     pre = arr.select(
         id_col,
@@ -463,6 +479,7 @@ def prefix_containment_pairs(
     shingle_n: int = 16,
     threshold_micro: int = 800_000,
     max_candidate_pairs: int | None = 100_000_000,
+    arr: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT join by prefix filtering — the
     asymmetric sibling of `prefix_jaccard_pairs` and the shape of
@@ -493,25 +510,8 @@ def prefix_containment_pairs(
     planning-scalar guard raises past ``max_candidate_pairs``
     (containment has no approximate LSH fallback: MinHash estimates
     Jaccard, not containment, so the guard only raises)."""
-    tok = df.select(
-        F.col(id_col),
-        F.explode(char_shingles(text_col, shingle_n)).alias("t"),
-    )
-    dfreq = tok.groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("dfc")
-    )
-    arr = (
-        tok.join(dfreq.hint("shuffle_hash"), "t")
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dfc, t))),"
-                " s -> s.t)"
-            ).alias("arr")
-        )
-        .select(id_col, "arr", F.size("arr").cast("long").alias("n"))
-        .localCheckpoint()
-    )
+    if arr is None:
+        arr = rarity_sorted_shingles(df, text_col, id_col, shingle_n)
     pre = arr.select(
         F.col(id_col).alias("_ida"),
         F.col("n").alias("_na"),

@@ -1011,6 +1011,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_cap: int | None = 10_000,
+    clusters: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs, SemDeDup-style
     (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
@@ -1039,8 +1040,17 @@ def semantic_dedup_pairs(
     bit-identical in the DuckDB oracle, which replays the same Lloyd
     iterations (assignment sims rounded 6 dp, kmeans_buckets
     convention) as unrolled CTEs.
+
+    ``clusters``: optional precomputed (assign, cent) — the
+    train-once/serve-many hook (pass a session-cached
+    `kmeans_buckets` result; k/iters are then ignored).
     """
-    assign, cent = kmeans_buckets(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    if clusters is not None:
+        assign, cent = clusters
+    else:
+        assign, cent = kmeans_buckets(
+            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     cent2 = cent.select("bucket", F.col(vec_col).alias("cent_vec"))
     # per-row norm computed ONCE here — the pair join below must not
     # re-derive norms per candidate pair (3x the per-pair flops)

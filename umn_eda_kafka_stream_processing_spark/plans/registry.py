@@ -33,6 +33,16 @@ def register(name: str, doc: str, oracle: str | None):
             # a silent overwrite would drop the first query from the
             # driver's correctness gate and the bench unnoticed
             raise ValueError(f"duplicate catalog query name {name!r}")
+        if getattr(fn, "__name__", name) != name:
+            # inserting a helper def between @register(...) and its
+            # intended function silently rebinds the registration to
+            # the helper (burned three times in round 9) — fail at
+            # import instead of at the gate
+            raise ValueError(
+                f"catalog query {name!r} is registering a function "
+                f"named {fn.__name__!r} — a def was probably inserted "
+                "between the decorator and its query function"
+            )
         REGISTRY[name] = QuerySpec(name=name, doc=doc, spark=fn, oracle=oracle)
         return fn
     return wrap
