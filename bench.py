@@ -10,10 +10,14 @@ serialized back to Python) — measures the engine, not driver-side
 collect. One warm-up run of a trivial query first so JVM/codegen
 startup isn't attributed to the first query.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-the per-query MEDIAN — single-run walls on a shared box jitter enough
-that round-over-round regression claims need it. "value" is the sum
-of medians.
+Each query runs up to $SPARK_GRAFT_BENCH_RUNS times (default 3): run
+0 is a recorded WARMUP (JIT/codegen, file listings, train-once
+session-cache builds) excluded from the reported value, run 1 is the
+measurement, and a third run is taken only when the first two
+disagree by >30% (cache build or noise hit) on a non-work-dominated
+query; the reported per-query value is the median of the
+post-warmup runs. "value" is their sum. Raw walls (warmup included)
+ship in the sidecar.
 
 The stdout line is deliberately COMPACT (metric, total, sf, noisy
 flag, per-query medians only): the driver's capture buffer truncated
@@ -71,40 +75,44 @@ def main() -> None:
     bench_start = time.time()
     degraded = 0
     heavy_singles = 0
+    stable_stopped = 0
     timings: dict[str, float] = {}
     all_walls: dict[str, list[float]] = {}
     for name, spec in REGISTRY.items():
+        # per-query sampling plan (the shape that fits 163 queries
+        # inside the budget):
+        #   run 0 — WARMUP, recorded in the sidecar but excluded from
+        #     the reported value: it pays JIT/codegen, file-listing,
+        #     and the train-once session-cache builds (ANN indexes,
+        #     shingle arrays — r09), none of which are the steady-state
+        #     cost the catalog number is meant to report;
+        #   run 1 — the measurement;
+        #   run 2 — taken ONLY when runs 0 and 1 disagree by >30%
+        #     (a cache build or a noise hit made run 1 suspect) and
+        #     the query is not work-dominated (> heavy_s on both
+        #     walls — repeats of an 8s query buy nothing, round-5/7
+        #     advice); reported value = median of runs 1..n.
+        # A full cold pass (~240 s at sf0.1) + warm pass (~140 s) +
+        # selective thirds fits the 480 s budget, where cold+3-runs
+        # (~520 s) degraded the tail to cold singles every time.
         n_runs = runs if (time.time() - bench_start) < budget_s else 1
         walls = []
         heavy_break = False
+        stable_break = False
         for i in range(n_runs):
             # re-check INSIDE the loop too: one slow query can cross
             # the budget mid-repetition, and finishing its remaining
             # runs could overshoot by several multiples of its wall —
-            # at least one run always executes so the median exists
+            # at least one run always executes so a value exists
             if i and (time.time() - bench_start) >= budget_s:
                 break
-            # heavy queries don't get full repeats: a genuinely
-            # >heavy_s query is dominated by real work, not launch
-            # jitter, so its repeat runs buy little median robustness
-            # while costing the budget that keeps the MANY sub-second
-            # queries (where jitter is the whole signal) at full
-            # repeat count. Without this, the 127-query catalog at 3
-            # runs overflows the budget and degrades the tail
-            # arbitrarily instead. Two tiers:
-            # * walls[0] > 2*heavy_s: unambiguously heavy — ONE run
-            #   (an external-load spike doesn't inflate a sub-4s
-            #   query past 8s; doubling an 8s+ query buys nothing).
-            # * heavy_s < min(walls) <= 2*heavy_s: borderline — one
-            #   CONFIRMING run, heavy only if min of two runs still
-            #   exceeds the threshold; otherwise its one noisy sample
-            #   would BE the reported median forever (round-5 advice).
-            if i >= 1 and walls[0] > 2 * heavy_s:
-                heavy_break = True
-                break
-            if i >= 2 and min(walls) > heavy_s:
-                heavy_break = True
-                break
+            if i >= 2:
+                if min(walls) > heavy_s:
+                    heavy_break = True
+                    break
+                if abs(walls[1] - walls[0]) <= 0.30 * min(walls):
+                    stable_break = True
+                    break
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
@@ -123,14 +131,17 @@ def main() -> None:
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
         if len(walls) < runs:
-            # only the heavy-tier break sites count as a deliberate
-            # cap; a budget-shortened run whose single wall happens to
+            # only the deliberate break sites count as caps; a
+            # budget-shortened run whose single wall happens to
             # exceed heavy_s is still budget pressure (round-6 advice)
             if heavy_break:
                 heavy_singles += 1
+            elif stable_break:
+                stable_stopped += 1
             else:
                 degraded += 1
-        timings[name] = round(statistics.median(walls), 3)
+        measured = walls[1:] if len(walls) > 1 else walls
+        timings[name] = round(statistics.median(measured), 3)
         all_walls[name] = [round(w, 3) for w in walls]
 
     box = _box_load()
@@ -161,6 +172,7 @@ def main() -> None:
         "runs": runs,
         "degraded_to_single_run": degraded,
         "heavy_capped": heavy_singles,
+        "stable_stopped": stable_stopped,
         "walls": all_walls,
         "sf": sf,
         "box_load_pre": box_pre,
