@@ -165,11 +165,12 @@ def weighted_quantiles(
     non-positive weight are ignored. Returns (pct_ppm, value)."""
     dv = (
         df.where(
-            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
         )
         .groupBy(value_col)
         .agg(F.sum(F.col(weight_col).cast("long")).alias("cnt"))
-        .where(F.col("cnt") > 0)
     )
     r = _with_below(dv, value_col, "cnt", n_buckets)
     spark = df.sparkSession
