@@ -2346,6 +2346,23 @@ def test_unigram_encode_any_words_window_fallback(spark):
     assert seg == {"abab": 2, "ab": 1}
 
 
+def test_search_bm25_empty_index_raises(spark, tmp_path):
+    """Searching an index with zero ingested documents must raise a
+    descriptive error — n_docs=0 would otherwise put ln() over a
+    negative ratio and surface as silent NULL scores (r08 advice)."""
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        search_bm25_index,
+        upsert_bm25_index,
+    )
+
+    idx = str(tmp_path / "empty_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    upsert_bm25_index(empty, idx, batch_seq=0, n_buckets=4)
+    queries = spark.createDataFrame([(1, "spark")], "qid long, term string")
+    with pytest.raises(ValueError, match="empty"):
+        search_bm25_index(spark, idx, queries, n_buckets=4)
+
+
 def test_bm25_matches_python_reference(spark):
     """BM25 (Lucene idf, k1=1.2 b=0.75) vs a direct Python
     implementation on a hand-made corpus: integer-micro scores equal

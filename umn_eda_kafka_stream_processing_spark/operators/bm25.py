@@ -269,12 +269,23 @@ def search_bm25_index(
     CURRENT stats; hot-path callers issuing many searches against a
     frozen store should batch their queries into one `queries` frame.
 
-    Raises ``ValueError`` on an empty index (n_docs == 0): scoring
-    against ln of a negative ratio would otherwise surface as silent
-    NULL scores."""
-    doclens = spark.read.parquet(f"{index_dir}/doclens").select(
-        id_col, "dl"
-    )
+    Raises ``ValueError`` on an empty index — uninitialized store
+    path, a store built only from empty batches (a partitioned write
+    of zero rows leaves a schema-less directory), or n_docs == 0:
+    scoring against ln of a negative ratio would otherwise surface
+    as silent NULL scores."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        doclens = spark.read.parquet(f"{index_dir}/doclens").select(
+            id_col, "dl"
+        )
+    except AnalysisException as e:
+        raise ValueError(
+            f"BM25 index at {index_dir!r} is empty or uninitialized "
+            "(no documents ingested yet) — cannot score against "
+            f"n_docs=0 ({e.getErrorClass()})"
+        ) from e
     stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
