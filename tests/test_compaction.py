@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from umn_eda_kafka_stream_processing_spark.operators.compaction import (
     compact_changelog,
+    compact_store,
     upsert_snapshot,
 )
 
@@ -80,6 +81,104 @@ def test_upsert_snapshot_dynamic_overwrite_leaves_other_partitions(spark, tmp_pa
     assert s2_after == s2_files
 
 
+def _bucket_files(path, bucket):
+    d = os.path.join(path, f"shard={bucket}")
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def _sorted_rows(spark, path):
+    return sorted(
+        (r["id"], r["shard"], r["v"], r["event_seq"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_compact_store_reduces_files_preserves_rows_idempotent(spark, tmp_path):
+    """The small-file maintenance op: many appended files per bucket
+    bin-pack to the target count, content is row-identical, and a
+    replayed compaction selects zero buckets (no-op)."""
+    path = str(tmp_path / "store")
+    # 3 appends x repartition(4) = up to 12 files per bucket
+    for seq in range(3):
+        _rows(spark, [
+            (f"k{seq}a", "s1", f"v{seq}", seq),
+            (f"k{seq}b", "s1", f"w{seq}", seq),
+            (f"k{seq}c", "s2", f"x{seq}", seq),
+        ]).repartition(4).write.mode("append").partitionBy("shard").parquet(path)
+    before = _sorted_rows(spark, path)
+    assert len(_bucket_files(path, "s1")) > 1
+
+    stats = compact_store(spark, path, partition_cols="shard")
+    assert stats["buckets_compacted"] == 2
+    assert stats["files_after"] == 2  # one file per bucket
+    assert _sorted_rows(spark, path) == before
+    assert len(_bucket_files(path, "s1")) == 1
+    assert len(_bucket_files(path, "s2")) == 1
+
+    # replay: already at target -> zero buckets touched, files untouched
+    mtimes = {
+        b: [os.path.getmtime(os.path.join(path, f"shard={b}", f))
+            for f in _bucket_files(path, b)]
+        for b in ("s1", "s2")
+    }
+    stats2 = compact_store(spark, path, partition_cols="shard")
+    assert stats2["buckets_compacted"] == 0 and stats2["rows"] == 0
+    assert mtimes == {
+        b: [os.path.getmtime(os.path.join(path, f"shard={b}", f))
+            for f in _bucket_files(path, b)]
+        for b in ("s1", "s2")
+    }
+    assert _sorted_rows(spark, path) == before
+
+
+def test_compact_store_target_rows_splits_buckets(spark, tmp_path):
+    """target_rows sizes each bucket's file count as ceil(rows/target):
+    a 6-row bucket at target_rows=2 lands in 3 files (key-salted)."""
+    path = str(tmp_path / "store")
+    for seq in range(6):
+        _rows(spark, [(f"k{seq}", "s1", f"v{seq}", seq)]).write.mode(
+            "append"
+        ).partitionBy("shard").parquet(path)
+    before = _sorted_rows(spark, path)
+    stats = compact_store(
+        spark, path, partition_cols="shard", key_cols="id", target_rows=2
+    )
+    assert stats["buckets_compacted"] == 1
+    assert _sorted_rows(spark, path) == before
+    assert 1 < len(_bucket_files(path, "s1")) <= 3
+
+
+def test_compact_store_heals_duplicate_keys(spark, tmp_path):
+    """With key_cols + order_col the rewrite re-applies latest-wins —
+    a crashed double-write's duplicate key collapses to the winner."""
+    path = str(tmp_path / "store")
+    _rows(spark, [("a", "s1", "old", 1), ("b", "s1", "keep", 1)]).write.mode(
+        "append"
+    ).partitionBy("shard").parquet(path)
+    _rows(spark, [("a", "s1", "new", 5)]).write.mode(
+        "append"
+    ).partitionBy("shard").parquet(path)
+    compact_store(
+        spark, path, partition_cols="shard", key_cols="id",
+        order_col="event_seq",
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "new", "b": "keep"}
+
+
+def test_compact_store_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "store")
+    for seq in range(4):
+        _rows(spark, [(f"k{seq}", "s1", "v", seq)]).write.mode(
+            "append"
+        ).parquet(path)
+    before = _sorted_rows(spark, path)
+    stats = compact_store(spark, path)
+    assert stats["buckets_compacted"] == 1 and stats["files_after"] == 1
+    assert _sorted_rows(spark, path) == before
+    assert compact_store(spark, path)["buckets_compacted"] == 0
+
+
 def test_streaming_changelog_maintains_snapshot(spark, tmp_path):
     """foreachBatch(upsert_snapshot): a streaming changelog becomes a
     continuously-maintained snapshot table (the docstring's streaming
@@ -118,3 +217,9 @@ def test_streaming_changelog_maintains_snapshot(spark, tmp_path):
     got = {r["id"]: (r["venueid"], r["capacity"])
            for r in spark.read.parquet(snap).collect()}
     assert got == {"e1": ("v9", 250), "e2": ("v1", 50)}
+    # maintenance step: the store a foreachBatch sink maintains is the
+    # thing compact_store exists for — bin-pack it and re-check reads
+    compact_store(spark, snap)
+    got2 = {r["id"]: (r["venueid"], r["capacity"])
+            for r in spark.read.parquet(snap).collect()}
+    assert got2 == got

@@ -2,12 +2,17 @@
 a committed ORACLE_FULL_r{N}.json (which carries spark_sec/duck_sec
 per query since r04).
 
-    python tools/baseline_table.py ORACLE_FULL_r04.json [--update-readme]
+    python tools/baseline_table.py [ORACLE_FULL_r{N}_sf01.json] [--update-readme]
 
 Prints a markdown summary table (per-family totals + the slowest
 queries); --update-readme splices it into README.md between the
 BASELINE-TABLE markers so the "within 2x of baseline" claim is backed
 by an auditable, regenerable artifact instead of a hand-typed number.
+With no artifact argument it uses the NEWEST committed
+ORACLE_FULL_r{N}_sf01.json (the sf0.1 headline scale); the generated
+block names its source artifact so the README can never show a stale
+round label (round-9 verdict: the hand-typed header said r08 over r09
+data).
 """
 
 from __future__ import annotations
@@ -42,10 +47,12 @@ def family(name: str) -> str:
     return "pipelines/analytics"
 
 
-def build_table(artifact: dict) -> str:
+def build_table(artifact: dict, source_name: str = "") -> str:
     fams: dict[str, dict[str, float]] = {}
     rows = []
     for name, rec in artifact.items():
+        if name.startswith("_") or not isinstance(rec, dict):
+            continue
         s, d = rec.get("spark_sec"), rec.get("duck_sec")
         if s is None:
             continue
@@ -54,10 +61,11 @@ def build_table(artifact: dict) -> str:
         f["spark"] += s
         f["duck"] += d or 0.0
         rows.append((name, s, d))
-    out = [_MARK_BEGIN,
-           "",
-           "| family | queries | spark (s) | duckdb oracle (s) | ratio |",
-           "|---|---|---|---|---|"]
+    out = [_MARK_BEGIN, ""]
+    if source_name:
+        out += [f"Source artifact: `{source_name}`", ""]
+    out += ["| family | queries | spark (s) | duckdb oracle (s) | ratio |",
+            "|---|---|---|---|---|"]
     tot_s = tot_d = tot_n = 0
     for fam in sorted(fams):
         f = fams[fam]
@@ -88,14 +96,23 @@ def build_table(artifact: dict) -> str:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--update-readme"]
     update = "--update-readme" in sys.argv
-    if not argv:
-        print(__doc__)
-        return 2
-    artifact = json.loads(Path(argv[0]).read_text())
-    table = build_table(artifact)
+    root = Path(__file__).resolve().parent.parent
+    if argv:
+        path = Path(argv[0])
+    else:
+        cands = sorted(
+            root.glob("ORACLE_FULL_r*_sf01.json"),
+            key=lambda p: int(re.match(r"ORACLE_FULL_r(\d+)_", p.name).group(1)),
+        )
+        if not cands:
+            print(__doc__)
+            return 2
+        path = cands[-1]
+    artifact = json.loads(path.read_text())
+    table = build_table(artifact, source_name=path.name)
     print(table)
     if update:
-        readme = Path(__file__).resolve().parent.parent / "README.md"
+        readme = root / "README.md"
         text = readme.read_text()
         pat = re.compile(
             re.escape(_MARK_BEGIN) + ".*?" + re.escape(_MARK_END), re.S
@@ -103,7 +120,7 @@ def main() -> int:
         if pat.search(text):
             text = pat.sub(table, text)
         else:
-            text = text.rstrip() + "\n\n## Per-query baseline (" + argv[0] + ")\n\n" + table + "\n"
+            text = text.rstrip() + "\n\n## Per-query baseline\n\n" + table + "\n"
         readme.write_text(text)
         print(f"\nspliced into {readme}")
     return 0

@@ -10,7 +10,13 @@ family whose wall grows ~1x-3x across 10x data growth is dominated by
 fixed plan overhead and scan parallelism (healthy); one growing >=10x
 is data-bound (expected only for genuinely quadratic baselines).
 
-    python tools/scaling_table.py [--update-readme]
+    python tools/scaling_table.py [--round N] [--update-readme]
+
+Without --round it uses the NEWEST round for which all three per-SF
+artifacts exist — the r08/r09 hardcode made the committed scaling
+table silently lag the baseline table by a round (round-9 verdict);
+the generated block now also names its source artifacts so the README
+can never show unattributed numbers.
 """
 
 from __future__ import annotations
@@ -26,16 +32,35 @@ from baseline_table import family  # noqa: E402
 _MARK_BEGIN = "<!-- SCALING-TABLE:BEGIN (tools/scaling_table.py) -->"
 _MARK_END = "<!-- SCALING-TABLE:END -->"
 
-ARTIFACTS = [
-    ("sf0.001", "ORACLE_FULL_r08_sf0001.json"),
-    ("sf0.01", "ORACLE_FULL_r08.json"),
-    ("sf0.1", "ORACLE_FULL_r08_sf01.json"),
-]
+
+def artifact_names(round_n: int) -> list[tuple[str, str]]:
+    return [
+        ("sf0.001", f"ORACLE_FULL_r{round_n:02d}_sf0001.json"),
+        ("sf0.01", f"ORACLE_FULL_r{round_n:02d}.json"),
+        ("sf0.1", f"ORACLE_FULL_r{round_n:02d}_sf01.json"),
+    ]
 
 
-def build_table(root: Path) -> str:
+def newest_round(root: Path) -> int:
+    """Largest N for which all three per-SF artifacts are committed."""
+    rounds = sorted(
+        (
+            int(m.group(1))
+            for p in root.glob("ORACLE_FULL_r*_sf01.json")
+            if (m := re.match(r"ORACLE_FULL_r(\d+)_sf01\.json", p.name))
+        ),
+        reverse=True,
+    )
+    for n in rounds:
+        if all((root / f).exists() for _, f in artifact_names(n)):
+            return n
+    raise FileNotFoundError("no complete ORACLE_FULL_r{N} 3-SF artifact set")
+
+
+def build_table(root: Path, round_n: int) -> str:
+    artifacts = artifact_names(round_n)
     walls: dict[str, dict[str, float]] = {}
-    for sf, fname in ARTIFACTS:
+    for sf, fname in artifacts:
         data = json.loads((root / fname).read_text())
         for name, rec in data.items():
             if name.startswith("_") or not isinstance(rec, dict):
@@ -48,13 +73,17 @@ def build_table(root: Path) -> str:
     lines = [
         _MARK_BEGIN,
         "",
+        "Source artifacts (round {:02d}): {}".format(
+            round_n, ", ".join(f"`{f}`" for _, f in artifacts)
+        ),
+        "",
         "| family | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | 10x data (0.01→0.1) |",
         "|---|---|---|---|---|",
     ]
-    tot = {sf: 0.0 for sf, _ in ARTIFACTS}
+    tot = {sf: 0.0 for sf, _ in artifacts}
     for fam in sorted(walls):
         w = walls[fam]
-        for sf, _ in ARTIFACTS:
+        for sf, _ in artifacts:
             tot[sf] += w.get(sf, 0.0)
         growth = w["sf0.1"] / w["sf0.01"] if w.get("sf0.01") else float("nan")
         lines.append(
@@ -72,7 +101,11 @@ def build_table(root: Path) -> str:
 
 def main() -> int:
     root = Path(__file__).resolve().parent.parent
-    table = build_table(root)
+    if "--round" in sys.argv:
+        round_n = int(sys.argv[sys.argv.index("--round") + 1])
+    else:
+        round_n = newest_round(root)
+    table = build_table(root, round_n)
     print(table)
     if "--update-readme" in sys.argv:
         readme = root / "README.md"

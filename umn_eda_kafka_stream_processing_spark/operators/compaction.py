@@ -212,6 +212,160 @@ def upsert_bucket_partitioned(
     spark.catalog.refreshByPath(table_path)
 
 
+def compact_store(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: str | Sequence[str] = (),
+    key_cols: str | Sequence[str] = (),
+    order_col: str | None = None,
+    target_files: int = 1,
+    target_rows: int | None = None,
+) -> dict:
+    """Small-file compaction for the incremental parquet stores — the
+    production maintenance half of the foreachBatch + ``upsert_
+    snapshot`` / ``upsert_bucket_partitioned`` pattern (reference
+    analogue: RocksDB's own background compaction under every KTable
+    store, samples/PurchaseEventTicket.java:44-51).
+
+    Every microbatch upsert rewrites its touched buckets as one file
+    PER SHUFFLE TASK holding that bucket's rows, and append-mode
+    stores (the dedup seen-hash store) add files monotonically — after
+    thousands of batches a "partition-pruned" read still pays one
+    file-open per tiny file. This op bin-packs each over-fragmented
+    bucket back to a bounded file count, touching nothing else:
+
+    * file census is DISTRIBUTED — one column-pruned scan grouping the
+      hidden ``_metadata.file_path`` by bucket (never a driver FS
+      walk, which at 100 TB is the slower and rate-limited path);
+    * a bucket is rewritten only when its file count EXCEEDS its
+      target (``target_files``, or ``ceil(rows / target_rows)`` when
+      ``target_rows`` is given) — so re-running compaction on a
+      compacted store selects zero buckets and is a no-op (idempotent,
+      safe to schedule blindly after every N batches);
+    * the rewrite reads ONLY selected buckets (partition-pruned
+      ``isin`` filter), optionally re-applies the latest-wins merge
+      (pass ``key_cols`` + ``order_col``; a correctly-maintained
+      store makes this a no-op, but it heals duplicate keys a crashed
+      double-write could have left), repartitions so each bucket
+      lands in exactly its target file count, and dynamically
+      overwrites only those bucket directories;
+    * multi-file buckets split on ``pmod(hash(key_cols), k)`` — the
+      salt hashes ONLY the key columns (MapType payloads make
+      ``hash(*)`` raise, and payload edits must not move rows between
+      files gratuitously — round-8 fuzzy-join lesson).
+
+    Content is preserved exactly: the default path rewrites rows
+    byte-identically (no dedup, no reorder semantics — parquet row
+    order within a store is already meaningless to every reader,
+    which goes through ``latest_by_key``-shaped queries).
+
+    Returns a stats dict: ``buckets_total``, ``buckets_compacted``,
+    ``files_before``, ``files_after`` (census of the rewritten
+    buckets), ``rows`` (rows rewritten).
+    """
+    parts = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    store = spark.read.parquet(table_path)
+    gcols = parts or ["_all"]
+    group = (
+        [F.col(c) for c in parts] if parts else [F.lit(0).alias("_all")]
+    )
+    census = (
+        store.select(*group, F.col("_metadata.file_path").alias("_file"))
+        .groupBy(*gcols)
+        .agg(
+            F.countDistinct("_file").cast("long").alias("_files"),
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+        )
+    )
+    if target_rows is not None:
+        want = F.greatest(F.lit(1), F.ceil(F.col("_rows") / F.lit(target_rows)))
+    else:
+        want = F.lit(target_files)
+    census = census.withColumn("_want", want.cast("long"))
+    # bucket ids + targets are tiny (one row per partition directory)
+    rows = census.collect()
+    chosen = [r for r in rows if r["_files"] > r["_want"]]
+    stats = {
+        "buckets_total": len(rows),
+        "buckets_compacted": len(chosen),
+        "files_before": int(sum(r["_files"] for r in chosen)),
+        "files_after": 0,
+        "rows": 0,
+    }
+    if not chosen:
+        return stats
+    if parts:
+        sel = F.struct(*[F.col(c) for c in parts]).isin(
+            *[tuple(r[c] for c in parts) for r in chosen]
+        ) if len(parts) > 1 else F.col(parts[0]).isin(
+            *[r[parts[0]] for r in chosen]
+        )
+        touched = store.filter(sel)
+    else:
+        touched = store
+    if keys and order_col:
+        # heal-duplicates mode: latest-wins recompaction (no-op on a
+        # correctly-maintained store, exactness under crash replays)
+        touched = compact_changelog(None, touched, keys, order_col)
+    max_want = max(int(r["_want"]) for r in chosen)
+    if max_want > 1:
+        if not keys:
+            raise ValueError(
+                "target file counts > 1 need key_cols for the split salt"
+            )
+        # per-bucket k via a broadcast map of bucket -> want; rows of
+        # one (bucket, salt) land in one task -> exactly k files
+        want_map = {tuple(r[c] for c in parts): int(r["_want"]) for r in chosen} if parts else {}
+        if parts:
+            k_expr = F.lit(1)
+            for bkt, k in want_map.items():
+                cond = F.lit(True)
+                for c, v in zip(parts, bkt):
+                    cond = cond & (F.col(c) == F.lit(v))
+                k_expr = F.when(cond, F.lit(k)).otherwise(k_expr)
+        else:
+            k_expr = F.lit(max_want)
+        salt = F.pmod(F.hash(*[F.col(k) for k in keys]), k_expr)
+        touched = touched.withColumn("_salt", salt)
+        out = touched.repartition(
+            max(len(chosen) * max_want, 1),
+            *( [F.col(c) for c in parts] + [F.col("_salt")] ),
+        ).drop("_salt")
+    else:
+        # every row of a bucket in one task; partitionBy then writes
+        # exactly one file per bucket directory
+        out = touched.repartition(
+            max(len(chosen), 1),
+            *(([F.col(c) for c in parts]) or [F.lit(0)]),
+        )
+    # the plan reads the same directories it overwrites
+    out = out.localCheckpoint()
+    stats["rows"] = out.count()
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(table_path)
+    spark.catalog.refreshByPath(table_path)
+    after = (
+        spark.read.parquet(table_path)
+        .select(*group, F.col("_metadata.file_path").alias("_file"))
+    )
+    if parts:
+        sel_after = F.struct(*[F.col(c) for c in parts]).isin(
+            *[tuple(r[c] for c in parts) for r in chosen]
+        ) if len(parts) > 1 else F.col(parts[0]).isin(
+            *[r[parts[0]] for r in chosen]
+        )
+        after = after.filter(sel_after)
+    stats["files_after"] = after.select("_file").distinct().count()
+    return stats
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
