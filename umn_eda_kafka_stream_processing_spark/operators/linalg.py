@@ -176,9 +176,25 @@ def grouped_linreg(
     One hash-agg per group (map-side combined — the only shuffle),
     with per-term products and partial sums in DECIMAL(38,0): x,y
     micros up to ~1e11 square to ~1e22 per row, which wraps BIGINT
-    after a handful of rows but holds exactly to ~1e16 rows in
-    decimal128 (the gram_micro overflow rule: cast BEFORE the
-    product). The final ratio is one int128 division per group —
+    after a handful of rows but stays exact in decimal128 (the
+    gram_micro overflow rule: cast BEFORE the product).
+
+    MAGNITUDE BOUND (round-9 advice — be honest about headroom): the
+    largest intermediate is 1e6 · (n·Σ|xy| + Σ|x|·Σ|y|), which must
+    stay under 10^38, i.e. roughly
+
+        n² · max|x_micro| · max|y_micro| · 2e6  <  1e38.
+
+    With micros at ~1e9 (|x|,|y| ≈ 1000 units) that is n ≲ 2e9 rows
+    PER GROUP; at ~1e11 micros, n ≲ 2e7. Past the bound the two
+    engines FAIL DIFFERENTLY — Spark (non-ANSI) silently NULLs the
+    decimal overflow while DuckDB HUGEINT raises — so there is no
+    silent-wrong-answer mode, but the cross-engine contract ends
+    there. For wider groups, center x,y per group first (subtract the
+    group mean in a first pass): the covariance terms then scale with
+    the VARIANCE, not the raw magnitudes, buying ~max(x)·max(y)/
+    (σx·σy) extra headroom. The final ratio is one int128 division
+    per group —
     Spark DECIMAL(38,0) ``div`` == DuckDB HUGEINT ``//`` exactly,
     including truncation toward zero on NEGATIVE covariances (the
     round-7 verified rule), so the oracle is exact-match by

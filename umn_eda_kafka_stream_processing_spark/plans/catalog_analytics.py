@@ -2077,7 +2077,10 @@ def salt_advisor_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         etypes,
         "event_type",
-        F.pmod("event_id", F.lit(97)) * F.length("event_type"),
+        # `%`, not pmod: DuckDB's % follows the dividend's sign while
+        # pmod is non-negative — identical only for non-negative keys
+        # (round-9 advice; one modulo semantics on both sides)
+        (F.col("event_id") % F.lit(97)) * F.length("event_type"),
         8,
     )
     orders = load_table(spark, sf_dir, "orders").select(
@@ -2093,7 +2096,7 @@ def salt_advisor_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         cust,
         "o_custkey",
-        F.pmod("o_orderkey", F.lit(97)) * F.col("c_nationkey"),
+        (F.col("o_orderkey") % F.lit(97)) * F.col("c_nationkey"),
         8,
     )
     return skewed.unionByName(healthy)
@@ -2152,13 +2155,20 @@ def sorted_export_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(man, man[1:])
         )
     )
-    # within-file sortedness, distributed: scan order within a file is
-    # preserved, so monotonically_increasing_id orders rows per file
+    # within-file sortedness, distributed: order rows by the hidden
+    # _metadata.row_index — the FILE's own row numbering. (The earlier
+    # monotonically_increasing_id version depended on one scan split
+    # per file: Spark packs/splits scan partitions by SIZE, so a file
+    # split across partitions at larger SFs would interleave _mid out
+    # of file order and false-flag violations — round-9 advice.)
     key = F.struct("l_orderkey", "l_linenumber")
-    back = spark.read.parquet(out).withColumn(
-        "_mid", F.monotonically_increasing_id()
+    back = spark.read.parquet(out).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_ridx"),
     )
-    w = Window.partitionBy(F.input_file_name()).orderBy("_mid")
+    w = Window.partitionBy("_file").orderBy("_ridx")
     violations = (
         back.select(
             F.when(F.lag(key).over(w) > key, 1).otherwise(0).alias("bad")
