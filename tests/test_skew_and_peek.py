@@ -163,6 +163,79 @@ def test_maybe_salted_join_decision_and_equivalence(spark, caplog):
     assert "SALTED" in caplog.records[-1].getMessage()
 
 
+def test_maybe_salted_agg_decision_and_equivalence(spark, caplog):
+    """Agg-side advisor property (maybe_salted_join's twin): result
+    equals the plain groupBy.agg exactly on both fixtures; the census
+    salts ONLY the skewed one; a precomputed census skips the
+    planning job and drives the same decision."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        maybe_salted_agg,
+    )
+
+    skewed = spark.createDataFrame(
+        [("k1", i) for i in range(400)]
+        + [(f"k{i % 20}", 1000 + i) for i in range(50)],
+        "k string, v long",
+    )
+    uniform = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(400)], "k string, v long"
+    )
+    plain_aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.max("v").cast("long").alias("m"),
+    ]
+    partial_aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("v").alias("_s"),
+        F.max("v").alias("_m"),
+    ]
+    final_aggs = [
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("s"),
+        F.max("_m").cast("long").alias("m"),
+    ]
+    logger = "umn_eda_kafka_stream_processing_spark.skew"
+    for df, expect_salted in ((skewed, True), (uniform, False)):
+        plain = {
+            (r["k"], r["n"], r["s"], r["m"])
+            for r in df.groupBy("k").agg(*plain_aggs).collect()
+        }
+        with caplog.at_level(logging.INFO, logger=logger):
+            caplog.clear()
+            got = {
+                (r["k"], r["n"], r["s"], r["m"])
+                for r in maybe_salted_agg(
+                    df, "k", plain_aggs, partial_aggs, final_aggs,
+                    salt_buckets=4, salt_cols=["v"],
+                ).collect()
+            }
+        assert got == plain
+        decisions = [rec for rec in caplog.records if rec.name == logger]
+        assert len(decisions) == 1
+        assert ("SALTED" in decisions[0].getMessage()) is expect_salted
+
+    pre = {"n_rows": 100, "max_cnt": 50, "top_key": "k1"}
+    with caplog.at_level(logging.INFO, logger=logger):
+        caplog.clear()
+        got = {
+            (r["k"], r["n"], r["s"], r["m"])
+            for r in maybe_salted_agg(
+                skewed, "k", plain_aggs, partial_aggs, final_aggs,
+                census=pre, salt_buckets=4, salt_cols=["v"],
+            ).collect()
+        }
+    assert got == {
+        (r["k"], r["n"], r["s"], r["m"])
+        for r in skewed.groupBy("k").agg(*plain_aggs).collect()
+    }
+    assert "SALTED" in caplog.records[-1].getMessage()
+
+
 def test_salted_join_rejects_right_preserving_how(spark):
     from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
 

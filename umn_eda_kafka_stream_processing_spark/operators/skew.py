@@ -208,6 +208,70 @@ def maybe_salted_join(
     return left.join(rt, keys, how)
 
 
+def maybe_salted_agg(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    plain_aggs: Sequence[Column],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    salt_buckets: int = 16,
+    max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
+    census: "dict | None" = None,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Auto-salt advisor for the AGGREGATION path — the more common
+    skew victim (a groupBy on a hot key puts that key's entire
+    reduce on one task; AQE splits skewed JOINS but not skewed
+    final aggregations). `maybe_salted_join`'s twin: one bounded
+    planning scalar (`advise_salting` over the group key) decides
+    between the plain one-shuffle ``groupBy(...).agg(plain_aggs)``
+    and the two-stage `salted_agg` — identical results either way
+    for distributive aggregates (property-tested on skewed and
+    uniform fixtures; salting triggers only on the skewed one).
+
+    The three agg lists exist because the salted path needs the
+    partial/final split: ``plain_aggs`` run once per key on the
+    plain path; ``partial_aggs`` run per (key, salt) and
+    ``final_aggs`` re-combine the partials per key, referencing the
+    partials' aliases (partial ``sum(x) AS s`` → final ``sum(s) AS
+    s``). All three must produce the same output columns — the
+    caller's contract, same as salted_agg's.
+
+    Note Spark's hash aggregate already computes map-side PARTIALS
+    for distributive aggregates, which absorbs most agg skew when
+    upstream partitions are key-diverse; the regime this fixes is a
+    hot key arriving ALREADY CLUSTERED (post-shuffle-on-that-key
+    lineage, hive-partitioned-by-key input), where every map task
+    holding the hot key is the same task. Pass a precomputed
+    ``census`` to skip the planning job (train-once/serve-many).
+    Decisions are logged on the same ``.skew`` logger as the join
+    advisor, so a pipeline's salting is auditable after the fact."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    salt, census, share_micro = advise_salting(
+        df, keys, max_share_micro, census
+    )
+    n_rows = int(census["n_rows"] or 0)
+    max_cnt = int(census["max_cnt"] or 0)
+    if salt:
+        _LOG.info(
+            "maybe_salted_agg(%s): SALTED (top key %r holds %d/%d rows, "
+            "share %dppm > %dppm) with %d salt buckets",
+            keys, census.get("top_key"), max_cnt, n_rows,
+            share_micro, max_share_micro, salt_buckets,
+        )
+        return salted_agg(
+            df, keys, partial_aggs, final_aggs,
+            salt_buckets=salt_buckets, salt_cols=salt_cols,
+        )
+    _LOG.info(
+        "maybe_salted_agg(%s): PLAIN (top key %r holds %d/%d rows, "
+        "share %dppm <= %dppm)",
+        keys, census.get("top_key"), max_cnt, n_rows,
+        share_micro, max_share_micro,
+    )
+    return df.groupBy(*keys).agg(*plain_aggs)
+
+
 def advise_salting(
     left: DataFrame,
     keys: Sequence[str],

@@ -2102,6 +2102,120 @@ def salt_advisor_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skewed.unionByName(healthy)
 
 
+_AGG_ADVISOR_ORACLE = """
+    WITH eg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id % 97) AS BIGINT) AS s
+      FROM events GROUP BY 1
+    ), esh AS (
+      SELECT CAST((1000000 * max(n) + sum(n) // 2) // sum(n)
+                  AS BIGINT) AS share_micro FROM eg
+    ), er AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS total_n,
+             CAST(sum((s % 1000003) * (n % 1009)) AS BIGINT) AS checksum
+      FROM eg
+    ), og AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey % 97) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ), osh AS (
+      SELECT CAST((1000000 * max(n) + sum(n) // 2) // sum(n)
+                  AS BIGINT) AS share_micro FROM og
+    ), orr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS total_n,
+             CAST(sum((s % 1000003) * (n % 1009)) AS BIGINT) AS checksum
+      FROM og
+    )
+    SELECT 'events.event_type' AS key,
+           CAST(CASE WHEN esh.share_micro > 50000 THEN 1 ELSE 0 END
+                AS BIGINT) AS salted,
+           esh.share_micro, er.n_groups, er.total_n, er.checksum
+    FROM esh, er
+    UNION ALL
+    SELECT 'orders.o_custkey',
+           CAST(CASE WHEN osh.share_micro > 50000 THEN 1 ELSE 0 END
+                AS BIGINT),
+           osh.share_micro, orr.n_groups, orr.total_n, orr.checksum
+    FROM osh, orr
+"""
+
+
+@_register(
+    "salt_advisor_agg_census",
+    "Auto-salt advisor wired into the AGGREGATION path (operators/"
+    "skew.py:maybe_salted_agg — maybe_salted_join's twin; groupBy on "
+    "a hot key is the more common skew victim and AQE's skew "
+    "splitting covers only joins): for the SKEWED events.event_type "
+    "key and the HEALTHY orders.o_custkey key, the advisor computes "
+    "the one-row key_skew_census and aggregates per key either plain "
+    "(one shuffle) or via the salted two-stage shape — identical "
+    "results for distributive aggregates. The query rolls each "
+    "branch's per-key (count, sum(key-mod)) frame into one row: "
+    "decision + group count + row total + an order-independent "
+    "nonlinear checksum sum((s % 1000003) * (n % 1009)) that moves "
+    "if any row lands in the wrong group or a partial is dropped/"
+    "double-counted. Oracle recomputes the share, the threshold "
+    "decision, and the PLAIN GROUP BY checksum in SQL: advisor-"
+    "salted == plain is the property under test. `%` (not pmod) on "
+    "both sides — one modulo semantics (round-9 advice).",
+    _AGG_ADVISOR_ORACLE,
+)
+def salt_advisor_agg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_salting,
+        maybe_salted_agg,
+    )
+
+    def branch(label, df, key, mod_col, buckets):
+        salt, census, share = advise_salting(df, [key])
+        modexpr = (F.col(mod_col) % F.lit(97)).cast("long")
+        per_key = maybe_salted_agg(
+            df,
+            key,
+            plain_aggs=[
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(modexpr).cast("long").alias("s"),
+            ],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(modexpr).alias("_s"),
+            ],
+            final_aggs=[
+                F.sum("_n").cast("long").alias("n"),
+                F.sum("_s").cast("long").alias("s"),
+            ],
+            salt_buckets=buckets,
+            census=census,
+            salt_cols=[mod_col],
+        )
+        return per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.sum(
+                (F.col("s") % F.lit(1000003)) * (F.col("n") % F.lit(1009))
+            ).cast("long").alias("checksum"),
+        ).select(
+            F.lit(label).alias("key"),
+            F.lit(1 if salt else 0).cast("long").alias("salted"),
+            F.lit(share).cast("long").alias("share_micro"),
+            "n_groups",
+            "total_n",
+            "checksum",
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return branch("events.event_type", ev, "event_type", "event_id", 8).unionByName(
+        branch("orders.o_custkey", orders, "o_custkey", "o_orderkey", 8)
+    )
+
+
 @_register(
     "sorted_export_census",
     "Sorted-export write path (operators/compaction.py:write_sorted): "
