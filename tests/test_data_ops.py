@@ -804,6 +804,65 @@ def test_weighted_sample_k_matches_python_reference(spark):
     assert heavy_hits > 3 * light_hits  # ~10x expected; 3x is a safe floor
 
 
+def test_token_budget_mixture_matches_python_reference(spark):
+    """Budget-constrained mixture: per-domain kept set must equal the
+    Python replica (A-Res priority order, shortest prefix whose
+    running mass reaches the budget); realized tokens land within one
+    doc of the budget; zero-weight domains drop; a domain smaller
+    than its budget keeps everything; non-positive sizes drop."""
+    import hashlib
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    rows = (
+        [(i, "a", (i % 9) + 1) for i in range(60)]          # big domain
+        + [(100 + i, "b", 5) for i in range(4)]             # small domain
+        + [(200 + i, "c", (i % 5) + 1) for i in range(30)]  # zero weight
+        + [(300, "a", 0), (301, "b", -3)]                   # dropped rows
+    )
+    df = spark.createDataFrame(rows, "k long, dom string, sz long")
+    weights = {"a": 2, "b": 1}
+    total = 90  # B_a = 60, B_b = 30 (> domain b's total mass of 20)
+
+    def py_prio(key, wgt, salt="bud"):
+        u32 = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        return math.floor((-math.log(u)) / float(wgt) * 1000000.0 + 0.5)
+
+    want = {}
+    for dom, b in (("a", 60), ("b", 30)):
+        order = sorted(
+            (py_prio(k, sz), k, sz)
+            for k, d, sz in rows
+            if d == dom and sz > 0
+        )
+        cum = 0
+        kept = []
+        for _, k, sz in order:
+            if cum >= b:
+                break
+            kept.append(k)
+            cum += sz
+        want[dom] = (set(kept), cum)
+
+    got = smp.token_budget_mixture_sample(
+        df, "dom", "k", "sz", weights, total
+    ).collect()
+    by_dom: dict = {}
+    for r in got:
+        ks, tok = by_dom.setdefault(r["dom"], (set(), 0))
+        by_dom[r["dom"]] = (ks | {r["k"]}, tok + r["sz"])
+    assert set(by_dom) == {"a", "b"}  # zero-weight c dropped
+    assert by_dom["a"] == want["a"] and by_dom["b"] == want["b"]
+    # within one doc of budget: a's realized mass reaches 60 and
+    # overshoots by less than its last (crossing) doc
+    toks_a = by_dom["a"][1]
+    assert toks_a >= 60 and toks_a - 60 < 9
+    # b is smaller than its budget: keeps its whole positive mass
+    assert by_dom["b"][1] == 20 and by_dom["b"][0] == {100, 101, 102, 103}
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""

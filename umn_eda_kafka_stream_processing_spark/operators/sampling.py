@@ -322,6 +322,93 @@ def temperature_mixture_sample(
     )
 
 
+def token_budget_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    size_col: str,
+    weights: Mapping[str, int],
+    total_budget: int,
+    salt: str = "bud",
+    rank_name: str = "draw_rank",
+) -> DataFrame:
+    """Token-BUDGET-constrained mixture sampling — the real curation
+    ask behind `temperature_mixture_sample`'s rates: "give me exactly
+    ~B tokens per domain at these weights", a budget rather than a
+    rate (and the weighted twin of `sample_k_per_source`, which caps
+    DOCS per stratum where this caps token MASS).
+
+    Domain d with integer weight w_d gets the exact integer budget
+    ``B_d = total_budget * w_d div sum(w)``. Within each domain, docs
+    are ordered by the A-Res priority of `weighted_sample_k` (weight
+    = ``size_col``, so inclusion probability is token-mass
+    proportional and the prefix of the order is distributed like
+    sequential weighted draws without replacement), and the sample is
+    the shortest prefix whose running token sum reaches the budget:
+    a doc is kept iff the running total BEFORE it is < B_d. Realized
+    tokens therefore land within ONE DOC of B_d (>= B_d when the
+    domain has the mass, overshooting by less than the crossing doc;
+    a domain smaller than its budget keeps everything). Zero-weight
+    and absent domains drop entirely. Deterministic: priority is a
+    pure md5 function of the key — re-ingestion, retries, and engine
+    swaps select the same docs.
+
+    Plan shape (two windows, one shuffle): because ``size_col`` must
+    be a POSITIVE integral column, at most B_d docs can fit a B_d
+    budget — so a ``row_number() <= B_d`` filter FIRST is a lossless
+    pre-prune that plans as WindowGroupLimit (each task keeps its
+    local top-B_d before the domain shuffle); the running-sum window
+    then scans only the pruned prefix. Without the prune, one viral
+    domain's full doc list would sort through a single window frame.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    wsum = sum(weights.values())
+    budget: Column = F.lit(0).cast("long")
+    max_budget = 0
+    for d, wt in sorted(weights.items()):
+        b = (total_budget * int(wt)) // wsum
+        max_budget = max(max_budget, b)
+        budget = F.when(F.col(domain_col) == d, F.lit(b).cast("long")).otherwise(budget)
+    u = (
+        sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(KEY_SPACE))
+    prio = F.floor(
+        (-F.log(u))
+        / F.col(size_col).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("priority_micro").asc(), F.col(key_col).asc()
+    )
+    ranked = (
+        # non-positive/NULL sizes are undefined mass: a 0 weight makes
+        # the priority NULL, which sorts FIRST in the asc window and
+        # would win every draw (the round-5 NULL-argmax trap) — drop
+        # them at the row filter, the weighted_quantiles rule
+        df.where(F.col(size_col) > 0)
+        .withColumn("priority_micro", prio)
+        .withColumn("domain_budget", budget)
+        .withColumn(rank_name, F.row_number().over(w).cast("long"))
+        # lossless WindowGroupLimit pre-prune: sizes are >= 1, so no
+        # budget-B prefix can hold more than B docs (global cap keeps
+        # the literal independent of the domain column's value)
+        .filter(F.col(rank_name) <= F.lit(max_budget))
+    )
+    cum = ranked.withColumn(
+        "cum_tokens",
+        F.sum(F.col(size_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return cum.filter(
+        (F.col("cum_tokens") - F.col(size_col)) < F.col("domain_budget")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -185,6 +185,66 @@ def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return smp.epoch_shuffle(docs, "doc_id", n_batches=32, epoch=1)
 
+_BUDGET_TOTAL = 120_000
+_BUDGET_WSUM = sum(_MIX_WEIGHTS.values())
+
+
+@_register(
+    "token_budget_mixture_stats",
+    "Token-BUDGET-constrained mixture (operators/sampling.py:"
+    "token_budget_mixture_sample) — the curation ask behind "
+    "temperature rates stated as a budget: each source gets "
+    f"B_d = {_BUDGET_TOTAL}·w_d div {_BUDGET_WSUM} chars, docs order "
+    "by the A-Res token-mass priority (md5-deterministic), and the "
+    "sample is the shortest prefix whose running char sum reaches "
+    "B_d — kept iff the running total BEFORE the doc is under "
+    "budget, so realized mass lands within one doc of B_d (a source "
+    "smaller than its budget keeps everything — at sf0.01 the "
+    "weight-3 sources hit that regime while weight-1 sources cap, "
+    "exercising both). Plan: a lossless row_number<=B WindowGroup"
+    "Limit pre-prune (sizes are >=1) then the running-sum window on "
+    "the pruned prefix; one shuffle on source. Census: per-source "
+    "budget, kept docs, realized chars — the oracle re-derives the "
+    "identical prefix in SQL, so a single mis-kept doc hash-"
+    "mismatches.",
+    f"""
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(
+               (-ln((CAST({_duck_key('doc_id', 'bud')} AS DOUBLE) + 0.5)
+                    / 4294967296.0))
+               / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5
+             ) AS BIGINT) AS prio,
+             ({_BUDGET_TOTAL} * CASE WHEN cast(substr(source, 4) AS bigint) % 4 = 0
+                                     THEN 3 ELSE 1 END) // {_BUDGET_WSUM}
+                 AS budget
+      FROM documents WHERE n_chars > 0
+    ), rk AS (
+      SELECT source, n_chars, budget,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY prio, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM pr
+    )
+    SELECT source, CAST(budget AS BIGINT) AS budget,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_realized
+    FROM rk WHERE cum - n_chars < budget
+    GROUP BY source, budget
+    """,
+)
+def token_budget_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = smp.token_budget_mixture_sample(
+        docs, "source", "doc_id", "n_chars", _MIX_WEIGHTS, _BUDGET_TOTAL
+    )
+    return kept.groupBy("source", F.col("domain_budget").alias("budget")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_realized"),
+    )
+
+
 @_register(
     "weighted_doc_sample",
     "Weighted random sampling WITHOUT replacement, 20 docs per lang "
