@@ -91,6 +91,47 @@ def test_weighted_quantiles_matches_bruteforce(spark):
     assert 0.5 not in got.values()
 
 
+def test_grouped_exact_quantiles_matches_bruteforce(spark):
+    """Per-group type-1 quantiles: every group's result equals the
+    brute-force sorted-rank answer, including a single-value group
+    (lo == hi bucket degenerate), a single-row group, skewed ties,
+    and NULL values ignored."""
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_exact_quantiles,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    data: dict = {}
+    for g, n in (("a", 211), ("b", 37), ("one", 1), ("const", 24)):
+        vals = []
+        for i in range(n):
+            if g == "const":
+                v = 4.25
+            else:
+                v = rng.choice([0.5, 1.0, 1.0, 2.5, 7.0, 9.0, 11.5])
+            vals.append(v)
+            rows.append((g, v))
+        data[g] = sorted(vals)
+    rows.append(("a", None))  # ignored
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [(1, 4), (1, 2), (19, 20)]
+    got = {
+        (r["g"], r["pct_ppm"]): r["value"]
+        for r in grouped_exact_quantiles(
+            df, "g", "v", probs, n_buckets=8
+        ).collect()
+    }
+    assert len(got) == 4 * len(probs)
+    for g, s in data.items():
+        n = len(s)
+        for num, den in probs:
+            rank = -(-num * n // den)  # ceil
+            assert got[(g, 1_000_000 * num // den)] == s[rank - 1], (
+                g, num, den
+            )
+
+
 def test_binary_auc_matches_pair_counting(spark):
     rng = random.Random(3)
     rows = [

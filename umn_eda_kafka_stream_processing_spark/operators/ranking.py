@@ -191,6 +191,114 @@ def weighted_quantiles(
     )
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    probs: Sequence[tuple[int, int]],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Type-1 exact quantiles PER GROUP — "exact p95 token length per
+    domain/language", the daily curation query `exact_quantiles` only
+    answers corpus-globally. Returns (group_cols..., pct_ppm, value).
+
+    Fully distributed generalization of the two-level histogram — the
+    global operator's two bounded driver collects become per-group
+    AGGREGATES joined back, so there is NO driver collect at all and
+    group cardinality is unbounded:
+
+    1. one hash-agg to distinct (group, value) counts — the corpus
+       never sorts;
+    2. per-group lo/hi agg, joined back on the group key (both sides
+       already hash-partitioned by group — co-located);
+    3. each value maps to a weakly MONOTONE bucket within its group
+       (order preserved by IEEE ops with positive constants; bucket
+       boundaries never affect the result);
+    4. per-(group, bucket) totals prefix-summed by a window
+       partitioned BY GROUP over at most ``n_buckets`` rows per
+       frame (bounded), joined back on (group, bucket);
+    5. the in-bucket prefix runs partitioned by (group, bucket) — a
+       frame of ~|distinct values|/n_buckets rows, never a per-group
+       or corpus sort. No unpartitioned window anywhere
+       (explain_audit's rule), no frame wider than a bucket.
+
+    Quantiles are RATIONAL (num, den): the target rank
+    ceil(num·N_g/den) is exact integer arithmetic per group; pct_ppm
+    = 1e6·num/den (pick ppm-exact rationals). NULL values are
+    ignored; groups whose every value is NULL vanish (no rank
+    exists). Counts are BIGINT — exact and order-independent."""
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    dv = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    mm = dv.groupBy(*groups).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    b = dv.join(mm, groups).withColumn(
+        "_bk",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (
+                        F.col(value_col).cast("double")
+                        - F.col("_lo").cast("double")
+                    )
+                    / (
+                        F.col("_hi").cast("double")
+                        - F.col("_lo").cast("double")
+                    )
+                    * F.lit(n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+        ).cast("int"),
+    ).drop("_lo", "_hi")
+    bt = b.groupBy(*groups, "_bk").agg(
+        F.sum("cnt").cast("long").alias("_bw")
+    )
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("_bk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bt.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).cast("long")
+    ).drop("_bw")
+    w_in = (
+        Window.partitionBy(*groups, "_bk")
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        b.join(off, [*groups, "_bk"])
+        .withColumn(
+            "_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .withColumn("below", (F.col("_off") + F.col("_in")).cast("long"))
+        .drop("_bk", "_off", "_in")
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(1_000_000 * n // d, n, d) for n, d in probs],
+        "pct_ppm long, p_num long, p_den long",
+    )
+    return (
+        r.crossJoin(F.broadcast(pdf))
+        .where(
+            F.col("below") + F.col("cnt")
+            >= F.expr("(p_num * n_total + p_den - 1) div p_den")
+        )
+        .groupBy(*groups, "pct_ppm")
+        .agg(F.min(value_col).alias("value"))
+    )
+
+
 def binary_auc(
     df: DataFrame,
     score_col: str,

@@ -1375,6 +1375,54 @@ def order_price_exact_quantiles(
 
 
 @_register(
+    "doc_length_quantiles_by_lang",
+    "PER-GROUP exact type-1 quantiles (operators/ranking.py:"
+    "grouped_exact_quantiles): exact p25/p50/p90/p95 document length "
+    "per language — the daily curation query the global operator "
+    "can't answer. Fully distributed generalization of the two-level "
+    "histogram: the global version's two bounded driver collects "
+    "become per-group aggregates JOINED BACK on the group key (no "
+    "driver collect at all, unbounded group cardinality); the bucket-"
+    "offset prefix window is partitioned by group over <=1024 bucket "
+    "rows per frame, the in-bucket prefix by (group, bucket) — no "
+    "unpartitioned window, no frame wider than a bucket. Rational "
+    "probabilities keep the per-group target rank ceil(num*N_g/den) "
+    "exact BIGINT. Oracle: plain per-group cumulative window — "
+    "different algorithm, same integers.",
+    """
+    WITH dv AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, v, c,
+                 coalesce(CAST(sum(c) OVER (PARTITION BY lang ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS nt
+          FROM dv),
+    p AS (SELECT * FROM (VALUES (250000, 1, 4), (500000, 1, 2),
+                                (900000, 9, 10), (950000, 19, 20))
+          t(pct_ppm, pn, pd))
+    SELECT lang, CAST(pct_ppm AS BIGINT) AS pct_ppm,
+           CAST(min(v) AS BIGINT) AS value
+    FROM r CROSS JOIN p
+    WHERE nb + c >= (pn * nt + pd - 1) // pd
+    GROUP BY 1, 2
+    """,
+)
+def doc_length_quantiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_exact_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = grouped_exact_quantiles(
+        docs, "lang", "n_chars", [(1, 4), (1, 2), (9, 10), (19, 20)]
+    )
+    return out.select("lang", "pct_ppm", F.col("value").cast("long"))
+
+
+@_register(
     "quantity_weighted_price_quantiles",
     "WEIGHTED exact type-1 quantiles (operators/ranking.py:"
     "weighted_quantiles): the smallest line price whose cumulative "
