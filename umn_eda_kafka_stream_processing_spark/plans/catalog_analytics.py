@@ -2348,6 +2348,80 @@ def sorted_export_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "store_compaction_census",
+    "Small-file store maintenance (operators/compaction.py:"
+    "compact_store — the production half of the foreachBatch "
+    "incremental-store pattern; RocksDB-compaction analogue): two "
+    "simulated microbatches append one file each into every bucket "
+    "of an 8-bucket orders store, compact_store bin-packs each "
+    "bucket back to ONE file (distributed _metadata.file_path "
+    "census, partition-pruned rewrite, dynamic overwrite), and a "
+    "replayed compaction is a no-op. Census: bucket/file counters "
+    "from the operator's stats (deterministic: 2 coalesce(1) "
+    "appends -> 2 files/bucket -> 1), the replay's zero, plus "
+    "row-count and an order-key checksum over the store AFTER both "
+    "passes — a row lost or duplicated by the rewrite "
+    "hash-mismatches. Oracle recomputes the data half from orders "
+    "and pins the deterministic file counters.",
+    """
+    SELECT CAST(8 AS BIGINT) AS buckets_total,
+           CAST(8 AS BIGINT) AS buckets_compacted,
+           CAST(8 AS BIGINT) AS files_after,
+           CAST(0 AS BIGINT) AS replay_compacted,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum((o_orderkey % 97) * (o_orderkey % 8 + 1)) AS BIGINT)
+               AS checksum
+    FROM orders
+    """,
+)
+def store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        compact_store,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumn("bucket", (F.col("o_orderkey") % F.lit(8)).cast("long"))
+    path = tempfile.mkdtemp(prefix="sparkgraft_store_compaction_") + "/store"
+    # two "microbatches": each appends exactly one file per bucket.
+    # The batch splitter must be INDEPENDENT of the bucket key —
+    # o_orderkey % 2 correlates with % 8 (even keys only hit even
+    # buckets), which would leave every bucket single-file. div 8
+    # strips the bucket bits first.
+    for half in (0, 1):
+        (
+            orders.where(F.expr("o_orderkey div 8") % 2 == half)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    stats = compact_store(spark, path, partition_cols="bucket")
+    replay = compact_store(spark, path, partition_cols="bucket")
+    store = spark.read.parquet(path)
+    return store.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("o_orderkey") % F.lit(97))
+            * (F.col("o_orderkey") % F.lit(8) + F.lit(1))
+        ).cast("long").alias("checksum"),
+    ).select(
+        F.lit(stats["buckets_total"]).cast("long").alias("buckets_total"),
+        F.lit(stats["buckets_compacted"]).cast("long").alias(
+            "buckets_compacted"
+        ),
+        F.lit(stats["files_after"]).cast("long").alias("files_after"),
+        F.lit(replay["buckets_compacted"]).cast("long").alias(
+            "replay_compacted"
+        ),
+        "n_rows",
+        "checksum",
+    )
+
+
 def _kcore_oracle(k: int = 8, rounds: int = 6) -> str:
     # every e{r} is referenced 3x by round r+1 (FROM + two IN
     # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the
