@@ -285,7 +285,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # canonicalization census, unigram-LM tokenizer training ---------
     "span_dedup_rewrite_stats",
     "gopher_quality_flags",
-    "url_canonical_stats",
+    # (url_canonical_stats rotated out in r10 for
+    # store_compaction_census below: driver-verified r06+r07+r08+r09;
+    # the text/scrub family keeps gopher_quality_flags +
+    # char_bigram_quality + domain_census in-gate)
+    # -- new in r10, never driver-verified: small-file compaction for
+    # the incremental parquet stores (bin-pack + replay no-op) -------
+    "store_compaction_census",
     "unigram_train_vocab",
     "unigram_encode_stats",
     # -- registered late in r06 (missed that round's rotation — the
@@ -305,7 +311,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (purchase_graph_pagerank rotated out in r08 for
     # purchase_pagerank_directed below: driver-verified r07; the
     # PageRank family keeps the directed variant in-gate)
-    "temperature_mixture_stats",
+    # (temperature_mixture_stats rotated out in r10 for
+    # token_budget_mixture_stats below: driver-verified r07+r08+r09;
+    # the mixture-sampling family keeps weighted_doc_sample plus the
+    # new budget query in-gate)
+    # -- new in r10, never driver-verified: token-BUDGET-constrained
+    # mixture sampling (A-Res order, shortest prefix to budget) ------
+    "token_budget_mixture_stats",
     # -- new in r08, never driver-verified: directed PageRank with
     # dangling-mass redistribution, full k-core decomposition by the
     # capped h-index iteration ---------------------------------------
@@ -321,7 +333,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "event_transition_matrix",
     "cosupply_triangle_stats",
-    "order_price_exact_quantiles",
+    # (order_price_exact_quantiles rotated out in r10 for
+    # doc_length_quantiles_by_lang below: driver-verified r07+r08+r09;
+    # the exact-quantile family keeps quantity_weighted_price_quantiles
+    # plus the new per-group query in-gate)
+    # -- new in r10, never driver-verified: fully distributed PER-GROUP
+    # exact quantiles (no driver collect, per-group histogram) --------
+    "doc_length_quantiles_by_lang",
     "charlm_langid_auc",
     # -- new in r07 (third batch), never driver-verified: blocked
     # fuzzy-join entity resolution, PMI word association, cohort
@@ -339,7 +357,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r07 (fourth batch), never driver-verified: key-skew
     # diagnostics, k-core peeling, exact integer gram census, and
     # eigenvector centrality by fixed-point power iteration ------------
-    "join_key_skew_census",
+    # (join_key_skew_census rotated out in r10 for
+    # salt_advisor_agg_census below: driver-verified r07+r08+r09; the
+    # skew family keeps salt_advisor_join_census plus the new agg
+    # advisor in-gate)
+    # -- new in r10, never driver-verified: auto-salt advisor wired
+    # into the AGGREGATION path (plain vs two-stage salted agg) ------
+    "salt_advisor_agg_census",
     # (cosupply_kcore_stats rotated out in r08 for cosupply_core_levels
     # above: driver-verified r07; the k-core family keeps the full
     # decomposition census in-gate)
