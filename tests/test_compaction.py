@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from umn_eda_kafka_stream_processing_spark.operators.compaction import (
     compact_changelog,
     compact_store,
+    expire_snapshot,
+    snapshot_diff,
     upsert_snapshot,
 )
 
@@ -177,6 +179,90 @@ def test_compact_store_unpartitioned(spark, tmp_path):
     assert stats["buckets_compacted"] == 1 and stats["files_after"] == 1
     assert _sorted_rows(spark, path) == before
     assert compact_store(spark, path)["buckets_compacted"] == 0
+
+
+def test_expire_snapshot_ttl_sweep(spark, tmp_path):
+    """Retention sweep: expired rows vanish, untouched partitions'
+    files keep their mtimes, an emptied partition's directory is
+    deleted, and a replayed sweep is a no-op."""
+    path = str(tmp_path / "store")
+    _rows(spark, [
+        ("a", "s1", "old", 10), ("b", "s1", "new", 90),
+        ("c", "s2", "new", 80), ("d", "s2", "new", 95),
+        ("e", "s3", "old", 5), ("f", "s3", "old", 7),  # fully expires
+        ("g", "s4", "new", 99),                        # untouched
+    ]).write.mode("append").partitionBy("shard").parquet(path)
+    s4 = {
+        f: os.path.getmtime(os.path.join(path, "shard=s4", f))
+        for f in os.listdir(os.path.join(path, "shard=s4"))
+    }
+    stats = expire_snapshot(
+        spark, path, "event_seq", 50, partition_cols="shard"
+    )
+    assert stats == {
+        "partitions_total": 4, "partitions_touched": 2,
+        "rows_expired": 3, "rows_kept": 1, "partitions_deleted": 1,
+    }
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {"b", "c", "d", "g"}
+    assert not os.path.isdir(os.path.join(path, "shard=s3"))
+    assert s4 == {
+        f: os.path.getmtime(os.path.join(path, "shard=s4", f))
+        for f in os.listdir(os.path.join(path, "shard=s4"))
+    }
+    replay = expire_snapshot(
+        spark, path, "event_seq", 50, partition_cols="shard"
+    )
+    assert replay["partitions_touched"] == 0 and replay["rows_expired"] == 0
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == got
+
+
+def test_expire_snapshot_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _rows(spark, [("a", "s1", "x", 1), ("b", "s1", "y", 9)]).write.parquet(path)
+    stats = expire_snapshot(spark, path, "event_seq", 5)
+    assert stats["rows_expired"] == 1 and stats["rows_kept"] == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {"b"}
+
+
+def test_snapshot_diff_cdc_statuses(spark):
+    """insert/delete/update/unchanged classification, null-safe value
+    compare (NULL->value and value->NULL are updates), old values
+    surfaced for deletes, compare_cols subsetting."""
+    old = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v1", 2), ("c", None, 3), ("d", "v1", 4)],
+        "id string, v string, extra long",
+    )
+    new = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v2", 2), ("c", "v9", 3), ("e", "v1", 5)],
+        "id string, v string, extra long",
+    )
+    got = {
+        r["id"]: (r["change"], r["v"], r["extra"])
+        for r in snapshot_diff(old, new, "id").collect()
+    }
+    assert got == {
+        "a": ("unchanged", "v1", 1),
+        "b": ("updated", "v2", 2),
+        "c": ("updated", "v9", 3),   # NULL -> value is an update
+        "d": ("deleted", "v1", 4),   # old values surfaced
+        "e": ("inserted", "v1", 5),
+    }
+    # compare only `extra`: b and c become unchanged
+    got2 = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(old, new, "id", compare_cols=["extra"]).collect()
+    }
+    assert got2 == {
+        "a": "unchanged", "b": "unchanged", "c": "unchanged",
+        "d": "deleted", "e": "inserted",
+    }
+    try:
+        snapshot_diff(old, new, "id", compare_cols=["nope"])
+    except ValueError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("bad compare_cols must raise")
 
 
 def test_streaming_changelog_maintains_snapshot(spark, tmp_path):

@@ -132,6 +132,40 @@ def test_grouped_exact_quantiles_matches_bruteforce(spark):
             )
 
 
+def test_grouped_weighted_quantiles_matches_bruteforce(spark):
+    """Per-group WEIGHTED quantiles: each group's answer equals the
+    expand-by-weight brute force; zero/negative/NULL weights drop."""
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_weighted_quantiles,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for g, n in (("a", 150), ("b", 40)):
+        for _ in range(n):
+            rows.append(
+                (g, rng.choice([1.5, 2.0, 2.0, 3.5, 7.0]), rng.randint(1, 9))
+            )
+    rows += [("a", 0.25, 0), ("b", 0.25, -2), ("b", 0.25, None)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    probs = [(1, 4), (1, 2), (19, 20)]
+    got = {
+        (r["g"], r["pct_ppm"]): r["value"]
+        for r in grouped_weighted_quantiles(
+            df, "g", "v", "w", probs, n_buckets=8
+        ).collect()
+    }
+    for g in ("a", "b"):
+        expanded = sorted(
+            v for gg, v, w in rows if gg == g and w and w > 0 for _ in range(w)
+        )
+        tot = len(expanded)
+        for num, den in probs:
+            rank = -(-num * tot // den)
+            assert got[(g, 1_000_000 * num // den)] == expanded[rank - 1]
+    assert 0.25 not in [v for v in got.values()]
+
+
 def test_binary_auc_matches_pair_counting(spark):
     rng = random.Random(3)
     rows = [

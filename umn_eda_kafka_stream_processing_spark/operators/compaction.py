@@ -366,6 +366,177 @@ def compact_store(
     return stats
 
 
+def expire_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    ts_col: str,
+    cutoff,
+    partition_cols: str | Sequence[str] = (),
+) -> dict:
+    """TTL / retention sweep for a parquet snapshot store: delete rows
+    whose ``ts_col`` is strictly below ``cutoff`` — the batch-store
+    analogue of the streaming KTable TTL (streaming/stateful.py; the
+    reference expires idle keys from its RocksDB stores the same way)
+    and the GDPR-retention maintenance shape.
+
+    Partition-pruned like `compact_store`: one column-pruned census
+    (min ts per partition directory, via the distributed
+    ``_metadata.file_path``-free group — min/ts only) selects ONLY
+    partitions that actually hold expired rows; those are re-read
+    (partition-pruned ``isin``), filtered, and dynamically
+    overwritten. A partition the sweep empties entirely is deleted
+    explicitly (dynamic overwrite only replaces partitions the job
+    writes — the `upsert_bucket_partitioned` rule). Untouched
+    partitions' files are never opened for rewrite, never rewritten.
+    Idempotent: a second sweep with the same cutoff selects nothing.
+
+    Returns stats: ``partitions_total``, ``partitions_touched``,
+    ``rows_expired``, ``rows_kept`` (of touched partitions),
+    ``partitions_deleted``.
+    """
+    parts = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    store = spark.read.parquet(table_path)
+    # accept a Column so TIMESTAMP_NTZ cutoffs can be passed as typed
+    # literals (F.lit(datetime) builds a TZ timestamp — the CLAUDE.md
+    # NTZ rule)
+    cut = cutoff if isinstance(cutoff, Column) else F.lit(cutoff)
+    gcols = parts or ["_all"]
+    group = (
+        [F.col(c) for c in parts] if parts else [F.lit(0).alias("_all")]
+    )
+    census = (
+        store.select(*group, F.col(ts_col).alias("_ts"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum((F.col("_ts") < cut).cast("long")).alias("_exp"),
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+        )
+        .collect()
+    )
+    chosen = [r for r in census if int(r["_exp"] or 0) > 0]
+    stats = {
+        "partitions_total": len(census),
+        "partitions_touched": len(chosen),
+        "rows_expired": int(sum(r["_exp"] for r in chosen)),
+        "rows_kept": int(sum(r["_rows"] - r["_exp"] for r in chosen)),
+        "partitions_deleted": 0,
+    }
+    if not chosen:
+        return stats
+    if parts:
+        sel = F.struct(*[F.col(c) for c in parts]).isin(
+            *[tuple(r[c] for c in parts) for r in chosen]
+        ) if len(parts) > 1 else F.col(parts[0]).isin(
+            *[r[parts[0]] for r in chosen]
+        )
+        touched = store.filter(sel)
+    else:
+        touched = store
+    kept = touched.filter(~(F.col(ts_col) < cut)).localCheckpoint()
+    emptied = [
+        r for r in chosen if int(r["_rows"]) == int(r["_exp"])
+    ]
+    writer = kept.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+        writer.parquet(table_path)
+        if emptied and len(parts) == 1:
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            for r in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{table_path}/{parts[0]}={r[parts[0]]}"
+                )
+                p.getFileSystem(conf).delete(p, True)
+            stats["partitions_deleted"] = len(emptied)
+        elif emptied:
+            # multi-col partition dirs nest; build the nested path
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            for r in emptied:
+                sub = "/".join(f"{c}={r[c]}" for c in parts)
+                p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{sub}")
+                p.getFileSystem(conf).delete(p, True)
+            stats["partitions_deleted"] = len(emptied)
+    else:
+        writer.parquet(table_path)
+    spark.catalog.refreshByPath(table_path)
+    return stats
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two one-row-per-key snapshots:
+    returns the NEW frame's columns (old values for deletes) plus
+    ``change`` in {'inserted', 'deleted', 'updated', 'unchanged'} —
+    the diff an incremental pipeline publishes when a store is
+    rebuilt (snapshot-to-changelog, the inverse of
+    `compact_changelog`).
+
+    ``compare_cols`` limits which columns define 'updated' (default:
+    every shared non-key column). Comparison is null-safe (``<=>``),
+    so NULL → value and value → NULL both count as updates.
+
+    Plan shape: one full-outer join hashed on the key with a
+    SHUFFLE_HASH hint — full outer never broadcasts, and without the
+    hint Spark plans a sort-merge that sorts BOTH snapshots
+    (the round-4 rule); with co-bucketed stores the exchange
+    disappears entirely. No windows, no driver collect.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    shared = [
+        c for c in new.columns if c in set(old.columns) and c not in keys
+    ]
+    cmp_cols = list(compare_cols) if compare_cols is not None else shared
+    missing = [c for c in cmp_cols if c not in shared]
+    if missing:
+        raise ValueError(
+            f"compare_cols not in both snapshots: {missing}"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in shared],
+        # explicit presence tag: a NULL join-side key column can't
+        # distinguish "row absent" from "key is NULL" on its own
+        F.lit(1).alias("_o_present"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in shared],
+        F.lit(1).alias("_n_present"),
+    )
+    cond = None
+    for k in keys:
+        c = n[k] == o[f"_ok_{k}"]
+        cond = c if cond is None else (cond & c)
+    j = n.join(o.hint("shuffle_hash"), cond, "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    status = (
+        F.when(F.col("_o_present").isNull()
+               & F.col("_n_present").isNotNull(), F.lit("inserted"))
+        .when(F.col("_n_present").isNull(), F.lit("deleted"))
+        .when(changed, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("_n_present").isNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in shared
+    ]
+    return j.select(*out_cols, status.alias("change"))
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -235,6 +235,55 @@ def grouped_exact_quantiles(
         .groupBy(*groups, value_col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return _grouped_quantiles_from_dv(
+        df.sparkSession, dv, groups, value_col, probs, n_buckets
+    )
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[tuple[int, int]],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Type-1 WEIGHTED exact quantiles PER GROUP — "below what length
+    sits 95% of each domain's token MASS": completes the quantile
+    matrix (global/weighted/grouped). `grouped_exact_quantiles` with
+    each row counting by its positive integer weight instead of once;
+    same fully distributed per-group histogram, no driver collect.
+    Rows with NULL value/weight or non-positive weight are ignored
+    (the weighted_quantiles row-filter rule)."""
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    dv = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(*groups, value_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("cnt"))
+    )
+    return _grouped_quantiles_from_dv(
+        df.sparkSession, dv, groups, value_col, probs, n_buckets
+    )
+
+
+def _grouped_quantiles_from_dv(
+    spark,
+    dv: DataFrame,
+    groups: list[str],
+    value_col: str,
+    probs: Sequence[tuple[int, int]],
+    n_buckets: int,
+) -> DataFrame:
+    """Shared tail of the grouped quantile operators: per-group
+    histogram prefix ranks over a (groups..., value, cnt) frame of
+    distinct values, then the rational-rank cut. See
+    `grouped_exact_quantiles` for the plan-shape contract."""
     mm = dv.groupBy(*groups).agg(
         F.min(value_col).alias("_lo"),
         F.max(value_col).alias("_hi"),
@@ -283,7 +332,6 @@ def grouped_exact_quantiles(
         .withColumn("below", (F.col("_off") + F.col("_in")).cast("long"))
         .drop("_bk", "_off", "_in")
     )
-    spark = df.sparkSession
     pdf = spark.createDataFrame(
         [(1_000_000 * n // d, n, d) for n, d in probs],
         "pct_ppm long, p_num long, p_den long",

@@ -1423,6 +1423,54 @@ def doc_length_quantiles_by_lang(
 
 
 @_register(
+    "price_mass_quantiles_by_flag",
+    "PER-GROUP WEIGHTED exact quantiles (operators/ranking.py:"
+    "grouped_weighted_quantiles — completes the quantile matrix: "
+    "global/weighted/grouped): below what line price sits each "
+    "return flag's p25/p50/p95 of shipped QUANTITY mass. Same fully "
+    "distributed per-group histogram as doc_length_quantiles_by_lang "
+    "(no driver collect, windows bounded by bucket), with each "
+    "distinct value counting its BIGINT quantity sum. Oracle: plain "
+    "per-group cumulative-weight window — different algorithm, same "
+    "integers.",
+    """
+    WITH dv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT g, v, c,
+                 coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nt
+          FROM dv),
+    p AS (SELECT * FROM (VALUES (250000, 1, 4), (500000, 1, 2),
+                                (950000, 19, 20)) t(pct_ppm, pn, pd))
+    SELECT g AS l_returnflag, CAST(pct_ppm AS BIGINT) AS pct_ppm,
+           min(v) AS value
+    FROM r CROSS JOIN p
+    WHERE nb + c >= (pn * nt + pd - 1) // pd
+    GROUP BY 1, 2
+    """,
+)
+def price_mass_quantiles_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return grouped_weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "qty",
+        [(1, 4), (1, 2), (19, 20)],
+    )
+
+
+@_register(
     "quantity_weighted_price_quantiles",
     "WEIGHTED exact type-1 quantiles (operators/ranking.py:"
     "weighted_quantiles): the smallest line price whose cumulative "
@@ -2418,6 +2466,151 @@ def store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "replay_compacted"
         ),
         "n_rows",
+        "checksum",
+    )
+
+
+@_register(
+    "order_snapshot_diff_census",
+    "Change-data capture between two snapshots (operators/"
+    "compaction.py:snapshot_diff — the inverse of compact_changelog: "
+    "what changelog would rebuild NEW from OLD): old = orders keyed "
+    "on o_orderkey; new = orders minus keys %7==0 (deletes), with "
+    "price+1 on keys %5==0 (updates, null-safe compare), plus "
+    "re-keyed negatives of keys %11==0 (inserts). One full-outer "
+    "join hashed on the key with a SHUFFLE_HASH hint (full outer "
+    "never broadcasts; unhinted it sort-merges BOTH snapshots — the "
+    "r04 rule). Census: per-change row count + a sign-preserving "
+    "key checksum (% both engines, dividend-sign semantics) — a "
+    "misclassified or dropped key hash-mismatches. Built from two "
+    "INDEPENDENT scans (the derived-side self-join rule).",
+    """
+    WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    new AS (
+      SELECT k, CASE WHEN k % 5 = 0 THEN p + 1 ELSE p END AS p
+      FROM old WHERE k % 7 <> 0
+      UNION ALL
+      SELECT -k, p FROM old WHERE k % 11 = 0
+    ),
+    d AS (
+      SELECT coalesce(n.k, o.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'inserted'
+                  WHEN n.k IS NULL THEN 'deleted'
+                  WHEN n.p IS DISTINCT FROM o.p THEN 'updated'
+                  ELSE 'unchanged' END AS change
+      FROM new n FULL OUTER JOIN old o ON n.k = o.k
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k % 97) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change
+    """,
+)
+def order_snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        snapshot_diff,
+    )
+
+    def snap(which):
+        # independent scan per side (CLAUDE.md derived-side rule)
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+        )
+        if which == "old":
+            return o
+        kept = o.where(F.col("k") % 7 != 0).withColumn(
+            "p",
+            F.when(F.col("k") % 5 == 0, F.col("p") + 1).otherwise(
+                F.col("p")
+            ),
+        )
+        ins = o.where(F.col("k") % 11 == 0).select(
+            (-F.col("k")).alias("k"), "p"
+        )
+        return kept.unionByName(ins)
+
+    d = snapshot_diff(snap("old"), snap("new"), "k")
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("k") % F.lit(97)).cast("long").alias("key_checksum"),
+    )
+
+
+_TTL_CUTOFF = "2024-01-10 00:00:00"
+
+
+@_register(
+    "store_ttl_census",
+    "Retention/TTL sweep for a bucket-partitioned store (operators/"
+    "compaction.py:expire_snapshot — the batch analogue of the "
+    "streaming KTable TTL, and compact_store's sibling in the store-"
+    "maintenance family): events land in an 8-bucket temp store, "
+    f"rows with ts < {_TTL_CUTOFF} expire. Partition-pruned: the "
+    "min-ts census selects only buckets holding expired rows; "
+    "emptied buckets' directories are deleted; a replayed sweep is "
+    "pinned a no-op. Census: the operator's partition/row counters "
+    "(all re-derivable from events in SQL), post-sweep row count + "
+    "event-id checksum, and the replay's zero. Timestamps compare "
+    "against a TIMESTAMP_NTZ literal (the CLAUDE.md NTZ rule).",
+    f"""
+    WITH b AS (
+      SELECT event_id % 8 AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_TTL_CUTOFF}' THEN 1 ELSE 0 END
+                 AS exp,
+             event_id
+      FROM events
+    ),
+    c AS (SELECT bucket, CAST(sum(exp) AS BIGINT) AS ex,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS partitions_total,
+           CAST(sum(CASE WHEN ex > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS partitions_touched,
+           CAST(sum(ex) AS BIGINT) AS rows_expired,
+           CAST(sum(CASE WHEN ex = n THEN 1 ELSE 0 END) AS BIGINT)
+               AS partitions_deleted,
+           CAST(0 AS BIGINT) AS replay_touched,
+           (SELECT CAST(count(*) AS BIGINT) FROM b WHERE exp = 0)
+               AS n_rows_after,
+           (SELECT CAST(sum(event_id % 97) AS BIGINT) FROM b
+            WHERE exp = 0) AS checksum
+    FROM c
+    """,
+)
+def store_ttl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        expire_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts"
+    ).withColumn("bucket", (F.col("event_id") % F.lit(8)).cast("long"))
+    path = tempfile.mkdtemp(prefix="sparkgraft_store_ttl_") + "/store"
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    cut = F.expr(f"TIMESTAMP_NTZ '{_TTL_CUTOFF}'")
+    stats = expire_snapshot(spark, path, "ts", cut, partition_cols="bucket")
+    replay = expire_snapshot(spark, path, "ts", cut, partition_cols="bucket")
+    store = spark.read.parquet(path)
+    return store.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.sum(F.col("event_id") % F.lit(97)).cast("long").alias("checksum"),
+    ).select(
+        F.lit(stats["partitions_total"]).cast("long").alias(
+            "partitions_total"
+        ),
+        F.lit(stats["partitions_touched"]).cast("long").alias(
+            "partitions_touched"
+        ),
+        F.lit(stats["rows_expired"]).cast("long").alias("rows_expired"),
+        F.lit(stats["partitions_deleted"]).cast("long").alias(
+            "partitions_deleted"
+        ),
+        F.lit(replay["partitions_touched"]).cast("long").alias(
+            "replay_touched"
+        ),
+        "n_rows_after",
         "checksum",
     )
 

@@ -191,7 +191,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (audio_zcr_stats rotated out in r07 for bm25_search_topk below:
     # driver-verified r04+r05+r06; the media family keeps
     # mp4_frame_sample + media_decode_health in-gate)
-    "media_decode_health",
+    # (media_decode_health rotated out in r10 for
+    # order_snapshot_diff_census below: driver-verified r04+r05+r06+
+    # r07+r08+r09 — six rounds; the media family stays covered by the
+    # full-catalog artifact and its codec pytest suites)
+    # -- new in r10, never driver-verified: snapshot CDC diff
+    # (full-outer shuffle_hash, null-safe compare) -------------------
+    "order_snapshot_diff_census",
     # (lsh_bucket_stats rotated out in r08 for prefix_jaccard_pairs
     # below: driver-verified r04+r05+r06+r07; the LSH family keeps
     # user_activity_similarity_lsh in-gate and the census stays in
@@ -269,17 +275,25 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # driver-verified r04; q20_volume_shippers rotated out in r06 for
     # url_canonical_stats: driver-verified r04+r05; the TPC-H family
     # keeps 13 members in-gate)
-    # -- new in r05, never driver-verified: char-bigram LM
-    # perplexity-style quality scoring + exact-substring duplication
-    # report ----------------------------------------------------------
-    "char_bigram_quality",
+    # (char_bigram_quality rotated out in r10 for store_ttl_census
+    # below: driver-verified r05+r06+r07+r08+r09; the LM/quality
+    # family keeps gopher_quality_flags + charlm_langid_auc in-gate)
+    # -- new in r10, never driver-verified: retention/TTL sweep for
+    # bucket-partitioned stores (partition-pruned, replay no-op) -----
+    "store_ttl_census",
     # (repeated_span_topk rotated out in r09 for scd2_asof_week_census
     # below: driver-verified r05+r06+r07+r08; the span family keeps
     # span_dup_doc_fraction + span_dedup_rewrite_stats +
     # span_dedup_minrun_stats in-gate)
     # -- new in r09, never driver-verified: the SCD2 as-of-T probe --
     "scd2_asof_week_census",
-    "span_dup_doc_fraction",
+    # (span_dup_doc_fraction rotated out in r10 for
+    # price_mass_quantiles_by_flag below: driver-verified r05+r06+r07+
+    # r08+r09; the span family keeps span_dedup_rewrite_stats +
+    # span_dedup_minrun_stats in-gate)
+    # -- new in r10, never driver-verified: per-group WEIGHTED exact
+    # quantiles (completes the global/weighted/grouped matrix) -------
+    "price_mass_quantiles_by_flag",
     # -- new in r06, never driver-verified: exact-substring dedup
     # REWRITE (cleaned-text action), Gopher quality-rule funnel, URL
     # canonicalization census, unigram-LM tokenizer training ---------
