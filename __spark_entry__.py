@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 163 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 170 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -18,7 +18,7 @@ ranking analytics, layout keys incl. n-D Hilbert, the auto-salt join
 advisor, the sorted-export writer, and the incremental SCD2 / funnel
 / retention / transition / BM25 family), where every operator family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
-synthetic tables with a DuckDB oracle twin — 163 of 163, including
+synthetic tables with a DuckDB oracle twin — 170 of 170, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
 oracles unroll their iterations in generated SQL).
 """
