@@ -236,6 +236,98 @@ def test_maybe_salted_agg_decision_and_equivalence(spark, caplog):
     assert "SALTED" in caplog.records[-1].getMessage()
 
 
+def test_maybe_broadcast_join_decision_and_equivalence(spark, caplog):
+    """Join-strategy advisor: results equal the plain join either
+    way; a small build side broadcasts (BroadcastHashJoin in the
+    plan), a large one shuffles (ShuffledHashJoin); a precomputed
+    build_rows drives the decision without a count; right-preserving
+    hows raise."""
+    import logging
+
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        maybe_broadcast_join,
+    )
+
+    left = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(300)], "k string, v long"
+    )
+    right = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(20)], "k string, payload long"
+    )
+    plain = {
+        (r["k"], r["v"], r["payload"]) for r in left.join(right, "k").collect()
+    }
+    logger = "umn_eda_kafka_stream_processing_spark.skew"
+    for max_rows, expect_bcast, node in (
+        (1000, True, "BroadcastHashJoin"),
+        (5, False, "ShuffledHashJoin"),
+    ):
+        with caplog.at_level(logging.INFO, logger=logger):
+            caplog.clear()
+            j = maybe_broadcast_join(left, right, "k", max_rows=max_rows)
+            got = {(r["k"], r["v"], r["payload"]) for r in j.collect()}
+        assert got == plain
+        msg = caplog.records[-1].getMessage()
+        assert ("BROADCAST" in msg) is expect_bcast
+        assert node in j._jdf.queryExecution().executedPlan().toString()
+    # precomputed build_rows overrides reality (train-once path)
+    with caplog.at_level(logging.INFO, logger=logger):
+        caplog.clear()
+        j = maybe_broadcast_join(
+            left, right, "k", max_rows=5, build_rows=3
+        )
+        assert {(r["k"], r["v"], r["payload"]) for r in j.collect()} == plain
+    assert "BROADCAST" in caplog.records[-1].getMessage()
+    try:
+        maybe_broadcast_join(left, right, "k", how="full_outer")
+    except ValueError as e:
+        assert "left-preserving" in str(e)
+    else:
+        raise AssertionError("full_outer must raise")
+
+
+def test_cms_join_size_matches_python_replica(spark):
+    """CMS join-size estimate: equals the Python replica of the
+    identical md5 register dot-product min, and never underestimates
+    the exact join cardinality."""
+    import hashlib
+
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        _CMS_D,
+        _CMS_W,
+        cms_join_size,
+        cms_registers,
+    )
+
+    a_keys = [i % 13 for i in range(400)]
+    b_keys = [i % 7 for i in range(150)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    est = cms_join_size(
+        cms_registers(a, "k"), cms_registers(b, "k")
+    ).collect()[0]["est_join_rows"]
+
+    def bucket(row, key):
+        h = hashlib.md5(f"cms|{row}|{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % _CMS_W
+
+    dots = []
+    for r in range(_CMS_D):
+        ra: dict = {}
+        rb: dict = {}
+        for k in a_keys:
+            ra[bucket(r, k)] = ra.get(bucket(r, k), 0) + 1
+        for k in b_keys:
+            rb[bucket(r, k)] = rb.get(bucket(r, k), 0) + 1
+        dots.append(sum(c * rb.get(bk, 0) for bk, c in ra.items()))
+    assert int(est) == min(dots)
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(n * cb.get(k, 0) for k, n in ca.items())
+    assert int(est) >= exact
+
+
 def test_salted_join_rejects_right_preserving_how(spark):
     from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
 

@@ -260,6 +260,41 @@ def cms_estimate(
     )
 
 
+def cms_join_size(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Join-CARDINALITY estimate from two Count-Min register tables
+    over the join key: |A ⋈ B| = Σ_k fA(k)·fB(k), estimated as
+    min over hash rows of the per-row register dot product
+    Σ_b regA[r][b]·regB[r][b] — the classic CMS inner-product
+    estimator (Cormode & Muthukrishnan 2005, public). Always an
+    OVERESTIMATE of the true join size (collisions only add mass),
+    with expected per-row excess ≤ |A|·|B|/w.
+
+    The planning primitive behind "will this join explode": both
+    registers are ≤ d·w = 1024 rows however large the inputs, built
+    in one pass each and mergeable across partitions/batches — so a
+    pipeline can keep a register per store and price a prospective
+    join in O(1) before committing a shuffle (the salt/broadcast
+    advisors' missing cost input).
+
+    Products go through DECIMAL(38,0) BEFORE summing (the gram-micro
+    cast-before-product rule: two ~1e12-row registers square past
+    BIGINT); one tiny (≤1024-row) join + two aggregates. Returns one
+    row: (est_join_rows DECIMAL(38,0)).
+    """
+    a = regs_a.select(
+        "row", "bucket", F.col("cnt").cast("decimal(38,0)").alias("_ca")
+    )
+    b = regs_b.select(
+        "row", "bucket", F.col("cnt").cast("decimal(38,0)").alias("_cb")
+    )
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    return per_row.agg(F.min("_dot").alias("est_join_rows"))
+
+
 def duck_cms(table_expr: str, key_col: str, salt: str = "cms") -> str:
     """DuckDB twin: registers + per-key min-probe in one query.
 

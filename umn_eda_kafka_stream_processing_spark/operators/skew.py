@@ -272,6 +272,67 @@ def maybe_salted_agg(
     return df.groupBy(*keys).agg(*plain_aggs)
 
 
+BROADCAST_MAX_ROWS = 1_000_000  # ~tens of MB for narrow dims
+
+
+def maybe_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    max_rows: int = BROADCAST_MAX_ROWS,
+    build_rows: int | None = None,
+    shuffle_hint: str = "shuffle_hash",
+) -> DataFrame:
+    """Join-STRATEGY advisor, the third of the advisor family
+    (`maybe_salted_join` / `maybe_salted_agg` decide salting; this
+    decides the physical join build): broadcast the right side when
+    it is provably small, pin a shuffle strategy when it is not —
+    instead of trusting autoBroadcastJoinThreshold's byte estimate,
+    which silently flips to a sort-merge when stats are missing
+    (fresh parquet, post-transform frames) and OOMs the driver when
+    they undercount.
+
+    The decision is ONE bounded planning scalar — a count() of the
+    build side (a map-side-combined agg; pass a precomputed
+    ``build_rows`` to skip it, the train-once pattern — e.g. the
+    `n_rows` a store's census or CMS register table already holds).
+    ``max_rows`` is a ROW bound, deliberately cruder than bytes but
+    deterministic and engine-portable; size it to executor memory /
+    worst-case row width.
+
+    Large side: the join is hinted ``shuffle_hint`` (default
+    shuffle_hash — array/map payload rows sort badly under SMJ, the
+    r04 rule; pass None to leave strategy to the optimizer).
+
+    ``how`` must be left-preserving (inner/left/left_semi/left_anti):
+    broadcasting the RIGHT side of a right/full outer is not a valid
+    plan (every executor would emit its own copy of unmatched build
+    rows). Decisions are logged on the module's audit logger."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"maybe_broadcast_join requires a left-preserving join, got "
+            f"how={how!r}: a broadcast build side cannot preserve "
+            "unmatched right rows"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    n = int(build_rows) if build_rows is not None else right.count()
+    if n <= max_rows:
+        _LOG.info(
+            "maybe_broadcast_join(%s): BROADCAST (build side %d rows "
+            "<= %d)", keys, n, max_rows,
+        )
+        return left.join(F.broadcast(right), keys, how)
+    _LOG.info(
+        "maybe_broadcast_join(%s): SHUFFLE%s (build side %d rows > %d)",
+        keys, f" ({shuffle_hint})" if shuffle_hint else "", n, max_rows,
+    )
+    rt = right.hint(shuffle_hint) if shuffle_hint else right
+    return left.join(rt, keys, how)
+
+
 def advise_salting(
     left: DataFrame,
     keys: Sequence[str],

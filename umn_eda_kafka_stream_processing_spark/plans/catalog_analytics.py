@@ -2198,6 +2198,110 @@ def salt_advisor_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skewed.unionByName(healthy)
 
 
+_BCAST_ADVISOR_ORACLE = """
+    WITH b1 AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM customer),
+    j1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_out,
+             CAST(sum((o.o_orderkey % 97) * c.c_nationkey) AS BIGINT)
+                 AS checksum
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+    b2 AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM g),
+    j2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_out,
+             CAST(sum((o.o_orderkey % 97) * g.n) AS BIGINT) AS checksum
+      FROM orders o JOIN g ON g.l_orderkey = o.o_orderkey
+    )
+    SELECT 'customer_dim' AS key,
+           CAST(CASE WHEN b1.n_build <= 1000000 THEN 1 ELSE 0 END
+                AS BIGINT) AS broadcasted,
+           b1.n_build, j1.n_out, j1.checksum
+    FROM b1, j1
+    UNION ALL
+    SELECT 'lineitem_agg',
+           CAST(CASE WHEN b2.n_build <= 1000 THEN 1 ELSE 0 END AS BIGINT),
+           b2.n_build, j2.n_out, j2.checksum
+    FROM b2, j2
+"""
+
+
+@_register(
+    "broadcast_advisor_join_census",
+    "Join-strategy advisor (operators/skew.py:maybe_broadcast_join — "
+    "the third of the advisor family: salting advisors decide the "
+    "key shape, this decides the physical build): one bounded "
+    "count() of the build side picks broadcast (provably small dim) "
+    "vs a pinned shuffle_hash (stats-free frames silently fall to "
+    "SMJ under autoBroadcastJoinThreshold's byte guess). Branch 1 "
+    "joins orders to the customer dim (small at every test SF -> "
+    "BROADCAST); branch 2 joins orders to a per-order lineitem agg "
+    "with a deliberately tiny 1000-row bound (-> SHUFFLE at every "
+    "test SF). Census: decision bit, build rows, joined rows, key "
+    "checksum; the oracle re-derives the decision from the same "
+    "count and the checksums from plain SQL joins — results must be "
+    "strategy-independent.",
+    _BCAST_ADVISOR_ORACLE,
+)
+def broadcast_advisor_join_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        maybe_broadcast_join,
+    )
+
+    def branch(label, left, right, key, checksum, max_rows):
+        n_build = right.count()
+        j = maybe_broadcast_join(
+            left, right, key, max_rows=max_rows, build_rows=n_build
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(checksum).cast("long").alias("checksum"),
+        ).select(
+            F.lit(label).alias("key"),
+            F.lit(1 if n_build <= max_rows else 0)
+            .cast("long")
+            .alias("broadcasted"),
+            F.lit(n_build).cast("long").alias("n_build"),
+            "n_out",
+            "checksum",
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    dim = branch(
+        "customer_dim",
+        orders,
+        cust,
+        "o_custkey",
+        (F.col("o_orderkey") % F.lit(97)) * F.col("c_nationkey"),
+        1_000_000,
+    )
+    orders2 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    big = branch(
+        "lineitem_agg",
+        orders2,
+        g,
+        "o_orderkey",
+        (F.col("o_orderkey") % F.lit(97)) * F.col("n"),
+        1000,
+    )
+    return dim.unionByName(big)
+
+
 _AGG_ADVISOR_ORACLE = """
     WITH eg AS (
       SELECT event_type,

@@ -184,3 +184,80 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, a in [(0.5, "est_p50"), (0.95, "est_p95"), (0.99, "est_p99")]
         ],
     )
+
+
+def _duck_cms_regs(table_expr: str, key_expr: str, name: str) -> str:
+    """Register-table CTE text for cms_join_size's oracle: the same
+    d x w md5 bucketing as operators/sketches.py:cms_registers."""
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"cast(concat('0x', substr(md5(concat('cms|{r}|', "
+        f"cast({key_expr} as varchar))), 1, 8)) as bigint) % {sk._CMS_W}"
+        f" AS bucket FROM {table_expr}"
+        for r in range(sk._CMS_D)
+    )
+    return (
+        f"{name} AS (SELECT row, bucket, cast(count(*) AS bigint) AS cnt "
+        f"FROM ({unions}) GROUP BY row, bucket)"
+    )
+
+
+@_register(
+    "cms_join_size_census",
+    "Join-cardinality estimate from two Count-Min register tables "
+    "(operators/sketches.py:cms_join_size — the CMS inner-product "
+    "estimator, Cormode & Muthukrishnan 2005): est |orders ⋈ "
+    "customer on custkey| = min over hash rows of the register dot "
+    "product, next to the exact join count so the (always >= exact) "
+    "overestimate is visible in the output. The planning primitive "
+    "behind 'will this join explode': registers are <=1024 rows "
+    "however large the inputs, one pass each, mergeable across "
+    "batches — a pipeline can price a prospective join in O(1) "
+    "before committing the shuffle (the advisor family's cost "
+    "input). Products cast DECIMAL(38,0) before summing (the "
+    "cast-before-product rule); oracle rebuilds both register "
+    "tables from the same md5 text and pins the identical min-dot.",
+    f"""
+    WITH {_duck_cms_regs('orders', 'o_custkey', 'ra')},
+    {_duck_cms_regs('customer', 'c_custkey', 'rb')},
+    dots AS (
+      SELECT ra.row, sum(ra.cnt * rb.cnt) AS dot
+      FROM ra JOIN rb ON ra.row = rb.row AND ra.bucket = rb.bucket
+      GROUP BY ra.row
+    ),
+    exact AS (
+      SELECT cast(count(*) AS bigint) AS exact_rows
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT cast((SELECT min(dot) FROM dots) AS bigint) AS est_join_rows,
+           exact_rows,
+           cast(CASE WHEN (SELECT min(dot) FROM dots) >= exact_rows
+                THEN 1 ELSE 0 END AS bigint) AS overestimate_ok
+    FROM exact
+    """,
+)
+def cms_join_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    est = sk.cms_join_size(
+        sk.cms_registers(orders, "k"), sk.cms_registers(cust, "k")
+    ).select(F.col("est_join_rows").cast("long").alias("est_join_rows"))
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_rows",
+        (F.col("est_join_rows") >= F.col("exact_rows"))
+        .cast("long")
+        .alias("overestimate_ok"),
+    )

@@ -125,7 +125,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # order_price_exact_quantiles below: driver-verified r04+r05+r06;
     # the analytic-window family keeps nation_customer_quartiles
     # in-gate)
-    "nation_customer_quartiles",
+    # (nation_customer_quartiles rotated out in r10 for
+    # broadcast_advisor_join_census below: driver-verified r04+r05+
+    # r06+r07+r08+r09 — six rounds; the analytic-window family stays
+    # covered by the full-catalog artifact)
+    # -- new in r10, never driver-verified: join-strategy advisor
+    # (bounded build-side count -> broadcast vs pinned shuffle) ------
+    "broadcast_advisor_join_census",
     # (hourly_type_distribution rotated out in r07 for domain_census
     # below: driver-verified r04+r05+r06; the analytic-window family
     # keeps customer_cumulative_revenue + nation_customer_quartiles)
@@ -298,7 +304,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # REWRITE (cleaned-text action), Gopher quality-rule funnel, URL
     # canonicalization census, unigram-LM tokenizer training ---------
     "span_dedup_rewrite_stats",
-    "gopher_quality_flags",
+    # (gopher_quality_flags rotated out in r10 for cms_join_size_census
+    # below: driver-verified r06+r07+r08+r09; the quality family keeps
+    # nb_quality_flags + charlm_langid_auc in-gate)
+    # -- new in r10, never driver-verified: CMS inner-product join-
+    # cardinality estimate (the advisor family's O(1) cost input) ----
+    "cms_join_size_census",
     # (url_canonical_stats rotated out in r10 for
     # store_compaction_census below: driver-verified r06+r07+r08+r09;
     # the text/scrub family keeps gopher_quality_flags +
