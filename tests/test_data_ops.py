@@ -1018,6 +1018,38 @@ def test_cms_overestimates_never_under(spark):
     assert merged == full
 
 
+def test_incremental_cms_registers_replay_safe(spark, tmp_path):
+    """CMS register store maintained batch-by-batch equals the
+    from-scratch sketch over the concatenated batches, and REPLAYING
+    a batch changes nothing (the per-batch latest-wins key shape —
+    read-modify-add would double-count under at-least-once)."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    batches = [
+        [(f"k{i % 7}",) for i in range(200)],
+        [(f"k{i % 11}",) for i in range(150)],
+        [(f"k{i % 5}",) for i in range(100)],
+    ]
+    store = str(tmp_path / "cms_store")
+    for bid, rows in enumerate(batches):
+        sk.upsert_cms_registers(
+            spark, store, spark.createDataFrame(rows, "k string"), "k", bid
+        )
+    full = spark.createDataFrame(sum(batches, []), "k string")
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sk.cms_registers(full, "k").collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in sk.read_cms_registers(spark, store).collect()}
+    assert got == want
+    # replay batch 1: identical rows upsert to a no-op
+    sk.upsert_cms_registers(
+        spark, store, spark.createDataFrame(batches[1], "k string"), "k", 1
+    )
+    got2 = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sk.read_cms_registers(spark, store).collect()}
+    assert got2 == want
+
+
 def test_histogram_quantile_within_one_bin_of_exact(spark):
     """Histogram quantile estimates land within one bin width of the
     exact interpolated percentile; registers stay <= bins per group."""

@@ -295,6 +295,58 @@ def cms_join_size(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     return per_row.agg(F.min("_dot").alias("est_join_rows"))
 
 
+def upsert_cms_registers(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    key_col: str,
+    batch_id: int,
+    salt: str = "cms",
+) -> None:
+    """Incrementally maintain a CMS register STORE from a streaming
+    changelog (foreachBatch shape) — replay-safely.
+
+    Registers are additive, so the tempting merge is read-modify-add
+    — but that is EXACTLY the non-idempotent shape the round-9 BM25
+    df store was removed for: under foreachBatch's at-least-once
+    delivery a replayed batch adds its counts twice. Replay-safe
+    form: each batch's registers are written keyed by
+    (batch_id, row, bucket) through the latest-wins upsert — a
+    replayed batch recomputes IDENTICAL rows and the upsert is a
+    no-op; `read_cms_registers` sums across batch_ids at read (the
+    count-at-read rule). Store stays tiny: ≤1024 rows per batch,
+    hash-partitioned on `row` so point queries prune."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    regs = cms_registers(batch_df, key_col, salt).select(
+        F.lit(int(batch_id)).alias("batch_id"),
+        "row",
+        "bucket",
+        "cnt",
+    )
+    upsert_snapshot(
+        spark,
+        store_path,
+        regs.withColumn("event_seq", F.lit(0)),
+        key_cols=["batch_id", "row", "bucket"],
+        partition_cols=["row"],
+    )
+
+
+def read_cms_registers(spark, store_path: str) -> DataFrame:
+    """Current register table of an `upsert_cms_registers` store:
+    counts summed across batch_ids (one ≤1024·n_batches-row agg).
+    Output matches `cms_registers` over the concatenated batches —
+    feed it to `cms_estimate` / `cms_join_size`."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def duck_cms(table_expr: str, key_col: str, salt: str = "cms") -> str:
     """DuckDB twin: registers + per-key min-probe in one query.
 
