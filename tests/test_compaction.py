@@ -150,6 +150,29 @@ def test_compact_store_target_rows_splits_buckets(spark, tmp_path):
     assert 1 < len(_bucket_files(path, "s1")) <= 3
 
 
+def test_compact_store_multi_column_partitions(spark, tmp_path):
+    """Two-level partition dirs: the pruning predicate must be an OR
+    of per-tuple conjuncts — struct(...).isin(python tuples) raises
+    UNSUPPORTED_FEATURE.LITERAL_TYPE (regression: the first
+    implementation did exactly that)."""
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"k{i}", f"s{i % 2}", "v", i % 3) for i in range(60)],
+        "id string, shard string, v string, event_seq long",
+    )
+    for _ in range(2):
+        df.coalesce(1).write.mode("append").partitionBy(
+            "shard", "event_seq"
+        ).parquet(path)
+    before = _sorted_rows(spark, path)
+    stats = compact_store(spark, path, partition_cols=["shard", "event_seq"])
+    assert stats["buckets_compacted"] == 6 and stats["files_after"] == 6
+    assert _sorted_rows(spark, path) == before
+    assert compact_store(
+        spark, path, partition_cols=["shard", "event_seq"]
+    )["buckets_compacted"] == 0
+
+
 def test_compact_store_heals_duplicate_keys(spark, tmp_path):
     """With key_cols + order_col the rewrite re-applies latest-wins —
     a crashed double-write's duplicate key collapses to the winner."""

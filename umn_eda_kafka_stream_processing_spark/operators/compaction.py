@@ -212,6 +212,24 @@ def upsert_bucket_partitioned(
     spark.catalog.refreshByPath(table_path)
 
 
+def _partition_selector(parts: list, chosen) -> Column:
+    """Partition-pruning predicate for a bounded set of partition
+    tuples. Single column: a plain isin. Multi column: an OR of
+    per-tuple conjuncts — struct(...).isin(python tuples) raises
+    UNSUPPORTED_FEATURE.LITERAL_TYPE, and the chosen set is bounded
+    (one term per directory to rewrite) so the predicate stays small
+    and PartitionFilters-eligible."""
+    if len(parts) == 1:
+        return F.col(parts[0]).isin(*[r[parts[0]] for r in chosen])
+    sel = F.lit(False)
+    for r in chosen:
+        conj = F.lit(True)
+        for c in parts:
+            conj = conj & (F.col(c) == F.lit(r[c]))
+        sel = sel | conj
+    return sel
+
+
 def compact_store(
     spark: SparkSession,
     table_path: str,
@@ -297,15 +315,7 @@ def compact_store(
     }
     if not chosen:
         return stats
-    if parts:
-        sel = F.struct(*[F.col(c) for c in parts]).isin(
-            *[tuple(r[c] for c in parts) for r in chosen]
-        ) if len(parts) > 1 else F.col(parts[0]).isin(
-            *[r[parts[0]] for r in chosen]
-        )
-        touched = store.filter(sel)
-    else:
-        touched = store
+    touched = store.filter(_partition_selector(parts, chosen)) if parts else store
     if keys and order_col:
         # heal-duplicates mode: latest-wins recompaction (no-op on a
         # correctly-maintained store, exactness under crash replays)
@@ -356,12 +366,7 @@ def compact_store(
         .select(*group, F.col("_metadata.file_path").alias("_file"))
     )
     if parts:
-        sel_after = F.struct(*[F.col(c) for c in parts]).isin(
-            *[tuple(r[c] for c in parts) for r in chosen]
-        ) if len(parts) > 1 else F.col(parts[0]).isin(
-            *[r[parts[0]] for r in chosen]
-        )
-        after = after.filter(sel_after)
+        after = after.filter(_partition_selector(parts, chosen))
     stats["files_after"] = after.select("_file").distinct().count()
     return stats
 
@@ -423,15 +428,7 @@ def expire_snapshot(
     }
     if not chosen:
         return stats
-    if parts:
-        sel = F.struct(*[F.col(c) for c in parts]).isin(
-            *[tuple(r[c] for c in parts) for r in chosen]
-        ) if len(parts) > 1 else F.col(parts[0]).isin(
-            *[r[parts[0]] for r in chosen]
-        )
-        touched = store.filter(sel)
-    else:
-        touched = store
+    touched = store.filter(_partition_selector(parts, chosen)) if parts else store
     kept = touched.filter(~(F.col(ts_col) < cut)).localCheckpoint()
     emptied = [
         r for r in chosen if int(r["_rows"]) == int(r["_exp"])
