@@ -111,6 +111,22 @@ EXHIBITS = [
      "BroadcastNestedLoopJoin, 1-row build side); the dormancy NOT "
      "EXISTS is a left-anti hash join against the date-pruned "
      "recent-orders scan"),
+    ("doc_length_quantiles_by_lang",
+     "per-group exact quantiles with NO driver collect: every Window "
+     "is partitioned (by group for the <=1024-row bucket offsets, by "
+     "(group, bucket) for the in-bucket prefix), the probs frame "
+     "rides BroadcastExchange, and the group-key joins are hash "
+     "joins co-partitioned with the distinct-value agg"),
+    ("broadcast_advisor_join_census",
+     "the join-strategy advisor's two branches land in the plan it "
+     "advertises: the small customer dim is a BroadcastHashJoin, the "
+     "large lineitem aggregate a pinned ShuffledHashJoin — never an "
+     "SMJ from a missing-stats byte estimate"),
+    ("token_budget_mixture_stats",
+     "budget sampling's rank pre-prune plans as WindowGroupLimit "
+     "(per-task top-B before the domain shuffle); the running-sum "
+     "window then scans only the pruned prefix — one exchange on the "
+     "domain key for both windows"),
 ]
 
 KEEP = re.compile(
