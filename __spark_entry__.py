@@ -15,8 +15,12 @@ demux and a corrupt-media quarantine scan), temporal operators
 query shapes, analytic windows/CUBE, set ops, and a deterministic
 epoch shuffle, and an auditable bloom-filter pre-join, graph/linalg/
 ranking analytics, layout keys incl. n-D Hilbert, the auto-salt join
-advisor, the sorted-export writer, and the incremental SCD2 / funnel
-/ retention / transition / BM25 family), where every operator family
+advisors (salt join/agg + broadcast + CMS join-size cost input), the
+sorted-export writer, the store-maintenance family (small-file
+compaction, TTL sweep, snapshot CDC diff), per-group exact/weighted
+quantiles, token-budget mixture sampling, and the incremental SCD2 /
+funnel / retention / transition / BM25 family), where every operator
+family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
 synthetic tables with a DuckDB oracle twin — 170 of 170, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
