@@ -704,6 +704,72 @@ def _deliveries(outdir):
     }
 
 
+def test_exactly_once_batch_sink_skips_replayed_batch(spark, tmp_path):
+    """Batch-id commit gate: effects land once per batch id — a
+    replayed batch (same id, the at-least-once failure path) is
+    skipped entirely; a new id runs; the marker lands only after the
+    effect function returns."""
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        make_idempotent_batch_fn,
+        start_exactly_once_batch_sink,
+    )
+
+    effects = []
+    gated = make_idempotent_batch_fn(
+        lambda bdf, bid: effects.append(bid), str(tmp_path / "commits")
+    )
+    df = spark.range(1)
+    gated(df, 7)
+    gated(df, 7)   # replay: skipped
+    gated(df, 8)
+    assert effects == [7, 8]
+    # a failing effect must NOT commit its marker (retry still runs)
+    boom = []
+
+    def failing(bdf, bid):
+        if not boom:
+            boom.append(1)
+            raise RuntimeError("transient")
+        effects.append(bid)
+
+    gated2 = make_idempotent_batch_fn(failing, str(tmp_path / "commits2"))
+    try:
+        gated2(df, 1)
+    except RuntimeError:
+        pass
+    gated2(df, 1)  # replay after failure: effect runs now
+    assert effects == [7, 8, 1]
+
+    # end-to-end: the streaming sink delivers each microbatch once
+    src_dir = str(tmp_path / "events_src")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v1", 10)], src_dir)
+    stream = file_stream_source(spark, src_dir, schemas.EVENT,
+                                max_files_per_trigger=None)
+
+    def effect(bdf, bid):
+        with open(os.path.join(out, f"batch-{bid}"), "a") as fh:
+            fh.write(f"{bdf.count()}\n")
+
+    q = start_exactly_once_batch_sink(
+        stream, effect, commit_dir=str(tmp_path / "commits3"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        _pipe(spark, schemas.EVENT,
+              [fx.event("e2", "a1", "v1", 20)], src_dir, start_seq=1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one line per file per batch: no batch applied twice
+    for f in os.listdir(out):
+        assert len(open(os.path.join(out, f)).readlines()) == 1
+
+
 def test_per_record_sink_retries_transient_failure(spark, tmp_path):
     """A send that fails once succeeds on in-place retry: every ticket
     delivered exactly once, no dead letters, query stays healthy."""

@@ -85,6 +85,62 @@ def start_foreach_batch_sink(
     )
 
 
+def make_idempotent_batch_fn(
+    fn: Callable[[DataFrame, int], None],
+    commit_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Batch-id gate that upgrades foreachBatch's at-least-once to
+    effectively-once: a batch whose commit marker already exists is
+    SKIPPED entirely; the marker is written atomically (tmp +
+    os.replace) only after ``fn`` returns. Structured Streaming
+    replays whole microbatches with the SAME batch_id after a
+    failure, so the marker is exactly the dedup key the replay
+    carries (the batchId-dedup pattern from the Structured Streaming
+    programming guide).
+
+    Contract: ``commit_dir`` must live on storage as durable as the
+    checkpoint (same object store on a cluster). The gate makes the
+    effect at-most-once per batch_id AND the checkpoint makes the
+    batch at-least-once — together exactly-once, EXCEPT for a crash
+    in the window between ``fn`` finishing and the marker landing:
+    that one replay re-runs ``fn``, so ``fn``'s effect must still be
+    atomic or idempotent within itself (every store op in this repo
+    — upsert_*, compact_store — already is; a raw append is not).
+    """
+    os.makedirs(commit_dir, exist_ok=True)
+
+    def gated(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: effect already committed
+        fn(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("")
+        os.replace(tmp, marker)
+
+    return gated
+
+
+def start_exactly_once_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    commit_dir: str,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """`start_foreach_batch_sink` with the batch-id commit gate (see
+    `make_idempotent_batch_fn`): the effectively-once sink shape for
+    side effects that are expensive or externally visible (emails,
+    API calls, non-idempotent exports)."""
+    return start_foreach_batch_sink(
+        df,
+        make_idempotent_batch_fn(fn, commit_dir),
+        output_mode=output_mode,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def start_per_record_sink(
     df: DataFrame,
     send: Callable[[Row], None],
