@@ -166,6 +166,39 @@ def test_grouped_weighted_quantiles_matches_bruteforce(spark):
     assert 0.25 not in [v for v in got.values()]
 
 
+def test_grouped_binary_auc_matches_pair_counting(spark):
+    """Per-group AUC equals global pair counting run per group,
+    including ties; a one-class group reports auc_micro = 0."""
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_binary_auc,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for g, n in (("a", 300), ("b", 80)):
+        rows += [
+            (g, rng.choice([0.1, 0.2, 0.2, 0.5, 0.9]), rng.randint(0, 1))
+            for _ in range(n)
+        ]
+    rows += [("onecls", 0.3, 1), ("onecls", 0.7, 1)]
+    df = spark.createDataFrame(rows, "g string, s double, lb long")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["u2"], r["auc_micro"])
+        for r in grouped_binary_auc(df, "g", "s", "lb", n_buckets=4).collect()
+    }
+    for g in ("a", "b"):
+        pos = [s for gg, s, l in rows if gg == g and l == 1]
+        neg = [s for gg, s, l in rows if gg == g and l == 0]
+        u2 = sum(
+            2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+        )
+        auc = (1_000_000 * u2 + len(pos) * len(neg)) // (
+            2 * len(pos) * len(neg)
+        )
+        assert got[g] == (len(pos), len(neg), u2, auc), g
+    assert got["onecls"] == (2, 0, 0, 0)
+
+
 def test_binary_auc_matches_pair_counting(spark):
     rng = random.Random(3)
     rows = [

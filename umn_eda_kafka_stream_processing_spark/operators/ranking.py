@@ -272,22 +272,23 @@ def grouped_weighted_quantiles(
     )
 
 
-def _grouped_quantiles_from_dv(
-    spark,
+def _grouped_with_below(
     dv: DataFrame,
     groups: list[str],
     value_col: str,
-    probs: Sequence[tuple[int, int]],
+    weight_col: str,
     n_buckets: int,
 ) -> DataFrame:
-    """Shared tail of the grouped quantile operators: per-group
-    histogram prefix ranks over a (groups..., value, cnt) frame of
-    distinct values, then the rational-rank cut. See
-    `grouped_exact_quantiles` for the plan-shape contract."""
+    """Grouped twin of `_with_below`: add ``below`` = per-group sum of
+    ``weight_col`` over rows with STRICTLY smaller ``value_col``.
+    ``dv`` must hold one row per distinct (groups, value), non-null;
+    other columns pass through. Fully distributed (per-group lo/hi
+    agg joined back instead of a driver collect); the bucket-offset
+    window is partitioned by group over <=n_buckets rows per frame,
+    the in-bucket prefix by (group, bucket)."""
     mm = dv.groupBy(*groups).agg(
         F.min(value_col).alias("_lo"),
         F.max(value_col).alias("_hi"),
-        F.sum("cnt").cast("long").alias("n_total"),
     )
     b = dv.join(mm, groups).withColumn(
         "_bk",
@@ -309,7 +310,7 @@ def _grouped_quantiles_from_dv(
         ).cast("int"),
     ).drop("_lo", "_hi")
     bt = b.groupBy(*groups, "_bk").agg(
-        F.sum("cnt").cast("long").alias("_bw")
+        F.sum(weight_col).cast("long").alias("_bw")
     )
     w_off = (
         Window.partitionBy(*groups)
@@ -324,13 +325,33 @@ def _grouped_quantiles_from_dv(
         .orderBy(F.col(value_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    r = (
+    return (
         b.join(off, [*groups, "_bk"])
         .withColumn(
-            "_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            "_in", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
         )
         .withColumn("below", (F.col("_off") + F.col("_in")).cast("long"))
         .drop("_bk", "_off", "_in")
+    )
+
+
+def _grouped_quantiles_from_dv(
+    spark,
+    dv: DataFrame,
+    groups: list[str],
+    value_col: str,
+    probs: Sequence[tuple[int, int]],
+    n_buckets: int,
+) -> DataFrame:
+    """Shared tail of the grouped quantile operators: per-group
+    histogram prefix ranks over a (groups..., value, cnt) frame of
+    distinct values, then the rational-rank cut. See
+    `grouped_exact_quantiles` for the plan-shape contract."""
+    tot = dv.groupBy(*groups).agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    )
+    r = _grouped_with_below(dv, groups, value_col, "cnt", n_buckets).join(
+        tot, groups
     )
     pdf = spark.createDataFrame(
         [(1_000_000 * n // d, n, d) for n, d in probs],
@@ -384,6 +405,64 @@ def binary_auc(
         .cast("long")
         .alias("u2"),
     ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0 "
+            "ELSE (1000000 * CAST(u2 AS DECIMAL(38,0)) "
+            "+ CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
+            "div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
+            "END"
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+def grouped_binary_auc(
+    df: DataFrame,
+    group_cols: "str | Sequence[str]",
+    score_col: str,
+    label_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact ROC-AUC PER GROUP — "how does the quality model rank per
+    language/domain", the segment-level evaluation `binary_auc` only
+    answers corpus-globally. Same Mann-Whitney rank-sum construction
+    (u2 = 2U kept integer so score ties contribute exact halves; the
+    final ratio through exact int128 — Spark DECIMAL(38,0) div ==
+    DuckDB HUGEINT //), with the global operator's bounded driver
+    collect replaced by the fully distributed `_grouped_with_below`
+    (per-group aggregates joined back; every window partitioned, no
+    frame wider than a bucket). Groups with one class return
+    auc_micro = 0 (undefined, flagged by n_pos/n_neg in the output).
+
+    Returns (group_cols..., n_pos, n_neg, u2, auc_micro)."""
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    g = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*groups, score_col)
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+            (
+                F.count(F.lit(1)) - F.sum(F.col(label_col).cast("long"))
+            ).alias("neg"),
+        )
+    )
+    r = _grouped_with_below(g, groups, score_col, "neg", n_buckets)
+    return r.groupBy(*groups).agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.coalesce(F.sum(F.expr("pos * (2 * below + neg)")), F.lit(0))
+        .cast("long")
+        .alias("u2"),
+    ).select(
+        *groups,
         "n_pos",
         "n_neg",
         "u2",

@@ -287,3 +287,69 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "draw_rank", "doc_id", "n_chars", "priority_micro"
     )
+
+
+@_register(
+    "split_length_bias_auc",
+    "SPLIT-BALANCE AUDIT: per-language exact ROC-AUC of document "
+    "length as a predictor of holdout membership (label = "
+    "split != 'train' from the md5 split_assign cuts) — the leakage "
+    "diagnostic a curation stack runs after splitting: auc ~ 0.5 "
+    "per language proves the deterministic split is length-UNBIASED "
+    "(a content-correlated split key would show up here as a "
+    "departure; the exact integer metric is the deliverable). "
+    "Computed by operators/ranking.py:grouped_binary_auc — "
+    "Mann-Whitney rank sums per group over the fully distributed "
+    "grouped histogram (no driver collect, every window partitioned, "
+    "u2 kept 2U integer, auc through exact int128). Oracle: the "
+    "same rank sums from plain per-group windows — different "
+    "algorithm, same integers.",
+    f"""
+    WITH lab AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_duck_key('doc_id', 'split')}
+                  < {smp.rate_threshold(0.05) + smp.rate_threshold(0.10)}
+                  THEN 1 ELSE 0 END AS p
+      FROM documents
+    ),
+    gg AS (
+      SELECT lang, n_chars AS sv, CAST(sum(p) AS BIGINT) AS pos,
+             CAST(count(*) - sum(p) AS BIGINT) AS neg
+      FROM lab GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT lang, pos, neg,
+             coalesce(CAST(sum(neg) OVER (PARTITION BY lang ORDER BY sv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS nb
+      FROM gg
+    ),
+    t AS (
+      SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(coalesce(sum(pos * (2 * nb + neg)), 0) AS BIGINT) AS u2
+      FROM rr GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg, u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE (1000000 * CAST(u2 AS HUGEINT)
+                      + CAST(n_pos AS HUGEINT) * n_neg)
+                     // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                END AS BIGINT) AS auc_micro
+    FROM t
+    """,
+)
+def split_length_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_binary_auc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = smp.split_assign(
+        docs, "doc_id", val_rate=0.10, test_rate=0.05
+    ).select(
+        "lang",
+        "n_chars",
+        (F.col("split") != "train").cast("long").alias("holdout"),
+    )
+    return grouped_binary_auc(labeled, "lang", "n_chars", "holdout")

@@ -322,7 +322,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- registered late in r06 (missed that round's rotation — the
     # red policy test the r06 verdict flagged), never driver-verified:
     # C4-style exact line dedup ---------------------------------------
-    "line_dedup_stats",
+    # (line_dedup_stats rotated out in r10 for split_length_bias_auc
+    # below: driver-verified r07+r08+r09; the dedup family keeps
+    # prefix_jaccard_pairs + shingle_containment_pairs +
+    # span_dedup_rewrite_stats + span_dedup_minrun_stats in-gate)
+    # -- new in r10, never driver-verified: per-group exact ROC-AUC
+    # (split length-bias audit over the grouped histogram) -----------
+    "split_length_bias_auc",
     # -- new in r07, never driver-verified: variable-length
     # exact-substring dedup (Lee et al. min-run threshold), NB
     # classifier train + score ----------------------------------------
