@@ -993,6 +993,65 @@ def test_repetition_ratio_flags_boilerplate(spark, tmp_path):
     assert got[2]["repetition"] == 0.0  # all 3-grams unique
 
 
+def test_check_constraints_exact_violation_counts(spark):
+    """Every check kind counts its violations exactly; NULLs violate
+    only not_null (three-valued convention); unique counts duplicate
+    ROWS; fk counts orphans incl. NULL keys; unknown kinds raise."""
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", "ok-1"),
+            (1, 200, "A", "ok-2"),      # dup id; out-of-range v
+            (2, None, "B", "bad"),      # null v (not a range violation)
+            (3, -5, "C", None),         # out-of-range v; bad status; null s
+            (None, 50, "A", "ok-3"),    # null id
+        ],
+        "id long, v long, status string, s string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    out = {
+        (r["check"], r["target"]): (r["n_rows"], r["n_violations"], r["ok"])
+        for r in check_constraints(
+            df,
+            [
+                ("not_null", "v"),
+                ("range", "v", 0, 100),
+                ("accepted_values", "status", ["A", "B"]),
+                ("regex", "s", "^ok-"),
+                ("unique", "id"),
+                ("fk", "id", "dim", "k"),
+            ],
+            dims={"dim": dim},
+        ).collect()
+    }
+    assert out[("not_null", "v")] == (5, 1, 0)
+    assert out[("range", "v")] == (5, 2, 0)          # 200 and -5; NULL passes
+    assert out[("accepted_values", "status")] == (5, 1, 0)  # C
+    assert out[("regex", "s")] == (5, 1, 0)          # "bad"; NULL passes
+    assert out[("unique", "id")] == (5, 1, 0)        # one duplicate row
+    # orphans: id=3 (no match) + id NULL (never matches) = 2... plus
+    # the duplicated id=1 rows both match
+    assert out[("fk", "id")] == (5, 2, 0)
+    # an all-green check reports ok=1
+    green = check_constraints(df, [("range", "v", -1000, 1000)]).collect()[0]
+    assert (green["n_violations"], green["ok"]) == (0, 1)
+    try:
+        check_constraints(df, [("nope", "v")])
+    except ValueError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("unknown kind must raise")
+    try:
+        check_constraints(df, [("fk", "id", "missing", "k")])
+    except ValueError as e:
+        assert "missing" in str(e)
+    else:
+        raise AssertionError("unknown dim must raise")
+
+
 def test_cms_overestimates_never_under(spark):
     """Count-Min guarantee: est >= exact for EVERY key (collisions only
     add); with 1024 registers over 300 keys the error stays small; and

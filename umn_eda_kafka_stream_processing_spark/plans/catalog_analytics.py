@@ -2640,6 +2640,81 @@ def order_snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "order_constraint_census",
+    "Declarative data-quality contract gate (operators/quality.py:"
+    "check_constraints — the expectations/dbt-test shape as Spark "
+    "aggregates): not_null + range + accepted_values + regex compile "
+    "into ONE conditional-sum aggregate over ONE orders scan (a "
+    "tenth check costs zero extra passes), unique is one hash-agg "
+    "on the key, referential integrity one LEFT ANTI join against "
+    "customer's distinct keys. The range check's 100k ceiling is "
+    "deliberately VIOLATED by most orders so the violation-counting "
+    "path is pinned by data, not just zeros; NULLs violate only "
+    "not_null (three-valued convention). Oracle recomputes every "
+    "counter with plain SQL (NOT EXISTS for the orphan count — "
+    "NOT IN's NULL semantics differ from anti-join).",
+    """
+    SELECT 'accepted_values' AS check, 'o_orderstatus' AS target,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null', 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range', 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice < 1 OR o_totalprice > 100000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'regex', 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(sum(cnt) AS BIGINT),
+           CAST(sum(cnt) - count(*) AS BIGINT)
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk', 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o
+    """,
+)
+def order_constraint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        check_constraints,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    out = check_constraints(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("range", "o_totalprice", 1, 100000),
+            ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+            ("regex", "o_orderpriority", "^[1-5]-"),
+            ("unique", "o_orderkey"),
+            ("fk", "o_custkey", "customer", "c_custkey"),
+        ],
+        dims={"customer": customer},
+    )
+    # the oracle pins counters; ok is derived — drop it so the hash
+    # compares the counters themselves (ok = n_violations == 0 is a
+    # pure function of the pinned column)
+    return out.drop("ok")
+
+
 _TTL_CUTOFF = "2024-01-10 00:00:00"
 
 

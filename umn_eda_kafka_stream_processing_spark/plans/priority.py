@@ -318,7 +318,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # the incremental parquet stores (bin-pack + replay no-op) -------
     "store_compaction_census",
     "unigram_train_vocab",
-    "unigram_encode_stats",
+    # (unigram_encode_stats rotated out in r10 for
+    # order_constraint_census below: driver-verified r06+r07+r08+r09;
+    # the tokenizer family keeps unigram_train_vocab in-gate)
+    # -- new in r10, never driver-verified: declarative data-quality
+    # contract gate (one-pass conditional sums + unique + fk) --------
+    "order_constraint_census",
     # -- registered late in r06 (missed that round's rotation — the
     # red policy test the r06 verdict flagged), never driver-verified:
     # C4-style exact line dedup ---------------------------------------
