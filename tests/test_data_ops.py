@@ -1052,6 +1052,41 @@ def test_check_constraints_exact_violation_counts(spark):
         raise AssertionError("unknown dim must raise")
 
 
+def test_constraint_monitor_store_replay_safe(spark, tmp_path):
+    """Per-batch constraint censuses accumulate one row per (batch,
+    check); a replayed batch rewrites identical rows (no-op)."""
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        read_constraint_history,
+        upsert_constraint_census,
+    )
+
+    store = str(tmp_path / "monitor")
+    checks = [("not_null", "v"), ("range", "v", 0, 100)]
+    b0 = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
+    b1 = spark.createDataFrame([(3, 500)], "id long, v long")
+    upsert_constraint_census(spark, store, b0, checks, 0)
+    upsert_constraint_census(spark, store, b1, checks, 1)
+    want = {
+        (0, "not_null", "v"): (2, 1, 0),
+        (0, "range", "v"): (2, 0, 1),
+        (1, "not_null", "v"): (1, 0, 1),
+        (1, "range", "v"): (1, 1, 0),
+    }
+    got = {
+        (r["batch_id"], r["check"], r["target"]):
+            (r["n_rows"], r["n_violations"], r["ok"])
+        for r in read_constraint_history(spark, store).collect()
+    }
+    assert got == want
+    upsert_constraint_census(spark, store, b1, checks, 1)  # replay
+    got2 = {
+        (r["batch_id"], r["check"], r["target"]):
+            (r["n_rows"], r["n_violations"], r["ok"])
+        for r in read_constraint_history(spark, store).collect()
+    }
+    assert got2 == want
+
+
 def test_cms_overestimates_never_under(spark):
     """Count-Min guarantee: est >= exact for EVERY key (collisions only
     add); with 1024 registers over 300 keys the error stays small; and

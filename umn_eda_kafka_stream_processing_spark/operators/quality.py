@@ -172,3 +172,48 @@ def check_constraints(
     return out.withColumn(
         "ok", (F.col("n_violations") == 0).cast("long")
     )
+
+
+def upsert_constraint_census(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    checks: Sequence[tuple],
+    batch_id: int,
+    dims: "dict[str, DataFrame] | None" = None,
+) -> None:
+    """Streaming twin of `check_constraints` — the continuously
+    maintained data-contract MONITOR (foreachBatch shape): each
+    microbatch's census lands keyed by (batch_id, check, target)
+    through the latest-wins upsert, so a replayed batch recomputes
+    IDENTICAL rows and the write is a no-op (the replay-safe
+    per-batch keying rule — never read-modify-add). The store is a
+    tiny long-frame history: one row per (batch, constraint),
+    diffable across batches for drift alerts."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    census = check_constraints(batch_df, checks, dims=dims).select(
+        F.lit(int(batch_id)).alias("batch_id"),
+        "check",
+        "target",
+        "n_rows",
+        "n_violations",
+        "ok",
+    )
+    upsert_snapshot(
+        spark,
+        store_path,
+        census.withColumn("event_seq", F.lit(0)),
+        key_cols=["batch_id", "check", "target"],
+    )
+
+
+def read_constraint_history(spark, store_path: str) -> DataFrame:
+    """The monitor's history: (batch_id, check, target, n_rows,
+    n_violations, ok) per batch — plus use a groupBy over it for
+    totals or a window per (check, target) for drift."""
+    return spark.read.parquet(store_path).select(
+        "batch_id", "check", "target", "n_rows", "n_violations", "ok"
+    )
