@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 170 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 174 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -22,7 +22,7 @@ quantiles, token-budget mixture sampling, and the incremental SCD2 /
 funnel / retention / transition / BM25 family), where every operator
 family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
-synthetic tables with a DuckDB oracle twin — 170 of 170, including
+synthetic tables with a DuckDB oracle twin — 174 of 174, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
 oracles unroll their iterations in generated SQL).
 """
