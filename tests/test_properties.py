@@ -111,3 +111,117 @@ def test_bloom_filter_never_false_negative(spark, build, probe):
         "hit", rf.bloom_might_contain("k", words, m_bits=256, k_hashes=2)
     ).collect()}
     assert all(got[k] for k in build)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),            # id
+            st.sampled_from(["a", "b"]),   # snapshot membership bits
+            st.integers(0, 3),             # value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_bruteforce(spark, rows):
+    """snapshot_diff vs a dict-based reference: random one-row-per-key
+    old/new snapshots (overlapping, disjoint, NULL-valued) classify
+    identically."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        snapshot_diff,
+    )
+
+    old = {}
+    new = {}
+    for i, (k, side, v) in enumerate(rows):
+        val = None if v == 3 else v
+        if side == "a" or i % 3 == 0:
+            old[k] = val
+        if side == "b" or i % 2 == 0:
+            new[k] = val if i % 5 else (None if val is not None else 0)
+    if not old or not new:
+        return
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "k long, v long"
+    )
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "k long, v long"
+    )
+    got = {
+        r["k"]: (r["change"], r["v"])
+        for r in snapshot_diff(odf, ndf, "k").collect()
+    }
+    for k in set(old) | set(new):
+        if k not in old:
+            want = ("inserted", new[k])
+        elif k not in new:
+            want = ("deleted", old[k])
+        elif old[k] == new[k]:
+            want = ("unchanged", new[k])
+        else:
+            want = ("updated", new[k])
+        assert got[k] == want, (k, old.get(k, "<absent>"), new.get(k, "<absent>"))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=14,
+    ),
+    target_rows=st.integers(1, 4),
+)
+@settings(**{**_SETTINGS, "max_examples": 4})  # one append per row: each
+# example pays ~14 write jobs — 4 examples keep the property meaningful
+# without dominating the suite
+def test_compact_store_property_content_and_idempotence(
+    spark, tmp_path_factory, rows, target_rows
+):
+    """compact_store on random append-built stores: content exactly
+    preserved, per-bucket file counts land at <= ceil(rows/target),
+    and a second compaction selects nothing."""
+    import math
+    import os
+    from collections import Counter
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        compact_store,
+    )
+
+    path = str(tmp_path_factory.mktemp("cs") / "store")
+    # one append per row — worst-case fragmentation
+    for i, (k, b) in enumerate(rows):
+        spark.createDataFrame(
+            [(k, b, i)], "id long, bucket string, seq long"
+        ).coalesce(1).write.mode("append").partitionBy("bucket").parquet(path)
+    before = sorted(
+        (r["id"], r["bucket"], r["seq"])
+        for r in spark.read.parquet(path).collect()
+    )
+    compact_store(
+        spark, path, partition_cols="bucket", key_cols="id",
+        target_rows=target_rows,
+    )
+    after = sorted(
+        (r["id"], r["bucket"], r["seq"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    per_bucket = Counter(b for _, b in rows)
+    for b, n in per_bucket.items():
+        files = [
+            f for f in os.listdir(os.path.join(path, f"bucket={b}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= math.ceil(n / target_rows), (b, n, files)
+    replay = compact_store(
+        spark, path, partition_cols="bucket", key_cols="id",
+        target_rows=target_rows,
+    )
+    assert replay["buckets_compacted"] == 0
+    assert sorted(
+        (r["id"], r["bucket"], r["seq"])
+        for r in spark.read.parquet(path).collect()
+    ) == before
