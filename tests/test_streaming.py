@@ -770,6 +770,57 @@ def test_exactly_once_batch_sink_skips_replayed_batch(spark, tmp_path):
         assert len(open(os.path.join(out, f)).readlines()) == 1
 
 
+def test_exactly_once_batch_sink_survives_restart(spark, tmp_path):
+    """Restart path: a NEW query over the same checkpoint + commit dir
+    continues the batch-id sequence; every batch's effect still lands
+    exactly once across the restart boundary."""
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        start_exactly_once_batch_sink,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    commits = str(tmp_path / "commits")
+    os.makedirs(out)
+
+    def effect(bdf, bid):
+        with open(os.path.join(out, f"batch-{bid}"), "a") as fh:
+            fh.write(f"{bdf.count()}\n")
+
+    _pipe(spark, schemas.EVENT, [fx.event("e1", "a1", "v1", 10)], src_dir)
+    stream = file_stream_source(spark, src_dir, schemas.EVENT,
+                                max_files_per_trigger=None)
+    q = start_exactly_once_batch_sink(
+        stream, effect, commit_dir=commits, checkpoint_dir=ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = set(os.listdir(out))
+    assert first  # at least one batch landed
+
+    # restart: same checkpoint, same commit dir, more data
+    _pipe(spark, schemas.EVENT,
+          [fx.event("e2", "a1", "v1", 20)], src_dir, start_seq=1)
+    stream2 = file_stream_source(spark, src_dir, schemas.EVENT,
+                                 max_files_per_trigger=None)
+    q2 = start_exactly_once_batch_sink(
+        stream2, effect, commit_dir=commits, checkpoint_dir=ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = set(os.listdir(out))
+    assert after > first  # new batch id, no reuse of old ids' files
+    for f in after:
+        assert len(open(os.path.join(out, f)).readlines()) == 1, f
+
+
 def test_per_record_sink_retries_transient_failure(spark, tmp_path):
     """A send that fails once succeeds on in-place retry: every ticket
     delivered exactly once, no dead letters, query stays healthy."""
