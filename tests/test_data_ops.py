@@ -863,6 +863,87 @@ def test_token_budget_mixture_matches_python_reference(spark):
     assert by_dom["b"][1] == 20 and by_dom["b"][0] == {100, 101, 102, 103}
 
 
+def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path):
+    """Online budget admission: per-batch admitted sets equal the
+    greedy-online Python replica (within-batch A-Res order, earlier
+    batches fill first), realized mass stays within one doc of each
+    budget, unknown domains drop, and a replayed batch is a no-op."""
+    import hashlib
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    budgets = {"a": 20, "b": 8}
+    batches = [
+        [(1, "a", 6), (2, "a", 9), (3, "b", 5), (4, "c", 7)],
+        [(5, "a", 7), (6, "a", 4), (7, "b", 5), (8, "b", 2)],
+        [(9, "a", 9), (10, "b", 9), (11, "a", 1)],
+    ]
+    store = str(tmp_path / "admission")
+
+    def py_prio(key, wgt):
+        u32 = int(hashlib.md5(f"bud|{key}".encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        return math.floor((-math.log(u)) / float(wgt) * 1000000.0 + 0.5)
+
+    consumed = {d: 0 for d in budgets}
+    want: dict = {}
+    for bid, rows in enumerate(batches):
+        for d in budgets:
+            order = sorted(
+                (py_prio(k, sz), k, sz)
+                for k, dd, sz in rows
+                if dd == d and sz > 0
+            )
+            cum = 0
+            for _, k, sz in order:
+                if consumed[d] + cum >= budgets[d]:
+                    break
+                want[(d, k)] = (sz, bid)
+                cum += sz
+            consumed[d] += cum
+        got_batch = smp.incremental_budget_admission(
+            spark,
+            store,
+            spark.createDataFrame(rows, "k long, dom string, sz long"),
+            "dom",
+            "k",
+            "sz",
+            budgets,
+            bid,
+        ).collect()
+        for r in got_batch:
+            assert want[(r["domain"], r["key"])] == (r["size"], bid)
+
+    got = {
+        (r["domain"], r["key"]): (r["size"], r["batch_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == want
+    # budgets respected within one doc
+    for d, b in budgets.items():
+        mass = sum(sz for (dd, _), (sz, _) in got.items() if dd == d)
+        max_doc = max(sz for _, dd, sz in sum(batches, []) if dd == d)
+        assert mass < b + max_doc
+    assert not any(dd == "c" for dd, _ in got)  # unknown domain dropped
+    # replay batch 1: consumed excludes its own rows -> identical set
+    smp.incremental_budget_admission(
+        spark,
+        store,
+        spark.createDataFrame(batches[1], "k long, dom string, sz long"),
+        "dom",
+        "k",
+        "sz",
+        budgets,
+        1,
+    )
+    got2 = {
+        (r["domain"], r["key"]): (r["size"], r["batch_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got2 == want
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""

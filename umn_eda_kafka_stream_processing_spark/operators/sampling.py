@@ -409,6 +409,130 @@ def token_budget_mixture_sample(
     )
 
 
+def incremental_budget_admission(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    size_col: str,
+    budgets: Mapping[str, int],
+    batch_id: int,
+    salt: str = "bud",
+) -> DataFrame:
+    """Online token-budget admission — the foreachBatch twin of
+    `token_budget_mixture_sample`: a continuously-arriving corpus is
+    admitted per domain until that domain's token budget fills, with
+    the admitted set persisted in a parquet store.
+
+    Semantics are GREEDY-ONLINE, documented as such: within a batch,
+    docs compete in the same A-Res token-mass priority order as the
+    batch operator; ACROSS batches, earlier batches fill the budget
+    first (a global priority order over not-yet-seen docs is impossible
+    online). Each domain admits while tokens-consumed-so-far is under
+    its budget, so realized mass lands within one doc of B_d once the
+    stream has supplied enough mass.
+
+    Replay safety (the incremental-family contract): consumed totals
+    are computed from the store EXCLUDING rows carrying THIS
+    batch_id — a replayed batch therefore sees exactly the pre-batch
+    state, recomputes the identical admitted set, and its latest-wins
+    upsert (keyed by (domain, key)) rewrites identical rows — a
+    no-op. Consumption is never stored as a counter (the
+    read-modify-add trap); it is COUNTED at read from admitted rows.
+
+    Returns the batch's admitted frame (domain, key, size, batch_id).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    # the try covers ONLY the read (first batch: store absent) — a
+    # broad except here once swallowed an UNRESOLVED_COLUMN from the
+    # aggregate below and silently dropped all budget memory
+    try:
+        prior = spark.read.parquet(store_path)
+    except AnalysisException:
+        prior = None
+    if prior is not None:
+        # store columns are canonical (domain/key/size/batch_id),
+        # independent of the caller's column names; excluding THIS
+        # batch_id is what makes a replay see the pre-batch state
+        consumed = (
+            prior.filter(F.col("batch_id") != int(batch_id))
+            .groupBy(F.col("domain").alias(domain_col))
+            .agg(F.sum("size").cast("long").alias("_consumed"))
+        )
+    else:
+        consumed = None
+    budget: Column = F.lit(-1).cast("long")  # absent domains drop
+    max_budget = 0
+    for d, b in sorted(budgets.items()):
+        b = int(b)
+        max_budget = max(max_budget, b)
+        budget = F.when(
+            F.col(domain_col) == d, F.lit(b).cast("long")
+        ).otherwise(budget)
+    u = (
+        sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(KEY_SPACE))
+    prio = F.floor(
+        (-F.log(u))
+        / F.col(size_col).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("priority_micro").asc(), F.col(key_col).asc()
+    )
+    ranked = (
+        batch_df.where(F.col(size_col) > 0)
+        .withColumn("priority_micro", prio)
+        .withColumn("_budget", budget)
+        .where(F.col("_budget") >= 0)
+        .withColumn("_rk", F.row_number().over(w).cast("long"))
+        # lossless WindowGroupLimit pre-prune (sizes >= 1)
+        .filter(F.col("_rk") <= F.lit(max(max_budget, 1)))
+    )
+    cum = ranked.withColumn(
+        "_cum",
+        F.sum(F.col(size_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    if consumed is not None:
+        cum = cum.join(F.broadcast(consumed), domain_col, "left").withColumn(
+            "_consumed", F.coalesce(F.col("_consumed"), F.lit(0))
+        )
+    else:
+        cum = cum.withColumn("_consumed", F.lit(0).cast("long"))
+    admitted = cum.filter(
+        (F.col("_consumed") + F.col("_cum") - F.col(size_col))
+        < F.col("_budget")
+    ).select(
+        F.col(domain_col).alias("domain"),
+        F.col(key_col).alias("key"),
+        F.col(size_col).cast("long").alias("size"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    )
+    # the admitted lineage READS the store (consumed); the upsert
+    # below OVERWRITES it — materialize first or a caller collecting
+    # the returned frame re-lists deleted part files (the
+    # localCheckpoint-before-writing-a-store-its-lineage-reads rule)
+    admitted = admitted.localCheckpoint()
+    upsert_snapshot(
+        spark,
+        store_path,
+        admitted.withColumn("event_seq", F.lit(0)),
+        key_cols=["domain", "key"],
+    )
+    return admitted
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,
