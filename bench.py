@@ -185,8 +185,14 @@ def main() -> None:
     # query): 9 families, small and stable — these plus the 10 slowest
     # query medians are the per-query signal the 2000-char stdout
     # budget can afford
+    # cold_only queries are excluded so the families block reconciles
+    # with "value" exactly (sum(families) == value; the cold escrow is
+    # its own line) — round-10 advice
     families: dict[str, float] = {}
+    cold_set = set(cold_only)
     for name, v in timings.items():
+        if name in cold_set:
+            continue
         fam = REGISTRY[name].spark.__module__.rsplit(".", 1)[-1]
         fam = fam.removeprefix("catalog_") if fam != "catalog" else "core"
         families[fam] = families.get(fam, 0.0) + v

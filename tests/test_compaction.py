@@ -205,12 +205,15 @@ def test_compact_store_unpartitioned(spark, tmp_path):
 
 
 def test_expire_snapshot_ttl_sweep(spark, tmp_path):
-    """Retention sweep: expired rows vanish, untouched partitions'
-    files keep their mtimes, an emptied partition's directory is
-    deleted, and a replayed sweep is a no-op."""
+    """Retention sweep: expired rows vanish, NULL-ts rows are KEPT
+    (the census counts them as not-expired, so the rewrite must route
+    them like CASE-ELSE — the coalesce-to-false rule), untouched
+    partitions' files keep their mtimes, an emptied partition's
+    directory is deleted, and a replayed sweep is a no-op."""
     path = str(tmp_path / "store")
     _rows(spark, [
         ("a", "s1", "old", 10), ("b", "s1", "new", 90),
+        ("h", "s1", "null-ts", None),                  # kept: NULL ts
         ("c", "s2", "new", 80), ("d", "s2", "new", 95),
         ("e", "s3", "old", 5), ("f", "s3", "old", 7),  # fully expires
         ("g", "s4", "new", 99),                        # untouched
@@ -224,10 +227,10 @@ def test_expire_snapshot_ttl_sweep(spark, tmp_path):
     )
     assert stats == {
         "partitions_total": 4, "partitions_touched": 2,
-        "rows_expired": 3, "rows_kept": 1, "partitions_deleted": 1,
+        "rows_expired": 3, "rows_kept": 2, "partitions_deleted": 1,
     }
     got = {r["id"] for r in spark.read.parquet(path).collect()}
-    assert got == {"b", "c", "d", "g"}
+    assert got == {"b", "c", "d", "g", "h"}
     assert not os.path.isdir(os.path.join(path, "shard=s3"))
     assert s4 == {
         f: os.path.getmtime(os.path.join(path, "shard=s4", f))
@@ -238,6 +241,8 @@ def test_expire_snapshot_ttl_sweep(spark, tmp_path):
     )
     assert replay["partitions_touched"] == 0 and replay["rows_expired"] == 0
     assert {r["id"] for r in spark.read.parquet(path).collect()} == got
+    # NULL-ts row survived in a TOUCHED partition (s1 was rewritten)
+    assert "h" in got
 
 
 def test_expire_snapshot_unpartitioned(spark, tmp_path):

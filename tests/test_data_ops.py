@@ -1131,6 +1131,13 @@ def test_check_constraints_exact_violation_counts(spark):
         assert "missing" in str(e)
     else:
         raise AssertionError("unknown dim must raise")
+    # empty contract: a clear error, not IndexError at rows[0]
+    try:
+        check_constraints(df, [])
+    except ValueError as e:
+        assert "non-empty" in str(e)
+    else:
+        raise AssertionError("empty checks must raise")
 
 
 def test_constraint_monitor_store_replay_safe(spark, tmp_path):

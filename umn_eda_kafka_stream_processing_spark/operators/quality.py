@@ -90,6 +90,11 @@ def check_constraints(
 
     All row-local checks run in ONE aggregate over one scan; unique
     and fk each add one bounded extra job (hash-agg / anti join)."""
+    if not checks:
+        raise ValueError(
+            "checks must be non-empty: an empty contract gate would "
+            "silently pass everything"
+        )
     dims = dims or {}
     row_local = [c for c in checks if c[0] in _ROW_LOCAL]
     rows: list[DataFrame] = []

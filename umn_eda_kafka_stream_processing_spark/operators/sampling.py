@@ -322,6 +322,26 @@ def temperature_mixture_sample(
     )
 
 
+def _budget_table(
+    spark, weights: Mapping, total_budget: int, min_budget: int = 0
+) -> tuple[DataFrame, int]:
+    """Per-domain exact integer budgets B_d = total·w_d div Σw as a
+    tiny broadcast-able rate TABLE (_bud_domain, domain_budget) —
+    not an N-branch F.when chain, which is a codegen/analysis hazard
+    at thousands of domains (round-10 verdict #6; the
+    temperature_mixture_sample broadcast-join shape, reserved-alias
+    rule). Returns (table, max_budget)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = sum(weights.values())
+    rows = [
+        (d, max((total_budget * int(wt)) // wsum, min_budget))
+        for d, wt in sorted(weights.items())
+    ]
+    tbl = spark.createDataFrame(rows, ["_bud_domain", "domain_budget"])
+    return tbl, max(b for _, b in rows)
+
+
 def token_budget_mixture_sample(
     df: DataFrame,
     domain_col: str,
@@ -331,6 +351,8 @@ def token_budget_mixture_sample(
     total_budget: int,
     salt: str = "bud",
     rank_name: str = "draw_rank",
+    window_budget_max: int = 1_000_000,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Token-BUDGET-constrained mixture sampling — the real curation
     ask behind `temperature_mixture_sample`'s rates: "give me exactly
@@ -353,25 +375,40 @@ def token_budget_mixture_sample(
     pure md5 function of the key — re-ingestion, retries, and engine
     swaps select the same docs.
 
-    Plan shape (two windows, one shuffle): because ``size_col`` must
-    be a POSITIVE integral column, at most B_d docs can fit a B_d
-    budget — so a ``row_number() <= B_d`` filter FIRST is a lossless
-    pre-prune that plans as WindowGroupLimit (each task keeps its
-    local top-B_d before the domain shuffle); the running-sum window
-    then scans only the pruned prefix. Without the prune, one viral
-    domain's full doc list would sort through a single window frame.
+    Plan shape — TWO regimes, picked by the largest per-domain budget
+    (``window_budget_max``, the documented small-budget threshold):
+
+    * **Window path** (max B_d <= window_budget_max): because
+      ``size_col`` must be a POSITIVE integral column, at most B_d
+      docs can fit a B_d budget — so a ``row_number() <= B_d`` filter
+      FIRST is a lossless pre-prune that plans as WindowGroupLimit
+      (each task keeps its local top-B_d before the domain shuffle);
+      the running-sum window then scans only the pruned prefix. Adds
+      ``rank_name`` and ``cum_tokens`` columns.
+    * **Histogram path** (max B_d above the threshold): the window
+      path's surviving prefix can hold up to B_d rows, and at a
+      realistic 1e9-token budget that is ~1e9 rows sorted and
+      prefix-summed through ONE per-domain window reducer (the
+      round-10 scale gap). Instead, each domain's CUT PRIORITY is
+      found distributively via the grouped two-level histogram
+      (`ranking._grouped_with_below`, weight = token mass over
+      priority_micro — per-group aggregates joined back, every
+      window frame bounded by a bucket, no per-domain total order
+      anywhere): a priority value with below + mass <= B_d is
+      fully admitted (narrow filter), below >= B_d fully dropped,
+      and only the single CROSSING priority value per domain — a
+      handful of md5-tied rows — pays a tiny per-(domain, priority)
+      tie-rank window. Identical kept set (property-tested against
+      the same Python replica on both paths).
+
+    Budgets ride a broadcast rate table (`_budget_table`), never an
+    N-branch CASE chain — safe at thousands of domains.
     """
-    if not weights:
-        raise ValueError("weights must be non-empty")
     if total_budget < 0:
         raise ValueError(f"total_budget must be >= 0, got {total_budget}")
-    wsum = sum(weights.values())
-    budget: Column = F.lit(0).cast("long")
-    max_budget = 0
-    for d, wt in sorted(weights.items()):
-        b = (total_budget * int(wt)) // wsum
-        max_budget = max(max_budget, b)
-        budget = F.when(F.col(domain_col) == d, F.lit(b).cast("long")).otherwise(budget)
+    btab, max_budget = _budget_table(
+        df.sparkSession, weights, total_budget
+    )
     u = (
         sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
     ) / F.lit(float(KEY_SPACE))
@@ -381,32 +418,78 @@ def token_budget_mixture_sample(
         * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col("priority_micro").asc(), F.col(key_col).asc()
-    )
-    ranked = (
+    base = (
         # non-positive/NULL sizes are undefined mass: a 0 weight makes
         # the priority NULL, which sorts FIRST in the asc window and
         # would win every draw (the round-5 NULL-argmax trap) — drop
         # them at the row filter, the weighted_quantiles rule
         df.where(F.col(size_col) > 0)
+        # inner join: absent domains drop (weight-0 semantics); the
+        # rate table needs the reserved alias (derived-side rule)
+        .join(
+            F.broadcast(btab),
+            F.col(domain_col) == F.col("_bud_domain"),
+            "inner",
+        )
+        .drop("_bud_domain")
         .withColumn("priority_micro", prio)
-        .withColumn("domain_budget", budget)
-        .withColumn(rank_name, F.row_number().over(w).cast("long"))
-        # lossless WindowGroupLimit pre-prune: sizes are >= 1, so no
-        # budget-B prefix can hold more than B docs (global cap keeps
-        # the literal independent of the domain column's value)
-        .filter(F.col(rank_name) <= F.lit(max_budget))
     )
-    cum = ranked.withColumn(
-        "cum_tokens",
-        F.sum(F.col(size_col).cast("long")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    if max_budget <= window_budget_max:
+        w = Window.partitionBy(domain_col).orderBy(
+            F.col("priority_micro").asc(), F.col(key_col).asc()
+        )
+        ranked = (
+            base.withColumn(rank_name, F.row_number().over(w).cast("long"))
+            # lossless WindowGroupLimit pre-prune: sizes are >= 1, so
+            # no budget-B prefix can hold more than B docs (global cap
+            # keeps the literal independent of the domain column)
+            .filter(F.col(rank_name) <= F.lit(max_budget))
+        )
+        cum = ranked.withColumn(
+            "cum_tokens",
+            F.sum(F.col(size_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return cum.filter(
+            (F.col("cum_tokens") - F.col(size_col)) < F.col("domain_budget")
+        )
+    # histogram path: distributed per-domain cut priority
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        _grouped_with_below,
     )
-    return cum.filter(
-        (F.col("cum_tokens") - F.col(size_col)) < F.col("domain_budget")
+
+    dv = base.groupBy(domain_col, "priority_micro").agg(
+        F.sum(F.col(size_col).cast("long")).alias("_mass")
     )
+    bel = _grouped_with_below(
+        dv, [domain_col], "priority_micro", "_mass", n_buckets
+    )
+    j = base.join(bel, [domain_col, "priority_micro"])
+    full = (F.col("below") + F.col("_mass")) <= F.col("domain_budget")
+    dead = F.col("below") >= F.col("domain_budget")
+    kept_full = j.filter(full)
+    # the crossing priority: below < B < below + mass — at most ONE
+    # priority value per domain (below is monotone in priority, mass
+    # positive), so this frame holds only that value's md5 ties
+    wb = Window.partitionBy(domain_col, "priority_micro").orderBy(
+        F.col(key_col).asc()
+    )
+    boundary = (
+        j.filter(~full & ~dead)
+        .withColumn(
+            "_tcum",
+            F.sum(F.col(size_col).cast("long")).over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(
+            (F.col("below") + F.col("_tcum") - F.col(size_col))
+            < F.col("domain_budget")
+        )
+        .drop("_tcum")
+    )
+    return kept_full.unionByName(boundary).drop("below", "_mass")
 
 
 def incremental_budget_admission(

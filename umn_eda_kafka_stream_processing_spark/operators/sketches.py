@@ -280,6 +280,13 @@ def cms_join_size(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     cast-before-product rule: two ~1e12-row registers square past
     BIGINT); one tiny (≤1024-row) join + two aggregates. Returns one
     row: (est_join_rows DECIMAL(38,0)).
+
+    The min runs over ALL d hash rows: a row whose register tables
+    share no (bucket) mass has dot product 0, so fully disjoint
+    inputs return 0 (not NULL) and a single zero-overlap row pins the
+    estimate at 0 — the literal d-row frame right-joined below is
+    what keeps the documented "min over d rows" honest when the
+    register join drops a row entirely (round-10 advice).
     """
     a = regs_a.select(
         "row", "bucket", F.col("cnt").cast("decimal(38,0)").alias("_ca")
@@ -292,7 +299,18 @@ def cms_join_size(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
         .groupBy("row")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
     )
-    return per_row.agg(F.min("_dot").alias("est_join_rows"))
+    all_rows = regs_a.sparkSession.range(_CMS_D).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        all_rows.join(F.broadcast(per_row), "row", "left")
+        .select(
+            F.coalesce(
+                F.col("_dot"), F.lit(0).cast("decimal(38,0)")
+            ).alias("_dot")
+        )
+        .agg(F.min("_dot").alias("est_join_rows"))
+    )
 
 
 def upsert_cms_registers(

@@ -309,13 +309,16 @@ def maybe_broadcast_join(
     broadcasting the RIGHT side of a right/full outer is not a valid
     plan (every executor would emit its own copy of unmatched build
     rows). Decisions are logged on the module's audit logger."""
+    # no 'cross': this function always passes equi-join keys, and a
+    # cross join with an on-clause is contradictory (Spark errors or
+    # silently treats it as inner) — round-10 advice
     allowed = {"inner", "left", "left_outer", "leftouter",
-               "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
     if how.lower() not in allowed:
         raise ValueError(
-            f"maybe_broadcast_join requires a left-preserving join, got "
-            f"how={how!r}: a broadcast build side cannot preserve "
-            "unmatched right rows"
+            f"maybe_broadcast_join requires a left-preserving equi-join, "
+            f"got how={how!r}: a broadcast build side cannot preserve "
+            "unmatched right rows (and 'cross' takes no join keys)"
         )
     keys = [on] if isinstance(on, str) else list(on)
     n = int(build_rows) if build_rows is not None else right.count()

@@ -220,10 +220,18 @@ def _duck_cms_regs(table_expr: str, key_expr: str, name: str) -> str:
     f"""
     WITH {_duck_cms_regs('orders', 'o_custkey', 'ra')},
     {_duck_cms_regs('customer', 'c_custkey', 'rb')},
-    dots AS (
+    overlap AS (
       SELECT ra.row, sum(ra.cnt * rb.cnt) AS dot
       FROM ra JOIN rb ON ra.row = rb.row AND ra.bucket = rb.bucket
       GROUP BY ra.row
+    ),
+    -- min over ALL d hash rows: a zero-overlap row contributes 0
+    -- (the operator right-joins its literal d-row frame the same way)
+    dots AS (
+      SELECT rr.row, coalesce(o.dot, 0) AS dot
+      FROM (SELECT 0 AS row UNION ALL SELECT 1
+            UNION ALL SELECT 2 UNION ALL SELECT 3) rr
+      LEFT JOIN overlap o ON o.row = rr.row
     ),
     exact AS (
       SELECT cast(count(*) AS bigint) AS exact_rows

