@@ -804,15 +804,44 @@ def test_weighted_sample_k_matches_python_reference(spark):
     assert heavy_hits > 3 * light_hits  # ~10x expected; 3x is a safe floor
 
 
-def test_token_budget_mixture_matches_python_reference(spark):
+def _py_budget_prio(key, wgt, salt="bud"):
+    import hashlib
+    import math
+
+    u32 = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
+    u = (u32 + 0.5) / 4294967296.0
+    return math.floor((-math.log(u)) / float(wgt) * 1000000.0 + 0.5)
+
+
+def _py_budget_keep(rows, dom, budget):
+    """Greedy prefix of (priority, key) order until the budget fills."""
+    order = sorted(
+        (_py_budget_prio(k, sz), k, sz)
+        for k, d, sz in rows
+        if d == dom and sz > 0
+    )
+    cum = 0
+    kept = []
+    for _, k, sz in order:
+        if cum >= budget:
+            break
+        kept.append(k)
+        cum += sz
+    return set(kept), cum
+
+
+@pytest.mark.parametrize("window_budget_max", [1_000_000, 0])
+def test_token_budget_mixture_matches_python_reference(
+    spark, window_budget_max
+):
     """Budget-constrained mixture: per-domain kept set must equal the
     Python replica (A-Res priority order, shortest prefix whose
     running mass reaches the budget); realized tokens land within one
     doc of the budget; zero-weight domains drop; a domain smaller
-    than its budget keeps everything; non-positive sizes drop."""
-    import hashlib
-    import math
-
+    than its budget keeps everything; non-positive sizes drop.
+    Parametrized over BOTH plan regimes: the small-budget window path
+    and the distributed histogram-cut path (window_budget_max=0
+    forces it) must keep the identical set."""
     from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
 
     rows = (
@@ -825,29 +854,13 @@ def test_token_budget_mixture_matches_python_reference(spark):
     weights = {"a": 2, "b": 1}
     total = 90  # B_a = 60, B_b = 30 (> domain b's total mass of 20)
 
-    def py_prio(key, wgt, salt="bud"):
-        u32 = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
-        u = (u32 + 0.5) / 4294967296.0
-        return math.floor((-math.log(u)) / float(wgt) * 1000000.0 + 0.5)
-
-    want = {}
-    for dom, b in (("a", 60), ("b", 30)):
-        order = sorted(
-            (py_prio(k, sz), k, sz)
-            for k, d, sz in rows
-            if d == dom and sz > 0
-        )
-        cum = 0
-        kept = []
-        for _, k, sz in order:
-            if cum >= b:
-                break
-            kept.append(k)
-            cum += sz
-        want[dom] = (set(kept), cum)
-
+    want = {
+        dom: _py_budget_keep(rows, dom, b)
+        for dom, b in (("a", 60), ("b", 30))
+    }
     got = smp.token_budget_mixture_sample(
-        df, "dom", "k", "sz", weights, total
+        df, "dom", "k", "sz", weights, total,
+        window_budget_max=window_budget_max,
     ).collect()
     by_dom: dict = {}
     for r in got:
@@ -861,6 +874,95 @@ def test_token_budget_mixture_matches_python_reference(spark):
     assert toks_a >= 60 and toks_a - 60 < 9
     # b is smaller than its budget: keeps its whole positive mass
     assert by_dom["b"][1] == 20 and by_dom["b"][0] == {100, 101, 102, 103}
+
+
+def test_token_budget_histogram_path_large_domain(spark):
+    """The round-10 scale gap, exercised: >1e5 candidate docs funnel
+    through ONE domain with a large budget — the histogram path must
+    (a) keep exactly the Python replica's prefix, (b) plan NO
+    per-domain total-order window (the cut comes from the bounded
+    grouped histogram; only the crossing priority pays a tie window),
+    while the window path on the same inputs ranks through
+    row_number. Also pins the boundary tie-break: engineered
+    priority ties at the crossing value split by key."""
+    import re
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    n = 120_000
+    rows = [(i, "big", (i % 9) + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, dom string, sz long")
+    weights = {"big": 1}
+    total = 200_000  # B = 200k of ~600k total mass: a real cut
+
+    out = smp.token_budget_mixture_sample(
+        df, "dom", "k", "sz", weights, total, window_budget_max=0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # histogram path: no rank window at all, and no window partitioned
+    # by the domain alone that orders by priority (the single-reducer
+    # shape the path exists to remove) — the bounded histogram offset
+    # window partitions by dom but orders by its bucket id
+    assert "row_number" not in plan
+    assert not re.search(
+        r"windowspecdefinition\(dom#\d+, priority_micro#\d+L? ASC", plan
+    ), "per-domain total-order window leaked into the histogram path"
+    got = {(r["k"], r["sz"]) for r in out.collect()}
+    want_keys, want_mass = _py_budget_keep(rows, "big", total)
+    assert {k for k, _ in got} == want_keys
+    assert sum(sz for _, sz in got) == want_mass
+    # window path agrees (the two regimes are interchangeable)
+    got_w = {
+        r["k"]
+        for r in smp.token_budget_mixture_sample(
+            df, "dom", "k", "sz", weights, total
+        ).collect()
+    }
+    assert got_w == want_keys
+
+
+def test_budget_samplers_thousand_domain_weights(spark):
+    """The budget table is a broadcast join, not an N-branch CASE
+    chain: a 1,000-domain weights dict must analyze and run (the
+    chain was a codegen/analysis hazard at this width), and the kept
+    sets still match the Python replica for the domains present."""
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    weights = {f"d{i:04d}": (i % 5) + 1 for i in range(1000)}
+    wsum = sum(weights.values())
+    total = 30 * wsum  # B_d = 30 * w_d exactly
+    rows = [
+        (100 * j + i, f"d{j:04d}", (i % 7) + 1)
+        for j in (0, 371, 999)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, dom string, sz long")
+    got = smp.token_budget_mixture_sample(
+        df, "dom", "k", "sz", weights, total
+    ).collect()
+    by_dom: dict = {}
+    for r in got:
+        by_dom.setdefault(r["dom"], set()).add(r["k"])
+    for j in (0, 371, 999):
+        dom = f"d{j:04d}"
+        b = (total * weights[dom]) // wsum
+        want_keys, _ = _py_budget_keep(rows, dom, b)
+        assert by_dom.get(dom, set()) == want_keys, dom
+    # the incremental twin takes the same width of budgets dict
+    budgets = {d: 30 * w for d, w in weights.items()}
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="sparkgraft_budget1k_") + "/store"
+    adm = smp.incremental_budget_admission(
+        spark, store, df, "dom", "k", "sz", budgets, batch_id=0
+    ).collect()
+    by_dom2: dict = {}
+    for r in adm:
+        by_dom2.setdefault(r["domain"], set()).add(r["key"])
+    for j in (0, 371, 999):
+        dom = f"d{j:04d}"
+        want_keys, _ = _py_budget_keep(rows, dom, budgets[dom])
+        assert by_dom2.get(dom, set()) == want_keys, dom
 
 
 def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path):

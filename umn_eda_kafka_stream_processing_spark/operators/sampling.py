@@ -552,14 +552,14 @@ def incremental_budget_admission(
         )
     else:
         consumed = None
-    budget: Column = F.lit(-1).cast("long")  # absent domains drop
-    max_budget = 0
-    for d, b in sorted(budgets.items()):
-        b = int(b)
-        max_budget = max(max_budget, b)
-        budget = F.when(
-            F.col(domain_col) == d, F.lit(b).cast("long")
-        ).otherwise(budget)
+    # budgets ride a broadcast rate table, never an N-branch CASE
+    # chain (codegen hazard at thousands of domains — round-10 #6);
+    # the inner join drops unknown domains, same as the old -1 gate
+    btab = spark.createDataFrame(
+        [(d, int(b)) for d, b in sorted(budgets.items())],
+        ["_bud_domain", "_budget"],
+    )
+    max_budget = max(int(b) for b in budgets.values())
     u = (
         sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
     ) / F.lit(float(KEY_SPACE))
@@ -574,9 +574,13 @@ def incremental_budget_admission(
     )
     ranked = (
         batch_df.where(F.col(size_col) > 0)
+        .join(
+            F.broadcast(btab),
+            F.col(domain_col) == F.col("_bud_domain"),
+            "inner",
+        )
+        .drop("_bud_domain")
         .withColumn("priority_micro", prio)
-        .withColumn("_budget", budget)
-        .where(F.col("_budget") >= 0)
         .withColumn("_rk", F.row_number().over(w).cast("long"))
         # lossless WindowGroupLimit pre-prune (sizes >= 1)
         .filter(F.col("_rk") <= F.lit(max(max_budget, 1)))

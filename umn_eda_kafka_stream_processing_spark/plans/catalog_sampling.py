@@ -245,6 +245,66 @@ def token_budget_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_BUDGET_TOTAL = 200_000  # uniform weights over 20 sources -> B_d = 10_000
+
+
+@_register(
+    "token_budget_hist_stats",
+    "Token-budget mixture on the DISTRIBUTED HISTOGRAM-CUT path "
+    "(operators/sampling.py:token_budget_mixture_sample with "
+    "window_budget_max=0 — the large-budget regime): each source's "
+    "cut priority comes from the grouped two-level histogram "
+    "(ranking._grouped_with_below, weight = char mass over "
+    "priority_micro), fully-admitted priorities pass a narrow "
+    "filter, and only the single crossing priority per source pays "
+    "a tiny tie window — NO per-domain total-order window anywhere "
+    "(the round-10 single-reducer ceiling, removed). Kept set is "
+    "IDENTICAL to the window path; the oracle re-derives the same "
+    "prefix with a plain SQL running-sum window — one mis-kept doc "
+    "hash-mismatches. Census: per-source budget, kept docs, "
+    "realized chars.",
+    f"""
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(
+               (-ln((CAST({_duck_key('doc_id', 'bud')} AS DOUBLE) + 0.5)
+                    / 4294967296.0))
+               / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5
+             ) AS BIGINT) AS prio,
+             {_HIST_BUDGET_TOTAL // 20} AS budget
+      FROM documents WHERE n_chars > 0
+    ), rk AS (
+      SELECT source, n_chars, budget,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY prio, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM pr
+    )
+    SELECT source, CAST(budget AS BIGINT) AS budget,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_realized
+    FROM rk WHERE cum - n_chars < budget
+    GROUP BY source, budget
+    """,
+)
+def token_budget_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = smp.token_budget_mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        "n_chars",
+        {f"src{i}": 1 for i in range(20)},
+        _HIST_BUDGET_TOTAL,
+        window_budget_max=0,  # force the histogram-cut regime
+    )
+    return kept.groupBy("source", F.col("domain_budget").alias("budget")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_realized"),
+    )
+
+
 @_register(
     "weighted_doc_sample",
     "Weighted random sampling WITHOUT replacement, 20 docs per lang "
