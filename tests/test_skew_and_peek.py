@@ -337,6 +337,83 @@ def test_cms_join_size_matches_python_replica(spark):
     assert len(zero) == 1 and int(zero[0]["est_join_rows"]) == 0
 
 
+def test_advise_join_strategy_from_standing_registers_flips(spark, tmp_path):
+    """The advisor loop closed over incremental CMS register stores:
+    decisions come from standing sketches (zero planning jobs on the
+    data), the exact row counts and conservative skew bound are
+    pinned against Python, and the strategy FLIPS from broadcast to
+    shuffle_hash once enough batches grow the build side past the
+    row bound — then to salted when the probe side turns skewed."""
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        cms_registers,
+        read_cms_registers,
+        upsert_cms_registers,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_join_strategy,
+    )
+
+    left_store = str(tmp_path / "regs_left")
+    right_store = str(tmp_path / "regs_right")
+    # batch 0: uniform left, tiny right -> broadcast
+    upsert_cms_registers(
+        spark, left_store,
+        spark.createDataFrame([(i,) for i in range(200)], "k long"),
+        "k", batch_id=0,
+    )
+    upsert_cms_registers(
+        spark, right_store,
+        spark.createDataFrame([(i,) for i in range(50)], "k long"),
+        "k", batch_id=0,
+    )
+
+    def decide():
+        return advise_join_strategy(
+            read_cms_registers(spark, left_store),
+            read_cms_registers(spark, right_store),
+            max_broadcast_rows=100,
+            max_share_micro=50_000,
+        ).collect()[0]
+
+    d0 = decide()
+    assert (d0["rows_left"], d0["rows_right"]) == (200, 50)
+    assert d0["strategy"] == "broadcast"
+    # batches 1-2 grow the right side past the broadcast bound
+    for bid in (1, 2):
+        upsert_cms_registers(
+            spark, right_store,
+            spark.createDataFrame(
+                [(1000 * bid + i,) for i in range(40)], "k long"
+            ),
+            "k", batch_id=bid,
+        )
+    d1 = decide()
+    assert d1["rows_right"] == 130 and d1["strategy"] == "shuffle_hash"
+    # batch 1 replay: latest-wins registers, decision unchanged
+    upsert_cms_registers(
+        spark, right_store,
+        spark.createDataFrame([(1000 + i,) for i in range(40)], "k long"),
+        "k", batch_id=1,
+    )
+    d1r = decide()
+    assert (d1r["rows_right"], d1r["strategy"]) == (130, "shuffle_hash")
+    # a skewed left batch pushes the heaviest-key bound over 5%
+    upsert_cms_registers(
+        spark, left_store,
+        spark.createDataFrame([(7,)] * 100, "k long"),
+        "k", batch_id=1,
+    )
+    d2 = decide()
+    assert d2["rows_left"] == 300
+    assert d2["top_cnt_left_ub"] >= 100  # >= true heaviest (101)
+    assert d2["strategy"] == "salted_shuffle_hash"
+    # the bound is an upper bound on the true heaviest key, and the
+    # est join size overestimates the true cartesian contribution
+    assert d2["share_left_micro_ub"] >= (1_000_000 * 101 + 150) // 300
+    true_join = 101 * 1  # key 7 appears 101x left, 1x right
+    assert d2["est_join_rows"] >= true_join
+
+
 def test_salted_join_rejects_right_preserving_how(spark):
     from umn_eda_kafka_stream_processing_spark.operators.skew import salted_join
 

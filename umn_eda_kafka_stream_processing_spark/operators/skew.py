@@ -336,6 +336,110 @@ def maybe_broadcast_join(
     return left.join(rt, keys, how)
 
 
+def cms_side_stats(regs: DataFrame, side: str) -> DataFrame:
+    """One-row (rows_<side>, top_cnt_<side>_ub) from a Count-Min
+    register table over a join key (operators/sketches.py:
+    cms_registers / read_cms_registers):
+
+    * ``rows`` is EXACT — every input row increments exactly one
+      bucket per hash row, so any row's register total equals the
+      input row count (min across rows guards a malformed table);
+    * ``top_cnt_ub`` is an UPPER BOUND on the heaviest key's count:
+      for the true heaviest key k*, each hash row's register at
+      h_r(k*) holds >= f(k*), so that row's max cell >= f(k*), and
+      the min over rows of per-row max cells still >= f(k*). The
+      bound is conservative (collisions only inflate it), so a
+      salting decision from it can only over-salt, never miss skew.
+
+    An empty register table (empty input) coalesces to (0, 0).
+    """
+    per_row = regs.groupBy("row").agg(
+        F.max("cnt").alias("_mx"), F.sum("cnt").alias("_tot")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("_tot"), F.lit(0))
+        .cast("long")
+        .alias(f"rows_{side}"),
+        F.coalesce(F.min("_mx"), F.lit(0))
+        .cast("long")
+        .alias(f"top_cnt_{side}_ub"),
+    )
+
+
+def advise_join_strategy(
+    regs_left: DataFrame,
+    regs_right: DataFrame,
+    max_broadcast_rows: int = BROADCAST_MAX_ROWS,
+    max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
+) -> DataFrame:
+    """The advisor loop CLOSED over standing sketches: price and plan
+    a prospective join entirely from two Count-Min register tables
+    (each ≤1024 rows, incrementally maintained by
+    `upsert_cms_registers`) — ZERO planning jobs touch the data
+    itself, so a pipeline can re-decide its join strategy per batch
+    for free (the round-10 verdict's missing consumer for
+    `cms_join_size`).
+
+    Inputs the registers yield (see `cms_side_stats` /
+    `cms_join_size`): exact per-side row counts, an upper bound on
+    each side's heaviest-key count, and the CMS inner-product
+    OVERESTIMATE of the join cardinality. Decision (first match):
+
+    * ``broadcast`` — right side provably small
+      (rows_right <= max_broadcast_rows): the `maybe_broadcast_join`
+      criterion with build_rows from the sketch;
+    * ``salted_shuffle_hash`` — left heaviest-key share UPPER BOUND
+      exceeds ``max_share_micro`` ppm: the `maybe_salted_join`
+      criterion; conservative by construction (the bound can only
+      over-salt — a salted plan is correct either way);
+    * ``shuffle_hash`` — otherwise (pin the hash build; never let a
+      missing-stats SMJ sort both sides — the r04 rule).
+
+    Returns ONE row: (rows_left, rows_right, top_cnt_left_ub,
+    top_cnt_right_ub, share_left_micro_ub, est_join_rows, strategy).
+    share = (1e6·ub + rows div 2) div rows — the advise_salting
+    round-half-up ppm in pure BIGINT, portable to the DuckDB oracle.
+    est_join_rows is the Cormode-Muthukrishnan min-dot (always >=
+    the true join size), BIGINT. Feed the scalars onward:
+    build_rows= for `maybe_broadcast_join`, a census dict for
+    `maybe_salted_join` — the train-once/serve-many shape."""
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    stats = (
+        cms_side_stats(regs_left, "left")
+        .crossJoin(cms_side_stats(regs_right, "right"))
+        .crossJoin(
+            cms_join_size(regs_left, regs_right).select(
+                F.col("est_join_rows").cast("long").alias("est_join_rows")
+            )
+        )
+    )
+    share_left = F.expr(
+        "CASE WHEN rows_left = 0 THEN 0 ELSE "
+        "(1000000 * top_cnt_left_ub + rows_left div 2) div rows_left END"
+    ).cast("long")
+    return stats.select(
+        "rows_left",
+        "rows_right",
+        "top_cnt_left_ub",
+        "top_cnt_right_ub",
+        share_left.alias("share_left_micro_ub"),
+        "est_join_rows",
+        F.when(
+            F.col("rows_right") <= F.lit(int(max_broadcast_rows)),
+            F.lit("broadcast"),
+        )
+        .when(
+            share_left > F.lit(int(max_share_micro)),
+            F.lit("salted_shuffle_hash"),
+        )
+        .otherwise(F.lit("shuffle_hash"))
+        .alias("strategy"),
+    )
+
+
 def advise_salting(
     left: DataFrame,
     keys: Sequence[str],

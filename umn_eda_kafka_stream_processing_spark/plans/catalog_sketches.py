@@ -202,6 +202,113 @@ def _duck_cms_regs(table_expr: str, key_expr: str, name: str) -> str:
     )
 
 
+def _duck_advise_case(
+    label: str, key_l: str, key_r: str, max_bc: int, max_share: int
+) -> str:
+    """One advisor decision as SQL text over the per-case register
+    CTEs ra_<label>/rb_<label> — the identical integer arithmetic as
+    operators/skew.py:advise_join_strategy (rows = min over hash
+    rows of register totals, exact; top ub = min over rows of max
+    cell; share = round-half-up ppm via BIGINT //; est = min over
+    ALL d rows of the dot product, missing rows 0)."""
+    return f"""
+    SELECT '{label}' AS case_name,
+           CAST(rows_left AS BIGINT) AS rows_left,
+           CAST(rows_right AS BIGINT) AS rows_right,
+           CAST(top_cnt_left_ub AS BIGINT) AS top_cnt_left_ub,
+           CAST(top_cnt_right_ub AS BIGINT) AS top_cnt_right_ub,
+           CAST(CASE WHEN rows_left = 0 THEN 0 ELSE
+             (1000000 * top_cnt_left_ub + rows_left // 2) // rows_left
+           END AS BIGINT) AS share_left_micro_ub,
+           CAST(est_join_rows AS BIGINT) AS est_join_rows,
+           CASE WHEN rows_right <= {max_bc} THEN 'broadcast'
+                WHEN (CASE WHEN rows_left = 0 THEN 0 ELSE
+                      (1000000 * top_cnt_left_ub + rows_left // 2)
+                      // rows_left END) > {max_share}
+                     THEN 'salted_shuffle_hash'
+                ELSE 'shuffle_hash' END AS strategy
+    FROM (
+      SELECT (SELECT coalesce(min(tot), 0) FROM (SELECT sum(cnt) AS tot
+              FROM ra_{label} GROUP BY row)) AS rows_left,
+             (SELECT coalesce(min(mx), 0) FROM (SELECT max(cnt) AS mx
+              FROM ra_{label} GROUP BY row)) AS top_cnt_left_ub,
+             (SELECT coalesce(min(tot), 0) FROM (SELECT sum(cnt) AS tot
+              FROM rb_{label} GROUP BY row)) AS rows_right,
+             (SELECT coalesce(min(mx), 0) FROM (SELECT max(cnt) AS mx
+              FROM rb_{label} GROUP BY row)) AS top_cnt_right_ub,
+             (SELECT min(dot) FROM (
+                SELECT rr.row, coalesce(o.dot, 0) AS dot
+                FROM (SELECT 0 AS row UNION ALL SELECT 1
+                      UNION ALL SELECT 2 UNION ALL SELECT 3) rr
+                LEFT JOIN (SELECT a.row, sum(a.cnt * b.cnt) AS dot
+                           FROM ra_{label} a JOIN rb_{label} b
+                             ON a.row = b.row AND a.bucket = b.bucket
+                           GROUP BY a.row) o ON o.row = rr.row
+             )) AS est_join_rows
+    )
+    """
+
+
+_ADVISE_CASES = [
+    # (label, left table, left key, right table, right key,
+    #  max_broadcast_rows, max_share_micro)
+    ("customer_nation", "customer", "c_nationkey", "nation",
+     "n_nationkey", 1_000_000, 50_000),
+    ("events_by_type", "events", "event_type", "orders",
+     "o_orderkey", 1_000, 50_000),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+     "o_orderkey", 1_000, 50_000),
+]
+
+
+@_register(
+    "join_strategy_advisor_census",
+    "The advisor loop CLOSED over standing sketches (operators/"
+    "skew.py:advise_join_strategy): three prospective joins priced "
+    "and planned ENTIRELY from Count-Min register tables (<=1024 "
+    "rows each) — exact per-side row counts (any hash row's register "
+    "total), a conservative upper bound on the heaviest key (min "
+    "over rows of max cell — can only over-salt, never miss skew), "
+    "and the Cormode-Muthukrishnan min-dot join-size overestimate; "
+    "ZERO planning jobs touch the data. The three cases land one in "
+    "each decision branch: nation is provably broadcastable, "
+    "events.event_type's ~20% top-key share exceeds the 5% salting "
+    "bar, lineitem x orders pins shuffle_hash. Oracle rebuilds every "
+    "register from the same md5 text and re-derives the identical "
+    "BIGINT decision arithmetic.",
+    "WITH "
+    + ",\n    ".join(
+        _duck_cms_regs(tbl, key, f"{pre}_{label}")
+        for label, tl, kl, tr, kr, _, _ in _ADVISE_CASES
+        for pre, tbl, key in (("ra", tl, kl), ("rb", tr, kr))
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        _duck_advise_case(label, kl, kr, mb, ms)
+        for label, tl, kl, tr, kr, mb, ms in _ADVISE_CASES
+    ),
+)
+def join_strategy_advisor_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_join_strategy,
+    )
+
+    def regs(tbl: str, col: str) -> DataFrame:
+        return sk.cms_registers(
+            load_table(spark, sf_dir, tbl).select(F.col(col).alias("k")),
+            "k",
+        )
+
+    out = None
+    for label, tl, kl, tr, kr, mb, ms in _ADVISE_CASES:
+        row = advise_join_strategy(
+            regs(tl, kl), regs(tr, kr),
+            max_broadcast_rows=mb, max_share_micro=ms,
+        ).select(F.lit(label).alias("case_name"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @_register(
     "cms_join_size_census",
     "Join-cardinality estimate from two Count-Min register tables "
