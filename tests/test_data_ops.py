@@ -1046,6 +1046,89 @@ def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path)
     assert got2 == want
 
 
+def test_histogram_drift_monitor_psi(spark, tmp_path):
+    """Distribution half of the contract monitor: per-batch histogram
+    registers land replay-safely; drift_census computes the exact
+    integer-form PSI of a current window vs a reference window —
+    pinned against a Python replica of the identical double-op
+    chain; a planted shifted batch alarms while an identically
+    distributed control column stays ~0; a replayed batch is a
+    byte-identical no-op."""
+    import math
+
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        drift_census,
+        upsert_histogram_monitor,
+    )
+
+    store = str(tmp_path / "hist")
+    specs = {"v": (0.0, 64.0, 16), "ctl": (0.0, 64.0, 16)}
+    batches = {
+        0: [(float(i % 40), float(i % 32)) for i in range(300)],
+        1: [(float((i * 7) % 40), float(i % 32)) for i in range(300)],
+        # planted drift: v shifts +20; ctl keeps the same distribution
+        2: [(float(i % 40 + 20), float(i % 32)) for i in range(300)],
+    }
+    for bid, rows in batches.items():
+        upsert_histogram_monitor(
+            spark, store,
+            spark.createDataFrame(rows, "v double, ctl double"),
+            specs, bid,
+        )
+    got = {
+        r["col_name"]: r
+        for r in drift_census(spark, store, (0, 1), (2, 2)).collect()
+    }
+
+    # Python replica (same bin arithmetic, same fixed double ops)
+    def psi(col_idx, lo, hi, bins):
+        def bin_of(v):
+            return min(bins - 1, max(0, math.floor((v - lo) / ((hi - lo) / bins))))
+
+        ref: dict = {}
+        cur: dict = {}
+        for bid, rows in batches.items():
+            tgt = ref if bid <= 1 else cur
+            for row in rows:
+                b = bin_of(row[col_idx])
+                tgt[b] = tgt.get(b, 0) + 1
+        all_bins = sorted(set(ref) | set(cur))
+        nb = len(all_bins)
+        rt, ct = sum(ref.values()), sum(cur.values())
+        femto = 0
+        for b in all_bins:
+            rc, cc = ref.get(b, 0), cur.get(b, 0)
+            p = float(rc + 1) / float(rt + nb)
+            q = float(cc + 1) / float(ct + nb)
+            ratio = (float(cc + 1) * float(rt + nb)) / (
+                float(rc + 1) * float(ct + nb)
+            )
+            lr = math.floor(math.log(ratio) * 1e6 + 0.5)
+            dq = math.floor((q - p) * 1e9 + 0.5)
+            femto += dq * lr
+        return nb, rt, ct, femto
+
+    for col, idx in (("v", 0), ("ctl", 1)):
+        nb, rt, ct, femto = psi(idx, *specs[col])
+        r = got[col]
+        assert (r["n_bins"], r["ref_total"], r["cur_total"]) == (nb, rt, ct)
+        assert r["psi_femto"] == femto, col
+        assert r["psi_femto"] >= 0
+    # the planted shift alarms; the control does not (bands: 0.1/0.25)
+    assert got["v"]["psi_micro"] > 250_000
+    assert got["ctl"]["psi_micro"] < 100_000
+    # replay batch 1: latest-wins registers -> identical store
+    before = sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+    upsert_histogram_monitor(
+        spark, store,
+        spark.createDataFrame(batches[1], "v double, ctl double"),
+        specs, 1,
+    )
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""

@@ -222,3 +222,142 @@ def read_constraint_history(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path).select(
         "batch_id", "check", "target", "n_rows", "n_violations", "ok"
     )
+
+
+def upsert_histogram_monitor(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    specs: "dict[str, tuple]",
+    batch_id: int,
+) -> None:
+    """DISTRIBUTION half of the streaming contract monitor: per batch,
+    one 256-bin histogram sketch per watched column (operators/
+    sketches.py:histogram_registers — constant mergeable state, one
+    hash-agg per column over the batch), stored keyed by
+    (batch_id, col_name, bin) through the latest-wins upsert — the
+    replay-safe per-batch keying rule: a replayed batch recomputes
+    IDENTICAL register rows and the write is a no-op; windows are
+    summed across batch_ids at read (`drift_census`), never
+    read-modify-added. ``specs``: {column: (lo, hi, bins)}. Store
+    size: <= Σ bins rows per batch, however large the batches."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        histogram_registers,
+    )
+
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    regs = None
+    for col, (lo, hi, bins) in sorted(specs.items()):
+        r = histogram_registers(
+            batch_df.select(F.lit(col).alias("_col"), F.col(col)),
+            "_col", col, float(lo), float(hi), int(bins),
+        ).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.col("g").alias("col_name"),
+            "bin",
+            "cnt",
+        )
+        regs = r if regs is None else regs.unionByName(r)
+    upsert_snapshot(
+        spark,
+        store_path,
+        regs.withColumn("event_seq", F.lit(0)),
+        key_cols=["batch_id", "col_name", "bin"],
+    )
+
+
+def drift_census(
+    spark,
+    store_path: str,
+    ref_batches: tuple,
+    cur_batches: tuple,
+) -> DataFrame:
+    """Population-Stability-Index drift per watched column between two
+    batch WINDOWS of an `upsert_histogram_monitor` store — the
+    distribution alarm the count-based constraint monitor lacks
+    (reference batches = the contract's blessed window, current =
+    the batches under suspicion; both inclusive (lo, hi) batch_id
+    ranges).
+
+    PSI = Σ_bins (q_i − p_i)·ln(q_i/p_i) with add-one smoothing over
+    the union of occupied bins (B), so empty bins are defined and
+    probabilities stay normalized: p_i = (ref_i+1)/(ref_total+B),
+    q_i = (cur_i+1)/(cur_total+B). Every term is >= 0 (both factors
+    share sign), so the census is monotone in drift; the usual
+    alert bands are ~0.1 (watch) / 0.25 (act).
+
+    Engine-portable integer form (the charlm ln rule): per bin, ONE
+    ln on a double ratio computed from exact BIGINT counts in a
+    fixed cast order, micro-rounded to BIGINT (lr_micro); the
+    probability gap is pure IEEE arithmetic on the same exact
+    inputs, nano-rounded (dq_nano); the per-bin term is the BIGINT
+    product and the column's PSI is an exact integer SUM —
+    psi_femto = Σ dq_nano·lr_micro (1e-15 units; div by 1e9 for
+    micro). Never a float sum across bins.
+
+    Plan: the store is tiny (≤ bins rows per batch per column) —
+    one scan, conditional window sums, one per-column agg. Returns
+    (col_name, n_bins, ref_total, cur_total, psi_femto, psi_micro)."""
+    rlo, rhi = int(ref_batches[0]), int(ref_batches[1])
+    clo, chi = int(cur_batches[0]), int(cur_batches[1])
+    st = spark.read.parquet(store_path)
+    in_ref = (F.col("batch_id") >= rlo) & (F.col("batch_id") <= rhi)
+    in_cur = (F.col("batch_id") >= clo) & (F.col("batch_id") <= chi)
+    per_bin = (
+        st.filter(in_ref | in_cur)
+        .groupBy("col_name", "bin")
+        .agg(
+            F.sum(F.when(in_ref, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("ref_cnt"),
+            F.sum(F.when(in_cur, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cur_cnt"),
+        )
+    )
+    tot = per_bin.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("ref_cnt").cast("long").alias("ref_total"),
+        F.sum("cur_cnt").cast("long").alias("cur_total"),
+    )
+    j = per_bin.join(tot, "col_name")
+    # fixed cast/op order — both engines produce identical doubles:
+    # p, q from exact BIGINTs; the ratio from integer PRODUCTS cast
+    # individually (BIGINT->DOUBLE rounds nearest-even identically)
+    p = (F.col("ref_cnt") + F.lit(1)).cast("double") / (
+        F.col("ref_total") + F.col("n_bins")
+    ).cast("double")
+    q = (F.col("cur_cnt") + F.lit(1)).cast("double") / (
+        F.col("cur_total") + F.col("n_bins")
+    ).cast("double")
+    ratio = (
+        (F.col("cur_cnt") + F.lit(1)).cast("double")
+        * (F.col("ref_total") + F.col("n_bins")).cast("double")
+    ) / (
+        (F.col("ref_cnt") + F.lit(1)).cast("double")
+        * (F.col("cur_total") + F.col("n_bins")).cast("double")
+    )
+    lr_micro = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    dq_nano = F.floor((q - p) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        j.withColumn("_term", dq_nano * lr_micro)
+        .groupBy("col_name")
+        .agg(
+            F.min("n_bins").alias("n_bins"),
+            F.min("ref_total").alias("ref_total"),
+            F.min("cur_total").alias("cur_total"),
+            F.sum("_term").cast("long").alias("psi_femto"),
+        )
+        .withColumn(
+            "psi_micro",
+            F.expr("psi_femto div 1000000000").cast("long"),
+        )
+    )

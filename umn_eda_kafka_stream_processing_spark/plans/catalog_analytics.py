@@ -2794,6 +2794,130 @@ def store_ttl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_psi_terms() -> str:
+    """PSI term SQL text — the identical fixed double-op chain as
+    operators/quality.py:drift_census (charlm ln rule: one ln per
+    bin on a deterministic double ratio, micro-rounded to BIGINT;
+    probability gap nano-rounded; integer product, integer sum)."""
+    return """
+      CAST(floor((
+          CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_total + n_bins AS DOUBLE)
+          - CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_total + n_bins AS DOUBLE)
+        ) * 1000000000.0 + 0.5) AS BIGINT)
+      * CAST(floor(ln(
+          (CAST(cur_cnt + 1 AS DOUBLE) * CAST(ref_total + n_bins AS DOUBLE))
+          / (CAST(ref_cnt + 1 AS DOUBLE) * CAST(cur_total + n_bins AS DOUBLE))
+        ) * 1000000.0 + 0.5) AS BIGINT)"""
+
+
+@_register(
+    "order_price_drift_census",
+    "Distribution-DRIFT monitor on the contract store (operators/"
+    "quality.py:upsert_histogram_monitor + drift_census — the "
+    "Population Stability Index the count-based constraint monitor "
+    "lacks): three microbatches (o_orderkey % 3) land per-batch "
+    "64-bin histogram registers for two watched columns, with batch "
+    "2's price DELIBERATELY shifted +131072 (planted drift) while "
+    "the customer-key control keeps its distribution. PSI of window "
+    "{2} vs reference {0,1} in exact integer form — one ln per "
+    "occupied bin on a deterministic double ratio of BIGINT counts, "
+    "micro-rounded; gap nano-rounded; psi_femto an exact integer "
+    "sum (never a float sum across bins); add-one smoothing over "
+    "the occupied-bin union. Batch 1 is re-upserted (replay) before "
+    "reading: store_rows pins the latest-wins no-op as data. The "
+    "drifted column alarms (psi >> 0.25); the control stays ~0.",
+    """
+    WITH raw AS (
+      SELECT o_orderkey % 3 AS bid,
+             CASE WHEN o_orderkey % 3 = 2
+                  THEN o_totalprice + 131072.0
+                  ELSE o_totalprice END AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders
+    ),
+    binned AS (
+      SELECT bid, 'price' AS col_name,
+             least(63, greatest(0,
+               CAST(floor((price - 0.0) / 8192.0) AS BIGINT))) AS bin
+      FROM raw
+      UNION ALL
+      SELECT bid, 'cust',
+             least(63, greatest(0,
+               CAST(floor((cust - 0.0) / 256.0) AS BIGINT)))
+      FROM raw
+    ),
+    per_bin AS (
+      SELECT col_name, bin,
+             CAST(sum(CASE WHEN bid <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ref_cnt,
+             CAST(sum(CASE WHEN bid = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cur_cnt
+      FROM binned GROUP BY col_name, bin
+    ),
+    tot AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(ref_cnt) AS BIGINT) AS ref_total,
+             CAST(sum(cur_cnt) AS BIGINT) AS cur_total
+      FROM per_bin GROUP BY col_name
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS store_rows
+      FROM (SELECT DISTINCT bid, col_name, bin FROM binned)
+    )
+    SELECT p.col_name,
+           CAST(min(t.n_bins) AS BIGINT) AS n_bins,
+           CAST(min(t.ref_total) AS BIGINT) AS ref_total,
+           CAST(min(t.cur_total) AS BIGINT) AS cur_total,"""
+    f"""
+           CAST(sum({_duck_psi_terms()}) AS BIGINT) AS psi_femto,
+           CAST(sum({_duck_psi_terms()}) // 1000000000 AS BIGINT)
+               AS psi_micro,
+           CAST(min(st.store_rows) AS BIGINT) AS store_rows
+    FROM per_bin p JOIN tot t USING (col_name) CROSS JOIN st
+    GROUP BY p.col_name
+    """,
+)
+def order_price_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        drift_census,
+        upsert_histogram_monitor,
+    )
+
+    specs = {"price": (0.0, 524288.0, 64), "cust": (0.0, 16384.0, 64)}
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).cast("long").alias("bid"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    ).withColumn(
+        "price",
+        F.when(
+            F.col("bid") == 2, F.col("price") + F.lit(131072.0)
+        ).otherwise(F.col("price")),
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_drift_") + "/store"
+    for b in range(3):
+        upsert_histogram_monitor(
+            spark, path,
+            orders.where(F.col("bid") == b).select("price", "cust"),
+            specs, b,
+        )
+    # replay batch 1: the latest-wins upsert must be a no-op —
+    # store_rows below pins it (an inflated register would also
+    # hash-mismatch every PSI number)
+    upsert_histogram_monitor(
+        spark, path,
+        orders.where(F.col("bid") == 1).select("price", "cust"),
+        specs, 1,
+    )
+    census = drift_census(spark, path, (0, 1), (2, 2))
+    store_rows = spark.read.parquet(path).count()
+    return census.withColumn(
+        "store_rows", F.lit(int(store_rows)).cast("long")
+    )
+
+
 def _kcore_oracle(k: int = 8, rounds: int = 6) -> str:
     # every e{r} is referenced 3x by round r+1 (FROM + two IN
     # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the
