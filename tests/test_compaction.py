@@ -253,6 +253,116 @@ def test_expire_snapshot_unpartitioned(spark, tmp_path):
     assert {r["id"] for r in spark.read.parquet(path).collect()} == {"b"}
 
 
+def test_maintain_store_one_pass_ttl_and_compaction(spark, tmp_path):
+    """Fused maintenance: ONE census chooses partitions needing TTL
+    expiry OR compaction; each is rewritten once (a partition whose
+    rows expire also lands compacted in the same rewrite); a fully
+    expired partition's directory is deleted; an untouched partition
+    keeps its files byte-for-byte (mtimes); a replayed call selects
+    zero partitions."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        maintain_store,
+    )
+
+    path = str(tmp_path / "store")
+    # s1/s2 fragmented (2 appends); s3 fully expires; s4 untouched
+    _rows(spark, [
+        ("a", "s1", "old", 10), ("c", "s2", "new", 80),
+        ("e", "s3", "old", 5),  ("g", "s4", "new", 99),
+    ]).coalesce(1).write.mode("append").partitionBy("shard").parquet(path)
+    _rows(spark, [
+        ("b", "s1", "new", 90), ("d", "s2", "new", 95),
+    ]).coalesce(1).write.mode("append").partitionBy("shard").parquet(path)
+    s4 = {
+        f: os.path.getmtime(os.path.join(path, "shard=s4", f))
+        for f in os.listdir(os.path.join(path, "shard=s4"))
+    }
+    stats = maintain_store(
+        spark, path, partition_cols="shard", ttl=("event_seq", 50)
+    )
+    assert stats == {
+        "partitions_total": 4, "rows_expired": 2,
+        "partitions_expired": 2, "partitions_deleted": 1,
+        "partitions_rewritten": 2, "files_before": 4,
+        "files_after": 2, "rows_rewritten": 3,
+    }
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {"b", "c", "d", "g"}
+    assert not os.path.isdir(os.path.join(path, "shard=s3"))
+    assert s4 == {
+        f: os.path.getmtime(os.path.join(path, "shard=s4", f))
+        for f in os.listdir(os.path.join(path, "shard=s4"))
+    }
+    # one file per rewritten partition (expiry + compaction fused)
+    for shard in ("s1", "s2"):
+        files = [
+            f for f in os.listdir(os.path.join(path, f"shard={shard}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, shard
+    replay = maintain_store(
+        spark, path, partition_cols="shard", ttl=("event_seq", 50)
+    )
+    assert replay["partitions_rewritten"] == 0
+    assert replay["rows_expired"] == 0 and replay["partitions_deleted"] == 0
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == got
+
+
+def test_maintain_store_preserves_streaming_exactness(spark, tmp_path):
+    """The scheduled-maintenance shape: N upsert batches -> maintain
+    -> N more batches -> maintain; the store still equals the
+    latest-by-key of every update ever applied, and fragmentation is
+    healed (one file per bucket after each maintenance)."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        maintain_store,
+        upsert_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    expect: dict = {}
+
+    def batch(bid, updates):
+        rows = [
+            (f"k{n}", f"s{n % 3}", f"v{bid}-k{n}", bid) for n in updates
+        ]
+        for k, _, v, seq in rows:
+            cur = expect.get(k)
+            if cur is None or seq >= cur[1]:
+                expect[k] = (v, seq)
+        upsert_snapshot(
+            spark, path, _rows(spark, rows), "id",
+            partition_cols=["shard"],
+        )
+
+    for bid, ups in enumerate([[1, 2], [2, 3], [4]]):
+        batch(bid, ups)
+    m1 = maintain_store(spark, path, partition_cols="shard")
+    for bid, ups in enumerate([[1, 5], [3, 4]], start=3):
+        batch(bid, ups)
+    m2 = maintain_store(spark, path, partition_cols="shard")
+    got = {
+        r["id"]: (r["v"], r["event_seq"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect
+    assert m2["partitions_rewritten"] >= 0  # census ran
+    # post-maintenance: every shard is exactly one file
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, d
+    # and a third maintenance is a no-op
+    m3 = maintain_store(spark, path, partition_cols="shard")
+    assert m3["partitions_rewritten"] == 0
+    assert {
+        r["id"]: (r["v"], r["event_seq"])
+        for r in spark.read.parquet(path).collect()
+    } == expect
+
+
 def test_snapshot_diff_cdc_statuses(spark):
     """insert/delete/update/unchanged classification, null-safe value
     compare (NULL->value and value->NULL are updates), old values

@@ -470,6 +470,182 @@ def expire_snapshot(
     return stats
 
 
+def maintain_store(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: str | Sequence[str] = (),
+    ttl: "tuple | None" = None,
+    target_files: int = 1,
+    target_rows: int | None = None,
+    key_cols: str | Sequence[str] = (),
+    order_col: str | None = None,
+) -> dict:
+    """One-call store maintenance — the TTL sweep (`expire_snapshot`)
+    and the small-file compaction (`compact_store`) fused into ONE
+    census pass and ONE rewrite per touched partition (separately
+    they each scan the store and each rewrite partitions both would
+    touch; the scheduled maintenance step should pay once).
+
+    * ``ttl``: optional ``(ts_col, cutoff)`` — rows with ts strictly
+      below cutoff expire (NULL ts rows are KEPT, the coalesce-to-
+      false rule; cutoff may be a Column for TIMESTAMP_NTZ literals);
+    * ``target_files`` / ``target_rows``: per-partition file-count
+      target, computed on the POST-TTL row count (a partition whose
+      survivors fit one file compacts to one file in the same
+      rewrite that expired its rows);
+    * ``key_cols`` + ``order_col``: optional latest-wins heal (the
+      `compact_store` crash-duplicate repair) applied to rewritten
+      partitions.
+
+    The single distributed census groups the hidden
+    ``_metadata.file_path`` AND the TTL predicate per partition
+    directory (one column-pruned scan, never a driver FS walk); a
+    partition is rewritten iff it holds expired rows OR exceeds its
+    file target, partition-pruned exactly like the parent ops;
+    partitions the sweep empties are deleted explicitly. Follows the
+    family shape: census → bounded chosen set → partition-pruned
+    rewrite → idempotent replay (a second call selects ZERO
+    partitions — pinned by the catalog census).
+
+    Returns merged stats: ``partitions_total``, ``rows_expired``,
+    ``partitions_expired``, ``partitions_deleted``,
+    ``partitions_rewritten``, ``files_before``, ``files_after``,
+    ``rows_rewritten``.
+    """
+    parts = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    if ttl is not None:
+        ts_col, cutoff = ttl
+        cut = cutoff if isinstance(cutoff, Column) else F.lit(cutoff)
+        exp_expr = F.sum(
+            (F.col(ts_col) < cut).cast("long")
+        )
+    else:
+        ts_col, cut = None, None
+        exp_expr = F.sum(F.lit(0).cast("long"))
+    store = spark.read.parquet(table_path)
+    gcols = parts or ["_all"]
+    group = (
+        [F.col(c) for c in parts] if parts else [F.lit(0).alias("_all")]
+    )
+    census = (
+        store.select(
+            *group,
+            F.col("_metadata.file_path").alias("_file"),
+            *([F.col(ts_col)] if ts_col else []),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.countDistinct("_file").cast("long").alias("_files"),
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+            F.coalesce(exp_expr, F.lit(0)).cast("long").alias("_exp"),
+        )
+    )
+    if target_rows is not None:
+        want = F.greatest(
+            F.lit(1),
+            F.ceil((F.col("_rows") - F.col("_exp")) / F.lit(target_rows)),
+        )
+    else:
+        want = F.lit(target_files)
+    census = census.withColumn("_want", want.cast("long"))
+    rows = census.collect()  # one row per partition directory (bounded)
+    emptied = [r for r in rows if r["_exp"] == r["_rows"]]
+    empty_set = {tuple(r[c] for c in parts) for r in emptied} if parts else set()
+    chosen = [
+        r
+        for r in rows
+        if (r["_exp"] > 0 or r["_files"] > r["_want"])
+        and tuple(r[c] for c in parts) not in empty_set
+    ] if parts else [
+        r for r in rows if r["_exp"] > 0 or r["_files"] > r["_want"]
+    ]
+    stats = {
+        "partitions_total": len(rows),
+        "rows_expired": int(sum(r["_exp"] for r in rows)),
+        "partitions_expired": sum(1 for r in rows if r["_exp"] > 0),
+        "partitions_deleted": 0,
+        "partitions_rewritten": len(chosen),
+        "files_before": int(sum(r["_files"] for r in chosen)),
+        "files_after": 0,
+        "rows_rewritten": 0,
+    }
+    if parts and emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for r in emptied:
+            sub = "/".join(f"{c}={r[c]}" for c in parts)
+            p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{sub}")
+            p.getFileSystem(conf).delete(p, True)
+        stats["partitions_deleted"] = len(emptied)
+        spark.catalog.refreshByPath(table_path)
+        store = spark.read.parquet(table_path) if chosen else store
+    if not chosen:
+        return stats
+    # (an unpartitioned fully-expired store lands in `chosen` — its
+    # rewrite below overwrites the store with the empty survivor set)
+    touched = (
+        store.filter(_partition_selector(parts, chosen)) if parts else store
+    )
+    if ts_col is not None:
+        touched = touched.filter(
+            ~F.coalesce(F.col(ts_col) < cut, F.lit(False))
+        )
+    if keys and order_col:
+        touched = compact_changelog(None, touched, keys, order_col)
+    max_want = max(int(r["_want"]) for r in chosen)
+    if max_want > 1:
+        if not keys:
+            raise ValueError(
+                "target file counts > 1 need key_cols for the split salt"
+            )
+        if parts:
+            k_expr: Column = F.lit(1)
+            for r in chosen:
+                cond = F.lit(True)
+                for c in parts:
+                    cond = cond & (F.col(c) == F.lit(r[c]))
+                k_expr = F.when(cond, F.lit(int(r["_want"]))).otherwise(k_expr)
+        else:
+            k_expr = F.lit(max_want)
+        salt = F.pmod(F.hash(*[F.col(k) for k in keys]), k_expr)
+        out = (
+            touched.withColumn("_salt", salt)
+            .repartition(
+                max(len(chosen) * max_want, 1),
+                *([F.col(c) for c in parts] + [F.col("_salt")]),
+            )
+            .drop("_salt")
+        )
+    else:
+        out = touched.repartition(
+            max(len(chosen), 1),
+            *(([F.col(c) for c in parts]) or [F.lit(0)]),
+        )
+    out = out.localCheckpoint()  # reads the directories it overwrites
+    stats["rows_rewritten"] = out.count()
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(table_path)
+    spark.catalog.refreshByPath(table_path)
+    after = spark.read.parquet(table_path).select(
+        *group, F.col("_metadata.file_path").alias("_file")
+    )
+    if parts:
+        after = after.filter(_partition_selector(parts, chosen))
+    stats["files_after"] = after.select("_file").distinct().count()
+    return stats
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

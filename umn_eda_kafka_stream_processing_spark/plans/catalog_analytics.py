@@ -2794,6 +2794,111 @@ def store_ttl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "store_maintenance_census",
+    "ONE-CALL store maintenance (operators/compaction.py:"
+    "maintain_store — expire_snapshot + compact_store fused into ONE "
+    "census pass and ONE rewrite per touched partition): events land "
+    "in an 8-bucket store as two appends per bucket (fragmented), "
+    f"rows with ts < {_TTL_CUTOFF} expire. A bucket holding expired "
+    "rows OR exceeding its 1-file target is rewritten ONCE (expiry "
+    "and bin-packing in the same dynamic overwrite); fully expired "
+    "buckets' directories are deleted; a replayed call selects ZERO "
+    "partitions (the family's idempotence pin). Every counter is "
+    "re-derived by the oracle from events alone — files-before via "
+    "the deterministic (event_id div 8) % 2 append splitter "
+    "(independent of the %8 bucket key, the round-10 correlation "
+    "rule), survivors via the same NTZ cutoff — plus a post-"
+    "maintenance row count and event-id checksum so a lost or "
+    "duplicated row hash-mismatches.",
+    f"""
+    WITH b AS (
+      SELECT event_id % 8 AS bucket, (event_id // 8) % 2 AS half,
+             CASE WHEN ts < TIMESTAMP '{_TTL_CUTOFF}' THEN 1 ELSE 0 END
+                 AS exp,
+             event_id
+      FROM events
+    ),
+    c AS (
+      SELECT bucket, CAST(count(DISTINCT half) AS BIGINT) AS files,
+             CAST(sum(exp) AS BIGINT) AS ex,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY bucket
+    ),
+    cls AS (
+      SELECT *, CASE WHEN ex = n THEN 1 ELSE 0 END AS emptied,
+             CASE WHEN ex < n AND (ex > 0 OR files > 1) THEN 1 ELSE 0 END
+                 AS rew
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS partitions_total,
+           CAST(sum(ex) AS BIGINT) AS rows_expired,
+           CAST(sum(CASE WHEN ex > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS partitions_expired,
+           CAST(sum(emptied) AS BIGINT) AS partitions_deleted,
+           CAST(sum(rew) AS BIGINT) AS partitions_rewritten,
+           CAST(sum(rew * files) AS BIGINT) AS files_before,
+           CAST(sum(rew) AS BIGINT) AS files_after,
+           CAST(sum(CASE WHEN rew = 1 THEN n - ex ELSE 0 END) AS BIGINT)
+               AS rows_rewritten,
+           CAST(0 AS BIGINT) AS replay_rewritten,
+           (SELECT CAST(count(*) AS BIGINT) FROM b WHERE exp = 0)
+               AS n_rows_after,
+           (SELECT CAST(sum(event_id % 97) AS BIGINT) FROM b
+            WHERE exp = 0) AS checksum
+    FROM cls
+    """,
+)
+def store_maintenance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        maintain_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts"
+    ).withColumn("bucket", (F.col("event_id") % F.lit(8)).cast("long"))
+    path = tempfile.mkdtemp(prefix="sparkgraft_store_maint_") + "/store"
+    # two appends per bucket; the splitter strips the bucket bits
+    # first (div 8) so every bucket receives both halves
+    for half in (0, 1):
+        (
+            ev.where(F.expr("event_id div 8") % 2 == half)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    cut = F.expr(f"TIMESTAMP_NTZ '{_TTL_CUTOFF}'")
+    stats = maintain_store(
+        spark, path, partition_cols="bucket", ttl=("ts", cut)
+    )
+    replay = maintain_store(
+        spark, path, partition_cols="bucket", ttl=("ts", cut)
+    )
+    store = spark.read.parquet(path)
+    return store.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.sum(F.col("event_id") % F.lit(97)).cast("long").alias("checksum"),
+    ).select(
+        *[
+            F.lit(stats[k]).cast("long").alias(k)
+            for k in (
+                "partitions_total", "rows_expired", "partitions_expired",
+                "partitions_deleted", "partitions_rewritten",
+                "files_before", "files_after",
+            )
+        ],
+        F.lit(stats["rows_rewritten"]).cast("long").alias("rows_rewritten"),
+        F.lit(replay["partitions_rewritten"]).cast("long").alias(
+            "replay_rewritten"
+        ),
+        "n_rows_after",
+        "checksum",
+    )
+
+
 def _duck_psi_terms() -> str:
     """PSI term SQL text — the identical fixed double-op chain as
     operators/quality.py:drift_census (charlm ln rule: one ln per
