@@ -363,6 +363,98 @@ def test_maintain_store_preserves_streaming_exactness(spark, tmp_path):
     } == expect
 
 
+def test_incremental_agg_view_replay_and_collapse(spark, tmp_path):
+    """Continuously-maintained GROUP BY: per-batch partials keyed
+    (batch_id, group) latest-wins; read re-aggregates across batches
+    and equals the from-scratch GROUP BY after every batch; a
+    replayed batch is byte-identical; collapsing old batches folds
+    them into one baseline row per group without changing the view,
+    is idempotent, and new batches keep composing on top."""
+    from umn_eda_kafka_stream_processing_spark.operators.aggview import (
+        collapse_agg_view,
+        read_agg_view,
+        upsert_agg_view,
+    )
+
+    store = str(tmp_path / "view")
+    partials = [
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("v").cast("long").alias("s"),
+        F.min("v").cast("long").alias("mn"),
+        F.max("v").cast("long").alias("mx"),
+    ]
+    finals = [
+        F.sum("c").cast("long").alias("c"),
+        F.sum("s").cast("long").alias("s"),
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+    ]
+    batches = [
+        [("a", 3), ("a", 5), ("b", 1)],
+        [("a", 2), ("c", 9)],
+        [("b", 7), ("c", 4), ("c", 6)],
+    ]
+    seen: list = []
+
+    def expect():
+        agg: dict = {}
+        for k, v in seen:
+            c, s, mn, mx = agg.get(k, (0, 0, None, None))
+            agg[k] = (
+                c + 1, s + v,
+                v if mn is None else min(mn, v),
+                v if mx is None else max(mx, v),
+            )
+        return agg
+
+    def view():
+        return {
+            r["k"]: (r["c"], r["s"], r["mn"], r["mx"])
+            for r in read_agg_view(spark, store, "k", finals).collect()
+        }
+
+    for bid, rows in enumerate(batches):
+        seen.extend(rows)
+        upsert_agg_view(
+            spark, store,
+            spark.createDataFrame(rows, "k string, v long"),
+            "k", partials, bid,
+        )
+        assert view() == expect(), f"after batch {bid}"
+    # replay batch 1: store byte-identical
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    upsert_agg_view(
+        spark, store,
+        spark.createDataFrame(batches[1], "k string, v long"),
+        "k", partials, 1,
+    )
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+    # collapse batches <= 1 into the -1 baseline: view unchanged,
+    # folded partitions gone, idempotent
+    st = collapse_agg_view(spark, store, "k", finals, upto_batch_id=1)
+    assert st == {"batches_folded": 2, "groups": 3}
+    assert view() == expect()
+    ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    }
+    assert ids == {-1, 2}
+    st2 = collapse_agg_view(spark, store, "k", finals, upto_batch_id=1)
+    assert st2 == {"batches_folded": 0, "groups": 0}
+    # new batches compose on top of the baseline; a later collapse
+    # folds the baseline together with them
+    seen.extend([("a", 100), ("d", 1)])
+    upsert_agg_view(
+        spark, store,
+        spark.createDataFrame([("a", 100), ("d", 1)], "k string, v long"),
+        "k", partials, 3,
+    )
+    assert view() == expect()
+    st3 = collapse_agg_view(spark, store, "k", finals, upto_batch_id=3)
+    assert st3["batches_folded"] == 2  # batch 2 + batch 3 (baseline rewritten)
+    assert view() == expect()
+
+
 def test_snapshot_diff_cdc_statuses(spark):
     """insert/delete/update/unchanged classification, null-safe value
     compare (NULL->value and value->NULL are updates), old values

@@ -412,6 +412,34 @@ def test_advise_join_strategy_from_standing_registers_flips(spark, tmp_path):
     assert d2["share_left_micro_ub"] >= (1_000_000 * 101 + 150) // 300
     true_join = 101 * 1  # key 7 appears 101x left, 1x right
     assert d2["est_join_rows"] >= true_join
+    # serve side: every chosen strategy returns the identical rows
+    left = spark.createDataFrame(
+        [(i % 10, i) for i in range(60)], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)], "k long, rv long"
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        join_with_strategy,
+    )
+
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    for strat in ("broadcast", "salted_shuffle_hash", "shuffle_hash"):
+        got = sorted(
+            map(
+                tuple,
+                join_with_strategy(
+                    left, right, "k", {"strategy": strat}
+                ).collect(),
+            )
+        )
+        assert got == want, strat
+    try:
+        join_with_strategy(left, right, "k", {"strategy": "nope"})
+    except ValueError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("unknown strategy must raise")
 
 
 def test_salted_join_rejects_right_preserving_how(spark):

@@ -440,6 +440,48 @@ def advise_join_strategy(
     )
 
 
+def join_with_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    decision,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    left_salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Execute the join an `advise_join_strategy` census chose —
+    the serve side of the sketch-driven planning loop (``decision``
+    is a collected Row/dict carrying ``strategy``; the join itself
+    never runs a planning job):
+
+    * ``broadcast`` — broadcast the right side;
+    * ``salted_shuffle_hash`` — `salted_join` with a shuffle_hash
+      build (left-preserving hows only, salted_join's contract);
+    * ``shuffle_hash`` — pinned hash build (stats-free frames
+      otherwise fall to SMJ).
+
+    Results are identical across all three strategies (property-
+    tested) — the decision only moves WHERE the work happens."""
+    keys = [on] if isinstance(on, str) else list(on)
+    strategy = decision["strategy"]
+    if strategy == "broadcast":
+        _LOG.info("join_with_strategy(%s): BROADCAST (from sketch)", keys)
+        return left.join(F.broadcast(right), keys, how)
+    if strategy == "salted_shuffle_hash":
+        _LOG.info("join_with_strategy(%s): SALTED (from sketch)", keys)
+        return salted_join(
+            left, right, keys,
+            salt_buckets=salt_buckets,
+            left_salt_cols=left_salt_cols,
+            how=how,
+            right_hint="shuffle_hash",
+        )
+    if strategy == "shuffle_hash":
+        _LOG.info("join_with_strategy(%s): SHUFFLE_HASH (from sketch)", keys)
+        return left.join(right.hint("shuffle_hash"), keys, how)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
 def advise_salting(
     left: DataFrame,
     keys: Sequence[str],

@@ -2795,6 +2795,83 @@ def store_ttl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_event_totals_view",
+    "Continuously-maintained GROUP BY (operators/aggview.py — the "
+    "lake-side KTable aggregation: per-batch PARTIAL aggregates "
+    "keyed (batch_id, group) latest-wins, view re-aggregated across "
+    "batches at read; the salted_agg partial/final split applied to "
+    "the foreachBatch store family): three event microbatches "
+    "(event_id % 3) land count/value-micro-sum/min/max partials per "
+    "event_type, batch 1 is REPLAYED (no-op pinned by the final "
+    "numbers), then batches <= 1 COLLAPSE into one baseline row per "
+    "group (the state-retention fold) — the view must equal the "
+    "from-scratch GROUP BY after all of it, and store_batches pins "
+    "that only {baseline, batch 2} partitions remain. Value sums "
+    "ride exact integer micros (floor(v*1e6+0.5) per row — never a "
+    "cross-engine float sum).",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS v_micro,
+           CAST(min(event_id) AS BIGINT) AS mn_id,
+           CAST(max(event_id) AS BIGINT) AS mx_id,
+           CAST(2 AS BIGINT) AS store_batches
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_event_totals_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.aggview import (
+        collapse_agg_view,
+        read_agg_view,
+        upsert_agg_view,
+    )
+
+    partials = [
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(
+            F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("v_micro"),
+        F.min("event_id").cast("long").alias("mn_id"),
+        F.max("event_id").cast("long").alias("mx_id"),
+    ]
+    finals = [
+        F.sum("c").cast("long").alias("c"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+        F.min("mn_id").cast("long").alias("mn_id"),
+        F.max("mx_id").cast("long").alias("mx_id"),
+    ]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_aggview_") + "/view"
+    for b in range(3):
+        upsert_agg_view(
+            spark, path,
+            ev.where(F.col("event_id") % 3 == b),
+            "event_type", partials, b,
+        )
+    # replay batch 1 (latest-wins no-op), then fold batches <= 1 into
+    # the baseline — the view below must not notice either
+    upsert_agg_view(
+        spark, path,
+        ev.where(F.col("event_id") % 3 == 1),
+        "event_type", partials, 1,
+    )
+    collapse_agg_view(spark, path, "event_type", finals, upto_batch_id=1)
+    n_batches = (
+        spark.read.parquet(path).select("batch_id").distinct().count()
+    )
+    return read_agg_view(spark, path, "event_type", finals).withColumn(
+        "store_batches", F.lit(int(n_batches)).cast("long")
+    )
+
+
+@_register(
     "store_maintenance_census",
     "ONE-CALL store maintenance (operators/compaction.py:"
     "maintain_store — expire_snapshot + compact_store fused into ONE "

@@ -84,12 +84,21 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # weighted_doc_sample below: driver-verified r05+r06+r07; the
     # skew family keeps join_key_skew_census + the salted fuzzy join
     # in-gate)
-    # -- new in r08, never driver-verified: A-Res weighted sampling
-    # without replacement ---------------------------------------------
-    "weighted_doc_sample",
-    # -- new in fifth r04 rotation, never driver-verified: PQ ANN
-    # with exact re-rank, SemDeDup semantic dedup, BPE encode -------
-    "ann_pq_topk",
+    # (weighted_doc_sample rotated out in r11 for
+    # token_budget_hist_stats below: driver-verified r08+r09+r10; the
+    # sampling family keeps token_budget_mixture_stats plus the new
+    # histogram-path budget query in-gate)
+    # -- new in r11, never driver-verified: token-budget mixture on
+    # the distributed histogram-cut path (no per-domain total-order
+    # window — the round-10 single-reducer ceiling removed) ----------
+    "token_budget_hist_stats",
+    # (ann_pq_topk rotated out in r11 for join_strategy_advisor_census
+    # below: driver-verified r04+r05+r06+r07+r08+r09+r10 — seven
+    # rounds; the ANN family keeps ann_ivfpq_topk in-gate)
+    # -- new in r11, never driver-verified: join strategy derived
+    # entirely from standing CMS register stores (broadcast / salted /
+    # shuffle_hash — one case per branch) ----------------------------
+    "join_strategy_advisor_census",
     # (semantic_dedup_pairs rotated out in r07 for embedding_gram_topk
     # below: driver-verified r04+r05+r06; the similarity family keeps
     # ann_pq_topk + ann_ivfpq_topk + user_activity_similarity_lsh
@@ -339,11 +348,23 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # classifier train + score ----------------------------------------
     "span_dedup_minrun_stats",
     "nb_train_model",
-    "nb_quality_flags",
+    # (nb_quality_flags rotated out in r11 for
+    # incremental_event_totals_view below: driver-verified r07+r08+
+    # r09+r10; the NB/quality family keeps nb_train_model +
+    # order_constraint_census + charlm_langid_auc in-gate)
+    # -- new in r11, never driver-verified: continuously-maintained
+    # GROUP BY view (per-batch partials, replay no-op, horizon
+    # collapse into a baseline row) ----------------------------------
+    "incremental_event_totals_view",
     # -- new in r07, never driver-verified: PSL-lite registrable-
     # domain census (example.co.uk vs co.uk), BM25 keyword search ----
     "domain_census",
-    "bm25_search_topk",
+    # (bm25_search_topk rotated out in r11 for store_maintenance_census
+    # below: driver-verified r07+r08+r09+r10; the text/search family
+    # keeps domain_census + nb_train_model + nb_quality_flags in-gate)
+    # -- new in r11, never driver-verified: one-call store maintenance
+    # (TTL sweep + compaction fused over a single census, replay 0) --
+    "store_maintenance_census",
     # (purchase_graph_pagerank rotated out in r08 for
     # purchase_pagerank_directed below: driver-verified r07; the
     # PageRank family keeps the directed variant in-gate)
@@ -366,7 +387,12 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # co-supply triangle census (graph), global exact quantiles via
     # the two-level histogram rank operator, and rank-sum ROC-AUC
     # model evaluation ------------------------------------------------
-    "funnel_conversion",
+    # (funnel_conversion rotated out in r11 for order_price_drift_census
+    # below: driver-verified r07+r08+r09+r10; the temporal family keeps
+    # event_transition_matrix + weekly_retention_cohorts in-gate)
+    # -- new in r11, never driver-verified: distribution-drift monitor
+    # (per-batch histogram registers -> exact integer-form PSI) ------
+    "order_price_drift_census",
     "event_transition_matrix",
     "cosupply_triangle_stats",
     # (order_price_exact_quantiles rotated out in r10 for
