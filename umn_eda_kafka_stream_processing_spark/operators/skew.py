@@ -400,7 +400,8 @@ def advise_join_strategy(
     share = (1e6·ub + rows div 2) div rows — the advise_salting
     round-half-up ppm in pure BIGINT, portable to the DuckDB oracle.
     est_join_rows is the Cormode-Muthukrishnan min-dot (always >=
-    the true join size), BIGINT. Feed the scalars onward:
+    the true join size), kept DECIMAL(38,0) — two ~1e12-row
+    registers dot past BIGINT. Feed the scalars onward:
     build_rows= for `maybe_broadcast_join`, a census dict for
     `maybe_salted_join` — the train-once/serve-many shape."""
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
@@ -410,11 +411,10 @@ def advise_join_strategy(
     stats = (
         cms_side_stats(regs_left, "left")
         .crossJoin(cms_side_stats(regs_right, "right"))
-        .crossJoin(
-            cms_join_size(regs_left, regs_right).select(
-                F.col("est_join_rows").cast("long").alias("est_join_rows")
-            )
-        )
+        # est stays DECIMAL(38,0): two ~1e12-row registers dot past
+        # BIGINT (the cast-before-product rule's output half) — cast
+        # at the consumer if the scale is known small
+        .crossJoin(cms_join_size(regs_left, regs_right))
     )
     share_left = F.expr(
         "CASE WHEN rows_left = 0 THEN 0 ELSE "

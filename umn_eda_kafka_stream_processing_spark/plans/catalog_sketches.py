@@ -304,7 +304,19 @@ def join_strategy_advisor_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = advise_join_strategy(
             regs(tl, kl), regs(tr, kr),
             max_broadcast_rows=mb, max_share_micro=ms,
-        ).select(F.lit(label).alias("case_name"), "*")
+        ).select(
+            F.lit(label).alias("case_name"),
+            "rows_left",
+            "rows_right",
+            "top_cnt_left_ub",
+            "top_cnt_right_ub",
+            "share_left_micro_ub",
+            # the operator keeps est DECIMAL(38,0) for 1e12-row
+            # registers; these test tables are nowhere near the
+            # BIGINT edge, and the oracle sums in BIGINT
+            F.col("est_join_rows").cast("long").alias("est_join_rows"),
+            "strategy",
+        )
         out = row if out is None else out.unionByName(row)
     return out
 
