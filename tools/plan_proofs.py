@@ -127,6 +127,17 @@ EXHIBITS = [
      "(per-task top-B before the domain shuffle); the running-sum "
      "window then scans only the pruned prefix — one exchange on the "
      "domain key for both windows"),
+    ("token_budget_hist_stats",
+     "the LARGE-budget regime: the per-domain cut comes from the "
+     "grouped histogram — no row_number, no per-domain total-order "
+     "window anywhere (the only domain-partitioned Window orders by "
+     "the <=4096-row bucket id; the boundary tie window partitions "
+     "by (domain, priority)); admission is a narrow filter"),
+    ("join_strategy_advisor_census",
+     "sketch-driven planning: every input to the decision is a "
+     "<=1024-row register aggregate (hash-aggs + one tiny register "
+     "equi-join per case) — the joined tables themselves appear only "
+     "as one-pass register builds, never as a join or sort"),
 ]
 
 KEEP = re.compile(

@@ -267,6 +267,9 @@ def upsert_histogram_monitor(
         store_path,
         regs.withColumn("event_seq", F.lit(0)),
         key_cols=["batch_id", "col_name", "bin"],
+        # each upsert touches only its own batch directory; replays
+        # rewrite one partition, and drift windows prune on batch_id
+        partition_cols=["batch_id"],
     )
 
 
