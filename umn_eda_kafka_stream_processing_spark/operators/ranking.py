@@ -278,6 +278,7 @@ def _grouped_with_below(
     value_col: str,
     weight_col: str,
     n_buckets: int,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Grouped twin of `_with_below`: add ``below`` = per-group sum of
     ``weight_col`` over rows with STRICTLY smaller ``value_col``.
@@ -285,11 +286,21 @@ def _grouped_with_below(
     other columns pass through. Fully distributed (per-group lo/hi
     agg joined back instead of a driver collect); the bucket-offset
     window is partitioned by group over <=n_buckets rows per frame,
-    the in-bucket prefix by (group, bucket)."""
+    the in-bucket prefix by (group, bucket).
+
+    ``join_hint``: strategy hint for the joined-back aggregates.
+    Default None lets Catalyst/AQE pick (small dv frames broadcast —
+    the quantile/AUC queries' shape). Pass "shuffle_hash" when dv is
+    CORPUS-sized (e.g. md5-unique priorities in the budget sampler):
+    the static planner otherwise falls to SortMergeJoin and sorts
+    both sides, while the agg sides here are already partitioned on
+    the group key (the r04 fact-x-agg rule)."""
     mm = dv.groupBy(*groups).agg(
         F.min(value_col).alias("_lo"),
         F.max(value_col).alias("_hi"),
     )
+    if join_hint:
+        mm = mm.hint(join_hint)
     b = dv.join(mm, groups).withColumn(
         "_bk",
         F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
@@ -320,6 +331,8 @@ def _grouped_with_below(
     off = bt.withColumn(
         "_off", F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).cast("long")
     ).drop("_bw")
+    if join_hint:
+        off = off.hint(join_hint)
     w_in = (
         Window.partitionBy(*groups, "_bk")
         .orderBy(F.col(value_col).asc())

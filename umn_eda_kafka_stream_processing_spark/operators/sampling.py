@@ -462,10 +462,16 @@ def token_budget_mixture_sample(
     dv = base.groupBy(domain_col, "priority_micro").agg(
         F.sum(F.col(size_col).cast("long")).alias("_mass")
     )
+    # dv is CORPUS-sized (md5 priorities are effectively unique), so
+    # every joined-back aggregate pins shuffle_hash — the static
+    # planner would SMJ-sort both corpus-sized sides otherwise
     bel = _grouped_with_below(
-        dv, [domain_col], "priority_micro", "_mass", n_buckets
+        dv, [domain_col], "priority_micro", "_mass", n_buckets,
+        join_hint="shuffle_hash",
     )
-    j = base.join(bel, [domain_col, "priority_micro"])
+    j = base.join(
+        bel.hint("shuffle_hash"), [domain_col, "priority_micro"]
+    )
     full = (F.col("below") + F.col("_mass")) <= F.col("domain_budget")
     dead = F.col("below") >= F.col("domain_budget")
     kept_full = j.filter(full)
