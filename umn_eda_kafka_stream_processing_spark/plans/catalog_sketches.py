@@ -322,6 +322,53 @@ def join_strategy_advisor_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sketch_advised_join_totals",
+    "The sketch-planning loop END-TO-END (operators/skew.py:"
+    "advise_join_strategy -> join_with_strategy): Count-Min registers "
+    "over both join keys price the orders x customer join, the "
+    "collected one-row census picks the strategy (broadcast here — "
+    "customer is provably small), and join_with_strategy executes "
+    "that exact physical shape with zero planning jobs on the data. "
+    "The RESULT is strategy-invariant (property-tested across all "
+    "three strategies), so the oracle is just the plain SQL join — "
+    "per-nation order counts and exact integer cent totals (money "
+    "sums never ride doubles cross-engine).",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def sketch_advised_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_join_strategy,
+        join_with_strategy,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    decision = advise_join_strategy(
+        sk.cms_registers(orders.select("c_custkey"), "c_custkey"),
+        sk.cms_registers(cust.select("c_custkey"), "c_custkey"),
+    ).collect()[0]
+    joined = join_with_strategy(orders, cust, "c_custkey", decision)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
+@_register(
     "cms_join_size_census",
     "Join-cardinality estimate from two Count-Min register tables "
     "(operators/sketches.py:cms_join_size — the CMS inner-product "

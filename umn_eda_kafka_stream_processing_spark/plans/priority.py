@@ -380,8 +380,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # capped h-index iteration ---------------------------------------
     "purchase_pagerank_directed",
     "cosupply_core_levels",
-    # -- new in r07, never driver-verified: SCD2 validity intervals --
-    "user_state_scd2",
+    # (user_state_scd2 rotated out in r11 for sketch_advised_join_totals
+    # below: driver-verified r07+r08+r09+r10; the SCD2 family keeps
+    # incremental_scd2_census + scd2_asof_week_census in-gate)
+    # -- new in r11, never driver-verified: the sketch-planning loop
+    # end-to-end (advise from registers -> join_with_strategy ->
+    # strategy-invariant totals) -------------------------------------
+    "sketch_advised_join_totals",
     # -- new in r07 (second batch), never driver-verified: ordered
     # funnel + Markov transition matrix (temporal), lift-thresholded
     # co-supply triangle census (graph), global exact quantiles via
