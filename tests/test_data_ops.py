@@ -1417,6 +1417,53 @@ def test_incremental_cms_registers_replay_safe(spark, tmp_path):
     assert got2 == want
 
 
+def test_incremental_hll_registers_replay_safe(spark, tmp_path):
+    """HLL register store maintained batch-by-batch equals the
+    from-scratch sketch over the concatenated batches EXACTLY (HLL
+    merge is register-wise max — union semantics, not approximation),
+    and replaying a batch changes nothing."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    batches = [
+        [("a", f"u{i % 40}") for i in range(120)]
+        + [("b", f"u{i}") for i in range(30)],
+        [("a", f"u{i % 90}") for i in range(100)],
+        [("b", f"v{i}") for i in range(50)],
+    ]
+    store = str(tmp_path / "hll_store")
+    for bid, rows in enumerate(batches):
+        sk.upsert_hll_registers(
+            spark, store,
+            spark.createDataFrame(rows, "g string, u string"),
+            "g", "u", bid,
+        )
+    full = spark.createDataFrame(sum(batches, []), "g string, u string")
+    want = {(r["g"], r["bucket"]): r["r"]
+            for r in sk.hll_registers(full, "g", "u").collect()}
+    got = {(r["g"], r["bucket"]): r["r"]
+           for r in sk.read_hll_registers(spark, store).collect()}
+    assert got == want
+    # the estimator over merged registers == the batch sketch
+    want_est = {r["g"]: (r["s_scaled"], r["hll_est"])
+                for r in sk.hll_sketch_per_group(full, "g", "u").collect()}
+    got_est = {
+        r["g"]: (r["s_scaled"], r["hll_est"])
+        for r in sk.hll_estimate_from_registers(
+            sk.read_hll_registers(spark, store), "g"
+        ).collect()
+    }
+    assert got_est == want_est
+    # replay batch 1: identical rows upsert to a no-op
+    sk.upsert_hll_registers(
+        spark, store,
+        spark.createDataFrame(batches[1], "g string, u string"),
+        "g", "u", 1,
+    )
+    got2 = {(r["g"], r["bucket"]): r["r"]
+            for r in sk.read_hll_registers(spark, store).collect()}
+    assert got2 == want
+
+
 def test_histogram_quantile_within_one_bin_of_exact(spark):
     """Histogram quantile estimates land within one bin width of the
     exact interpolated percentile; registers stay <= bins per group."""

@@ -122,26 +122,28 @@ def _rho_expr(h32: str) -> str:
     )
 
 
-def hll_sketch_per_group(
-    df: DataFrame,
-    group_col: str,
-    key_col: str,
-    salt: str = "hll",
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str, salt: str = "hll"
 ) -> DataFrame:
-    """Per-group HLL (m=256): one shuffle to (group, bucket) registers,
-    one to the group — both hash-aggs with tiny state.
-
-    Output: (group, n_empty, s_scaled, hll_est) — ``s_scaled`` =
-    sum(2^(33-register)) as an exact integer (empty registers count
-    2^33), ``hll_est`` = alpha*m^2*2^33/s_scaled rounded to 4 dp.
-    """
+    """Per-group HLL register table (g, bucket, r): one hash-agg to
+    <= m=256 rows per group, r = max leading-zero rank. Registers
+    are pure md5 functions, MERGEABLE by max(r) across partitions,
+    engines, and incremental batches — the union-of-sets property
+    HLL is built on."""
     hashed = df.select(
         F.col(group_col).alias("g"),
         F.substring(_h(key_col, salt), 1, 2).alias("bucket"),
         F.expr(_rho_expr(f"substr(md5(concat('{salt}|', cast({key_col} as string))), 3, 8)"))
         .alias("rho"),
     )
-    regs = hashed.groupBy("g", "bucket").agg(F.max("rho").alias("r"))
+    return hashed.groupBy("g", "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """The estimator tail over an (g, bucket, r) register table (from
+    `hll_registers` or `read_hll_registers`): exact integer register
+    state (s_scaled), raw estimate rounded to 4 dp — the
+    `hll_sketch_per_group` output columns."""
     return regs.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr(f"cast(pow(2.0, 33 - r) as bigint)")).alias("s_present"),
@@ -163,6 +165,73 @@ def hll_sketch_per_group(
             / F.col("s_scaled").cast("double"),
             4,
         ),
+    )
+
+
+def hll_sketch_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL (m=256): one shuffle to (group, bucket) registers,
+    one to the group — both hash-aggs with tiny state.
+
+    Output: (group, n_empty, s_scaled, hll_est) — ``s_scaled`` =
+    sum(2^(33-register)) as an exact integer (empty registers count
+    2^33), ``hll_est`` = alpha*m^2*2^33/s_scaled rounded to 4 dp.
+    Composition of `hll_registers` + `hll_estimate_from_registers`,
+    so the batch sketch and the incremental register store
+    (`upsert_hll_registers`) share one arithmetic by construction.
+    """
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, key_col, salt), group_col
+    )
+
+
+def upsert_hll_registers(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    group_col: str,
+    key_col: str,
+    batch_id: int,
+    salt: str = "hll",
+) -> None:
+    """Incrementally maintain per-group HLL register stores from a
+    streaming changelog (foreachBatch shape) — the distinct-count
+    twin of `upsert_cms_registers`, same replay-safety rule: each
+    batch's registers land keyed (batch_id, g, bucket) latest-wins
+    (a replayed batch recomputes IDENTICAL rows — no-op), and the
+    current sketch is the MAX over batch registers at read
+    (`read_hll_registers` — HLL merge is register-wise max, so
+    batch-union == from-scratch exactly, not approximately). Store:
+    <= m rows per group per batch, partitioned by batch_id."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    regs = hll_registers(batch_df, group_col, key_col, salt).select(
+        F.lit(int(batch_id)).alias("batch_id"), "g", "bucket", "r"
+    )
+    upsert_snapshot(
+        spark,
+        store_path,
+        regs.withColumn("event_seq", F.lit(0)),
+        key_cols=["batch_id", "g", "bucket"],
+        partition_cols=["batch_id"],
+    )
+
+
+def read_hll_registers(spark, store_path: str) -> DataFrame:
+    """Current merged register table of an `upsert_hll_registers`
+    store: register-wise max across batch_ids (one small agg).
+    Output matches `hll_registers` over the concatenated batches
+    EXACTLY — feed to `hll_estimate_from_registers`."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
     )
 
 

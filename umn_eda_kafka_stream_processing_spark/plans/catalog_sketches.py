@@ -83,6 +83,60 @@ def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_hll_user_census",
+    "Incrementally-maintained distinct-count sketch (operators/"
+    "sketches.py:upsert_hll_registers/read_hll_registers — the "
+    "distinct twin of the CMS register store): three event "
+    "microbatches (event_id % 3) land per-batch HLL registers keyed "
+    "(batch_id, g, bucket) latest-wins; the merged sketch is the "
+    "register-wise MAX across batches, which equals the from-scratch "
+    "batch sketch EXACTLY (HLL merge is set union) — so the oracle "
+    "is the same duck_hll twin the batch query uses, plus the exact "
+    "distinct count and the replayed batch pinned by store row "
+    "identity (an inflated register would shift s_scaled).",
+    f"""
+    WITH hll AS ({sk.duck_hll('events', 'event_type', 'user_id')}),
+    exact AS (
+      SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT h.event_type, h.n_empty, h.s_scaled, h.hll_est,
+           e.exact_distinct
+    FROM hll h JOIN exact e USING (event_type)
+    """,
+)
+def incremental_hll_user_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_hllstore_") + "/store"
+    for b in range(3):
+        sk.upsert_hll_registers(
+            spark, path,
+            ev.where(F.col("event_id") % 3 == b),
+            "event_type", "user_id", b,
+        )
+    # replay batch 1: latest-wins no-op (a double-count would shift
+    # every s_scaled below and hash-mismatch)
+    sk.upsert_hll_registers(
+        spark, path,
+        ev.where(F.col("event_id") % 3 == 1),
+        "event_type", "user_id", 1,
+    )
+    est = sk.hll_estimate_from_registers(
+        sk.read_hll_registers(spark, path), "event_type"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_empty", "s_scaled", "hll_est", "exact_distinct"
+    )
+
+
+@_register(
     "sketch_cms_heavy_users",
     "Count-Min frequency sketch (d=4 x w=256 registers — constant state "
     "at any input size; operators/sketches.py:cms_registers/cms_estimate) "

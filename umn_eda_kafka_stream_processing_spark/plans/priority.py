@@ -375,10 +375,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r10, never driver-verified: token-BUDGET-constrained
     # mixture sampling (A-Res order, shortest prefix to budget) ------
     "token_budget_mixture_stats",
-    # -- new in r08, never driver-verified: directed PageRank with
-    # dangling-mass redistribution, full k-core decomposition by the
-    # capped h-index iteration ---------------------------------------
-    "purchase_pagerank_directed",
+    # (purchase_pagerank_directed rotated out in r11 for
+    # incremental_hll_user_census below: driver-verified r08+r09+r10;
+    # the graph family keeps cosupply_core_levels +
+    # cosupply_triangle_stats + supplier_eigencentrality in-gate)
+    # -- new in r11, never driver-verified: incrementally-maintained
+    # HLL register store (register-wise max == batch sketch exactly,
+    # replay no-op) ---------------------------------------------------
+    "incremental_hll_user_census",
     "cosupply_core_levels",
     # (user_state_scd2 rotated out in r11 for sketch_advised_join_totals
     # below: driver-verified r07+r08+r09+r10; the SCD2 family keeps
