@@ -965,11 +965,17 @@ def test_budget_samplers_thousand_domain_weights(spark):
         assert by_dom2.get(dom, set()) == want_keys, dom
 
 
-def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path):
+@pytest.mark.parametrize("window_budget_max", [1_000_000, 0])
+def test_incremental_budget_admission_greedy_online_replay_safe(
+    spark, tmp_path, window_budget_max
+):
     """Online budget admission: per-batch admitted sets equal the
     greedy-online Python replica (within-batch A-Res order, earlier
     batches fill first), realized mass stays within one doc of each
-    budget, unknown domains drop, and a replayed batch is a no-op."""
+    budget, unknown domains drop, and a replayed batch is a no-op.
+    Parametrized over both admission regimes — the window path and
+    the histogram remaining-budget path (window_budget_max=0) must
+    admit the identical sets."""
     import hashlib
     import math
 
@@ -1013,6 +1019,7 @@ def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path)
             "sz",
             budgets,
             bid,
+            window_budget_max=window_budget_max,
         ).collect()
         for r in got_batch:
             assert want[(r["domain"], r["key"])] == (r["size"], bid)
@@ -1038,6 +1045,7 @@ def test_incremental_budget_admission_greedy_online_replay_safe(spark, tmp_path)
         "sz",
         budgets,
         1,
+        window_budget_max=window_budget_max,
     )
     got2 = {
         (r["domain"], r["key"]): (r["size"], r["batch_id"])

@@ -455,6 +455,28 @@ def token_budget_mixture_sample(
             (F.col("cum_tokens") - F.col(size_col)) < F.col("domain_budget")
         )
     # histogram path: distributed per-domain cut priority
+    return _histogram_budget_admit(
+        base, domain_col, key_col, size_col, "domain_budget", n_buckets
+    )
+
+
+def _histogram_budget_admit(
+    base: DataFrame,
+    domain_col: str,
+    key_col: str,
+    size_col: str,
+    budget_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The distributed large-budget admission tail shared by
+    `token_budget_mixture_sample` and `incremental_budget_admission`:
+    admit each domain's A-Res prefix (priority_micro asc, key asc)
+    while the running mass BEFORE a row stays under ``budget_col``
+    (a per-row column — the incremental caller passes the REMAINING
+    budget after consumed mass). ``budget_col`` must be constant
+    within a domain. No per-domain total-order window: the cut comes
+    from the grouped histogram; only the crossing priority value per
+    domain pays a tiny tie window."""
     from umn_eda_kafka_stream_processing_spark.operators.ranking import (
         _grouped_with_below,
     )
@@ -472,8 +494,8 @@ def token_budget_mixture_sample(
     j = base.join(
         bel.hint("shuffle_hash"), [domain_col, "priority_micro"]
     )
-    full = (F.col("below") + F.col("_mass")) <= F.col("domain_budget")
-    dead = F.col("below") >= F.col("domain_budget")
+    full = (F.col("below") + F.col("_mass")) <= F.col(budget_col)
+    dead = F.col("below") >= F.col(budget_col)
     kept_full = j.filter(full)
     # the crossing priority: below < B < below + mass — at most ONE
     # priority value per domain (below is monotone in priority, mass
@@ -491,7 +513,7 @@ def token_budget_mixture_sample(
         )
         .filter(
             (F.col("below") + F.col("_tcum") - F.col(size_col))
-            < F.col("domain_budget")
+            < F.col(budget_col)
         )
         .drop("_tcum")
     )
@@ -508,6 +530,8 @@ def incremental_budget_admission(
     budgets: Mapping[str, int],
     batch_id: int,
     salt: str = "bud",
+    window_budget_max: int = 1_000_000,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Online token-budget admission — the foreachBatch twin of
     `token_budget_mixture_sample`: a continuously-arriving corpus is
@@ -529,6 +553,14 @@ def incremental_budget_admission(
     upsert (keyed by (domain, key)) rewrites identical rows — a
     no-op. Consumption is never stored as a counter (the
     read-modify-add trap); it is COUNTED at read from admitted rows.
+
+    Both admission regimes of the batch operator apply, picked by
+    the largest REMAINING budget: consumed mass folds into a
+    per-domain ``_remaining = max(budget - consumed, 0)`` column, so
+    the window path admits on ``cum_before < remaining`` and the
+    large-budget path reuses `_histogram_budget_admit` — a backfill
+    microbatch with billions of rows never funnels a domain through
+    one window reducer.
 
     Returns the batch's admitted frame (domain, key, size, batch_id).
     """
@@ -575,10 +607,7 @@ def incremental_budget_admission(
         * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col("priority_micro").asc(), F.col(key_col).asc()
-    )
-    ranked = (
+    base = (
         batch_df.where(F.col(size_col) > 0)
         .join(
             F.broadcast(btab),
@@ -587,26 +616,45 @@ def incremental_budget_admission(
         )
         .drop("_bud_domain")
         .withColumn("priority_micro", prio)
-        .withColumn("_rk", F.row_number().over(w).cast("long"))
-        # lossless WindowGroupLimit pre-prune (sizes >= 1)
-        .filter(F.col("_rk") <= F.lit(max(max_budget, 1)))
-    )
-    cum = ranked.withColumn(
-        "_cum",
-        F.sum(F.col(size_col).cast("long")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
     )
     if consumed is not None:
-        cum = cum.join(F.broadcast(consumed), domain_col, "left").withColumn(
-            "_consumed", F.coalesce(F.col("_consumed"), F.lit(0))
+        base = base.join(
+            F.broadcast(consumed), domain_col, "left"
+        ).withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
+    else:
+        base = base.withColumn("_consumed", F.lit(0).cast("long"))
+    # fold consumed mass into a per-domain remaining budget:
+    # "consumed + cum_before < budget" == "cum_before < remaining"
+    base = base.withColumn(
+        "_remaining",
+        F.greatest(
+            (F.col("_budget") - F.col("_consumed")).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    )
+    if max_budget <= window_budget_max:
+        w = Window.partitionBy(domain_col).orderBy(
+            F.col("priority_micro").asc(), F.col(key_col).asc()
+        )
+        ranked = (
+            base.withColumn("_rk", F.row_number().over(w).cast("long"))
+            # lossless WindowGroupLimit pre-prune (sizes >= 1, and
+            # remaining <= budget <= max_budget)
+            .filter(F.col("_rk") <= F.lit(max(max_budget, 1)))
+        )
+        kept = ranked.withColumn(
+            "_cum",
+            F.sum(F.col(size_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).filter(
+            (F.col("_cum") - F.col(size_col)) < F.col("_remaining")
         )
     else:
-        cum = cum.withColumn("_consumed", F.lit(0).cast("long"))
-    admitted = cum.filter(
-        (F.col("_consumed") + F.col("_cum") - F.col(size_col))
-        < F.col("_budget")
-    ).select(
+        kept = _histogram_budget_admit(
+            base, domain_col, key_col, size_col, "_remaining", n_buckets
+        )
+    admitted = kept.select(
         F.col(domain_col).alias("domain"),
         F.col(key_col).alias("key"),
         F.col(size_col).cast("long").alias("size"),
