@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 174 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 181 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -19,10 +19,14 @@ advisors (salt join/agg + broadcast + CMS join-size cost input), the
 sorted-export writer, the store-maintenance family (small-file
 compaction, TTL sweep, snapshot CDC diff), per-group exact/weighted
 quantiles, token-budget mixture sampling, and the incremental SCD2 /
-funnel / retention / transition / BM25 family), where every operator
+funnel / retention / transition / BM25 family, the sketch-driven
+join-strategy advisor loop, the distribution-drift (PSI) monitor,
+fused one-call store maintenance, continuously-maintained aggregate
+views with horizon collapse, and the incremental HLL register
+store), where every operator
 family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
-synthetic tables with a DuckDB oracle twin — 174 of 174, including
+synthetic tables with a DuckDB oracle twin — 181 of 181, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
 oracles unroll their iterations in generated SQL).
 """
