@@ -99,3 +99,53 @@ def test_write_sorted_total_order_manifest_and_plan(spark, tmp_path):
         assert len(part) == m["n_rows"]
         got.extend(part)
     assert got == sorted(k for k, _ in rows)
+
+
+def test_zonemap_select_lossless_and_pruning(spark, tmp_path):
+    """Zone-map read side (operators/compaction.py:zonemap_select):
+    for any probe range, reading only the manifest-selected files
+    returns exactly the rows a full scan returns (losslessness), and
+    on a sorted layout narrow probes actually skip files; stat-less
+    manifest rows (NULL min/max) are conservatively kept."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        write_sorted,
+        zonemap_select,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), i) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = str(tmp_path / "zoned")
+    man = write_sorted(df, out, "k", n_files=8).collect()
+
+    for lo, hi in [(0, 500), (4_000, 4_100), (9_990, 9_999), (123, 123),
+                   (20_000, 30_000)]:
+        files = zonemap_select(man, "k", lo, hi)
+        expect = sorted((k, v) for k, v in rows if lo <= k <= hi)
+        if files:
+            got = sorted(
+                (r["k"], r["v"])
+                for r in spark.read.parquet(*files)
+                .filter(F.col("k").between(lo, hi))
+                .collect()
+            )
+        else:
+            got = []
+        assert got == expect, (lo, hi)
+        # narrow probes on the sorted layout must skip files
+        if hi - lo <= 500:
+            assert len(files) < len(man), (lo, hi, len(files))
+    # out-of-domain probe selects nothing
+    assert zonemap_select(man, "k", 20_000, 30_000) == []
+
+    # stat-less rows are kept, never skipped
+    class _Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    nostat = _Row(file="f0", min_k=None, max_k=None)
+    assert zonemap_select([nostat], "k", 0, 1) == ["f0"]

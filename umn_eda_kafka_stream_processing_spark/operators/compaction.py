@@ -778,6 +778,44 @@ def write_sorted(
     )
 
 
+def zonemap_select(
+    manifest: Sequence,
+    col: str,
+    lo,
+    hi,
+) -> list[str]:
+    """Metadata-only file skipping — the READ side of ``write_sorted``:
+    given a collected manifest (one row per file with ``min_<col>`` /
+    ``max_<col>`` stats, <= n_files rows, a bounded planning list) and
+    a closed predicate range ``[lo, hi]`` on ``col``, return the file
+    paths whose zone [min, max] intersects the range. This is exactly
+    what a parquet reader does with footer/row-group statistics and
+    what table formats do with manifest min/max — expressed over OUR
+    manifest so the pruning decision is auditable data, not reader
+    internals.
+
+    Sound by construction: a file whose [min_col, max_col] misses
+    [lo, hi] cannot contain a matching row, so reading only the
+    selected files loses nothing (the zonemap_pruning_census pins
+    that equivalence against a full scan). Selectivity is the layout's
+    job: after write_sorted on ``col`` the zones are near-disjoint and
+    a narrow range touches O(1) of the files; on an unsorted export
+    every zone spans the whole domain and nothing prunes — the census
+    quantifies the difference.
+
+    Driver-side on purpose: the manifest is <= n_files rows (the same
+    bounded-collect class as compact_store's census) and the output
+    feeds ``spark.read.parquet(*files)``, a plan-time decision."""
+    out = []
+    for m in manifest:
+        mn, mx = m[f"min_{col}"], m[f"max_{col}"]
+        if mn is None or mx is None:
+            out.append(m["file"])  # stat-less file: must be read
+        elif not (mx < lo or mn > hi):
+            out.append(m["file"])
+    return out
+
+
 def zorder_expr(a: str, b: str, bits: int = 10, div: str = "div") -> str:
     """SQL text for the 2-D Morton (Z-order) interleave of two
     already-normalized integer expressions in [0, 2^bits): bit i of

@@ -2501,6 +2501,102 @@ def sorted_export_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zonemap_pruning_census",
+    "Zone-map file skipping — the READ side of the sorted export "
+    "(operators/compaction.py:zonemap_select over the write_sorted "
+    "manifest): lineitem lands as 8 key-disjoint sorted shards, then "
+    "two probe ranges on l_orderkey (a 1/11-of-keyspan band at the low "
+    "end; the exact midpoint key) are answered by reading ONLY the "
+    "files whose manifest [min,max] zone intersects the range — "
+    "parquet-footer/table-format pruning expressed as auditable "
+    "manifest data instead of reader internals. The census pins "
+    "LOSSLESSNESS (count + key-checksum from the selected files equal "
+    "the full-scan answer for the same predicate) and that pruning "
+    "actually HAPPENED (files_read < files_total; a skipped row or a "
+    "zone miscomputed hash-mismatches). Probe bounds derive from the "
+    "manifest's own global min/max by integer div, so the oracle "
+    "recomputes them from table min/max with the same arithmetic. At "
+    "100 TB this metadata-only decision is the difference between a "
+    "point probe opening one shard and opening the corpus — the "
+    "quantified payoff of the write_sorted/zorder layout family.",
+    """
+    WITH rng AS (
+      SELECT CAST(min(l_orderkey) AS BIGINT) AS lo_all,
+             CAST(max(l_orderkey) AS BIGINT) AS hi_all
+      FROM lineitem
+    ), probes AS (
+      SELECT 'low_band' AS probe, lo_all AS lo,
+             lo_all + (hi_all - lo_all) // 11 AS hi FROM rng
+      UNION ALL
+      SELECT 'mid_point' AS probe,
+             lo_all + (hi_all - lo_all) // 2 AS lo,
+             lo_all + (hi_all - lo_all) // 2 AS hi FROM rng
+    )
+    SELECT p.probe,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(l.l_orderkey % 1000003), 0) AS BIGINT)
+               AS key_checksum,
+           CAST(1 AS BIGINT) AS lossless_ok,
+           CAST(1 AS BIGINT) AS pruned_ok
+    FROM probes p LEFT JOIN lineitem l
+      ON l.l_orderkey BETWEEN p.lo AND p.hi
+    GROUP BY p.probe
+    """,
+)
+def zonemap_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        write_sorted,
+        zonemap_select,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    out = tempfile.mkdtemp(prefix="sparkgraft_zonemap_") + "/shards"
+    # manifest is <= n_files rows — a bounded planning collect
+    man = write_sorted(
+        li, out, ["l_orderkey", "l_linenumber"], n_files=8
+    ).collect()
+    lo_all = min(m["min_l_orderkey"] for m in man)
+    hi_all = max(m["max_l_orderkey"] for m in man)
+    span = hi_all - lo_all
+    mid = lo_all + span // 2  # python // == DuckDB // on non-negatives
+    probes = [
+        ("low_band", lo_all, lo_all + span // 11),
+        ("mid_point", mid, mid),
+    ]
+    full = spark.read.parquet(out)
+    rows = []
+    for name, lo, hi in probes:
+        files = zonemap_select(man, "l_orderkey", lo, hi)
+        pred = F.col("l_orderkey").between(F.lit(lo), F.lit(hi))
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.col("l_orderkey") % F.lit(1000003)), F.lit(0)
+            ).cast("long").alias("s"),
+        ]
+        sel = spark.read.parquet(*files).filter(pred).agg(*aggs).collect()[0]
+        ful = full.filter(pred).agg(*aggs).collect()[0]
+        rows.append(
+            (
+                name,
+                sel["n"],
+                sel["s"],
+                int(sel["n"] == ful["n"] and sel["s"] == ful["s"]),
+                int(len(files) < len(man)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe string, n_rows long, key_checksum long, "
+        "lossless_ok long, pruned_ok long",
+    )
+
+
+@_register(
     "store_compaction_census",
     "Small-file store maintenance (operators/compaction.py:"
     "compact_store — the production half of the foreachBatch "

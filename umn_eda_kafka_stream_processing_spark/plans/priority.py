@@ -422,9 +422,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # hilbert_locality_stats below: driver-verified r07; the layout
     # family keeps the Hilbert census — whose output carries the
     # z-block counts too — in-gate)
-    # -- new in r08, never driver-verified: Hilbert-curve layout
-    # census (adjacency-true locality vs Z-order vs row-major) ------
-    "hilbert_locality_stats",
+    # (hilbert_locality_stats rotated out in r11 for
+    # zonemap_pruning_census below: driver-verified r08+r09+r10; the
+    # layout family keeps hilbert3_locality_stats +
+    # sorted_export_census in-gate)
+    # -- new in r11, never driver-verified: zone-map file skipping —
+    # the read-side payoff of the sorted layout (lossless pruning
+    # pinned against a full scan) ------------------------------------
+    "zonemap_pruning_census",
     # -- new in r07 (fourth batch), never driver-verified: key-skew
     # diagnostics, k-core peeling, exact integer gram census, and
     # eigenvector centrality by fixed-point power iteration ------------
