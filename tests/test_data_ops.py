@@ -715,6 +715,38 @@ def test_uniform_k_per_stratum_exact_counts(spark):
     ) == [1, 2]
 
 
+def test_cluster_quota_draw_equal_quotas_and_exact_set(spark):
+    """Cluster-quota diversity sampling (the cluster_quota_sample_stats
+    composition): equal per-cluster quotas on a SKEWED assignment —
+    the dominant cluster yields exactly k rows, tiny clusters all of
+    theirs — and the admitted set is exactly the python md5-priority
+    replica (a uniform without-replacement draw, not arbitrary)."""
+    import hashlib
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    # one giant cluster (900 ids), two small (5 and 12)
+    rows = [(i, 0) for i in range(900)]
+    rows += [(1000 + i, 1) for i in range(5)]
+    rows += [(2000 + i, 2) for i in range(12)]
+    assign = spark.createDataFrame(rows, "vec_id long, bucket int")
+    got = smp.uniform_k_per_stratum(
+        assign, "bucket", "vec_id", k=8, salt="cqs"
+    ).collect()
+    by_b = {}
+    for r in got:
+        by_b.setdefault(r["bucket"], set()).add(r["vec_id"])
+    assert {b: len(v) for b, v in by_b.items()} == {0: 8, 1: 5, 2: 8}
+
+    def key(v):
+        return int(hashlib.md5(f"cqs|{v}".encode()).hexdigest()[:8], 16)
+
+    for b in (0, 1, 2):
+        ids = [v for v, bb in rows if bb == b]
+        expect = set(sorted(ids, key=lambda v: (key(v), v))[:8])
+        assert by_b[b] == expect, b
+
+
 def test_domain_mixture_sample_weights_and_cap(spark):
     """3x-weighted domain keeps ~3x the rows of a unit domain; a domain
     smaller than its target hits the 2^32 cap and keeps everything."""

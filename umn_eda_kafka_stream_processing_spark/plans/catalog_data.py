@@ -875,6 +875,92 @@ def _pq_oracle(
     )
 
 
+def _cluster_quota_oracle(k: int = 8, iters: int = 5, quota: int = 12) -> str:
+    """Lloyd chain (_lloyd_ctes) + md5-priority row_number per final
+    bucket — the DuckDB twin of uniform_k_per_stratum over the
+    k-means assignment."""
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_sampling import (
+        _duck_key,
+    )
+
+    ctes = _lloyd_ctes(k, iters) + [
+        (
+            "samp AS (SELECT bucket, vec_id, row_number() OVER"
+            " (PARTITION BY bucket ORDER BY"
+            f" {_duck_key('vec_id', 'cqs')} ASC, vec_id ASC) AS rk"
+            f" FROM assign{iters})"
+        ),
+        (
+            f"cand AS (SELECT bucket, CAST(count(*) AS BIGINT) AS"
+            f" n_candidates FROM assign{iters} GROUP BY bucket)"
+        ),
+        (
+            "adm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_sampled,"
+            " CAST(sum(vec_id % 1000003) AS BIGINT) AS id_checksum"
+            f" FROM samp WHERE rk <= {quota} GROUP BY bucket)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(c.bucket AS BIGINT) AS bucket, c.n_candidates,"
+        " a.n_sampled, a.id_checksum"
+        " FROM cand c JOIN adm a ON a.bucket = c.bucket"
+    )
+
+
+@_register(
+    "cluster_quota_sample_stats",
+    "Semantic-DIVERSITY-balanced sampling (cluster-quota draw): the "
+    "session-cached k-means quantizer (operators/similarity.py:"
+    "kmeans_buckets, k=8 x 5 Lloyd iterations — the same model "
+    "ann_ivf_kmeans_topk serves from, so training is amortized across "
+    "queries) partitions the embedding corpus into semantic clusters, "
+    "then uniform_k_per_stratum draws an EQUAL 12-vector quota per "
+    "cluster by md5 priority. Equal quotas upweight rare clusters "
+    "relative to their corpus share — the curation move that keeps "
+    "long-tail content in a training mix instead of letting dominant "
+    "clusters swamp it (cluster-balanced sampling). The rank<=quota "
+    "filter plans as WindowGroupLimit: each task pre-prunes to its "
+    "local top-12 per cluster before the per-cluster shuffle, so a "
+    "billion-vector cluster moves only 12 rows per map partition. "
+    "Census: per cluster, candidate count, admitted count, and an "
+    "id-checksum over the admitted set (a wrong draw hash-mismatches). "
+    "Oracle: the same Lloyd steps unrolled + the same md5 row_number.",
+    _cluster_quota_oracle(),
+)
+def cluster_quota_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.caching import materialized_group
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        uniform_k_per_stratum,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = materialized_group(
+        spark,
+        f"kmeans_k8_i5|{sf_dir}",
+        ["assign", "cent"],
+        lambda: dict(
+            zip(["assign", "cent"], sim.kmeans_buckets(emb, k=8, iters=5))
+        ),
+    )
+    assign = m["assign"]
+    samp = uniform_k_per_stratum(assign, "bucket", "vec_id", k=12, salt="cqs")
+    cand = assign.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    adm = samp.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.col("vec_id") % F.lit(1000003)).cast("long").alias("id_checksum"),
+    )
+    return cand.join(adm, "bucket").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_candidates",
+        "n_sampled",
+        "id_checksum",
+    )
+
+
 @_register(
     "ann_pq_topk",
     "Product-quantization ANN with exact re-rank: per-subspace Lloyd "

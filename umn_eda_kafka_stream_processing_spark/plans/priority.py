@@ -417,7 +417,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # retention, Z-order layout locality --------------------------------
     "fuzzy_part_match_stats",
     "token_pmi_pairs",
-    "weekly_retention_cohorts",
+    # (weekly_retention_cohorts rotated out in r11 for
+    # cluster_quota_sample_stats below: driver-verified r07+r08+r09+
+    # r10; the temporal family keeps event_transition_matrix +
+    # scd2_asof_week_census in-gate)
+    # -- new in r11, never driver-verified: semantic-diversity
+    # cluster-quota sampling (session-cached k-means + equal md5
+    # quota per cluster) ----------------------------------------------
+    "cluster_quota_sample_stats",
     # (zorder_locality_stats rotated out in r08 for
     # hilbert_locality_stats below: driver-verified r07; the layout
     # family keeps the Hilbert census — whose output carries the
