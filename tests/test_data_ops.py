@@ -400,6 +400,64 @@ def test_quality_score_bounded(spark, docs):
     assert all(0.0 <= v <= 1.0 for v in vals)
 
 
+def test_tfidf_cosine_topk_matches_bruteforce(spark):
+    """df-banded trigram tf-idf cosine (operators/similarity.py:
+    tfidf_cosine_topk): every emitted pair's cos_micro equals a python
+    replica of the exact integer pipeline (tf cap, idf_milli clamp,
+    BIGINT norm, IEEE one-division micro weights), over a small-vocab
+    corpus where trigrams genuinely collide plus a planted near-dup."""
+    import math
+    import random
+    from collections import Counter
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rng = random.Random(42)
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30))))
+        for d in range(25)
+    ]
+    docs.append((100, docs[0][1] + " beta"))  # near-dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_micro"]
+        for r in sim.tfidf_cosine_topk(df, k=10**6).collect()
+    }
+
+    n_docs = len(docs)
+    tf = {}
+    for d, text in docs:
+        toks = text.strip().split()
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        tf[d] = {g: min(c, 100) for g, c in Counter(grams).items()}
+    dfq = Counter(g for ws in tf.values() for g in ws)
+    band = {g for g, c in dfq.items() if 2 <= c <= 100}
+    u = {}
+    for d, ws in tf.items():
+        w = {
+            g: c * min(100000, (n_docs * 1000) // dfq[g])
+            for g, c in ws.items()
+            if g in band
+        }
+        n2 = sum(x * x for x in w.values())
+        if n2:
+            u[d] = {
+                g: math.floor(x * 1000000.0 / math.sqrt(float(n2)) + 0.5)
+                for g, x in w.items()
+            }
+    expect = {}
+    ids = sorted(u)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = u[a].keys() & u[b].keys()
+            if shared:
+                dot = sum(u[a][g] * u[b][g] for g in shared)
+                expect[(a, b)] = dot // 1000000
+    assert got == expect
+    # the planted near-dup is the top pair
+    top = max(got.items(), key=lambda kv: kv[1])
+    assert top[0] == (0, 100)
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [

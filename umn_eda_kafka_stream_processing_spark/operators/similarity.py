@@ -1551,3 +1551,157 @@ def ivfpq_search_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def tfidf_cosine_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    df_min: int = 2,
+    df_max: int = 100,
+    tf_cap: int = 100,
+    ngram: int = 3,
+) -> DataFrame:
+    """Unit-normalized integer-micro tf-idf postings — the inverted
+    index behind :func:`tfidf_cosine_topk` (term-weighted lexical doc
+    similarity; complements MinHash/SimHash/embedding near-dup).
+
+    The TERM unit is a word ``ngram`` (default 3): n-gram width is
+    the selectivity knob (the round-8 shingle rule) — on a
+    small-vocabulary corpus every unigram is a stopword-class hub
+    (the synthetic docs have 31 distinct words, median df ~ 0.8 x
+    n_docs, so a df band keeps nothing), while word 3-grams are
+    combinatorial (27k terms, max df 25 at sf0.1) and land inside
+    the band. ``ngram=1`` gives classic unigram tf-idf for
+    natural-vocabulary corpora.
+
+    Exact-integer discipline so two engines agree bit-for-bit:
+
+    * ``tf`` capped at ``tf_cap`` (``least`` — deterministic, and the
+      cap bounds every later product);
+    * ``idf_milli = least(100000, (n_docs * 1000) div df)`` — integer
+      div on both engines, no ln/float divergence; the clamp bounds
+      ``w = tf * idf_milli <= 1e7``, so ``w^2 <= 1e14`` and a doc of
+      1e4 surviving terms keeps its norm-square < 1e18, inside BIGINT;
+    * tokens kept only with ``df_min <= df <= df_max``: df=1 terms
+      can never contribute to a pair (zero recall loss), df > df_max
+      terms are stopword-class hubs whose postings would emit
+      C(df, 2) candidate pairs — the df band is the blowup guard that
+      makes the postings self-join linear-ish at corpus scale
+      (inverted-index join with frequency banding, the same family as
+      the Bayardo/Xiao prefix filter used by prefix_jaccard_pairs);
+    * the normalized weight ``u = floor(w * 1e6 / sqrt(double(n2))
+      + 0.5)`` — BIGINT->DOUBLE casts round nearest-even identically
+      and sqrt/one-division are IEEE-correctly-rounded, so ``u`` is
+      bit-portable (round-7 rule), and |u| <= 1e6 keeps every pair
+      dot product <= ~1e12, far inside BIGINT.
+
+    Returns (doc_col, token, u).
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    if ngram == 1:
+        toks = docs.select(F.col(doc_col), F.explode(t).alias("token")).filter(
+            F.length("token") > 0
+        )
+    else:
+        # size >= ngram guard: Spark sequence(1, 0) is DESCENDING
+        toks = (
+            docs.select(F.col(doc_col), t.alias("_t"))
+            .filter(F.size("_t") >= ngram)
+            .select(
+                doc_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(_t) - {ngram} + 1),"
+                        f" i -> concat_ws(' ', slice(_t, i, {ngram})))"
+                    )
+                ).alias("token"),
+            )
+        )
+    tf = toks.groupBy(doc_col, "token").agg(
+        F.least(F.count(F.lit(1)), F.lit(tf_cap)).cast("long").alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df").between(df_min, df_max))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.least(F.lit(100000).cast("long"), F.expr("(n_docs * 1000) div df")),
+        )
+        .select(doc_col, "token", "w")
+    )
+    nrm = w.groupBy(doc_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return w.join(nrm, doc_col).select(
+        doc_col,
+        "token",
+        F.floor(
+            F.col("w").cast("double")
+            * F.lit(1000000.0)
+            / F.sqrt(F.col("n2").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("u"),
+    )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    k: int = 20,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    df_min: int = 2,
+    df_max: int = 100,
+    tf_cap: int = 100,
+    ngram: int = 3,
+) -> DataFrame:
+    """Global top-k most-similar document pairs by df-banded tf-idf
+    cosine — the all-pairs inverted-index join: postings self-joined
+    on token (each token emits at most C(df_max, 2) pairs — the band
+    is the quadratic-blowup cap), pair dot products summed as exact
+    BIGINT micros (order-independent), ties broken by (doc_a, doc_b).
+
+    Output: (doc_a, doc_b, cos_micro, rank) with doc_a < doc_b and
+    cos_micro = dot div 1e6 (~ cosine * 1e6).
+
+    Scale: two hash-agg passes build the index; the pair join
+    shuffles on token where every group is <= df_max rows; the
+    pair aggregation shuffles on (doc_a, doc_b) with map-side
+    partials. No driver collect, no window over the corpus.
+    """
+    from umn_eda_kafka_stream_processing_spark.operators.core import global_topk
+
+    # localCheckpoint before the self-join: lazy cache races and an
+    # aliased lineage triggers AMBIGUOUS_REFERENCE (CLAUDE.md rule)
+    post = tfidf_cosine_postings(
+        docs, doc_col, text_col, df_min, df_max, tf_cap, ngram
+    ).localCheckpoint()
+    a = post.select(
+        F.col(doc_col).alias("doc_a"), F.col("token").alias("token"), F.col("u").alias("ua")
+    )
+    b = post.select(
+        F.col(doc_col).alias("doc_b"), F.col("token").alias("token"), F.col("u").alias("ub")
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ua") * F.col("ub")).alias("dot"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("dot div 1000000").cast("long").alias("cos_micro"),
+        )
+    )
+    return global_topk(
+        pairs,
+        [("cos_micro", False), ("doc_a", True), ("doc_b", True)],
+        k,
+    )

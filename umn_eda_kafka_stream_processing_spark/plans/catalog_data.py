@@ -1941,6 +1941,65 @@ def _srp_oracle(
 
 
 @_register(
+    "tfidf_cosine_topk",
+    "Top-20 most-similar document pairs by df-BANDED tf-idf cosine "
+    "over word-TRIGRAM terms (operators/similarity.py:"
+    "tfidf_cosine_topk) — term-weighted lexical near-dup completing "
+    "the similarity matrix (MinHash=set overlap, SimHash=bit sketch, "
+    "embedding=semantic, this=tf-idf). Trigram terms because n-gram "
+    "width is the selectivity knob: the synthetic corpus has 31 "
+    "distinct words (every unigram a hub, df band keeps nothing) but "
+    "27k trigrams with max df 25 at sf0.1. All-pairs inverted-index "
+    "join: unit-normalized integer-micro postings (tf capped 100, "
+    "idf_milli = least(1e5, n_docs*1000 div df) — integer div, no ln; "
+    "u = floor(w*1e6/sqrt(double(norm2))+0.5), bit-portable since "
+    "BIGINT->DOUBLE casts and sqrt/one-division are IEEE-identical) "
+    "self-joined on term. The df band [2, 100] is the scale contract: "
+    "df=1 terms can never pair (zero recall loss) and df>100 hub terms "
+    "would emit C(df,2) candidates each — per-term work is bounded at "
+    "C(100,2) forever, so the join stays linear-ish at corpus scale. "
+    "Pair dots sum exact BIGINT micros (order-independent); global "
+    "top-k via TakeOrderedAndProject, never a corpus window.",
+    rf"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    t AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> list_aggregate(list_slice(t, i, i + 2),
+                                     'string_agg', ' '))) AS token
+          FROM d WHERE len(t) >= 3),
+    tf AS (SELECT doc_id, token,
+                  least(CAST(count(*) AS BIGINT), 100) AS tf
+           FROM t GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+            GROUP BY token HAVING count(*) BETWEEN 2 AND 100),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.token,
+                 tf.tf * least(100000, (n.n_docs * 1000) // dfq.df) AS w
+          FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n),
+    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w
+            GROUP BY doc_id),
+    u AS (SELECT w.doc_id, w.token,
+                 CAST(floor((CAST(w.w AS DOUBLE) * 1000000.0)
+                      / sqrt(CAST(nrm.n2 AS DOUBLE)) + 0.5) AS BIGINT) AS u
+          FROM w JOIN nrm ON nrm.doc_id = w.doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.u * b.u) AS BIGINT) AS dot
+          FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    r AS (SELECT doc_a, doc_b, CAST(dot // 1000000 AS BIGINT) AS cos_micro,
+                 CAST(row_number() OVER (ORDER BY dot // 1000000 DESC,
+                      doc_a ASC, doc_b ASC) AS BIGINT) AS rank
+          FROM p)
+    SELECT doc_a, doc_b, cos_micro, rank FROM r WHERE rank <= 20
+    """,
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    return sim.tfidf_cosine_topk(docs, k=20)
+
+
+@_register(
     "embedding_srp_lsh_pairs",
     "Embedding near-dup via signed-random-projection LSH — the linear "
     "scale path when no block column exists (cosine-LSH banding, "

@@ -450,7 +450,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (cosupply_kcore_stats rotated out in r08 for cosupply_core_levels
     # above: driver-verified r07; the k-core family keeps the full
     # decomposition census in-gate)
-    "embedding_gram_topk",
+    # (embedding_gram_topk rotated out in r11 for tfidf_cosine_topk
+    # below: driver-verified r07+r08+r09+r10; the linalg family keeps
+    # supplier_eigencentrality in-gate)
+    # -- new in r11, never driver-verified: df-banded trigram tf-idf
+    # cosine all-pairs (term-weighted lexical near-dup — the fourth
+    # axis of the similarity matrix) ----------------------------------
+    "tfidf_cosine_topk",
     "supplier_eigencentrality",
 )
 
