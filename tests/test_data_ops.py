@@ -805,6 +805,62 @@ def test_cluster_quota_draw_equal_quotas_and_exact_set(spark):
         assert by_b[b] == expect, b
 
 
+def test_incremental_cluster_quota_greedy_and_replay(spark, tmp_path):
+    """Online cluster-quota admission (operators/sampling.py:
+    incremental_cluster_quota): single batch == the batch draw;
+    across batches greedy-online (earlier batches claim slots first,
+    equal to rank<=quota under (batch_id, md5, key)); replaying a
+    middle batch leaves the store byte-identical."""
+    import hashlib
+
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    def key(v):
+        return int(hashlib.md5(f"cqs|{v}".encode()).hexdigest()[:8], 16)
+
+    rows = [(v, v % 4) for v in range(120)]
+    batches = {b: [(v, c) for v, c in rows if v % 3 == b] for b in range(3)}
+    store = str(tmp_path / "cq_store")
+    quota = 7
+
+    def run(b):
+        df = spark.createDataFrame(batches[b], "vec_id long, bucket int")
+        return smp.incremental_cluster_quota(
+            spark, store, df, "bucket", "vec_id", quota=quota, batch_id=b
+        )
+
+    # single batch == the batch draw over that batch
+    got0 = {(r["cluster"], r["key"]) for r in run(0).collect()}
+    expect0 = set()
+    for c in range(4):
+        ids = [v for v, cc in batches[0] if cc == c]
+        expect0 |= {(c, v) for v in sorted(ids, key=lambda v: (key(v), v))[:quota]}
+    assert got0 == expect0
+
+    run(1)
+    run(2)
+
+    def snap():
+        return sorted(
+            (r["cluster"], r["key"], r["batch_id"])
+            for r in spark.read.parquet(store).collect()
+        )
+
+    # python replica of greedy-online: global (batch, md5, key) order
+    expect = set()
+    for c in range(4):
+        ordered = sorted(
+            ((v, b) for b, bat in batches.items() for v, cc in bat if cc == c),
+            key=lambda vb: (vb[1], key(vb[0]), vb[0]),
+        )
+        expect |= {(c, v, b) for v, b in ordered[:quota]}
+    assert {(c, v, b) for c, v, b in snap()} == expect
+
+    before = snap()
+    run(1)  # replay: must recompute the identical set -> upsert no-op
+    assert snap() == before
+
+
 def test_domain_mixture_sample_weights_and_cap(spark):
     """3x-weighted domain keeps ~3x the rows of a unit domain; a domain
     smaller than its target hits the 2^32 cap and keeps everything."""

@@ -674,6 +674,96 @@ def incremental_budget_admission(
     return admitted
 
 
+def incremental_cluster_quota(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    cluster_col: str,
+    key_col: str,
+    quota: int,
+    batch_id: int,
+    salt: str = "cqs",
+) -> DataFrame:
+    """Online cluster-quota admission — the foreachBatch twin of the
+    cluster-quota diversity draw (`uniform_k_per_stratum` over a
+    k-means assignment): a continuously-arriving vector/doc stream
+    keeps at most ``quota`` rows per semantic cluster, the admitted
+    set persisted in a parquet store. Callers assign ``cluster_col``
+    first (ingest-time `assign_ivf_bucket` against the FROZEN
+    quantizer — the round-5 train/serve consistency rule).
+
+    Semantics are GREEDY-ONLINE, documented as such: within a batch,
+    rows compete in the same (md5 key, key) priority order as the
+    batch draw; across batches, earlier batches claim slots first.
+    Equivalently: admit rank <= quota under the global order
+    (batch_id, md5, key) within each cluster — which is what the
+    census oracle unrolls in SQL.
+
+    Replay safety (the incremental-family contract): slots consumed
+    are COUNTED at read from store rows EXCLUDING this batch_id
+    (never a stored counter — the read-modify-add trap), so a
+    replayed batch sees the pre-batch state, recomputes the identical
+    admitted set, and its latest-wins upsert keyed (cluster, key) is
+    a no-op.
+
+    Scale: the per-cluster rank is row_number <= quota — plans as
+    WindowGroupLimit, each task pre-prunes to its local top-quota per
+    cluster; consumed counts are one hash-agg over the store.
+
+    Returns the batch's admitted frame (cluster, key, batch_id).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    try:
+        prior = spark.read.parquet(store_path)
+    except AnalysisException:
+        prior = None
+    if prior is not None:
+        consumed = (
+            prior.filter(F.col("batch_id") != int(batch_id))
+            .groupBy(F.col("cluster").alias(cluster_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("_consumed"))
+        )
+    else:
+        consumed = None
+    w = Window.partitionBy(cluster_col).orderBy(
+        sample_key_u32(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    ranked = batch_df.withColumn(
+        "_rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("_rk") <= quota)
+    if consumed is not None:
+        ranked = (
+            ranked.join(F.broadcast(consumed), cluster_col, "left")
+            .withColumn("_consumed", F.coalesce(F.col("_consumed"), F.lit(0)))
+            .filter(
+                F.col("_rk")
+                <= F.greatest(
+                    F.lit(quota).cast("long") - F.col("_consumed"),
+                    F.lit(0).cast("long"),
+                )
+            )
+        )
+    admitted = ranked.select(
+        F.col(cluster_col).cast("long").alias("cluster"),
+        F.col(key_col).alias("key"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    ).localCheckpoint()  # lineage reads the store the upsert rewrites
+    upsert_snapshot(
+        spark,
+        store_path,
+        admitted.withColumn("event_seq", F.lit(0)),
+        key_cols=["cluster", "key"],
+    )
+    return admitted
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

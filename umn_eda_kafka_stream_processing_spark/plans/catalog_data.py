@@ -961,6 +961,121 @@ def cluster_quota_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_cluster_quota_oracle(
+    k: int = 8, iters: int = 5, quota: int = 12, n_batches: int = 3
+) -> str:
+    """Lloyd chain + fassign (fresh assignment against the FINAL
+    centroids — the ingest-time assign_ivf_bucket view) + the
+    greedy-online admission unrolled: admitting while slots remain,
+    batch by batch in md5 order, equals rank <= quota under the
+    global (batch_id, md5, key) order within each cluster."""
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_sampling import (
+        _duck_key,
+    )
+
+    ctes = _lloyd_ctes(k, iters) + [
+        (
+            f"fscore AS (SELECT e.vec_id, c.bucket,"
+            f" {_duck_cos('e.v', 'c.cv')} AS sim FROM e CROSS JOIN cent{iters} c)"
+        ),
+        (
+            "fassign AS (SELECT vec_id, bucket FROM"
+            " (SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY sim DESC, bucket ASC) AS rk FROM fscore) WHERE rk = 1)"
+        ),
+        (
+            "adm AS (SELECT bucket, vec_id, row_number() OVER"
+            " (PARTITION BY bucket ORDER BY"
+            f" (vec_id % {n_batches}) ASC,"
+            f" {_duck_key('vec_id', 'cqs')} ASC, vec_id ASC) AS rk"
+            " FROM fassign)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(bucket AS BIGINT) AS cluster,"
+        " CAST(count(*) AS BIGINT) AS n_admitted,"
+        " CAST(sum(vec_id % 1000003) AS BIGINT) AS id_checksum,"
+        " CAST(1 AS BIGINT) AS replay_ok"
+        f" FROM adm WHERE rk <= {quota} GROUP BY bucket"
+    )
+
+
+@_register(
+    "incremental_cluster_quota_census",
+    "Online cluster-quota admission (operators/sampling.py:"
+    "incremental_cluster_quota — the foreachBatch twin of "
+    "cluster_quota_sample_stats): the embedding stream arrives as 3 "
+    "microbatches (vec_id % 3), each batch assigned against the "
+    "FROZEN session-cached quantizer (assign_ivf_bucket — the round-5 "
+    "train/serve consistency rule), then admitted greedily while its "
+    "cluster's 12 slots remain, md5-priority order within a batch, "
+    "earlier batches first; admitted rows upserted latest-wins keyed "
+    "(cluster, key). Batch 1 is then REPLAYED: slots consumed are "
+    "counted at read excluding the replayed batch_id, so the replay "
+    "recomputes the identical set and the upsert is a no-op — "
+    "replay_ok pins store-identity before/after as data. Oracle: "
+    "Lloyd + fassign + the greedy-online order unrolled (rank <= "
+    "quota under (batch_id, md5, key) per cluster).",
+    _incremental_cluster_quota_oracle(),
+)
+def incremental_cluster_quota_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.caching import materialized_group
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        incremental_cluster_quota,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = materialized_group(
+        spark,
+        f"kmeans_k8_i5|{sf_dir}",
+        ["assign", "cent"],
+        lambda: dict(
+            zip(["assign", "cent"], sim.kmeans_buckets(emb, k=8, iters=5))
+        ),
+    )
+    cent = m["cent"]
+    store = tempfile.mkdtemp(prefix="sparkgraft_cluster_quota_") + "/store"
+
+    def run_batch(b: int):
+        batch = emb.filter(F.col("vec_id") % 3 == b)
+        assigned = sim.assign_ivf_bucket(batch, cent).select("vec_id", "bucket")
+        incremental_cluster_quota(
+            spark, store, assigned, "bucket", "vec_id", quota=12, batch_id=b
+        )
+
+    for b in range(3):
+        run_batch(b)
+    # replay batch 1: the admitted set is <= 8*12 = 96 rows — a
+    # bounded collect for the before/after identity check
+    def snap():
+        return sorted(
+            (r["cluster"], r["key"])
+            for r in spark.read.parquet(store).select("cluster", "key").collect()
+        )
+
+    before = snap()
+    run_batch(1)
+    replay_ok = int(snap() == before)
+    return (
+        spark.read.parquet(store)
+        .groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_admitted"),
+            F.sum(F.col("key") % F.lit(1000003)).cast("long").alias("id_checksum"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_admitted",
+            "id_checksum",
+            F.lit(replay_ok).cast("long").alias("replay_ok"),
+        )
+    )
+
+
 @_register(
     "ann_pq_topk",
     "Product-quantization ANN with exact re-rank: per-subspace Lloyd "

@@ -416,7 +416,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # fuzzy-join entity resolution, PMI word association, cohort
     # retention, Z-order layout locality --------------------------------
     "fuzzy_part_match_stats",
-    "token_pmi_pairs",
+    # (token_pmi_pairs rotated out in r11 for
+    # incremental_cluster_quota_census below: driver-verified r07+r08+
+    # r09+r10; the text-stats family keeps domain_census +
+    # unigram_train_vocab + charlm_langid_auc in-gate)
+    # -- new in r11, never driver-verified: online cluster-quota
+    # admission (frozen-quantizer assignment + greedy slot admission,
+    # replay no-op pinned as data) ------------------------------------
+    "incremental_cluster_quota_census",
     # (weekly_retention_cohorts rotated out in r11 for
     # cluster_quota_sample_stats below: driver-verified r07+r08+r09+
     # r10; the temporal family keeps event_transition_matrix +
