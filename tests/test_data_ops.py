@@ -646,6 +646,51 @@ def test_pgm_frame_container_walk():
     assert all((g == f).all() for g, f in zip(got, frames))
 
 
+def test_image_dhash_invariance_and_near_pairs(spark):
+    """dHash (operators/multimodal.py:image_dhash): invariant to a
+    global brightness shift and to nearest-neighbor upscaling (the
+    re-encode/thumbnail case exact byte hashing misses), and
+    image_phash_pairs surfaces a planted near-dup at hamming 0 via
+    the banded join."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(16, 20), dtype=np.int64)
+    variants = {
+        0: base,  # original
+        1: np.clip(base + 40, 0, 255),  # brightness shift
+        2: base[np.repeat(np.arange(16), 2), :][:, np.repeat(np.arange(20), 2)],
+        3: rng.integers(0, 256, size=(12, 14), dtype=np.int64),  # unrelated
+    }
+    rows = [
+        (int(mid), bytearray(mm.encode_pgm(px.astype(np.uint8))))
+        for mid, px in variants.items()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    sigs = {r["media_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+            for r in mm.image_dhash(media).collect()}
+    # strict-> comparison survives +40 everywhere except where clip
+    # saturates; none of base's compared neighbors reach the clip zone
+    assert sigs[0] == sigs[1]
+    assert sigs[0] == sigs[2]  # 2x nearest upscale maps to same thumb
+    assert sigs[0] != sigs[3]
+
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in mm.image_phash_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+    # python replica of the bit packing on the base image
+    thumb = mm.resize_nearest(base, 9, 8)
+    bits = (thumb[:, 1:] > thumb[:, :-1]).astype(int).flatten()
+    expect = tuple(
+        int("".join(map(str, bits[k * 16 : (k + 1) * 16])), 2) for k in range(4)
+    )
+    assert sigs[0] == expect
+
+
 def test_media_feature_operators_end_to_end(spark):
     """synth → real encode → real decode → features, on Spark."""
     ids = spark.createDataFrame([(3,), (17,)], "doc_id long")

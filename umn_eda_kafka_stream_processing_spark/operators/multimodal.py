@@ -524,6 +524,79 @@ def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> Dat
     return media.select("media_id", "content").mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
 
 
+IMAGE_DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("c0", T.LongType(), False),
+    T.StructField("c1", T.LongType(), False),
+    T.StructField("c2", T.LongType(), False),
+    T.StructField("c3", T.LongType(), False),
+])
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the perceptual
+    fingerprint behind image near-dup detection: decode (container
+    sniffed per row), nearest-neighbor resize to ``grid`` x
+    ``grid``+1, bit (r, c) = 1 iff thumb[r, c+1] > thumb[r, c] —
+    invariant to brightness/contrast shifts and to resolution, the
+    property that makes it catch re-encodes and thumbnails exact
+    hashing misses.
+
+    Output: (media_id, c0..c3) — the hash as 4 big-endian 16-bit
+    chunks, the same signature shape simhash64 emits, so the
+    chunk-banded Hamming join (`dedup._sig_near_pairs`: any shared
+    chunk is a candidate; by pigeonhole hamming <= 3 guarantees one
+    shared chunk — zero recall loss) is reused verbatim. Color inputs
+    are luma-averaged before the resize.
+
+    Scale: one Arrow mapInPandas pass per image (decode + an
+    integer index-map resize — no full-resolution intermediate kept),
+    then everything downstream is the banded join, never all-pairs.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_image(bytes(content))
+                gray = px if px.ndim == 2 else px.mean(axis=2)
+                thumb = resize_nearest(gray, grid + 1, grid)
+                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64).flatten()
+                row = {"media_id": int(media_id)}
+                for k in range(4):
+                    chunk = 0
+                    for b in bits[k * 16 : (k + 1) * 16]:
+                        chunk = (chunk << 1) | int(b)
+                    row[f"c{k}"] = chunk
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_DHASH_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(hashes, IMAGE_DHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    hot_bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual near-dup image pairs: dHash signatures + the
+    chunk-banded Hamming candidate join shared with SimHash text
+    dedup (dedup.py:_sig_near_pairs — hot-bucket cap and all).
+    ``max_hamming <= 3`` keeps the pigeonhole recall guarantee of the
+    4-chunk banding. Output: (media_id_a, media_id_b, hamming)."""
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _sig_near_pairs,
+    )
+
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming <= 3 (got {max_hamming}); pairs farther apart "
+            "can miss every 16-bit band"
+        )
+    sigs = image_dhash(media).localCheckpoint()
+    return _sig_near_pairs(sigs, "media_id", max_hamming, hot_bucket_cap)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("frame_idx", T.LongType(), False),

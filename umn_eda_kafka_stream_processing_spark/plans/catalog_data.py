@@ -1482,6 +1482,108 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_phash_dedup_stats",
+    "Perceptual-hash IMAGE near-dup (operators/multimodal.py:"
+    "image_dhash + the chunk-banded Hamming join shared with SimHash "
+    "text dedup) — multimodal dedup, the capability exact byte hashing "
+    "misses: dHash (decode -> nearest-neighbor 9x8 thumb -> 64 "
+    "adjacent-column comparison bits) is invariant to brightness "
+    "shifts and resolution, so re-encodes/thumbnails collide. "
+    "Candidates = pairs sharing any 16-bit chunk (pigeonhole: "
+    "hamming<=3 guarantees a shared chunk — zero recall loss), exact "
+    "bit_count(xor) verify. Census: image/signature counts, candidate "
+    "and verified-pair counts, exact-collision count, pair checksum. "
+    "Oracle: the WHOLE chain recomputed arithmetically from the "
+    "synthetic pixel formula (resize index map, bit packing, banding, "
+    "Hamming) — a hash match proves decode->thumb->hash->join end to "
+    "end. The hot-bucket cap (10k) never binds at these SFs (max "
+    "bucket 269 at sf0.1, measured), so the capless oracle is exact.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 13) + 3 AS w, (doc_id % 7) + 2 AS h
+               FROM documents),
+    v AS (SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              CASE WHEN (doc_id + (((i // 8) * h) // 8) * 17
+                         + ((((i % 8) + 1) * w) // 9) * 101) % 256
+                      > (doc_id + (((i // 8) * h) // 8) * 17
+                         + (((i % 8) * w) // 9) * 101) % 256
+                   THEN 1 ELSE 0 END) AS bits
+          FROM d),
+    s AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 16),
+                 j -> bits[j + 1] * (1 << (15 - j)))) AS BIGINT) AS c0,
+            CAST(list_sum(list_transform(range(0, 16),
+                 j -> bits[j + 17] * (1 << (15 - j)))) AS BIGINT) AS c1,
+            CAST(list_sum(list_transform(range(0, 16),
+                 j -> bits[j + 33] * (1 << (15 - j)))) AS BIGINT) AS c2,
+            CAST(list_sum(list_transform(range(0, 16),
+                 j -> bits[j + 49] * (1 << (15 - j)))) AS BIGINT) AS c3
+          FROM v),
+    m AS (SELECT doc_id, k,
+            CASE k WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+          FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM m a JOIN m b ON a.k = b.k AND a.ck = b.ck
+                               AND a.doc_id < b.doc_id),
+    p AS (SELECT ia, ib,
+            bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+            + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+              AS hamming
+          FROM cand JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib),
+    dup AS (SELECT * FROM p WHERE hamming <= 3)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_images,
+           (SELECT CAST(count(DISTINCT (c0, c1, c2, c3)) AS BIGINT) FROM s)
+               AS n_distinct_sig,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_exact_pairs,
+           CAST(coalesce(sum((ia * 31 + ib) % 1000003), 0) AS BIGINT)
+               AS pair_checksum
+    FROM dup
+    """,
+)
+def image_phash_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _sig_near_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    media = mm.synth_media(docs, "image")
+    # one decode pass: the signatures feed both the census counts and
+    # the banded pair join (materialize before the self-join)
+    sigs = mm.image_dhash(media).localCheckpoint()
+    cands = _sig_near_pairs(sigs, "media_id", max_hamming=64, hot_bucket_cap=10_000)
+    sig_stats = sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.countDistinct(F.struct("c0", "c1", "c2", "c3"))
+        .cast("long")
+        .alias("n_distinct_sig"),
+    )
+    pair_stats = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("hamming") <= 3,
+                    (F.col("media_id_a") * 31 + F.col("media_id_b")) % 1000003,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pair_checksum"),
+    )
+    return sig_stats.crossJoin(pair_stats)
+
+
+@_register(
     "jpeg_decode_stats",
     "Real baseline-JPEG round trip (operators/jpeg.py: pure-numpy T.81 "
     "codec — FDCT, quantization, Annex-K Huffman entropy coding). Images "

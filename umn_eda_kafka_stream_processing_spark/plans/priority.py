@@ -403,7 +403,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (per-batch histogram registers -> exact integer-form PSI) ------
     "order_price_drift_census",
     "event_transition_matrix",
-    "cosupply_triangle_stats",
+    # (cosupply_triangle_stats rotated out in r11 for
+    # image_phash_dedup_stats below: driver-verified r07+r08+r09+r10;
+    # the graph family keeps cosupply_core_levels +
+    # supplier_eigencentrality in-gate)
+    # -- new in r11, never driver-verified: perceptual-hash image
+    # near-dup (dHash + chunk-banded Hamming join — multimodal dedup;
+    # also returns the media family to the gate) ----------------------
+    "image_phash_dedup_stats",
     # (order_price_exact_quantiles rotated out in r10 for
     # doc_length_quantiles_by_lang below: driver-verified r07+r08+r09;
     # the exact-quantile family keeps quantity_weighted_price_quantiles
