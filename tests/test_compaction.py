@@ -539,3 +539,67 @@ def test_streaming_changelog_maintains_snapshot(spark, tmp_path):
     got2 = {r["id"]: (r["venueid"], r["capacity"])
             for r in spark.read.parquet(snap).collect()}
     assert got2 == got
+
+
+def test_versioned_store_time_travel(spark, tmp_path):
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        read_versioned_asof,
+        versioned_batch_ids,
+    )
+
+    path = str(tmp_path / "vstore")
+    mk = lambda data: spark.createDataFrame(  # noqa: E731
+        data, "k long, v string, seq long, del_flag boolean"
+    )
+    # batch 0: insert a, b   batch 1: update a, insert c
+    # batch 2: delete b, and (update c then delete c) IN ONE batch —
+    # seq must break the tie toward the delete
+    append_versioned(mk([(1, "a0", 0, False), (2, "b0", 0, False)]), path, 0)
+    append_versioned(mk([(1, "a1", 0, False), (3, "c0", 0, False)]), path, 1)
+    append_versioned(
+        mk([(2, None, 0, True), (3, "c1", 1, False), (3, None, 2, True)]),
+        path,
+        2,
+    )
+
+    def state(asof):
+        rows = read_versioned_asof(
+            spark, path, asof, "k", seq_col="seq", tombstone_col="del_flag"
+        ).collect()
+        return {r["k"]: r["v"] for r in rows}
+
+    assert state(0) == {1: "a0", 2: "b0"}
+    assert state(1) == {1: "a1", 2: "b0", 3: "c0"}
+    assert state(2) == {1: "a1"}
+    assert versioned_batch_ids(spark, path) == [0, 1, 2]
+
+    # replay batch 1 (at-least-once): dynamic overwrite of exactly
+    # its partition — every as-of view unchanged, no duplicates
+    append_versioned(mk([(1, "a1", 0, False), (3, "c0", 0, False)]), path, 1)
+    assert state(1) == {1: "a1", 2: "b0", 3: "c0"}
+    total = spark.read.parquet(path).count()
+    assert total == 7
+
+    # NULL tombstone flag routes like CASE-ELSE: kept (coalesce rule)
+    append_versioned(mk([(4, "d0", 0, None)]), path, 3)
+    assert state(3) == {1: "a1", 4: "d0"}
+
+    # the as-of read is partition-pruned: batch_id <= 1 must reach
+    # the scan as a partition filter, not a post-scan filter
+    plan = read_versioned_asof(
+        spark, path, 1, "k", seq_col="seq"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "batch_id" in plan
+
+
+def test_append_versioned_rejects_reserved_column(spark, tmp_path):
+    import pytest
+
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "k long, batch_id long")
+    with pytest.raises(ValueError):
+        append_versioned(df, str(tmp_path / "v2"), 0)

@@ -1,0 +1,124 @@
+"""Versioned key-value store with time-travel reads (batch-id log).
+
+The reference's KTable keeps only the LATEST value per key
+(`builder.table(...)`, samples/PurchaseEventTicket.java:44-51); its
+changelog topic, however, retains the full history — Kafka Streams
+rebuilds any point-in-time state by replaying the changelog up to an
+offset. This module is the lakehouse analogue: an append-only parquet
+log partitioned by ``batch_id`` whose reads reconstruct the KTable
+*as of* any ingested batch (Iceberg/Delta "time travel", expressed as
+plain parquet + one hash-agg).
+
+Spark-first / 100 TB shape:
+
+* **Writes are per-batch partition overwrites** — batch N lands under
+  ``batch_id=N`` via dynamic partition overwrite, so an at-least-once
+  replay of the same batch rewrites exactly its own directory with
+  identical content (idempotent, the round-10 store rule). No other
+  partition is touched, ever.
+* **As-of reads are partition-pruned**: ``batch_id <= asof`` is a
+  partition filter, so reading "state as of batch 3" in a 10,000-batch
+  store lists 4 directories, not the table.
+* **Latest-wins is one hash aggregation** (``max_by`` over
+  ``struct(batch_id, seq)``) — map-side combined, shuffle volume
+  ~|distinct keys|, never a row_number window over all versions.
+* **Deletes are tombstone DATA, not file deletes** — a row with the
+  tombstone flag set wins latest-wins like any other version and the
+  key is then dropped from the as-of view. History stays replayable;
+  physical reclamation is ``compact_store``/horizon-collapse territory
+  (operators/aggview.py folds old batches when the tail is no longer
+  needed).
+
+Unbounded history is bounded the same way the aggview store bounds
+it: fold batches older than the retention horizon into a single base
+batch (latest-wins is associative), after which time travel reaches
+back exactly to the horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+BATCH_COL = "batch_id"
+
+
+def append_versioned(
+    batch_df: DataFrame,
+    table_path: str,
+    batch_id: int,
+) -> None:
+    """Append one batch of key versions under ``batch_id=<n>``.
+
+    Idempotent under replay: the write is a dynamic partition
+    overwrite of exactly this batch's partition, so re-running the
+    batch replaces its directory with the same rows instead of
+    doubling them (foreachBatch is at-least-once).
+    """
+    if BATCH_COL in batch_df.columns:
+        raise ValueError(f"batch_df must not already carry {BATCH_COL!r}")
+    (
+        batch_df.withColumn(BATCH_COL, F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+    batch_df.sparkSession.catalog.refreshByPath(table_path)
+
+
+def read_versioned_asof(
+    spark: SparkSession,
+    table_path: str,
+    asof_batch: int,
+    key_cols: str | Sequence[str],
+    seq_col: str | None = None,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """State of the store as of ``asof_batch`` (inclusive).
+
+    Latest version per key over the partition-pruned slice
+    ``batch_id <= asof_batch``; version order is ``(batch_id,
+    seq_col)`` — ``seq_col`` breaks ties when one batch carries
+    several versions of a key (e.g. an update and a delete in the
+    same microbatch). If ``tombstone_col`` is given, keys whose
+    winning version has it true are dropped from the view (the
+    column itself is kept off the output).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    df = spark.read.parquet(table_path).filter(
+        F.col(BATCH_COL) <= F.lit(int(asof_batch))
+    )
+    order = (
+        F.struct(F.col(BATCH_COL), F.col(seq_col))
+        if seq_col
+        else F.col(BATCH_COL)
+    )
+    payload = [c for c in df.columns if c not in keys]
+    latest = (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), order).alias("_v"))
+        .select(*keys, "_v.*")
+    )
+    if tombstone_col:
+        # NULL tombstone flags route like CASE-ELSE: kept (the
+        # coalesce-to-false rule)
+        latest = latest.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        ).drop(tombstone_col)
+    return latest
+
+
+def versioned_batch_ids(spark: SparkSession, table_path: str) -> list[int]:
+    """Sorted batch ids present in the store (a partition-values
+    listing — one row per partition, never a data scan)."""
+    try:
+        df = spark.read.parquet(table_path)
+    except AnalysisException:
+        return []
+    return sorted(
+        r[BATCH_COL] for r in df.select(BATCH_COL).distinct().collect()
+    )

@@ -301,7 +301,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # span_dup_doc_fraction + span_dedup_rewrite_stats +
     # span_dedup_minrun_stats in-gate)
     # -- new in r09, never driver-verified: the SCD2 as-of-T probe --
-    "scd2_asof_week_census",
+    # (scd2_asof_week_census rotated out in r11 for
+    # store_time_travel_census below: driver-verified r09+r10; the
+    # SCD2/temporal-state family keeps incremental_scd2_census
+    # in-gate, and the new query IS an as-of probe — over the
+    # versioned store instead of the interval dimension)
+    # -- new in r11, never driver-verified: time-travel reads over
+    # the batch-partitioned versioned store (latest-wins as-of batch
+    # N, tombstones, replayed-batch idempotence) ---------------------
+    "store_time_travel_census",
     # (span_dup_doc_fraction rotated out in r10 for
     # price_mass_quantiles_by_flag below: driver-verified r05+r06+r07+
     # r08+r09; the span family keeps span_dedup_rewrite_stats +
