@@ -329,3 +329,48 @@ def test_transition_counts_rows_and_probs(spark):
     # a->b twice, b->a once
     assert got[("a", "b")] == (2, 1_000_000)
     assert got[("b", "a")] == (1, 1_000_000)
+
+
+def test_grouped_mad_outliers_matches_bruteforce(spark):
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_mad_outliers,
+    )
+
+    rng = random.Random(117)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(rng.randint(15, 40)):
+            # heavy tail so real outliers exist
+            x = rng.randint(0, 50) * (100 if rng.random() < 0.1 else 1)
+            rows.append((g, len(rows), x))
+    # a degenerate group: MAD = 0, any deviating row must flag
+    rows += [("d", 9000 + i, 7) for i in range(10)] + [("d", 9100, 8)]
+    # NULL values are ignored
+    rows.append(("a", 9999, None))
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    thr = 4_447_800
+    got = {
+        r["k"]: (r["med"], r["mad"], r["is_outlier"])
+        for r in grouped_mad_outliers(df, "g", "x", thr).collect()
+    }
+
+    def t1_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]  # type-1: ceil(n/2)-th
+
+    by_g = {}
+    for g, k, x in rows:
+        if x is not None:
+            by_g.setdefault(g, []).append((k, x))
+    expect = {}
+    for g, kv in by_g.items():
+        med = t1_median([x for _, x in kv])
+        mad = t1_median([abs(x - med) for _, x in kv])
+        for k, x in kv:
+            expect[k] = (med, mad, abs(x - med) * 1_000_000 > thr * mad)
+    assert got == expect
+    assert 9999 not in got  # NULL row dropped
+    assert any(v[2] for v in got.values())  # outliers actually exist
+    assert got[9100][2] and not got[9000][2]  # MAD=0 degeneracy

@@ -355,17 +355,23 @@ def _grouped_quantiles_from_dv(
     value_col: str,
     probs: Sequence[tuple[int, int]],
     n_buckets: int,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Shared tail of the grouped quantile operators: per-group
     histogram prefix ranks over a (groups..., value, cnt) frame of
     distinct values, then the rational-rank cut. See
-    `grouped_exact_quantiles` for the plan-shape contract."""
+    `grouped_exact_quantiles` for the plan-shape contract.
+    ``join_hint`` pins the joined-back aggregates' strategy when
+    ``dv`` carries no stats (a localCheckpointed input plans SMJ
+    statically — pass "broadcast" for group-sized aggs)."""
     tot = dv.groupBy(*groups).agg(
         F.sum("cnt").cast("long").alias("n_total")
     )
-    r = _grouped_with_below(dv, groups, value_col, "cnt", n_buckets).join(
-        tot, groups
-    )
+    if join_hint:
+        tot = tot.hint(join_hint)
+    r = _grouped_with_below(
+        dv, groups, value_col, "cnt", n_buckets, join_hint=join_hint
+    ).join(tot, groups)
     pdf = spark.createDataFrame(
         [(1_000_000 * n // d, n, d) for n, d in probs],
         "pct_ppm long, p_num long, p_den long",
@@ -488,4 +494,100 @@ def grouped_binary_auc(
         )
         .cast("long")
         .alias("auc_micro"),
+    )
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    threshold_micro: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-group robust outlier flags from the EXACT integer
+    median/MAD — the anomaly screen a quality pipeline runs per
+    domain/segment before trusting its statistics: mean/stddev
+    z-scores are dragged by the very outliers they hunt, while the
+    median and the median-absolute-deviation have a 50% breakdown
+    point (Hampel's rule).
+
+    ``value_col`` must be integer-valued (cents/micros — the repo's
+    money rule); everything downstream is then exact BIGINT on both
+    engines. A row is an outlier iff
+
+        |x - median_g| * 1_000_000  >  threshold_micro * MAD_g
+
+    (integer cross-multiplication, never a float division; the
+    classic "3 sigma-equivalents" is threshold_micro = 4_447_800 =
+    3 x 1.4826 x 1e6). Groups with MAD = 0 — over half the group at
+    one value — flag EVERY deviating row, the standard Hampel
+    degeneracy, and identically on both engines. NULL values are
+    ignored (not flagged, not counted).
+
+    Scale shape: BOTH medians come from the distinct-value frame —
+    the MAD's deviation distribution is derived from (group, value,
+    count) directly (|x - med| keyed with the same counts), so the
+    corpus is hash-aggregated ONCE and never checkpointed or joined
+    mid-pipeline; per-group (med, mad) is a |groups|-sized frame that
+    joins back onto the rows in a single (AQE-broadcast) join at the
+    end. Two histogram passes, no driver collect, no window frame
+    wider than a bucket. Returns the input rows (minus NULL values)
+    + ``med``, ``abs_dev``, ``mad``, ``is_outlier``.
+    """
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    spark = df.sparkSession
+    # the histogram substrate consumes its input several times (min/
+    # max agg, bucketing, totals) — materialize the COMPRESSED frames
+    # (distinct values, then distinct deviations), never the corpus
+    dv = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    med = _grouped_quantiles_from_dv(
+        spark, dv, groups, value_col, [(1, 2)], n_buckets,
+        join_hint="broadcast",
+    ).select(*groups, F.col("value").cast("long").alias("med"))
+    med = med.localCheckpoint()
+    # deviation distribution from the DISTINCT values, reusing their
+    # counts — |x - med| can collide (x below vs above the median),
+    # so re-aggregate on the deviation
+    dv_ad = (
+        dv.join(F.broadcast(med), groups)
+        .select(
+            *groups,
+            F.abs(
+                F.col(value_col).cast("long") - F.col("med")
+            ).alias("_ad"),
+            "cnt",
+        )
+        .groupBy(*groups, "_ad")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    mad = _grouped_quantiles_from_dv(
+        spark, dv_ad, groups, "_ad", [(1, 2)], n_buckets,
+        join_hint="broadcast",
+    ).select(*groups, F.col("value").cast("long").alias("mad"))
+    # (med, mad) is |groups|-sized: broadcast it onto the corpus —
+    # a shuffle_hash here would force the one corpus shuffle this
+    # operator otherwise never does
+    stats = med.join(F.broadcast(mad), groups)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), groups)
+        .withColumn(
+            "abs_dev",
+            F.abs(F.col(value_col).cast("long") - F.col("med")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "is_outlier",
+            (F.col("abs_dev") * F.lit(1_000_000))
+            > (F.lit(int(threshold_micro)) * F.col("mad")),
+        )
     )

@@ -3572,3 +3572,86 @@ def store_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), per_asof)
+
+
+@_register(
+    "price_mad_outlier_census",
+    "Per-group robust anomaly screen (operators/ranking.py:"
+    "grouped_mad_outliers — Hampel's rule on exact integers): per "
+    "order priority, the EXACT type-1 median and MAD of the order "
+    "price in cents, and the rows whose deviation crosses 3 "
+    "sigma-equivalents (|x-med|*1e6 > 4_447_800*MAD — integer "
+    "cross-multiplication, never a float division; 4_447_800 = "
+    "3 x 1.4826 x 1e6). Two passes of the fully distributed "
+    "per-group histogram (no driver collect, no window frame wider "
+    "than a bucket) + two group-key joins back. Census: group size, "
+    "median, MAD, outlier count and an outlier key checksum — one "
+    "row misflagged on either side hash-mismatches. Oracle: both "
+    "medians via plain per-group cumulative windows — different "
+    "algorithm, same integers.",
+    """
+    WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                      CAST(o_totalprice * 100 AS BIGINT) AS x
+               FROM orders),
+    dv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+    r AS (SELECT g, x, c,
+                 coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nt
+          FROM dv),
+    med AS (SELECT g, min(x) AS med FROM r
+            WHERE nb + c >= (nt + 1) // 2 GROUP BY g),
+    a AS (SELECT v.g, v.k, v.x, abs(v.x - med.med) AS ad, med.med
+          FROM v JOIN med USING (g)),
+    dv2 AS (SELECT g, ad, CAST(count(*) AS BIGINT) AS c
+            FROM a GROUP BY 1, 2),
+    r2 AS (SELECT g, ad, c,
+                  coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY ad
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS nb,
+                  CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nt
+           FROM dv2),
+    mad AS (SELECT g, min(ad) AS mad FROM r2
+            WHERE nb + c >= (nt + 1) // 2 GROUP BY g),
+    fin AS (SELECT a.g, a.k, a.ad, a.med, mad.mad,
+                   (a.ad * 1000000 > 4447800 * mad.mad) AS is_out
+            FROM a JOIN mad USING (g))
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(med) AS BIGINT) AS med_cents,
+           CAST(max(mad) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(coalesce(sum(CASE WHEN is_out THEN k % 1000003 END), 0)
+               AS BIGINT) AS outlier_checksum
+    FROM fin GROUP BY g
+    """,
+)
+def price_mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_mad_outliers,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * F.lit(100)).cast("long").alias("x"),
+    )
+    flagged = grouped_mad_outliers(v, "g", "x", threshold_micro=4_447_800)
+    return flagged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("med").cast("long").alias("med_cents"),
+        F.max("mad").cast("long").alias("mad_cents"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_outlier"), F.col("k") % F.lit(1000003))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("outlier_checksum"),
+    ).withColumnRenamed("g", "o_orderpriority")

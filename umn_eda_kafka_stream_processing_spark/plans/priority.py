@@ -277,7 +277,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r05+r06+r07+r08; TPC-H keeps q22/q9 in-gate)
     # -- new in r09, never driver-verified: weighted exact quantiles
     # (cumulative integer-weight mass) --------------------------------
-    "quantity_weighted_price_quantiles",
+    # (quantity_weighted_price_quantiles rotated out in r11 for
+    # price_mad_outlier_census below: driver-verified r09+r10; the
+    # exact-order-statistics family keeps doc_length_quantiles_by_lang
+    # + price_mass_quantiles_by_flag + split_length_bias_auc in-gate)
+    # -- new in r11, never driver-verified: per-group robust outlier
+    # screen (exact integer median/MAD, Hampel threshold, both
+    # medians from the distinct-value frame) -------------------------
+    "price_mad_outlier_census",
     # (q9_product_profit rotated out in r09 for qty_price_slope_by_flag
     # below: driver-verified r04+r05+r06+r07+r08; TPC-H keeps
     # q22_dormant_customers in-gate, plus the whole family in the
