@@ -3221,3 +3221,55 @@ def test_pagerank_directed_dangling_matches_python_reference(spark):
     # total mass near SCALE (no sink black-hole)
     assert got["c"] == max(got.values())
     assert SCALE - sum(got.values()) < 4 * 5 * 2 * 100 + 5 * 100
+
+
+def test_int8_quantize_exactness_and_pack(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.quantize import (
+        int8_apply,
+        int8_pack,
+        int8_quantize_elements,
+        int8_stats,
+        _explode_micro,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, -1.0, 0.5]),
+            (2, [1.0, 1.0, 0.5]),   # dim 2 is CONSTANT -> code 0, err 0
+            (3, [0.25, 0.0, 0.5]),
+        ],
+        "vid long, v array<float>",
+    )
+    q = int8_quantize_elements(df, "v").collect()
+    got = {(r["vid"], r["pos"]): (r["code"], r["err_micro"]) for r in q}
+
+    def expect(x, lo, hi):
+        xm, lom, him = round(x * 1e6), round(lo * 1e6), round(hi * 1e6)
+        rng = max(him - lom, 1)
+        code = (xm - lom) * 255 // rng
+        return code, abs(xm - (lom + code * rng // 255))
+
+    cols = {0: (0.0, 1.0), 1: (-1.0, 1.0), 2: (0.5, 0.5)}
+    vals = {1: [0.0, -1.0, 0.5], 2: [1.0, 1.0, 0.5], 3: [0.25, 0.0, 0.5]}
+    for vid, vec in vals.items():
+        for pos, x in enumerate(vec):
+            assert got[(vid, pos)] == expect(x, *cols[pos]), (vid, pos)
+    # lossless endpoints: min and max of every dim reconstruct exactly
+    assert got[(1, 1)] == (0, 0) and got[(2, 1)] == (255, 0)
+    assert got[(2, 2)][0] == 0 and got[(2, 2)][1] == 0  # constant dim
+
+    packed = {
+        r["vid"]: r["codes"]
+        for r in int8_pack(
+            int8_quantize_elements(df, "v"), "vid"
+        ).collect()
+    }
+    assert packed[1] == [got[(1, p)][0] for p in range(3)]
+
+    # frozen-quantizer serve path: out-of-range element clamps
+    serve = spark.createDataFrame([(9, [2.0, 0.0, 0.5])], "vid long, v array<float>")
+    stats = int8_stats(_explode_micro(df, "v"))
+    s = int8_apply(_explode_micro(serve, "v"), stats).collect()
+    srow = {r["pos"]: r for r in s}
+    assert srow[0]["code"] == 255  # clamped to hi
+    assert srow[0]["err_micro"] == abs(2_000_000 - 1_000_000)

@@ -4014,3 +4014,65 @@ def embedding_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         off, [("absg", False), ("i", True), ("j", True)], 20
     )
     return top.select("i", "j", "g", F.col("rank").cast("long"))
+
+
+@_register(
+    "embedding_int8_quant_census",
+    "Scalar INT8 quantization of the embedding corpus (operators/"
+    "quantize.py — the 4x-footprint shortlist representation next "
+    "to the PQ family): per-dimension affine codes in EXACT "
+    "integer-micro space (one micro-rounding of each element, then "
+    "pure BIGINT arithmetic — code = (x-lo)*255 div rng, x_hat = "
+    "lo + code*rng div 255), per-dimension lo/hi a 64-row broadcast "
+    "agg. Census per label: element count, total and max absolute "
+    "reconstruction error, code mass, and a position-weighted code "
+    "checksum — one element coded off by one on either engine "
+    "hash-mismatches. Oracle: identical arithmetic over "
+    "unnest-with-position.",
+    """
+    WITH ex AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ), st AS (
+      SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+    ), q AS (
+      SELECT ex.label, ex.pos, ex.x, st.lo,
+             greatest(st.hi - st.lo, 1) AS rng,
+             ((ex.x - st.lo) * 255) // greatest(st.hi - st.lo, 1) AS code
+      FROM ex JOIN st USING (pos)
+    ), e AS (
+      SELECT label, pos, code,
+             abs(x - (lo + (code * rng) // 255)) AS err
+      FROM q
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_elems,
+           CAST(sum(err) AS BIGINT) AS sum_err_micro,
+           CAST(max(err) AS BIGINT) AS max_err_micro,
+           CAST(sum(code) AS BIGINT) AS code_mass,
+           CAST(sum((pos + 1) * code) AS BIGINT) AS code_checksum
+    FROM e GROUP BY label
+    """,
+)
+def embedding_int8_quant_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.quantize import (
+        int8_quantize_elements,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    )
+    q = int8_quantize_elements(emb, "embedding")
+    return q.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_elems"),
+        F.sum("err_micro").cast("long").alias("sum_err_micro"),
+        F.max("err_micro").cast("long").alias("max_err_micro"),
+        F.sum("code").cast("long").alias("code_mass"),
+        F.sum((F.col("pos") + F.lit(1)) * F.col("code"))
+        .cast("long")
+        .alias("code_checksum"),
+    )

@@ -190,7 +190,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "salt_advisor_join_census",
     # -- new in r05, never driver-verified: IVFADC (IVF coarse
     # pruning x residual PQ x exact re-rank) ------------------------
-    "ann_ivfpq_topk",
+    # (ann_ivfpq_topk rotated out in r11 for embedding_int8_quant_census
+    # below: driver-verified r05-r10, six consecutive greens; the
+    # vector-quantization family keeps the new SQ census in-gate and
+    # the full ANN chain stays in the overflow catalog)
+    # -- new in r11, never driver-verified: scalar INT8 quantization
+    # (exact integer-micro affine codes + reconstruction-error census)
+    "embedding_int8_quant_census",
     # -- new in r04, never driver-verified: real-codec media queries
     # (rotated out to make room: sample_k_per_source,
     # sequence_packing_stats, sketch_histogram_quantiles — all
