@@ -374,3 +374,37 @@ def test_grouped_mad_outliers_matches_bruteforce(spark):
     assert 9999 not in got  # NULL row dropped
     assert any(v[2] for v in got.values())  # outliers actually exist
     assert got[9100][2] and not got[9000][2]  # MAD=0 degeneracy
+
+
+def test_bfs_hops_bruteforce(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    # directed: 1->2->3->4->5, a shortcut 1->4, an unreachable 9->10,
+    # and a back-edge 3->1 (cycle must not loop forever)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 10), (3, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    # horizon: max_hops=1 stops at direct neighbors
+    got1 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=1).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 4: 1}
+
+    # multi-source: min hop over seeds wins
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds2, max_hops=3).collect()
+    }
+    assert got2[5] == 0 and got2[4] == 1 and got2[2] == 1

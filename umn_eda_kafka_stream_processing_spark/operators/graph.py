@@ -424,3 +424,62 @@ def k_core(
             break
         n_before = n_after
     return e, rounds, converged
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance — "how far is every node from
+    the seed set", the reachability primitive under contamination
+    blast-radius, fraud neighborhoods, and lineage impact queries.
+    Returns (node, hop) for every node within ``max_hops`` of any
+    source (hop = exact shortest hop count; sources are hop 0).
+    Directed as given — symmetrize first for undirected graphs.
+
+    Frontier iteration, the only shape that survives 100 TB: each
+    round joins the CURRENT frontier (not the visited set) against
+    the edge list — one shuffle-hash join + one distinct + one
+    anti-join vs. visited per round, all hash-partitioned on the
+    node key; per-round frames are localCheckpointed so round N's
+    plan never replays rounds 1..N-1 (the PageRank rule). Work per
+    round is O(edges touched by the frontier), total O(E) across
+    the whole traversal — never O(E x rounds). One bounded isEmpty
+    scalar per round gives early termination on frontier exhaustion.
+
+    Determinism: hop counts are exact integers under any
+    partitioning (min over equal-length discoveries is the same
+    number), so results hash-match a recursive-CTE oracle.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct().localCheckpoint()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            e.join(
+                frontier.hint("shuffle_hash"),
+                e["_s"] == frontier["node"],
+            )
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist.hint("shuffle_hash"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("node")
+    return dist

@@ -3655,3 +3655,64 @@ def price_mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("outlier_checksum"),
     ).withColumnRenamed("g", "o_orderpriority")
+
+
+@_register(
+    "cosupply_bfs_hops",
+    "Multi-source BFS hop distances (operators/graph.py:bfs_hops — "
+    "the reachability primitive: contamination blast radius, fraud "
+    "neighborhoods) over the lift-thresholded co-supply graph, "
+    "symmetrized; seeds = suppliers with key % 10 == 0. Frontier "
+    "iteration: each round joins only the CURRENT frontier against "
+    "the edge list (shuffle_hash, O(E) total work across the "
+    "traversal), per-round frames checkpointed, early stop on "
+    "frontier exhaustion. Census: node count + key checksum per hop "
+    "0..4 plus a hop=-1 row for in-graph nodes unreached within the "
+    "horizon — one node at the wrong hop hash-mismatches. Oracle: a "
+    "recursive CTE bounded at 4 hops, min(hop) per node — different "
+    "algorithm (walk enumeration), same integers.",
+    f"""
+    WITH RECURSIVE {_COSUPPLY_EDGE_CTES},
+    sym AS (SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    seeds AS (SELECT node FROM nodes WHERE node % 10 = 0),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT s.dst, walk.hop + 1
+      FROM walk JOIN sym s ON s.src = walk.node
+      WHERE walk.hop < 4
+    ),
+    md AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node),
+    full_set AS (SELECT n.node, coalesce(md.hop, -1) AS hop
+                 FROM nodes n LEFT JOIN md USING (node))
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node % 1000003) AS BIGINT) AS node_checksum
+    FROM full_set GROUP BY hop
+    """,
+)
+def cosupply_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 10 == 0)
+    d = bfs_hops(sym, seeds, max_hops=4)
+    full_set = nodes.join(d.hint("shuffle_hash"), "node", "left").select(
+        "node", F.coalesce(F.col("hop"), F.lit(-1)).alias("hop")
+    )
+    return full_set.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("node") % F.lit(1000003))
+        .cast("long")
+        .alias("node_checksum"),
+    )

@@ -492,7 +492,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # cosine all-pairs (term-weighted lexical near-dup — the fourth
     # axis of the similarity matrix) ----------------------------------
     "tfidf_cosine_topk",
-    "supplier_eigencentrality",
+    # (supplier_eigencentrality rotated out in r11 for
+    # cosupply_bfs_hops below: driver-verified r07-r10; the graph
+    # family keeps cosupply_core_levels in-gate and both iterative
+    # fixed-point ops stay in the overflow catalog)
+    # -- new in r11, never driver-verified: multi-source BFS hop
+    # distances (frontier iteration, early stop, recursive-CTE
+    # oracle) ---------------------------------------------------------
+    "cosupply_bfs_hops",
 )
 
 DRIVER_GATE_SLOTS = 50
