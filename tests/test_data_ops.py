@@ -3273,3 +3273,49 @@ def test_int8_quantize_exactness_and_pack(spark):
     srow = {r["pos"]: r for r in s}
     assert srow[0]["code"] == 255  # clamped to hi
     assert srow[0]["err_micro"] == abs(2_000_000 - 1_000_000)
+
+
+def test_audio_fingerprint_invariance_and_pairs(spark):
+    import numpy as np
+
+    from umn_eda_kafka_stream_processing_spark.operators.multimodal import (
+        audio_fp_pairs,
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-4000, 4000, size=200)
+
+    def wav(samples, rate=8000):
+        return encode_wav_pcm16(np.asarray(samples, dtype=np.int64), rate)
+
+    rows = [
+        (1, wav(base)),
+        (2, wav(base * 2)),          # gain x2: identical fingerprint
+        (3, wav(base, rate=16000)),  # rate change alone: identical
+        (4, wav(rng.randint(-4000, 4000, size=173))),  # unrelated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    sigs = {
+        r["media_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in audio_fingerprint(media).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[4] != sigs[1]
+
+    # python replica of the bit packing for clip 1
+    frames = (np.arange(200) * 65) // 200
+    eng = np.zeros(65, dtype=np.int64)
+    np.add.at(eng, frames, np.abs(base.astype(np.int64)))
+    bits = (eng[1:] > eng[:-1]).astype(int)
+    expect = tuple(
+        int("".join(map(str, bits[k * 16 : (k + 1) * 16])), 2)
+        for k in range(4)
+    )
+    assert sigs[1] == expect
+
+    pairs = audio_fp_pairs(media).collect()
+    got = {(r["media_id_a"], r["media_id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
+    assert (1, 4) not in got or got[(1, 4)] > 3

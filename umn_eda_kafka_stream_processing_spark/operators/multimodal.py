@@ -850,3 +850,85 @@ def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return ids.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("c0", T.LongType(), False),
+    T.StructField("c1", T.LongType(), False),
+    T.StructField("c2", T.LongType(), False),
+    T.StructField("c3", T.LongType(), False),
+])
+
+_FP_FRAMES = 65  # 64 adjacent-energy comparison bits
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit energy-contour fingerprint per audio clip — the
+    perceptual near-dup signature for audio (the dHash idea applied
+    to the time axis): decode real PCM16 bytes, mono-ize (channel
+    sum — integer exact), split into 65 equal time frames (sample i
+    -> frame (i*65) div n; short clips leave trailing frames at
+    energy 0), frame energy = sum |sample|, bit k = 1 iff
+    energy[k+1] > energy[k].
+
+    Gain-invariant (any positive rescale preserves every energy
+    comparison) and sample-rate invariant for resampled copies of
+    the same contour — the re-encode/loudness-normalized duplicates
+    exact byte hashing misses. Output (media_id, c0..c3): the hash
+    as 4 big-endian 16-bit chunks, the signature shape simhash64 and
+    image_dhash emit, so the chunk-banded Hamming join
+    (`dedup._sig_near_pairs`) is reused verbatim.
+
+    Scale: one Arrow mapInPandas decode pass, integer ops only;
+    everything downstream is the banded join, never all-pairs.
+    """
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_wav(bytes(content))
+                mono = d["samples"].astype(np.int64).sum(axis=1)
+                n = len(mono)
+                frames = (np.arange(n) * _FP_FRAMES) // max(n, 1)
+                eng = np.zeros(_FP_FRAMES, dtype=np.int64)
+                np.add.at(eng, frames, np.abs(mono))
+                bits = (eng[1:] > eng[:-1]).astype(np.int64)
+                row = {"media_id": int(media_id)}
+                for k in range(4):
+                    chunk = 0
+                    for b in bits[k * 16 : (k + 1) * 16]:
+                        chunk = (chunk << 1) | int(b)
+                    row[f"c{k}"] = chunk
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fps, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_fp_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    hot_bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual near-dup audio pairs: energy-contour fingerprints
+    + the chunk-banded Hamming candidate join shared with SimHash
+    text dedup and image dHash (pigeonhole: hamming <= 3 guarantees
+    a shared 16-bit chunk — zero recall loss). Output:
+    (media_id_a, media_id_b, hamming)."""
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _sig_near_pairs,
+    )
+
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming <= 3 (got {max_hamming}); pairs farther apart "
+            "can miss every 16-bit band"
+        )
+    sigs = audio_fingerprint(media).localCheckpoint()
+    return _sig_near_pairs(sigs, "media_id", max_hamming, hot_bucket_cap)

@@ -4076,3 +4076,112 @@ def embedding_int8_quant_census(
         .cast("long")
         .alias("code_checksum"),
     )
+
+
+@_register(
+    "audio_fp_dedup_stats",
+    "Perceptual AUDIO near-dup (operators/multimodal.py:"
+    "audio_fingerprint + the chunk-banded Hamming join shared with "
+    "SimHash text dedup and image dHash) — the third modality on the "
+    "same signature substrate: decode real PCM16 WAV bytes, 65 "
+    "equal time frames (sample i -> frame (i*65) div n), frame "
+    "energy = sum |sample|, bit k = energy[k+1] > energy[k] — "
+    "gain-invariant, so loudness-normalized re-encodes collide. "
+    "Candidates = pairs sharing any 16-bit chunk (pigeonhole: "
+    "hamming<=3 guarantees a shared chunk), exact bit_count(xor) "
+    "verify. Census: clip/signature/candidate/dup/exact counts + "
+    "pair checksum. Oracle: the WHOLE chain recomputed "
+    "arithmetically from the synthetic sample formula (frame index "
+    "map, energy sums, bit packing, banding, Hamming). Hot-bucket "
+    "cap (10k) never binds at these SFs (max bucket 258 at sf0.1, "
+    "measured), so the capless oracle is exact.",
+    """
+    WITH d AS (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+    s0 AS (SELECT doc_id, n, list_transform(range(0, n),
+            i -> abs(((doc_id * 31 + i * 7) % 65536) - 32768)) AS amps
+           FROM d),
+    en AS (SELECT doc_id, f,
+            CAST(coalesce(list_sum(list_transform(range(0, n), i ->
+                 CASE WHEN (i * 65) // n = f
+                      THEN amps[CAST(i + 1 AS INT)] ELSE 0 END)), 0)
+                 AS BIGINT) AS eng
+           FROM s0 CROSS JOIN (SELECT unnest(range(0, 65)) AS f)),
+    v AS (SELECT a.doc_id, a.f AS k,
+                 CASE WHEN b.eng > a.eng THEN 1 ELSE 0 END AS bit
+          FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+          WHERE a.f < 64),
+    s AS (SELECT doc_id,
+        CAST(coalesce(sum(CASE WHEN k // 16 = 0
+             THEN bit * (1 << (15 - (k % 16))) END), 0) AS BIGINT) AS c0,
+        CAST(coalesce(sum(CASE WHEN k // 16 = 1
+             THEN bit * (1 << (15 - (k % 16))) END), 0) AS BIGINT) AS c1,
+        CAST(coalesce(sum(CASE WHEN k // 16 = 2
+             THEN bit * (1 << (15 - (k % 16))) END), 0) AS BIGINT) AS c2,
+        CAST(coalesce(sum(CASE WHEN k // 16 = 3
+             THEN bit * (1 << (15 - (k % 16))) END), 0) AS BIGINT) AS c3
+      FROM v GROUP BY doc_id),
+    m AS (SELECT doc_id, k,
+            CASE k WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3
+            END AS ck
+          FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM m a JOIN m b ON a.k = b.k AND a.ck = b.ck
+                               AND a.doc_id < b.doc_id),
+    p AS (SELECT ia, ib,
+            bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+            + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+              AS hamming
+          FROM cand JOIN s sa ON sa.doc_id = ia
+                    JOIN s sb ON sb.doc_id = ib),
+    dup AS (SELECT * FROM p WHERE hamming <= 3)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_clips,
+           (SELECT CAST(count(DISTINCT (c0, c1, c2, c3)) AS BIGINT) FROM s)
+               AS n_distinct_sig,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_exact_pairs,
+           CAST(coalesce(sum((ia * 31 + ib) % 1000003), 0) AS BIGINT)
+               AS pair_checksum
+    FROM dup
+    """,
+)
+def audio_fp_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _sig_near_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    media = mm.synth_media(docs, "audio")
+    sigs = mm.audio_fingerprint(media).localCheckpoint()
+    cands = _sig_near_pairs(
+        sigs, "media_id", max_hamming=64, hot_bucket_cap=10_000
+    )
+    sig_stats = sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.countDistinct(F.struct("c0", "c1", "c2", "c3"))
+        .cast("long")
+        .alias("n_distinct_sig"),
+    )
+    pair_stats = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("hamming") <= 3,
+                    (F.col("media_id_a") * 31 + F.col("media_id_b"))
+                    % 1000003,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pair_checksum"),
+    )
+    return sig_stats.crossJoin(pair_stats)

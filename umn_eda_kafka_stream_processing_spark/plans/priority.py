@@ -333,7 +333,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r06, never driver-verified: exact-substring dedup
     # REWRITE (cleaned-text action), Gopher quality-rule funnel, URL
     # canonicalization census, unigram-LM tokenizer training ---------
-    "span_dedup_rewrite_stats",
+    # (span_dedup_rewrite_stats rotated out in r11 for
+    # audio_fp_dedup_stats below: driver-verified r06-r10, five
+    # consecutive greens; the span-dedup family keeps
+    # span_dedup_minrun_stats in-gate)
+    # -- new in r11, never driver-verified: perceptual AUDIO near-dup
+    # (energy-contour fingerprint over real WAV decode + the shared
+    # chunk-banded Hamming join — third modality on the substrate) ---
+    "audio_fp_dedup_stats",
     # (gopher_quality_flags rotated out in r10 for cms_join_size_census
     # below: driver-verified r06+r07+r08+r09; the quality family keeps
     # nb_quality_flags + charlm_langid_auc in-gate)
