@@ -603,3 +603,66 @@ def test_append_versioned_rejects_reserved_column(spark, tmp_path):
     df = spark.createDataFrame([(1, 0)], "k long, batch_id long")
     with pytest.raises(ValueError):
         append_versioned(df, str(tmp_path / "v2"), 0)
+
+
+def test_streaming_versioned_store_time_travel(spark, tmp_path):
+    """foreachBatch(append_versioned): the streaming changelog becomes
+    a TIME-TRAVELABLE store — every microbatch's state remains
+    reconstructible after the stream moves on (the changelog-replay
+    half of the KTable)."""
+    from tests import fixtures as fx
+    from umn_eda_kafka_stream_processing_spark import schemas
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        read_versioned_asof,
+        versioned_batch_ids,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+    )
+    from umn_eda_kafka_stream_processing_spark.sources.memory import rows_df
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        file_stream_source,
+        start_foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "changelog")
+    store = str(tmp_path / "vstore")
+
+    def _pipe(rows, start_seq=0):
+        rows_df(spark, schemas.EVENT, rows, start_seq=start_seq).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    _pipe([fx.event("e1", "a1", "v1", 100), fx.event("e2", "a1", "v1", 50)])
+    stream = file_stream_source(
+        spark, src, schemas.EVENT, max_files_per_trigger=None
+    )
+
+    def sink(batch_df, batch_id):
+        append_versioned(
+            batch_df.localCheckpoint(), store, batch_id=batch_id
+        )
+
+    q = start_foreach_batch_sink(
+        stream, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _pipe([fx.event("e1", "a1", "v9", 250)], start_seq=2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert versioned_batch_ids(spark, store) == [0, 1]
+
+    def state(asof):
+        return {
+            r["id"]: (r["venueid"], r["capacity"])
+            for r in read_versioned_asof(
+                spark, store, asof, "id", seq_col="event_seq"
+            ).collect()
+        }
+
+    # batch 0's state is still reconstructible after batch 1 landed
+    assert state(0) == {"e1": ("v1", 100), "e2": ("v1", 50)}
+    assert state(1) == {"e1": ("v9", 250), "e2": ("v1", 50)}
