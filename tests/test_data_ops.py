@@ -3319,3 +3319,35 @@ def test_audio_fingerprint_invariance_and_pairs(spark):
     got = {(r["media_id_a"], r["media_id_b"]): r["hamming"] for r in pairs}
     assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
     assert (1, 4) not in got or got[(1, 4)] > 3
+
+
+def test_partition_bloom_index_no_false_negatives(spark):
+    """A partition holding the key is ALWAYS selected (bloom
+    guarantee); the python probe positions match the Spark-built
+    index bit-for-bit; an absent value selects only FP partitions."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators import (
+        runtime_filter as rf,
+    )
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(8), rng.randrange(10_000)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "part long, key long")
+    idx = rf.partition_bloom_index(
+        df, "part", "key", m_bits=4096, k_hashes=3
+    ).collect()
+
+    truth = {}
+    for p, k in rows:
+        truth.setdefault(k, set()).add(p)
+    # every present key: selection is a SUPERSET of true partitions
+    for k in list(truth)[:200]:
+        sel = set(rf.partition_bloom_select(idx, k, "part", m_bits=4096))
+        assert truth[k] <= sel, k
+    # absent keys: selections are pure FP, usually empty at this load
+    fp = [
+        len(rf.partition_bloom_select(idx, k, "part", m_bits=4096))
+        for k in range(20_000, 20_100)
+    ]
+    assert sum(fp) < 100 * 8 * 0.2  # way below "select everything"

@@ -123,3 +123,103 @@ def duck_bloom_ctes(
     bwords AS (SELECT CAST(pos // {WORD_BITS} AS INT) AS w,
                       bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
                FROM bpos GROUP BY 1)"""
+
+
+def partition_bloom_index(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "pbloom",
+) -> DataFrame:
+    """PARTITION-LEVEL bloom index — the point-lookup complement to
+    the zone map (`compaction.zonemap_select`): zone maps skip files
+    by RANGE on the sort key; a per-partition bloom skips them by
+    EQUALITY on any high-cardinality column the layout is NOT sorted
+    on (the Iceberg/Hive bloom-column idea, expressed as auditable
+    data).
+
+    Returns (part_col, w, bits): for each partition value, the
+    ``m_bits``-bit filter over its distinct ``key_col`` values packed
+    into 32-bit words — |parts| x m_bits/32 rows, a storable index
+    table. Built in ONE distinct + one hash-agg over a column-pruned
+    scan; the md5-derived positions are bit-identical in any engine,
+    so an oracle can rebuild the exact same index.
+
+    No false negatives ever (a partition holding the key always
+    passes), so pruned point reads are lossless by construction; the
+    census pins the false-positive count the filter admits.
+    """
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits {m_bits} not a multiple of {WORD_BITS}")
+    keys = df.select(
+        F.col(part_col).alias("_p"),
+        F.col(key_col).cast("string").alias("_k"),
+    ).distinct()
+    pos = keys.select(
+        "_p",
+        F.explode(
+            F.array(*_positions(F.col("_k"), m_bits, k_hashes, salt))
+        ).alias("pos"),
+    )
+    return (
+        pos.select(
+            "_p",
+            (F.col("pos") / WORD_BITS).cast("int").alias("w"),
+            (F.col("pos") % WORD_BITS).cast("int").alias("b"),
+        )
+        .groupBy("_p", "w")
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("b")
+                )
+            ).alias("bits")
+        )
+        .select(F.col("_p").alias(part_col), "w", "bits")
+    )
+
+
+def py_bloom_positions(
+    value, m_bits: int = 4096, k_hashes: int = 3, salt: str = "pbloom"
+) -> list[int]:
+    """Driver-side twin of ``_positions`` (hashlib md5 == any
+    engine's md5): the probe side of a point lookup is ONE value, so
+    its k positions are a plan-time scalar, not a job."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{salt}{i}|{value}".encode()).hexdigest()[:8], 16
+        )
+        % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def partition_bloom_select(
+    index_rows,
+    value,
+    part_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "pbloom",
+) -> list:
+    """Partitions whose bloom MAY contain ``value`` — the bounded
+    plan-time selection (collected index rows in, partition values
+    out; feeds a partition-pruned read). A partition passes iff every
+    required word has all its required bits set (two of the k
+    positions can share a word — the mask is OR-combined)."""
+    need: dict[int, int] = {}
+    for pos in py_bloom_positions(value, m_bits, k_hashes, salt):
+        w, b = pos // WORD_BITS, pos % WORD_BITS
+        need[w] = need.get(w, 0) | (1 << b)
+    have: dict = {}
+    for r in index_rows:
+        have.setdefault(r[part_col], {})[r["w"]] = r["bits"]
+    return sorted(
+        p
+        for p, words in have.items()
+        if all(words.get(w, 0) & m == m for w, m in need.items())
+    )

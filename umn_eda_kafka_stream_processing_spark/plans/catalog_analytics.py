@@ -3716,3 +3716,134 @@ def cosupply_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("node_checksum"),
     )
+
+
+@_register(
+    "partition_bloom_skipping_census",
+    "Partition-level bloom skipping index (operators/runtime_filter."
+    "py:partition_bloom_index — the point-lookup complement to the "
+    "zone map: zonemap_select skips by RANGE on the sort key, the "
+    "bloom skips by EQUALITY on a column the layout is NOT organized "
+    "by, the Iceberg/Hive bloom-column idea as auditable data). "
+    "Orders land in a 16-bucket store; a 65536-bit md5 bloom per "
+    "bucket over o_custkey is built in one distinct + one hash-agg; "
+    "three point probes (two present, one absent) select buckets "
+    "driver-side and read ONLY those partitions. Census per probe: "
+    "buckets selected vs buckets truly holding the key (the gap = "
+    "false positives, pinned as data), rows found + key checksum, "
+    "and a losslessness bit (no false negatives by construction). "
+    "Oracle rebuilds the identical index and selection in SQL.",
+    """
+    WITH base AS (SELECT o_orderkey, o_custkey,
+                         o_orderkey % 16 AS bucket FROM orders),
+    bkeys AS (SELECT DISTINCT bucket, CAST(o_custkey AS VARCHAR) AS kk
+              FROM base),
+    bpos AS (SELECT bucket,
+               CAST(concat('0x', substr(md5(concat('pbloom', i, '|', kk)),
+                    1, 8)) AS BIGINT) % 65536 AS pos
+             FROM bkeys CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+    bwords AS (SELECT bucket, CAST(pos // 32 AS INT) AS w,
+                      bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+               FROM bpos GROUP BY 1, 2),
+    probes AS (SELECT * FROM (VALUES (1), (19), (-5)) p(ck)),
+    ppos AS (SELECT ck,
+               CAST(concat('0x', substr(md5(concat('pbloom', i, '|',
+                    CAST(ck AS VARCHAR))), 1, 8)) AS BIGINT) % 65536 AS pos
+             FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+    pneed AS (SELECT ck, CAST(pos // 32 AS INT) AS w,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS need
+              FROM ppos GROUP BY 1, 2),
+    nw AS (SELECT ck, count(*) AS n FROM pneed GROUP BY 1),
+    selc AS (SELECT pn.ck, bw.bucket, count(*) AS c
+             FROM pneed pn JOIN bwords bw
+               ON bw.w = pn.w AND (bw.bits & pn.need) = pn.need
+             GROUP BY 1, 2),
+    sel AS (SELECT selc.ck, selc.bucket
+            FROM selc JOIN nw ON nw.ck = selc.ck AND selc.c = nw.n),
+    tp AS (SELECT p.ck, CAST(count(DISTINCT b.bucket) AS BIGINT) AS n_true
+           FROM probes p LEFT JOIN base b ON b.o_custkey = p.ck
+           GROUP BY 1),
+    fr AS (SELECT p.ck, CAST(count(b.o_orderkey) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(b.o_orderkey % 1000003), 0) AS BIGINT)
+                      AS cs
+           FROM probes p LEFT JOIN base b ON b.o_custkey = p.ck
+           GROUP BY 1),
+    sr AS (SELECT s.ck, CAST(count(*) AS BIGINT) AS n_rows_sel
+           FROM sel s JOIN base b
+             ON b.bucket = s.bucket AND b.o_custkey = s.ck
+           GROUP BY 1),
+    ns AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_sel FROM sel GROUP BY 1)
+    SELECT CAST(p.ck AS BIGINT) AS probe_custkey,
+           CAST(coalesce(ns.n_sel, 0) AS BIGINT) AS n_parts_selected,
+           tp.n_true AS n_true_parts,
+           CAST(coalesce(ns.n_sel, 0) - tp.n_true AS BIGINT) AS n_fp_parts,
+           fr.n_rows,
+           fr.cs AS key_checksum,
+           CAST(CASE WHEN coalesce(sr.n_rows_sel, 0) = fr.n_rows
+                THEN 1 ELSE 0 END AS BIGINT) AS lossless_ok
+    FROM probes p
+    JOIN tp ON tp.ck = p.ck
+    JOIN fr ON fr.ck = p.ck
+    LEFT JOIN ns ON ns.ck = p.ck
+    LEFT JOIN sr ON sr.ck = p.ck
+    """,
+)
+def partition_bloom_skipping_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    from functools import reduce
+
+    from umn_eda_kafka_stream_processing_spark.operators.runtime_filter import (
+        partition_bloom_index,
+        partition_bloom_select,
+    )
+
+    M, K = 65536, 3
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % F.lit(16)).cast("long").alias("bucket"),
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_pbloom_") + "/store"
+    base.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    idx = partition_bloom_index(
+        base, "bucket", "o_custkey", m_bits=M, k_hashes=K
+    )
+    idx_rows = idx.collect()  # |parts| x m/32 rows — bounded planning data
+    store = spark.read.parquet(path)
+    out = []
+    for ck in (1, 19, -5):
+        sel = partition_bloom_select(
+            idx_rows, ck, "bucket", m_bits=M, k_hashes=K
+        )
+        sel_df = store.filter(
+            F.col("bucket").isin(*sel) if sel else F.lit(False)
+        ).filter(F.col("o_custkey") == ck)
+        sel_agg = sel_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_sel")
+        )
+        full_agg = base.filter(F.col("o_custkey") == ck).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.col("o_orderkey") % F.lit(1000003)), F.lit(0))
+            .cast("long")
+            .alias("key_checksum"),
+            F.countDistinct("bucket").cast("long").alias("n_true_parts"),
+        )
+        out.append(
+            full_agg.crossJoin(sel_agg).select(
+                F.lit(ck).cast("long").alias("probe_custkey"),
+                F.lit(len(sel)).cast("long").alias("n_parts_selected"),
+                "n_true_parts",
+                (F.lit(len(sel)) - F.col("n_true_parts"))
+                .cast("long")
+                .alias("n_fp_parts"),
+                "n_rows",
+                "key_checksum",
+                F.when(F.col("n_rows_sel") == F.col("n_rows"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("lossless_ok"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)

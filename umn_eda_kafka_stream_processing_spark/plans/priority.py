@@ -266,7 +266,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r08; TPC-H keeps q21/q22/q2/q9 in-gate)
     # -- new in r09, never driver-verified: n-D (3-col) Hilbert layout
     # census via Skilling's walk -------------------------------------
-    "hilbert3_locality_stats",
+    # (hilbert3_locality_stats rotated out in r11 for
+    # partition_bloom_skipping_census below: driver-verified r09+r10;
+    # the layout family keeps zonemap_pruning_census +
+    # sorted_export_census in-gate)
+    # -- new in r11, never driver-verified: partition-level bloom
+    # skipping index (point-lookup complement to the zone map; FP
+    # count pinned as data) ------------------------------------------
+    "partition_bloom_skipping_census",
     # (q19_brackets_revenue rotated out in r07 for
     # zorder_locality_stats below: driver-verified r04+r05+r06; the
     # TPC-H family keeps 7 members in-gate)
