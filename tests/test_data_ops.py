@@ -3351,3 +3351,33 @@ def test_partition_bloom_index_no_false_negatives(spark):
         for k in range(20_000, 20_100)
     ]
     assert sum(fp) < 100 * 8 * 0.2  # way below "select everything"
+
+
+def test_table_profile_bruteforce(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 2), ("b", None), ("b", 2), (None, 2),
+            ("a", None), ("c", 3),
+        ],
+        "s string, x int",
+    )
+    got = {r["col_name"]: r.asDict() for r in table_profile(df).collect()}
+    assert got["s"]["n_rows"] == 7 and got["s"]["n_null"] == 1
+    assert got["s"]["n_distinct"] == 3
+    assert got["s"]["mode_value"] == "a" and got["s"]["mode_count"] == 3
+    assert got["x"]["n_null"] == 2 and got["x"]["n_distinct"] == 3
+    assert got["x"]["mode_value"] == "2" and got["x"]["mode_count"] == 3
+
+    # tie-break: equal counts -> lexicographic-min value
+    df2 = spark.createDataFrame([("z",), ("y",)], "t string")
+    got2 = table_profile(df2).collect()[0]
+    assert got2["mode_value"] == "y" and got2["mode_count"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_profile(df, cols=[])

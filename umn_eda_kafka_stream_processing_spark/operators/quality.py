@@ -364,3 +364,56 @@ def drift_census(
             F.expr("psi_femto div 1000000000").cast("long"),
         )
     )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One-pass column profiler — the ANALYZE-TABLE/data-discovery
+    census a pipeline runs before trusting a new feed: per column,
+    row count, NULL count, EXACT distinct count, and the mode (most
+    frequent value, lexicographic-min tie-break) with its frequency.
+
+    Shape: the table is melted to (col_name, value-as-string) via one
+    ``stack`` generator (a Generate, no shuffle), then ONE hash-agg to
+    (col_name, value) counts and ONE per-column agg on top — two
+    shuffles total regardless of column count, instead of the
+    k x count(DISTINCT) expand a naive profile plans. The mode is the
+    min(struct(-count, value)) argmax (map-side combined), never a
+    window.
+
+    Values are compared as STRINGS (the melt's shared type). Cast
+    non-portable columns before calling when an oracle must agree:
+    doubles format differently across engines (route money through a
+    decimal cast), timestamps via an explicit date_format.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    k = len(cols)
+    if k == 0:
+        raise ValueError("cols must be non-empty")
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = df.select(
+        F.expr(f"stack({k}, {pairs}) AS (col_name, v)")
+    )
+    vc = melted.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return vc.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct"),
+        F.min(
+            F.when(
+                F.col("v").isNotNull(), F.struct(-F.col("c"), F.col("v"))
+            )
+        )["v"].alias("mode_value"),
+        F.coalesce(
+            F.max(F.when(F.col("v").isNotNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("mode_count"),
+    )

@@ -3847,3 +3847,68 @@ def partition_bloom_skipping_census(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+@_register(
+    "orders_profile_census",
+    "One-pass column profiler (operators/quality.py:table_profile — "
+    "the ANALYZE-TABLE census run before trusting a new feed): per "
+    "column of orders, row/NULL counts, EXACT distinct count, and "
+    "the mode with its frequency (lexicographic-min tie-break via "
+    "the min(struct(-count, value)) argmax — map-side combined, "
+    "never a window). One stack melt + TWO hash-aggs total "
+    "regardless of column count (vs the k x count(DISTINCT) expand "
+    "a naive profile plans). Money rides a decimal cast and the "
+    "timestamp an explicit date_format so the string domain is "
+    "engine-portable. Oracle: per-column UNION melt + max-count "
+    "join — different plan, same integers and strings.",
+    """
+    WITH m AS (
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    vc AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+           FROM m GROUP BY 1, 2),
+    mx AS (SELECT col_name, max(c) AS mc FROM vc
+           WHERE v IS NOT NULL GROUP BY 1),
+    md AS (SELECT vc.col_name, min(vc.v) AS mode_value, max(vc.c) AS mode_count
+           FROM vc JOIN mx ON mx.col_name = vc.col_name AND vc.c = mx.mc
+           WHERE vc.v IS NOT NULL GROUP BY 1)
+    SELECT vc.col_name,
+           CAST(sum(vc.c) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN vc.v IS NULL THEN vc.c END), 0)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN vc.v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_distinct,
+           max(md.mode_value) AS mode_value,
+           CAST(max(md.mode_count) AS BIGINT) AS mode_count
+    FROM vc JOIN md ON md.col_name = vc.col_name
+    GROUP BY vc.col_name
+    """,
+)
+def orders_profile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        table_profile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return table_profile(orders)

@@ -361,7 +361,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r10, never driver-verified: small-file compaction for
     # the incremental parquet stores (bin-pack + replay no-op) -------
     "store_compaction_census",
-    "unigram_train_vocab",
+    # (unigram_train_vocab rotated out in r11 for orders_profile_census
+    # below: driver-verified r06-r10, FIVE consecutive greens — the
+    # deepest verdict record of any rotated query; the tokenizer
+    # family keeps its full overflow coverage (bpe_*/unigram_encode)
+    # and that record)
+    # -- new in r11, never driver-verified: one-pass column profiler
+    # (exact ndv + mode via two hash-aggs, the ANALYZE-TABLE census) --
+    "orders_profile_census",
     # (unigram_encode_stats rotated out in r10 for
     # order_constraint_census below: driver-verified r06+r07+r08+r09;
     # the tokenizer family keeps unigram_train_vocab in-gate)
