@@ -408,3 +408,36 @@ def test_bfs_hops_bruteforce(spark):
         for r in bfs_hops(edges, seeds2, max_hops=3).collect()
     }
     assert got2[5] == 0 and got2[4] == 1 and got2[2] == 1
+
+
+def test_grouped_winsorize_matches_bruteforce(spark):
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_winsorize,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(rng.randint(40, 80)):
+            rows.append((g, len(rows), rng.randint(0, 10_000)))
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    got = {
+        r["k"]: (r["lo_cut"], r["hi_cut"], r["winsorized"], r["was_clamped"])
+        for r in grouped_winsorize(df, "g", "x", (1, 10), (9, 10)).collect()
+    }
+
+    def t1(vals, num, den):
+        s = sorted(vals)
+        return s[(num * len(s) + den - 1) // den - 1]
+
+    by_g = {}
+    for g, k, x in rows:
+        by_g.setdefault(g, []).append((k, x))
+    for g, kv in by_g.items():
+        vals = [x for _, x in kv]
+        lo, hi = t1(vals, 1, 10), t1(vals, 9, 10)
+        for k, x in kv:
+            w = max(min(x, hi), lo)
+            assert got[k] == (lo, hi, w, w != x), (g, k)

@@ -591,3 +591,61 @@ def grouped_mad_outliers(
             > (F.lit(int(threshold_micro)) * F.col("mad")),
         )
     )
+
+
+def grouped_winsorize(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    lo_prob: tuple[int, int] = (1, 100),
+    hi_prob: tuple[int, int] = (99, 100),
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-group winsorization at EXACT type-1 quantiles — the
+    outlier CLAMP (where `grouped_mad_outliers` is the outlier
+    FLAG): values below the group's lo-quantile rise to it, values
+    above the hi-quantile drop to it — the standard tail treatment
+    before means/regressions on heavy-tailed lengths and scores.
+
+    ``value_col`` must be integer-valued (the repo's money/micros
+    rule) so the cuts and clamps are exact on both engines.
+    Rational probabilities keep the target ranks exact BIGINT.
+
+    Scale shape: ONE pass of the distributed per-group histogram
+    computes BOTH cut points (two probs through the same
+    substrate), the |groups|x2 cut frame pivots to (lo_cut, hi_cut)
+    and BROADCASTS onto the rows — the corpus never shuffles.
+    Returns the input rows (minus NULL values) + ``lo_cut``,
+    ``hi_cut``, ``winsorized``, ``was_clamped``.
+    """
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    cuts = grouped_exact_quantiles(
+        df, groups, value_col, [tuple(lo_prob), tuple(hi_prob)], n_buckets
+    )
+    lo_ppm = 1_000_000 * lo_prob[0] // lo_prob[1]
+    hi_ppm = 1_000_000 * hi_prob[0] // hi_prob[1]
+    pivoted = cuts.groupBy(*groups).agg(
+        F.max(
+            F.when(F.col("pct_ppm") == lo_ppm, F.col("value"))
+        ).cast("long").alias("lo_cut"),
+        F.max(
+            F.when(F.col("pct_ppm") == hi_ppm, F.col("value"))
+        ).cast("long").alias("hi_cut"),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(pivoted), groups)
+        .withColumn(
+            "winsorized",
+            F.greatest(
+                F.least(F.col(value_col).cast("long"), F.col("hi_cut")),
+                F.col("lo_cut"),
+            ),
+        )
+        .withColumn(
+            "was_clamped",
+            F.col("winsorized") != F.col(value_col).cast("long"),
+        )
+    )

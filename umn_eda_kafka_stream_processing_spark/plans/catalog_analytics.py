@@ -3591,7 +3591,7 @@ def store_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algorithm, same integers.",
     """
     WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS k,
-                      CAST(o_totalprice * 100 AS BIGINT) AS x
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
                FROM orders),
     dv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
     r AS (SELECT g, x, c,
@@ -3636,7 +3636,7 @@ def price_mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
         F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice") * F.lit(100)).cast("long").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)).cast("long").alias("x"),
     )
     flagged = grouped_mad_outliers(v, "g", "x", threshold_micro=4_447_800)
     return flagged.groupBy("g").agg(
@@ -3912,3 +3912,70 @@ def orders_profile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return table_profile(orders)
+
+
+@_register(
+    "price_winsorize_census",
+    "Per-group winsorization at exact type-1 p1/p99 (operators/"
+    "ranking.py:grouped_winsorize — the outlier CLAMP beside the "
+    "MAD outlier FLAG): per order priority, order prices in cents "
+    "clamp into [p1, p99]; ONE pass of the distributed per-group "
+    "histogram yields BOTH cuts, the |groups|x2 cut frame pivots "
+    "and broadcasts onto the rows — the corpus never shuffles. "
+    "Census: cuts, clamp counts per side, price mass before/after — "
+    "one mis-clamped row hash-mismatches. Oracle: plain per-group "
+    "cumulative windows at both ranks.",
+    """
+    WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+               FROM orders),
+    dv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+    r AS (SELECT g, x, c,
+                 coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nt
+          FROM dv),
+    lo AS (SELECT g, min(x) AS lo_cut FROM r
+           WHERE nb + c >= (nt + 99) // 100 GROUP BY g),
+    hi AS (SELECT g, min(x) AS hi_cut FROM r
+           WHERE nb + c >= (99 * nt + 99) // 100 GROUP BY g),
+    w AS (SELECT v.g, v.x, lo.lo_cut, hi.hi_cut,
+                 greatest(least(v.x, hi.hi_cut), lo.lo_cut) AS wz
+          FROM v JOIN lo USING (g) JOIN hi USING (g))
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(lo_cut) AS BIGINT) AS lo_cut,
+           CAST(max(hi_cut) AS BIGINT) AS hi_cut,
+           CAST(sum(CASE WHEN wz > x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lo_clamped,
+           CAST(sum(CASE WHEN wz < x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi_clamped,
+           CAST(sum(x) AS BIGINT) AS sum_before,
+           CAST(sum(wz) AS BIGINT) AS sum_after
+    FROM w GROUP BY g
+    """,
+)
+def price_winsorize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_winsorize,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)).cast("long").alias("x"),
+    )
+    w = grouped_winsorize(v, "g", "x", (1, 100), (99, 100))
+    return w.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("lo_cut").cast("long").alias("lo_cut"),
+        F.max("hi_cut").cast("long").alias("hi_cut"),
+        F.sum(F.when(F.col("winsorized") > F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lo_clamped"),
+        F.sum(F.when(F.col("winsorized") < F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi_clamped"),
+        F.sum("x").cast("long").alias("sum_before"),
+        F.sum("winsorized").cast("long").alias("sum_after"),
+    ).withColumnRenamed("g", "o_orderpriority")

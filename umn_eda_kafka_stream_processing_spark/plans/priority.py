@@ -400,7 +400,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     "incremental_event_totals_view",
     # -- new in r07, never driver-verified: PSL-lite registrable-
     # domain census (example.co.uk vs co.uk), BM25 keyword search ----
-    "domain_census",
+    # (domain_census rotated out in r11 for price_winsorize_census
+    # below: driver-verified r07-r10, four consecutive greens; the
+    # text family keeps charlm_langid_auc in-gate)
+    # -- new in r11, never driver-verified: per-group winsorization at
+    # exact p1/p99 (the outlier CLAMP beside the MAD outlier FLAG;
+    # both cuts from one histogram pass, broadcast onto the rows) ----
+    "price_winsorize_census",
     # (bm25_search_topk rotated out in r11 for store_maintenance_census
     # below: driver-verified r07+r08+r09+r10; the text/search family
     # keeps domain_census + nb_train_model + nb_quality_flags in-gate)
