@@ -441,3 +441,55 @@ def test_grouped_winsorize_matches_bruteforce(spark):
         for k, x in kv:
             w = max(min(x, hi), lo)
             assert got[k] == (lo, hi, w, w != x), (g, k)
+
+
+def test_shortest_paths_bruteforce(spark):
+    import heapq
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    rng = random.Random(23)
+    n = 40
+    edges = []
+    for _ in range(160):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((a, b, rng.randint(1, 9)))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    rounds = n  # >= diameter: early stop makes this cheap
+    got = {
+        r["node"]: r["d"]
+        for r in shortest_paths(df, seeds, rounds=rounds).collect()
+    }
+
+    # dijkstra reference
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {0: 0, 7: 0}
+    pq = [(0, 0), (0, 7)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+
+    # bounded rounds: with rounds=1 only direct relaxations apply
+    got1 = {
+        r["node"]: r["d"]
+        for r in shortest_paths(df, seeds, rounds=1).collect()
+    }
+    direct = {0: 0, 7: 0}
+    for a, b, w in edges:
+        if a in (0, 7):
+            direct[b] = min(direct.get(b, 1 << 60), w)
+    assert got1 == direct

@@ -483,3 +483,78 @@ def bfs_hops(
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new.select("node")
     return dist
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded multi-source WEIGHTED shortest paths (Bellman-Ford
+    with a delta frontier) — `bfs_hops`' weighted sibling: returns
+    (node, d) where ``d`` is the exact minimum path weight from any
+    source using at most ``rounds`` edges. Weights must be positive
+    integers (exact BIGINT sums — the fixed-point rule); the
+    deliverable is the DEFINED k-round iterate (the eigencentrality
+    contract): callers pick ``rounds`` >= the diameter they care
+    about, and the early stop fires as soon as a round improves
+    nothing.
+
+    Delta frontier: round k relaxes ONLY edges out of nodes whose
+    distance improved in round k-1 (the classic worklist
+    optimization) — identical result to full Bellman-Ford round by
+    round, but per-round work is O(edges out of improved nodes), not
+    O(E). Each round: one shuffle-hash join frontier x edges + one
+    min-agg + one improvement anti-check; dist/frontier are
+    localCheckpointed so round N never replays rounds 1..N-1.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).localCheckpoint()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(int(rounds)):
+        cand = (
+            e.join(
+                frontier.hint("shuffle_hash"),
+                e["_s"] == frontier["node"],
+            )
+            .select(
+                F.col("_d").alias("node"),
+                (frontier["d"] + F.col("_w")).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").cast("long").alias("d"))
+        )
+        improved = (
+            cand.join(
+                dist.withColumnRenamed("d", "_d0").hint("shuffle_hash"),
+                "node",
+                "left",
+            )
+            .where(
+                F.col("_d0").isNull() | (F.col("d") < F.col("_d0"))
+            )
+            .select("node", "d")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist

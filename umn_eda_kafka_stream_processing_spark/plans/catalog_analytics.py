@@ -3979,3 +3979,92 @@ def price_winsorize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sum_before"),
         F.sum("winsorized").cast("long").alias("sum_after"),
     ).withColumnRenamed("g", "o_orderpriority")
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Unrolled bounded Bellman-Ford oracle (the eigencentrality
+    precedent: iterative fixed point as MATERIALIZED CTE rounds —
+    DuckDB inlines plain CTEs, and a round referenced twice would
+    otherwise expand exponentially)."""
+    head = f"""
+    WITH {_COSUPPLY_EDGE_CTES},
+    sym AS (SELECT a AS src, b AS dst, (a + b) % 97 + 1 AS w FROM e
+            UNION ALL SELECT b, a, (a + b) % 97 + 1 FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    r0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+           WHERE node % 10 = 0)"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(f""",
+    c{k} AS (SELECT s.dst AS node, min(r{k - 1}.d + s.w) AS d
+             FROM r{k - 1} JOIN sym s ON s.src = r{k - 1}.node
+             GROUP BY 1),
+    r{k} AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS d
+          FROM (SELECT * FROM r{k - 1}
+                UNION ALL SELECT * FROM c{k}) u GROUP BY 1)""")
+    tail = f""",
+    fullset AS (SELECT n.node, r.d FROM nodes n
+                LEFT JOIN r{rounds} r USING (node))
+    SELECT CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reached,
+           CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unreached,
+           CAST(coalesce(sum(d), 0) AS BIGINT) AS total_dist,
+           CAST(coalesce(max(d), -1) AS BIGINT) AS max_dist,
+           CAST(coalesce(sum((node % 1000003) * (d % 997)), 0) AS BIGINT)
+               AS dist_checksum
+    FROM fullset"""
+    return head + "".join(rounds_sql) + tail
+
+
+@_register(
+    "cosupply_shortest_paths",
+    "Bounded multi-source WEIGHTED shortest paths (operators/graph."
+    "py:shortest_paths — Bellman-Ford with a delta frontier, "
+    "bfs_hops' weighted sibling) over the symmetrized co-supply "
+    "graph with synthetic integer weights (src+dst)%97+1; seeds = "
+    "suppliers key%10==0, 4 relaxation rounds (the DEFINED iterate, "
+    "the eigencentrality contract). Round k relaxes only edges out "
+    "of nodes improved in round k-1 — O(edges of improved), never "
+    "O(E x rounds); per-round checkpoints; early stop when a round "
+    "improves nothing. Census: reached/unreached, total/max "
+    "distance, node-distance checksum — one wrong relaxation "
+    "hash-mismatches. Oracle: the 4 rounds unrolled as MATERIALIZED "
+    "CTEs (full Bellman-Ford — same integers as the delta version "
+    "by induction).",
+    _sssp_oracle(rounds=4),
+)
+def cosupply_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    edges = _cosupply_edges(spark, sf_dir)
+    w = (F.col("a") + F.col("b")) % F.lit(97) + F.lit(1)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("w")
+    ).unionByName(
+        edges.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("w")
+        )
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 10 == 0)
+    d = shortest_paths(sym, seeds, rounds=4)
+    fullset = nodes.join(d.hint("shuffle_hash"), "node", "left")
+    return fullset.agg(
+        F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached"),
+        F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unreached"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("total_dist"),
+        F.coalesce(F.max("d"), F.lit(-1)).cast("long").alias("max_dist"),
+        F.coalesce(
+            F.sum((F.col("node") % F.lit(1000003)) * (F.col("d") % F.lit(997))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dist_checksum"),
+    )

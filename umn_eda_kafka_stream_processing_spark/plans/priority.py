@@ -431,7 +431,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # HLL register store (register-wise max == batch sketch exactly,
     # replay no-op) ---------------------------------------------------
     "incremental_hll_user_census",
-    "cosupply_core_levels",
+    # (cosupply_core_levels rotated out in r11 for
+    # cosupply_shortest_paths below: driver-verified r08-r10; the
+    # graph family holds cosupply_bfs_hops + the new weighted SSSP
+    # in-gate this round, with triangles/cores/eigencentrality all
+    # carrying multi-round verdicts in the overflow catalog)
+    # -- new in r11, never driver-verified: bounded weighted shortest
+    # paths (Bellman-Ford delta frontier; unrolled-CTE oracle) -------
+    "cosupply_shortest_paths",
     # (user_state_scd2 rotated out in r11 for sketch_advised_join_totals
     # below: driver-verified r07+r08+r09+r10; the SCD2 family keeps
     # incremental_scd2_census + scd2_asof_week_census in-gate)
