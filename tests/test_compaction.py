@@ -666,3 +666,48 @@ def test_streaming_versioned_store_time_travel(spark, tmp_path):
     # batch 0's state is still reconstructible after batch 1 landed
     assert state(0) == {"e1": ("v1", 100), "e2": ("v1", 50)}
     assert state(1) == {"e1": ("v9", 250), "e2": ("v1", 50)}
+
+
+def test_collapse_versioned_horizon(spark, tmp_path):
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        collapse_versioned,
+        read_versioned_asof,
+        versioned_batch_ids,
+    )
+
+    path = str(tmp_path / "vfold")
+    mk = lambda data: spark.createDataFrame(  # noqa: E731
+        data, "k long, v string, seq long, del_flag boolean"
+    )
+    append_versioned(mk([(1, "a0", 0, False), (2, "b0", 0, False)]), path, 0)
+    append_versioned(mk([(1, "a1", 0, False), (2, None, 0, True)]), path, 1)
+    append_versioned(mk([(3, "c0", 0, False)]), path, 2)
+
+    def state(asof):
+        return {
+            r["k"]: r["v"]
+            for r in read_versioned_asof(
+                spark, path, asof, "k", seq_col="seq",
+                tombstone_col="del_flag",
+            ).collect()
+        }
+
+    before = {a: state(a) for a in range(3)}
+    stats = collapse_versioned(
+        spark, path, upto_batch=1, key_cols="k", seq_col="seq",
+        tombstone_col="del_flag",
+    )
+    assert stats == {"batches_folded": 1, "keys": 1}  # tombstone dropped
+    assert versioned_batch_ids(spark, path) == [1, 2]
+    # reads at or beyond the horizon are unchanged
+    assert state(1) == before[1] == {1: "a1"}
+    assert state(2) == before[2] == {1: "a1", 3: "c0"}
+    # below-horizon probes see an EMPTY store: that history is gone
+    # (the Iceberg expire-snapshots contract; the floor is batch 1)
+    assert state(0) == {} and before[0] == {1: "a0", 2: "b0"}
+    # idempotent: a second collapse at the same horizon no-ops
+    assert collapse_versioned(
+        spark, path, 1, "k", seq_col="seq", tombstone_col="del_flag"
+    ) == {"batches_folded": 0, "keys": 0}
+    assert state(2) == before[2]

@@ -122,3 +122,79 @@ def versioned_batch_ids(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(
         r[BATCH_COL] for r in df.select(BATCH_COL).distinct().collect()
     )
+
+
+def collapse_versioned(
+    spark: SparkSession,
+    table_path: str,
+    upto_batch: int,
+    key_cols: str | Sequence[str],
+    seq_col: str | None = None,
+    tombstone_col: str | None = None,
+) -> dict:
+    """Horizon collapse — the retention step that keeps the versioned
+    log O(|keys|) + O(window) instead of O(|batches| x |keys|): fold
+    every batch with ``batch_id <= upto_batch`` into ONE latest-wins
+    base partition at ``batch_id = upto_batch``. Reads as of any
+    batch >= the horizon are unchanged; probes BELOW the horizon see
+    an empty store — their history is gone, exactly Iceberg's
+    expire-snapshots contract (the valid as-of floor is the horizon;
+    `versioned_batch_ids` reports it).
+
+    With ``tombstone_col``, keys whose folded winner is a tombstone
+    are DROPPED entirely (the RocksDB bottom-level delete-compaction:
+    nothing below the horizon can resurrect them, and future as-of
+    reads observe the same absent key either way).
+
+    Partition-pruned: only folded batch directories are read; they
+    are deleted after the base partition is dynamically overwritten.
+    Idempotent: a second collapse at the same horizon sees only the
+    base partition and no-ops. CONTRACT: collapse only batches
+    beyond the stream's replay horizon — a replayed batch_id <= the
+    horizon would otherwise re-append below the base.
+
+    Returns ``{"batches_folded": n, "keys": k}``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    try:
+        store = spark.read.parquet(table_path)
+    except AnalysisException:
+        return {"batches_folded": 0, "keys": 0}
+    old = store.filter(F.col(BATCH_COL) <= F.lit(int(upto_batch)))
+    batch_ids = [
+        r[BATCH_COL] for r in old.select(BATCH_COL).distinct().collect()
+    ]
+    if not batch_ids or batch_ids == [int(upto_batch)]:
+        return {"batches_folded": 0, "keys": 0}
+    order = (
+        F.struct(F.col(BATCH_COL), F.col(seq_col))
+        if seq_col
+        else F.col(BATCH_COL)
+    )
+    payload = [c for c in old.columns if c not in keys]
+    folded = (
+        old.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), order).alias("_v"))
+        .select(*keys, "_v.*")
+        .withColumn(BATCH_COL, F.lit(int(upto_batch)).cast("long"))
+    )
+    if tombstone_col:
+        folded = folded.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+    folded = folded.localCheckpoint()  # reads partitions the write replaces
+    n_keys = folded.count()
+    (
+        folded.write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    folded_away = [b for b in batch_ids if int(b) != int(upto_batch)]
+    for b in folded_away:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{BATCH_COL}={b}")
+        p.getFileSystem(conf).delete(p, True)
+    spark.catalog.refreshByPath(table_path)
+    return {"batches_folded": len(folded_away), "keys": int(n_keys)}
