@@ -3381,3 +3381,59 @@ def test_table_profile_bruteforce(spark):
 
     with pytest.raises(ValueError):
         table_profile(df, cols=[])
+
+
+def test_jl_project_python_replica_and_concentration(spark):
+    import hashlib
+
+    import numpy as np
+
+    from umn_eda_kafka_stream_processing_spark.operators.quantize import (
+        jl_project,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = {i: rng.uniform(-0.3, 0.3, 8).astype("float32") for i in range(6)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vid long, v array<float>",
+    )
+    got = {
+        (r["vid"], r["j"]): r["y_micro"]
+        for r in jl_project(df, "v", "vid", out_dim=4).collect()
+    }
+
+    def sign(j, i):
+        h = int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:8], 16)
+        return 1 - 2 * (h % 2)
+
+    for vid, v in vecs.items():
+        xm = [round(float(x) * 1e6) for x in v]
+        for j in range(4):
+            exp = sum(sign(j, i) * xm[i] for i in range(8))
+            assert got[(vid, j)] == exp, (vid, j)
+
+    # concentration on a larger draw: mean ratio within 25% of 1
+    big = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.uniform(-0.3, 0.3, 32)])
+            for i in range(200)
+        ],
+        "vid long, v array<float>",
+    )
+    proj = jl_project(big, "v", "vid", out_dim=16).collect()
+    ys = {}
+    for r in proj:
+        ys.setdefault(r["vid"], {})[r["j"]] = r["y_micro"]
+    rows = {r["vid"]: r["v"] for r in big.collect()}
+    ratios = []
+    for a in range(100):
+        b = a + 100
+        d2o = sum(
+            (round(x * 1e6) - round(y * 1e6)) ** 2
+            for x, y in zip(rows[a], rows[b])
+        )
+        d2p = sum((ys[a][j] - ys[b][j]) ** 2 for j in range(16))
+        ratios.append(d2p / (16 * d2o))
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean

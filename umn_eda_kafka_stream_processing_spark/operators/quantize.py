@@ -119,3 +119,65 @@ def _explode_micro(df: DataFrame, vec_col: str) -> DataFrame:
         .cast("long")
         .alias("x_micro"),
     )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    id_cols: str | Sequence[str],
+    out_dim: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign (Rademacher) projection — the
+    dimensionality cut for embedding tables: y_j = sum_i s_ij * x_i
+    with s_ij in {-1, +1} derived from md5(salt|j|i), so the
+    projection matrix is never stored, any engine regenerates it
+    bit-for-bit, and (after one micro-rounding of x) every output
+    coordinate is an EXACT BIGINT — E[||y_a - y_b||^2] =
+    out_dim * ||x_a - x_b||^2 (Achlioptas 2003, public), which the
+    distance-preservation census pins as data.
+
+    Scale shape: explode (n x dim rows), a dims-frame crossJoin
+    (out_dim rows, broadcast — elements x out_dim intermediate), one
+    hash-agg to (id, j, y_micro). All JVM column expressions. 4x-16x
+    fewer dimensions downstream for ANN shortlists/clustering; exact
+    re-rank stays on the original vectors (the PQ rule).
+
+    Returns (id_cols..., j, y_micro) — long form, `int8_pack`-style
+    reassembly applies if an array column is wanted.
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    e = _explode_micro(df.select(*ids, vec_col), vec_col)
+    dims = (
+        df.sparkSession.range(int(out_dim))
+        .select(F.col("id").cast("int").alias("j"))
+    )
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}|"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return (
+        e.crossJoin(F.broadcast(dims))
+        .withColumn("_s", sign)
+        .groupBy(*ids, "j")
+        .agg(
+            F.sum(F.col("_s") * F.col("x_micro"))
+            .cast("long")
+            .alias("y_micro")
+        )
+    )

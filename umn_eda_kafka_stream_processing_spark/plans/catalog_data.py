@@ -4185,3 +4185,121 @@ def audio_fp_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pair_checksum"),
     )
     return sig_stats.crossJoin(pair_stats)
+
+
+@_register(
+    "jl_distance_preservation_census",
+    "Johnson-Lindenstrauss sign projection 64->16 (operators/"
+    "quantize.py:jl_project — Rademacher signs from md5(salt|j|i), "
+    "so the projection matrix is never stored and both engines "
+    "regenerate it bit-for-bit; exact BIGINT coordinates after one "
+    "micro-rounding). The JL promise E[||ya-yb||^2] = k*||xa-xb||^2 "
+    "is pinned AS DATA: for every (v, v+137) pair, "
+    "ratio = d2_proj*1e6 div (16*d2_orig) through DECIMAL(38,0)/"
+    "HUGEINT (the int128 exact-division rule), bucketed at 0.2 "
+    "steps — distortion counts, min/max per bucket. One projection "
+    "hash-agg + two pos/j-keyed pair joins; no floats anywhere.",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ),
+    sgn AS (SELECT j, i AS pos,
+              1 - 2 * (CAST(concat('0x',
+                   substr(md5(concat('jl|', j, '|', i)), 1, 8)) AS BIGINT)
+                   % 2) AS s
+            FROM (SELECT unnest(range(0, 16)) AS j),
+                 (SELECT unnest(range(0, 64)) AS i)),
+    proj AS (SELECT ex.vec_id, sgn.j,
+                    CAST(sum(sgn.s * ex.x) AS BIGINT) AS y
+             FROM ex JOIN sgn ON sgn.pos = ex.pos GROUP BY 1, 2),
+    d2o AS (SELECT a.vec_id AS v,
+                   CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+            FROM ex a JOIN ex b
+              ON b.vec_id = a.vec_id + 137 AND b.pos = a.pos
+            GROUP BY 1),
+    d2p AS (SELECT a.vec_id AS v,
+                   CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2
+            FROM proj a JOIN proj b
+              ON b.vec_id = a.vec_id + 137 AND b.j = a.j
+            GROUP BY 1),
+    r AS (SELECT d2o.v,
+                 CAST((CAST(d2p.d2 AS HUGEINT) * 1000000)
+                      // (16 * CAST(d2o.d2 AS HUGEINT)) AS BIGINT)
+                     AS ratio_micro
+          FROM d2o JOIN d2p ON d2p.v = d2o.v
+          WHERE d2o.d2 > 0)
+    SELECT CAST(ratio_micro // 200000 AS BIGINT) AS ratio_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(ratio_micro) AS BIGINT) AS min_ratio_micro,
+           CAST(max(ratio_micro) AS BIGINT) AS max_ratio_micro
+    FROM r GROUP BY 1
+    """,
+)
+def jl_distance_preservation_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.quantize import (
+        _explode_micro,
+        jl_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    el = _explode_micro(emb, "embedding").localCheckpoint()
+    proj = jl_project(emb, "embedding", "vec_id", out_dim=16).localCheckpoint()
+    ea, eb = el.alias("ea"), el.alias("eb")
+    d2o = (
+        ea.join(
+            eb.hint("shuffle_hash"),
+            (F.col("eb.vec_id") == F.col("ea.vec_id") + 137)
+            & (F.col("eb.pos") == F.col("ea.pos")),
+        )
+        .groupBy(F.col("ea.vec_id").alias("v"))
+        .agg(
+            F.sum(
+                (F.col("ea.x_micro") - F.col("eb.x_micro"))
+                * (F.col("ea.x_micro") - F.col("eb.x_micro"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    d2p = (
+        pa.join(
+            pb.hint("shuffle_hash"),
+            (F.col("pb.vec_id") == F.col("pa.vec_id") + 137)
+            & (F.col("pb.j") == F.col("pa.j")),
+        )
+        .groupBy(F.col("pa.vec_id").alias("v"))
+        .agg(
+            F.sum(
+                (F.col("pa.y_micro") - F.col("pb.y_micro"))
+                * (F.col("pa.y_micro") - F.col("pb.y_micro"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    r = (
+        d2o.alias("o")
+        .join(d2p.alias("p"), F.col("p.v") == F.col("o.v"))
+        .where(F.col("o.d2") > 0)
+        .select(
+            F.expr(
+                "CAST((CAST(p.d2 AS DECIMAL(38,0)) * 1000000)"
+                " div (16 * CAST(o.d2 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ratio_micro")
+        )
+    )
+    return r.groupBy(
+        F.expr("ratio_micro div 200000").cast("long").alias("ratio_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio_micro").cast("long").alias("min_ratio_micro"),
+        F.max("ratio_micro").cast("long").alias("max_ratio_micro"),
+    )

@@ -282,7 +282,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r07+r08; TPC-H keeps q22/q2/q9 in-gate)
     # -- new in r09, never driver-verified: exact asymmetric
     # set-containment join (snippet-inside-document dedup) ----------
-    "shingle_containment_pairs",
+    # (shingle_containment_pairs rotated out in r11 for
+    # jl_distance_preservation_census below: driver-verified r09+r10;
+    # the prefix-filter family keeps prefix_jaccard_pairs in-gate)
+    # -- new in r11, never driver-verified: Johnson-Lindenstrauss sign
+    # projection 64->16 with the distance-preservation ratio pinned as
+    # exact-integer data -----------------------------------------------
+    "jl_distance_preservation_census",
     "q22_dormant_customers",
     # the five partsupp-adapted shapes (lineitem-mediated relation)
     # (q2_min_cost_supplier rotated out in r09 for
