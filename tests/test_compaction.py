@@ -711,3 +711,29 @@ def test_collapse_versioned_horizon(spark, tmp_path):
         spark, path, 1, "k", seq_col="seq", tombstone_col="del_flag"
     ) == {"batches_folded": 0, "keys": 0}
     assert state(2) == before[2]
+
+
+def test_partition_checksums_detects_single_row_change(spark):
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        partition_checksums,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 4, i, f"v{i}") for i in range(100)], "part long, k long, v string"
+    )
+    # identical content, different row order/partitioning -> equal sums
+    b = a.repartition(7).sortWithinPartitions("v")
+    ca = {r["part"]: (r["n_rows"], r["checksum"])
+          for r in partition_checksums(a, "part", ["k", "v"]).collect()}
+    cb = {r["part"]: (r["n_rows"], r["checksum"])
+          for r in partition_checksums(b, "part", ["k", "v"]).collect()}
+    assert ca == cb
+    # one flipped value diverges exactly its partition
+    from pyspark.sql import functions as F
+    c = a.withColumn(
+        "v", F.when(F.col("k") == 57, F.lit("CORRUPT")).otherwise(F.col("v"))
+    )
+    cc = {r["part"]: (r["n_rows"], r["checksum"])
+          for r in partition_checksums(c, "part", ["k", "v"]).collect()}
+    diff = [p for p in ca if ca[p] != cc[p]]
+    assert diff == [57 % 4]

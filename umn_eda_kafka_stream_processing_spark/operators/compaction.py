@@ -1060,3 +1060,34 @@ def with_hilbert_nd(
     return cur.withColumn(out, F.expr(index_expr).cast("long")).drop(
         *state
     )
+
+
+def partition_checksums(
+    df: DataFrame,
+    part_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Anti-entropy partition digests — the replica-verification /
+    corruption-sweep primitive: per partition value, a row count and
+    an order-independent content checksum (SUM of the first 32 md5
+    bits of the '|'-joined column strings; addition commutes, so any
+    partitioning/engine yields the same BIGINT). Two replicas (or a
+    store vs. its rebuild) compare with a |parts|-row join — the
+    Cassandra/Dynamo merkle-repair idea at table-partition
+    granularity, as auditable data.
+
+    One column-pruned scan + one hash-agg. NULL columns hash as the
+    empty string (coalesce) so a NULL→'' flip IS detected as equal —
+    callers needing NULL-vs-empty discrimination should pre-tag.
+    Collision odds: forging an equal sum needs coordinated 32-bit
+    collisions; for corruption DETECTION (bit rot, a lost row, a
+    stale version) that is far beyond accidental.
+    """
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+    h32 = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+    return df.groupBy(part_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h32).cast("long").alias("checksum"),
+    )

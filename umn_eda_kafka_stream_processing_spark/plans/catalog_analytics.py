@@ -4068,3 +4068,99 @@ def cosupply_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dist_checksum"),
     )
+
+
+@_register(
+    "store_antientropy_census",
+    "Anti-entropy replica verification (operators/compaction.py:"
+    "partition_checksums — the Cassandra/Dynamo merkle-repair idea "
+    "at partition granularity, as auditable data): orders bucketed "
+    "%16 form a 'primary'; a 'replica' is the same data with ONE "
+    "planted divergence (key 42's price +1 — its bucket is 42%16 = "
+    "10). Per-partition digests = row count + order-independent SUM "
+    "of 32-bit md5 row hashes (one column-pruned scan + one hash-agg "
+    "per side), compared with a |parts|-row join. Census: equal/"
+    "divergent bucket counts and the exact divergent bucket id — a "
+    "digest that misses the single flipped row hash-mismatches. "
+    "Oracle recomputes both digest tables from the same arithmetic.",
+    """
+    WITH prim AS (SELECT o_orderkey AS k,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR) AS p,
+                         o_orderkey % 16 AS bucket
+                  FROM orders),
+    repl AS (SELECT k,
+                    CASE WHEN k = 42
+                         THEN CAST(CAST(CAST(p AS DECIMAL(18,2)) + 1
+                                   AS DECIMAL(18,2)) AS VARCHAR)
+                         ELSE p END AS p,
+                    bucket
+             FROM prim),
+    cp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(concat('0x', substr(md5(
+                       concat(CAST(k AS VARCHAR), '|', p)), 1, 8))
+                       AS BIGINT)) AS BIGINT) AS checksum
+           FROM prim GROUP BY 1),
+    cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(concat('0x', substr(md5(
+                       concat(CAST(k AS VARCHAR), '|', p)), 1, 8))
+                       AS BIGINT)) AS BIGINT) AS checksum
+           FROM repl GROUP BY 1),
+    d AS (SELECT cp.bucket,
+                 CASE WHEN cp.n_rows = cr.n_rows
+                           AND cp.checksum = cr.checksum
+                      THEN 1 ELSE 0 END AS eq
+          FROM cp JOIN cr USING (bucket))
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(eq) AS BIGINT) AS n_equal,
+           CAST(sum(1 - eq) AS BIGINT) AS n_divergent,
+           CAST(coalesce(min(CASE WHEN eq = 0 THEN bucket END), -1)
+                AS BIGINT) AS first_divergent_bucket
+    FROM d
+    """,
+)
+def store_antientropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        partition_checksums,
+    )
+
+    prim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("p"),
+        (F.col("o_orderkey") % F.lit(16)).alias("bucket"),
+    )
+    repl = prim.withColumn(
+        "p",
+        F.when(
+            F.col("k") == 42,
+            (F.col("p").cast("decimal(18,2)") + F.lit(1))
+            .cast("decimal(18,2)")
+            .cast("string"),
+        ).otherwise(F.col("p")),
+    )
+    cp = partition_checksums(prim, "bucket", ["k", "p"])
+    cr = partition_checksums(repl, "bucket", ["k", "p"])
+    d = (
+        cp.alias("cp")
+        .join(cr.alias("cr"), "bucket")
+        .select(
+            "bucket",
+            F.when(
+                (F.col("cp.n_rows") == F.col("cr.n_rows"))
+                & (F.col("cp.checksum") == F.col("cr.checksum")),
+                1,
+            )
+            .otherwise(0)
+            .alias("eq"),
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("eq").cast("long").alias("n_equal"),
+        F.sum(F.lit(1) - F.col("eq")).cast("long").alias("n_divergent"),
+        F.coalesce(
+            F.min(F.when(F.col("eq") == 0, F.col("bucket"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_divergent_bucket"),
+    )

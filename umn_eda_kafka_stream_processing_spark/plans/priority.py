@@ -187,7 +187,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # + prefix_jaccard_pairs in-gate)
     # -- new in r09, never driver-verified: auto-salt advisor wired
     # into the join path (census-driven plain-vs-salted decision) ----
-    "salt_advisor_join_census",
+    # (salt_advisor_join_census rotated out in r11 for
+    # store_antientropy_census below: driver-verified r09+r10; the
+    # advisor family keeps salt_advisor_agg_census +
+    # broadcast_advisor_join_census + join_strategy_advisor_census +
+    # sketch_advised_join_totals in-gate)
+    # -- new in r11, never driver-verified: anti-entropy replica
+    # verification (order-independent per-partition md5 digests; one
+    # planted divergence localized to its bucket) ---------------------
+    "store_antientropy_census",
     # -- new in r05, never driver-verified: IVFADC (IVF coarse
     # pruning x residual PQ x exact re-rank) ------------------------
     # (ann_ivfpq_topk rotated out in r11 for embedding_int8_quant_census
