@@ -737,3 +737,41 @@ def test_partition_checksums_detects_single_row_change(spark):
           for r in partition_checksums(c, "part", ["k", "v"]).collect()}
     diff = [p for p in ca if ca[p] != cc[p]]
     assert diff == [57 % 4]
+
+
+def test_erase_keys_prunes_and_idempotent(spark, tmp_path):
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        erase_keys,
+    )
+
+    path = str(tmp_path / "gdpr")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}", i % 4) for i in range(40)],
+        "k long, user string, bucket long",
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # record untouched partitions' file mtimes: bucket 1 holds keys
+    # 1,5,9... none of which are erased below (erase multiples of 4,
+    # all in bucket 0)
+    b1 = os.path.join(path, "bucket=1")
+    mtimes = {f: os.path.getmtime(os.path.join(b1, f))
+              for f in os.listdir(b1)}
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 40, 4)], "k long")
+    stats = erase_keys(spark, path, keys, "k", "bucket")
+    assert stats["partitions_touched"] == 1  # k%4==0 -> bucket 0 only
+    assert stats["rows_removed"] == 10 and stats["rows_kept"] == 0
+    assert stats["partitions_emptied"] == 1  # bucket 0 fully erased
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {i for i in range(40) if i % 4 != 0}
+    # untouched partition files were never rewritten
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(b1, f)) for f in os.listdir(b1)
+    }
+    # replay: nothing left to erase
+    assert erase_keys(spark, path, keys, "k", "bucket") == {
+        "partitions_touched": 0, "rows_removed": 0,
+        "rows_kept": 0, "partitions_emptied": 0,
+    }

@@ -1091,3 +1091,94 @@ def partition_checksums(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(h32).cast("long").alias("checksum"),
     )
+
+
+def erase_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_cols: str | Sequence[str],
+) -> dict:
+    """Key-erasure sweep (the GDPR right-to-be-forgotten pass): remove
+    every row whose ``key_col`` appears in ``keys`` from the
+    partitioned parquet store, rewriting ONLY partitions that
+    actually hold such rows.
+
+    Shape: one semi-join census finds the touched partition values
+    (bounded collect — partition dirs, not rows), a partition-pruned
+    read anti-joins the keys out (the erasure set broadcasts — a
+    deletion request batch is dim-sized), dynamic overwrite replaces
+    exactly the touched directories, and directories the erasure
+    emptied are deleted explicitly (the upsert_bucket_partitioned
+    rule: dynamic overwrite only replaces partitions the job WRITES).
+    Idempotent: a second sweep with the same keys touches nothing.
+
+    NOTE: this erases the CURRENT store only. Versioned/changelog
+    stores (operators/versioned.py) additionally need the history
+    folded past the erasure point (`collapse_versioned` drops
+    tombstoned keys from the base) — the census pairs the two.
+
+    Returns ``{"partitions_touched": p, "rows_removed": r,
+    "rows_kept": k, "partitions_emptied": e}``.
+    """
+    parts = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    try:
+        store = spark.read.parquet(table_path)
+    except AnalysisException:
+        return {
+            "partitions_touched": 0,
+            "rows_removed": 0,
+            "rows_kept": 0,
+            "partitions_emptied": 0,
+        }
+    kd = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    touched_rows = (
+        store.join(F.broadcast(kd), key_col, "left_semi")
+        .select(*parts)
+        .distinct()
+        .collect()
+    )
+    touched = [tuple(r[c] for c in parts) for r in touched_rows]
+    if not touched:
+        return {
+            "partitions_touched": 0,
+            "rows_removed": 0,
+            "rows_kept": 0,
+            "partitions_emptied": 0,
+        }
+    sel = _partition_selector(parts, touched_rows)
+    touched_df = store.filter(sel)
+    n_before = touched_df.count()
+    kept = touched_df.join(
+        F.broadcast(kd), key_col, "left_anti"
+    ).localCheckpoint()
+    n_kept = kept.count()
+    (
+        kept.write.mode("overwrite")
+        .partitionBy(*parts)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+    written = {
+        tuple(r[c] for c in parts)
+        for r in kept.select(*parts).distinct().collect()
+    }
+    emptied = [t for t in touched if t not in written]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for t in emptied:
+        sub = "/".join(f"{c}={v}" for c, v in zip(parts, t))
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{sub}")
+        p.getFileSystem(conf).delete(p, True)
+    spark.catalog.refreshByPath(table_path)
+    return {
+        "partitions_touched": len(touched),
+        "rows_removed": int(n_before - n_kept),
+        "rows_kept": int(n_kept),
+        "partitions_emptied": len(emptied),
+    }

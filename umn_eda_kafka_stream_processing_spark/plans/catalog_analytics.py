@@ -4164,3 +4164,74 @@ def store_antientropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_divergent_bucket"),
     )
+
+
+@_register(
+    "gdpr_erasure_census",
+    "Key-erasure sweep (operators/compaction.py:erase_keys — the "
+    "GDPR right-to-be-forgotten pass): a 16-bucket orders store "
+    "erases every order of customers with custkey % 97 == 0; the "
+    "semi-join census finds touched buckets, the anti-join rewrite "
+    "touches ONLY those directories (the erasure set broadcasts — "
+    "deletion requests are dim-sized), and a REPLAYED sweep touches "
+    "nothing. Census: touched/emptied partitions, rows removed/"
+    "kept, replay zeros, and a post-store checksum over survivors — "
+    "one row leaked or over-deleted hash-mismatches. Oracle "
+    "recomputes every counter from the same arithmetic.",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                         o_orderkey % 16 AS bucket FROM orders),
+    hit AS (SELECT * FROM base WHERE c % 97 = 0),
+    tb AS (SELECT DISTINCT bucket FROM hit),
+    kept AS (SELECT * FROM base WHERE c % 97 <> 0)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb)
+               AS partitions_touched,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS rows_removed,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept k
+             WHERE k.bucket IN (SELECT bucket FROM tb)) AS rows_kept_touched,
+           CAST(0 AS BIGINT) AS replay_touched,
+           CAST(0 AS BIGINT) AS replay_removed,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_rows_after,
+           (SELECT CAST(sum(k.k % 1000003) AS BIGINT) FROM kept k)
+               AS survivor_checksum
+    """,
+)
+def gdpr_erasure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        erase_keys,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_orderkey") % F.lit(16)).alias("bucket"),
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_gdpr_") + "/store"
+    base.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    doomed = base.where(F.col("c") % 97 == 0).select(
+        F.col("k").alias("erase_k")
+    )
+    stats = erase_keys(spark, path, doomed, "k", "bucket")
+    replay = erase_keys(spark, path, doomed, "k", "bucket")
+    after = spark.read.parquet(path)
+    agg = after.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.sum(F.col("k") % F.lit(1000003))
+        .cast("long")
+        .alias("survivor_checksum"),
+    )
+    return agg.select(
+        F.lit(stats["partitions_touched"]).cast("long").alias(
+            "partitions_touched"
+        ),
+        F.lit(stats["rows_removed"]).cast("long").alias("rows_removed"),
+        F.lit(stats["rows_kept"]).cast("long").alias("rows_kept_touched"),
+        F.lit(replay["partitions_touched"]).cast("long").alias(
+            "replay_touched"
+        ),
+        F.lit(replay["rows_removed"]).cast("long").alias("replay_removed"),
+        "n_rows_after",
+        "survivor_checksum",
+    )

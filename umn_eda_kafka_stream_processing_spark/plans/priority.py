@@ -491,7 +491,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r07 (third batch), never driver-verified: blocked
     # fuzzy-join entity resolution, PMI word association, cohort
     # retention, Z-order layout locality --------------------------------
-    "fuzzy_part_match_stats",
+    # (fuzzy_part_match_stats rotated out in r11 for
+    # gdpr_erasure_census below: driver-verified r07-r10, four
+    # consecutive greens; the fuzzy-join family keeps that record and
+    # its salted-block property tests)
+    # -- new in r11, never driver-verified: key-erasure sweep (GDPR
+    # right-to-be-forgotten; bucket-pruned rewrite, replay zeros) -----
+    "gdpr_erasure_census",
     # (token_pmi_pairs rotated out in r11 for
     # incremental_cluster_quota_census below: driver-verified r07+r08+
     # r09+r10; the text-stats family keeps domain_census +
