@@ -4235,3 +4235,124 @@ def gdpr_erasure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_after",
         "survivor_checksum",
     )
+
+
+@_register(
+    "time_travel_diff_census",
+    "Point-in-time CDC: what changed between two as-of states of the "
+    "versioned store (operators/versioned.py:read_versioned_asof x2 "
+    "-> operators/compaction.py:snapshot_diff — the audit question "
+    "'what did last night's batches do'). The same md5-split orders "
+    "changelog as store_time_travel_census (initial waves batches "
+    "0-2, +1-price updates one batch later, tombstones in batch 3); "
+    "diffing as-of batch 1 against as-of batch 3 must classify every "
+    "key: inserted = initial versions landing in batch 2-3, updated "
+    "= the +1 wave arriving after batch 1, deleted = batch-3 "
+    "tombstones of keys live at batch 1, unchanged = the rest. ONE "
+    "shuffle_hash full-outer join over two partition-pruned "
+    "latest-wins reads. Census: per-change row count + key checksum; "
+    "oracle recomputes both states and the classification from the "
+    "same md5 arithmetic.",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             CAST(concat('0x', substr(md5('ttb|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS b0,
+             CAST(concat('0x', substr(md5('ttu|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS u,
+             CAST(concat('0x', substr(md5('ttd|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS d
+      FROM orders
+    ), v AS (
+      SELECT k, p, b0 AS b, 0 AS seq, FALSE AS del_flag FROM base
+      UNION ALL
+      SELECT k, p + 1, b0 + 1, 1, FALSE FROM base WHERE u = 0
+      UNION ALL
+      SELECT k, NULL, 3, 2, TRUE FROM base WHERE d = 0
+    ), grid AS (SELECT * FROM (VALUES (1), (3)) AS t(asof_batch)),
+    ranked AS (
+      SELECT g.asof_batch, v.k, v.p, v.del_flag,
+             row_number() OVER (PARTITION BY g.asof_batch, v.k
+                                ORDER BY v.b DESC, v.seq DESC) AS rn
+      FROM grid g JOIN v ON v.b <= g.asof_batch
+    ), live AS (SELECT asof_batch, k, p FROM ranked
+                WHERE rn = 1 AND NOT del_flag),
+    old AS (SELECT k, p FROM live WHERE asof_batch = 1),
+    new AS (SELECT k, p FROM live WHERE asof_batch = 3),
+    d AS (
+      SELECT coalesce(n.k, o.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'inserted'
+                  WHEN n.k IS NULL THEN 'deleted'
+                  WHEN n.p IS DISTINCT FROM o.p THEN 'updated'
+                  ELSE 'unchanged' END AS change
+      FROM new n FULL OUTER JOIN old o ON o.k = n.k
+    )
+    SELECT change,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(k % 1000003) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change
+    """,
+)
+def time_travel_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        snapshot_diff,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        sample_key_u32,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        read_versioned_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        (sample_key_u32("o_orderkey", "ttb") % 3).alias("b0"),
+        (sample_key_u32("o_orderkey", "ttu") % 4).alias("u"),
+        (sample_key_u32("o_orderkey", "ttd") % 5).alias("d"),
+    )
+    versions = (
+        base.select(
+            "k", "p", F.col("b0").alias("b"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(False).alias("del_flag"),
+        )
+        .unionByName(
+            base.where(F.col("u") == 0).select(
+                "k",
+                (F.col("p") + F.lit(1)).cast("decimal(18,2)").alias("p"),
+                (F.col("b0") + F.lit(1)).alias("b"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit(False).alias("del_flag"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("d") == 0).select(
+                "k",
+                F.lit(None).cast("decimal(18,2)").alias("p"),
+                F.lit(3).cast("long").alias("b"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit(True).alias("del_flag"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_tt_diff_") + "/store"
+    for n in range(4):
+        append_versioned(
+            versions.where(F.col("b") == n).drop("b"), path, batch_id=n
+        )
+    old = read_versioned_asof(
+        spark, path, 1, "k", seq_col="seq", tombstone_col="del_flag"
+    ).select("k", "p")
+    new = read_versioned_asof(
+        spark, path, 3, "k", seq_col="seq", tombstone_col="del_flag"
+    ).select("k", "p")
+    d = snapshot_diff(old, new, "k", compare_cols=["p"])
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("k") % F.lit(1000003)).cast("long").alias("key_checksum"),
+    )

@@ -258,7 +258,13 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # members in-gate)
     # -- new in r09, never driver-verified: total-order sorted-export
     # write path (range-exchange shards + disjoint manifest) ---------
-    "sorted_export_census",
+    # (sorted_export_census rotated out in r11 for
+    # time_travel_diff_census below: driver-verified r09+r10; the
+    # layout family keeps zonemap_pruning_census +
+    # partition_bloom_skipping_census in-gate)
+    # -- new in r11, never driver-verified: point-in-time CDC — the
+    # versioned store's two as-of states through snapshot_diff --------
+    "time_travel_diff_census",
     # (q13_customer_order_distribution rotated out in r07 for
     # cosupply_triangle_stats below: driver-verified r04+r05+r06; the
     # TPC-H family keeps 9 members in-gate)
