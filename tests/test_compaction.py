@@ -775,3 +775,38 @@ def test_erase_keys_prunes_and_idempotent(spark, tmp_path):
         "partitions_touched": 0, "rows_removed": 0,
         "rows_kept": 0, "partitions_emptied": 0,
     }
+
+
+def test_versioned_store_schema_evolution(spark, tmp_path):
+    """A later batch ADDS a column: as-of reads spanning the schema
+    change see the union schema with NULL backfill (parquet
+    mergeSchema semantics on the batch-partitioned log)."""
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        read_versioned_asof,
+    )
+
+    path = str(tmp_path / "vevolve")
+    append_versioned(
+        spark.createDataFrame([(1, "a0", 0)], "k long, v string, seq long"),
+        path,
+        0,
+    )
+    append_versioned(
+        spark.createDataFrame(
+            [(2, "b0", 0, "eu")], "k long, v string, seq long, region string"
+        ),
+        path,
+        1,
+    )
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try:
+        st = {
+            r["k"]: (r["v"], r["region"])
+            for r in read_versioned_asof(
+                spark, path, 1, "k", seq_col="seq"
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.parquet.mergeSchema")
+    assert st == {1: ("a0", None), 2: ("b0", "eu")}

@@ -4287,7 +4287,10 @@ def jl_distance_preservation_census(
     )
     r = (
         d2o.alias("o")
-        .join(d2p.alias("p"), F.col("p.v") == F.col("o.v"))
+        .join(
+            d2p.hint("shuffle_hash").alias("p"),
+            F.col("p.v") == F.col("o.v"),
+        )
         .where(F.col("o.d2") > 0)
         .select(
             F.expr(
