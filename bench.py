@@ -74,7 +74,13 @@ def main() -> None:
     # wall-clock budget: if the full catalog at n runs would blow the
     # harness timeout, degrade remaining queries to a single run
     # rather than get killed with no output at all
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    # 420, not 480 (r11): the budget caps MEASUREMENT time, but the
+    # process total adds session startup + the guaranteed single run
+    # for every budget-skipped query — at 199 queries a 480 budget
+    # pushed the total past 590 s and a timeout killed the run with
+    # NO stdout line at all (worse than any degradation). 420 keeps
+    # the observed worst-case total ~520 s.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     heavy_s = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", "4.0"))
     # sample box load BEFORE the run too: the post-run avg300 includes
     # the benchmark's own CPU pressure (r06's artifact self-flagged
