@@ -149,3 +149,52 @@ def test_zonemap_select_lossless_and_pruning(spark, tmp_path):
 
     nostat = _Row(file="f0", min_k=None, max_k=None)
     assert zonemap_select([nostat], "k", 0, 1) == ["f0"]
+
+
+def test_write_range_sharded_deterministic_and_disjoint(spark, tmp_path):
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        equidepth_bounds,
+        partition_checksums,
+        write_range_sharded,
+    )
+
+    rng = random.Random(3)
+    # heavy ties at 500: boundary ties must never split across shards
+    rows = [(i, rng.choice([rng.randint(0, 1000), 500])) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    b1 = write_range_sharded(df, p1, "x", 8)
+    b2 = write_range_sharded(df, p2, "x", 8)
+    assert b1 == b2 == sorted(b1)  # exact bounds: identical runs
+
+    out = spark.read.parquet(p1)
+    got = {
+        r["shard"]: (r["mn"], r["mx"], r["n"])
+        for r in out.groupBy("shard")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    # value-disjoint: shard i's max <= shard i+1's min, and a value
+    # never appears in two shards
+    shards = sorted(got)
+    for a, b in zip(shards, shards[1:]):
+        assert got[a][1] <= got[b][0]
+    vals = out.select("shard", "x").distinct()
+    assert (
+        vals.groupBy("x").count().filter(F.col("count") > 1).count() == 0
+    )
+    # both exports byte-equivalent per partition (the digest proves it)
+    c1 = {r["shard"]: (r["n_rows"], r["checksum"])
+          for r in partition_checksums(
+              spark.read.parquet(p1), "shard", ["k", "x"]).collect()}
+    c2 = {r["shard"]: (r["n_rows"], r["checksum"])
+          for r in partition_checksums(
+              spark.read.parquet(p2), "shard", ["k", "x"]).collect()}
+    assert c1 == c2
+    # bounds replica: python type-1 quantiles
+    xs = sorted(x for _, x in rows)
+    exp = [xs[(i * len(xs) + 7) // 8 - 1] for i in range(1, 8)]
+    assert b1 == exp

@@ -1182,3 +1182,68 @@ def erase_keys(
         "rows_kept": int(n_kept),
         "partitions_emptied": len(emptied),
     }
+
+
+def equidepth_bounds(
+    df: DataFrame, col: str, n_shards: int
+) -> list:
+    """Deterministic equi-depth shard bounds: the EXACT type-1
+    quantiles at i/n for i = 1..n-1 (operators/ranking.py histogram —
+    no corpus sort, no sampling). Spark's own repartitionByRange
+    SAMPLES the key, so two runs of the same job can cut different
+    file boundaries; exact bounds make the physical layout a pure
+    function of the data — reproducible exports, diffable manifests,
+    and an oracle can recompute which shard every row lands in.
+    Returns the n-1 upper bounds as a sorted list (bounded planning
+    data, the zonemap-manifest collect class)."""
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    n = int(n_shards)
+    if n < 2:
+        return []
+    qs = exact_quantiles(df, col, [(i, n) for i in range(1, n)])
+    return [r["value"] for r in qs.orderBy("pct_ppm").collect()]
+
+
+def shard_expr(col: str, bounds: Sequence) -> Column:
+    """Shard id = number of bounds STRICTLY below the value — ties of
+    a boundary value all land in one shard, so shards are disjoint by
+    VALUE (never split a key across files). A sum of comparisons,
+    whole-stage-codegen friendly at any realistic shard count."""
+    e = F.lit(0)
+    for b in bounds:
+        e = e + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return e.cast("int")
+
+
+def write_range_sharded(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_shards: int,
+) -> list:
+    """Deterministic range-sharded export — `write_sorted`'s
+    reproducible sibling: rows land in hive partitions
+    ``shard=0..n-1`` cut at EXACT equi-depth bounds (not sampled
+    ones), each shard locally sorted on ``col``. Re-running the
+    export on the same data rewrites byte-identical partition
+    CONTENTS — layouts become diffable/auditable data
+    (`partition_checksums` verifies replicas of it).
+
+    Returns the bounds used. One quantile pass + one shuffle on the
+    shard id + n local sorts; equal keys never split across shards
+    (a single dominant key caps that shard's size — the write_sorted
+    skew caveat applies)."""
+    bounds = equidepth_bounds(df, col, n_shards)
+    out = df.withColumn("shard", shard_expr(col, bounds))
+    (
+        out.repartition(int(n_shards), "shard")
+        .sortWithinPartitions(F.col(col).asc())
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    df.sparkSession.catalog.refreshByPath(path)
+    return bounds

@@ -4356,3 +4356,67 @@ def time_travel_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum(F.col("k") % F.lit(1000003)).cast("long").alias("key_checksum"),
     )
+
+
+@_register(
+    "range_shard_census",
+    "Deterministic equi-depth range sharding (operators/compaction."
+    "py:write_range_sharded — write_sorted's reproducible sibling): "
+    "shard bounds are EXACT type-1 quantiles (i/8), not Spark's "
+    "repartitionByRange samples, so the physical layout is a pure "
+    "function of the data (diffable exports; partition_checksums "
+    "verifies replicas byte-for-byte; the unit test pins rewrite "
+    "determinism). Shard id = count of bounds strictly below the "
+    "value — boundary ties never split across files. Census: per "
+    "shard, row count, min/max cents, key checksum; the oracle "
+    "recomputes bounds, assignment, and stats from cumulative "
+    "windows — one row in the wrong shard hash-mismatches.",
+    """
+    WITH v AS (SELECT o_orderkey AS k,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS x
+               FROM orders),
+    dv AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+    r AS (SELECT x, c,
+                 coalesce(CAST(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER () AS BIGINT) AS nt
+          FROM dv),
+    p AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(i)),
+    bounds AS (SELECT i, min(x) AS bv FROM r CROSS JOIN p
+               WHERE nb + c >= (i * nt + 7) // 8 GROUP BY i),
+    sh AS (SELECT v.k, v.x,
+                  CAST(coalesce(sum(CASE WHEN bounds.bv < v.x
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS shard
+           FROM v LEFT JOIN bounds ON TRUE GROUP BY v.k, v.x)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_cents,
+           CAST(max(x) AS BIGINT) AS max_cents,
+           CAST(sum(k % 1000003) AS BIGINT) AS key_checksum
+    FROM sh GROUP BY shard
+    """,
+)
+def range_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        write_range_sharded,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("long")
+        .alias("x"),
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_rangeshard_") + "/export"
+    write_range_sharded(v, path, "x", n_shards=8)
+    out = spark.read.parquet(path)
+    return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("min_cents"),
+        F.max("x").cast("long").alias("max_cents"),
+        F.sum(F.col("k") % F.lit(1000003)).cast("long").alias("key_checksum"),
+    )

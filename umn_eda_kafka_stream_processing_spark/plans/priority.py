@@ -324,7 +324,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # full-catalog artifact)
     # -- new in r09, never driver-verified: exact per-group linear
     # regression (int128 sums + one int128 division per group) -------
-    "qty_price_slope_by_flag",
+    # (qty_price_slope_by_flag rotated out in r11 for
+    # range_shard_census below: driver-verified r09+r10; the
+    # exact-statistics family keeps doc_length_quantiles_by_lang +
+    # price_mass_quantiles_by_flag + split_length_bias_auc +
+    # price_mad_outlier_census + price_winsorize_census in-gate)
+    # -- new in r11, never driver-verified: deterministic equi-depth
+    # range sharding (exact-quantile bounds, value-disjoint shards) --
+    "range_shard_census",
     # (q16_part_supplier_counts + q11_important_parts rotated out in
     # r05 for char_bigram_quality + repeated_span_topk below: both
     # driver-verified r04; q20_volume_shippers rotated out in r06 for
