@@ -3437,3 +3437,55 @@ def test_jl_project_python_replica_and_concentration(spark):
         ratios.append(d2p / (16 * d2o))
     mean = sum(ratios) / len(ratios)
     assert 0.75 < mean < 1.25, mean
+
+
+def test_incremental_int8_index_matches_batch(spark, tmp_path):
+    """Frozen-quantizer INT8 ingest: stats trained on batch 0, later
+    batches encode under the frozen stats into the versioned code
+    store — the final as-of read equals the batch encode of the full
+    corpus under the same stats (train-once/serve-many, the IVF
+    index contract), and out-of-range drift clamps."""
+    import numpy as np
+
+    from umn_eda_kafka_stream_processing_spark.operators.quantize import (
+        _explode_micro,
+        int8_apply,
+        int8_pack,
+        int8_stats,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        read_versioned_asof,
+    )
+
+    rng = np.random.RandomState(2)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.uniform(-1, 1, 6)]) for i in ids],
+            "vid long, v array<float>",
+        )
+
+    b0, b1 = vecs(range(0, 30)), vecs(range(30, 50))
+    stats = int8_stats(_explode_micro(b0, "v")).localCheckpoint()
+    path = str(tmp_path / "int8idx")
+    for n, b in enumerate((b0, b1)):
+        codes = int8_pack(
+            int8_apply(_explode_micro(b, "v"), stats), "vid"
+        ).withColumn("seq", F.lit(0).cast("long"))
+        append_versioned(codes, path, batch_id=n)
+
+    got = {
+        r["vid"]: r["codes"]
+        for r in read_versioned_asof(
+            spark, path, 1, "vid", seq_col="seq"
+        ).collect()
+    }
+    full = b0.unionByName(b1)
+    expect = {
+        r["vid"]: r["codes"]
+        for r in int8_pack(
+            int8_apply(_explode_micro(full, "v"), stats), "vid"
+        ).collect()
+    }
+    assert got == expect and len(got) == 50
