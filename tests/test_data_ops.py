@@ -3377,6 +3377,12 @@ def test_table_profile_bruteforce(spark):
     got2 = table_profile(df2).collect()[0]
     assert got2["mode_value"] == "y" and got2["mode_count"] == 1
 
+    # all-NULL column: a row still comes back (mode NULL, count 0)
+    df3 = spark.createDataFrame([(None,), (None,)], "z string")
+    got3 = table_profile(df3).collect()[0]
+    assert (got3["n_rows"], got3["n_null"], got3["n_distinct"]) == (2, 2, 0)
+    assert got3["mode_value"] is None and got3["mode_count"] == 0
+
     import pytest
 
     with pytest.raises(ValueError):

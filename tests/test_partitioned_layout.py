@@ -165,8 +165,8 @@ def test_write_range_sharded_deterministic_and_disjoint(spark, tmp_path):
     rows = [(i, rng.choice([rng.randint(0, 1000), 500])) for i in range(2000)]
     df = spark.createDataFrame(rows, "k long, x long")
     p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
-    b1 = write_range_sharded(df, p1, "x", 8)
-    b2 = write_range_sharded(df, p2, "x", 8)
+    b1 = write_range_sharded(df, p1, "x", 8, tiebreak_cols=("k",))
+    b2 = write_range_sharded(df, p2, "x", 8, tiebreak_cols=("k",))
     assert b1 == b2 == sorted(b1)  # exact bounds: identical runs
 
     out = spark.read.parquet(p1)
@@ -186,7 +186,9 @@ def test_write_range_sharded_deterministic_and_disjoint(spark, tmp_path):
     assert (
         vals.groupBy("x").count().filter(F.col("count") > 1).count() == 0
     )
-    # both exports byte-equivalent per partition (the digest proves it)
+    # both exports content-equivalent per partition (the digest is
+    # order-independent; (x, k) is a total order, so these runs are
+    # also byte-identical — the tiebreak_cols contract)
     c1 = {r["shard"]: (r["n_rows"], r["checksum"])
           for r in partition_checksums(
               spark.read.parquet(p1), "shard", ["k", "x"]).collect()}

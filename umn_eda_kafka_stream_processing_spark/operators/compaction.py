@@ -1223,14 +1223,18 @@ def write_range_sharded(
     path: str,
     col: str,
     n_shards: int,
+    tiebreak_cols: Sequence[str] = (),
 ) -> list:
     """Deterministic range-sharded export — `write_sorted`'s
     reproducible sibling: rows land in hive partitions
     ``shard=0..n-1`` cut at EXACT equi-depth bounds (not sampled
-    ones), each shard locally sorted on ``col``. Re-running the
-    export on the same data rewrites byte-identical partition
-    CONTENTS — layouts become diffable/auditable data
-    (`partition_checksums` verifies replicas of it).
+    ones), each shard locally sorted on ``col``. Which rows land in
+    which shard is a pure function of the data — re-runs are
+    CONTENT-equivalent per partition (`partition_checksums`' order-
+    independent digests verify replicas). For byte-identical re-runs
+    pass ``tiebreak_cols`` extending the local sort to a TOTAL order:
+    without them, equal-key rows serialize in exchange-arrival order,
+    which can differ run to run.
 
     Returns the bounds used. One quantile pass + one shuffle on the
     shard id + n local sorts; equal keys never split across shards
@@ -1238,9 +1242,12 @@ def write_range_sharded(
     skew caveat applies)."""
     bounds = equidepth_bounds(df, col, n_shards)
     out = df.withColumn("shard", shard_expr(col, bounds))
+    order = [F.col(col).asc()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
     (
         out.repartition(int(n_shards), "shard")
-        .sortWithinPartitions(F.col(col).asc())
+        .sortWithinPartitions(*order)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -3433,25 +3433,7 @@ def supplier_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "store_time_travel_census",
-    "Point-in-time state reconstruction over the versioned key-value "
-    "log (operators/versioned.py — the changelog-replay half of the "
-    "reference's KTable: Kafka Streams rebuilds any offset's state "
-    "from the changelog topic; here the log is parquet partitioned "
-    "by batch_id and the as-of read is partition-pruned). Orders "
-    "are ingested as FOUR batches (md5-split initial versions in "
-    "batches 0-2, a +1-price update wave one batch later, md5-chosen "
-    "tombstones in batch 3, one batch replayed to pin idempotence), "
-    "then the store is read as of EVERY batch: latest-wins by "
-    "(batch_id, seq) via one max_by hash-agg, tombstoned keys "
-    "dropped. Census per as-of batch: visible keys, live keys, "
-    "tombstoned keys, live price mass, live key checksum — a stale "
-    "version, a replayed duplicate, or a tombstone that leaks back "
-    "hash-mismatches. Oracle replays the identical md5 arithmetic "
-    "over an asof grid.",
-    """
-    WITH base AS (
+_TT_CHANGELOG_CTES = """base AS (
       SELECT o_orderkey AS k,
              CAST(o_totalprice AS DECIMAL(18,2)) AS p,
              CAST(concat('0x', substr(md5('ttb|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS b0,
@@ -3464,33 +3446,20 @@ def supplier_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k, p + 1, b0 + 1, 1, FALSE FROM base WHERE u = 0
       UNION ALL
       SELECT k, NULL, 3, 2, TRUE FROM base WHERE d = 0
-    ), grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(asof_batch)),
-    ranked AS (
-      SELECT g.asof_batch, v.k, v.p, v.del_flag,
-             row_number() OVER (PARTITION BY g.asof_batch, v.k
-                                ORDER BY v.b DESC, v.seq DESC) AS rn
-      FROM grid g JOIN v ON v.b <= g.asof_batch
-    )
-    SELECT CAST(asof_batch AS BIGINT) AS asof_batch,
-           CAST(count(*) AS BIGINT) AS n_keys_total,
-           CAST(sum(CASE WHEN del_flag THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
-           CAST(sum(CASE WHEN del_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
-           CAST(coalesce(sum(CASE WHEN del_flag THEN NULL ELSE p END), 0) AS DECIMAL(38,2)) AS price_sum,
-           CAST(coalesce(sum(CASE WHEN del_flag THEN NULL ELSE k % 1000003 END), 0) AS BIGINT) AS key_checksum
-    FROM ranked WHERE rn = 1
-    GROUP BY asof_batch
-    """,
-)
-def store_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from functools import reduce
+    )"""
 
+
+def _versioned_orders_changelog(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the versioned-store censuses: the orders
+    changelog md5-split into 4 batches (initial waves in batches 0-2,
+    a +1-price update wave one batch later, tombstones in batch 3).
+    `_TT_CHANGELOG_CTES` is its oracle twin — ONE definition on each
+    engine, so the two time-travel queries can never diverge.
+    Returns a localCheckpointed frame: the caller appends each batch
+    slice separately and an un-materialized lineage would re-scan
+    orders (3 union branches x md5 columns) once per write job."""
     from umn_eda_kafka_stream_processing_spark.operators.sampling import (
         sample_key_u32,
-    )
-    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
-        append_versioned,
-        read_versioned_asof,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -3530,6 +3499,55 @@ def store_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return versions.localCheckpoint()
+
+
+@_register(
+    "store_time_travel_census",
+    "Point-in-time state reconstruction over the versioned key-value "
+    "log (operators/versioned.py — the changelog-replay half of the "
+    "reference's KTable: Kafka Streams rebuilds any offset's state "
+    "from the changelog topic; here the log is parquet partitioned "
+    "by batch_id and the as-of read is partition-pruned). Orders "
+    "are ingested as FOUR batches (md5-split initial versions in "
+    "batches 0-2, a +1-price update wave one batch later, md5-chosen "
+    "tombstones in batch 3, one batch replayed to pin idempotence), "
+    "then the store is read as of EVERY batch: latest-wins by "
+    "(batch_id, seq) via one max_by hash-agg, tombstoned keys "
+    "dropped. Census per as-of batch: visible keys, live keys, "
+    "tombstoned keys, live price mass, live key checksum — a stale "
+    "version, a replayed duplicate, or a tombstone that leaks back "
+    "hash-mismatches. Oracle replays the identical md5 arithmetic "
+    "over an asof grid.",
+    f"""
+    WITH {_TT_CHANGELOG_CTES},
+    grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(asof_batch)),
+    ranked AS (
+      SELECT g.asof_batch, v.k, v.p, v.del_flag,
+             row_number() OVER (PARTITION BY g.asof_batch, v.k
+                                ORDER BY v.b DESC, v.seq DESC) AS rn
+      FROM grid g JOIN v ON v.b <= g.asof_batch
+    )
+    SELECT CAST(asof_batch AS BIGINT) AS asof_batch,
+           CAST(count(*) AS BIGINT) AS n_keys_total,
+           CAST(sum(CASE WHEN del_flag THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN del_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+           CAST(coalesce(sum(CASE WHEN del_flag THEN NULL ELSE p END), 0) AS DECIMAL(38,2)) AS price_sum,
+           CAST(coalesce(sum(CASE WHEN del_flag THEN NULL ELSE k % 1000003 END), 0) AS BIGINT) AS key_checksum
+    FROM ranked WHERE rn = 1
+    GROUP BY asof_batch
+    """,
+)
+def store_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from functools import reduce
+
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        read_versioned_asof,
+    )
+
+    versions = _versioned_orders_changelog(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="sparkgraft_time_travel_") + "/store"
     for n in range(4):
         append_versioned(
@@ -3893,8 +3911,8 @@ def partition_bloom_skipping_census(
            CAST(sum(CASE WHEN vc.v IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_distinct,
            max(md.mode_value) AS mode_value,
-           CAST(max(md.mode_count) AS BIGINT) AS mode_count
-    FROM vc JOIN md ON md.col_name = vc.col_name
+           CAST(coalesce(max(md.mode_count), 0) AS BIGINT) AS mode_count
+    FROM vc LEFT JOIN md ON md.col_name = vc.col_name
     GROUP BY vc.col_name
     """,
 )
@@ -4253,21 +4271,9 @@ def gdpr_erasure_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latest-wins reads. Census: per-change row count + key checksum; "
     "oracle recomputes both states and the classification from the "
     "same md5 arithmetic.",
-    """
-    WITH base AS (
-      SELECT o_orderkey AS k,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-             CAST(concat('0x', substr(md5('ttb|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS b0,
-             CAST(concat('0x', substr(md5('ttu|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS u,
-             CAST(concat('0x', substr(md5('ttd|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS d
-      FROM orders
-    ), v AS (
-      SELECT k, p, b0 AS b, 0 AS seq, FALSE AS del_flag FROM base
-      UNION ALL
-      SELECT k, p + 1, b0 + 1, 1, FALSE FROM base WHERE u = 0
-      UNION ALL
-      SELECT k, NULL, 3, 2, TRUE FROM base WHERE d = 0
-    ), grid AS (SELECT * FROM (VALUES (1), (3)) AS t(asof_batch)),
+    f"""
+    WITH {_TT_CHANGELOG_CTES},
+    grid AS (SELECT * FROM (VALUES (1), (3)) AS t(asof_batch)),
     ranked AS (
       SELECT g.asof_batch, v.k, v.p, v.del_flag,
              row_number() OVER (PARTITION BY g.asof_batch, v.k
@@ -4297,49 +4303,12 @@ def time_travel_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         snapshot_diff,
     )
-    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
-        sample_key_u32,
-    )
     from umn_eda_kafka_stream_processing_spark.operators.versioned import (
         append_versioned,
         read_versioned_asof,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    base = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-        (sample_key_u32("o_orderkey", "ttb") % 3).alias("b0"),
-        (sample_key_u32("o_orderkey", "ttu") % 4).alias("u"),
-        (sample_key_u32("o_orderkey", "ttd") % 5).alias("d"),
-    )
-    versions = (
-        base.select(
-            "k", "p", F.col("b0").alias("b"),
-            F.lit(0).cast("long").alias("seq"),
-            F.lit(False).alias("del_flag"),
-        )
-        .unionByName(
-            base.where(F.col("u") == 0).select(
-                "k",
-                (F.col("p") + F.lit(1)).cast("decimal(18,2)").alias("p"),
-                (F.col("b0") + F.lit(1)).alias("b"),
-                F.lit(1).cast("long").alias("seq"),
-                F.lit(False).alias("del_flag"),
-            )
-        )
-        .unionByName(
-            base.where(F.col("d") == 0).select(
-                "k",
-                F.lit(None).cast("decimal(18,2)").alias("p"),
-                F.lit(3).cast("long").alias("b"),
-                F.lit(2).cast("long").alias("seq"),
-                F.lit(True).alias("del_flag"),
-            )
-        )
-    )
+    versions = _versioned_orders_changelog(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="sparkgraft_tt_diff_") + "/store"
     for n in range(4):
         append_versioned(
@@ -4412,7 +4381,7 @@ def range_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
     )
     path = tempfile.mkdtemp(prefix="sparkgraft_rangeshard_") + "/export"
-    write_range_sharded(v, path, "x", n_shards=8)
+    write_range_sharded(v, path, "x", n_shards=8, tiebreak_cols=("k",))
     out = spark.read.parquet(path)
     return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
