@@ -3495,3 +3495,41 @@ def test_incremental_int8_index_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) == 50
+
+
+def test_incremental_bloom_index_equals_batch(spark, tmp_path):
+    from umn_eda_kafka_stream_processing_spark.operators import (
+        runtime_filter as rf,
+    )
+
+    rows = [(i % 4, i * 13 % 500) for i in range(600)]
+    df = spark.createDataFrame(rows, "part long, key long")
+    path = str(tmp_path / "bloomstore")
+    b0 = df.filter(F.col("key") % 2 == 0)
+    b1 = df.filter(F.col("key") % 2 == 1)
+    rf.upsert_bloom_registers(b0, path, 0, "part", "key")
+    rf.upsert_bloom_registers(b1, path, 1, "part", "key")
+    # replay batch 1: byte-identical partition, merged view unchanged
+    rf.upsert_bloom_registers(b1, path, 1, "part", "key")
+
+    merged = {
+        (r["part"], r["w"]): r["bits"]
+        for r in rf.read_bloom_index(spark, path, "part").collect()
+    }
+    batch = {
+        (r["part"], r["w"]): r["bits"]
+        for r in rf.partition_bloom_index(df, "part", "key").collect()
+    }
+    assert merged == batch
+
+    # selection through the merged view = selection through the
+    # from-scratch index, for present and absent keys alike
+    idx = [
+        {"part": p, "w": w, "bits": b} for (p, w), b in merged.items()
+    ]
+    truth = {}
+    for p, k in rows:
+        truth.setdefault(k, set()).add(p)
+    for k in list(truth)[:50] + [9999]:
+        sel = set(rf.partition_bloom_select(idx, k, "part"))
+        assert truth.get(k, set()) <= sel

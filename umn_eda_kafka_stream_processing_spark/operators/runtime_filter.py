@@ -223,3 +223,49 @@ def partition_bloom_select(
         for p, words in have.items()
         if all(words.get(w, 0) & m == m for w, m in need.items())
     )
+
+
+def upsert_bloom_registers(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    part_col: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "pbloom",
+) -> None:
+    """Incrementally-maintained partition bloom index — the skipping
+    index as a foreachBatch store (the HLL/CMS register-store shape):
+    each microbatch writes ITS OWN batch's per-partition filter words
+    under ``batch_id=N`` (operators/versioned.py append — a dynamic
+    overwrite of exactly that partition, so an at-least-once replay
+    rewrites identical rows instead of OR-ing them twice; bit_or is
+    idempotent anyway, but the per-batch layout also buys horizon
+    collapse and time travel for free). Read through
+    ``read_bloom_index``: bit_or across batches == the filter built
+    from all keys at once (OR is associative/commutative), which the
+    test pins exactly.
+
+    Append-only contract: blooms cannot forget — after erase_keys /
+    TTL sweeps, rebuild the affected partitions' registers (the
+    standard bloom limitation, stated rather than hidden).
+    """
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+    )
+
+    regs = partition_bloom_index(
+        batch_df, part_col, key_col, m_bits, k_hashes, salt
+    )
+    append_versioned(regs, store_path, batch_id=batch_id)
+
+
+def read_bloom_index(spark, store_path: str, part_col: str) -> DataFrame:
+    """Merged (part, w, bits) view of the incremental bloom store:
+    one bit_or hash-agg across batch registers."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy(part_col, "w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
