@@ -493,3 +493,34 @@ def test_shortest_paths_bruteforce(spark):
         if a in (0, 7):
             direct[b] = min(direct.get(b, 1 << 60), w)
     assert got1 == direct
+
+
+def test_grouped_percentile_rank_bruteforce(spark):
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_percentile_rank,
+    )
+
+    rng = random.Random(31)
+    rows = [("a", i, rng.randint(0, 40)) for i in range(120)]
+    rows += [("b", 1000 + i, rng.randint(0, 5)) for i in range(30)]  # ties
+    rows.append(("a", 9999, None))  # NULL passes through
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    got = {
+        r["k"]: r["pct_micro"]
+        for r in grouped_percentile_rank(df, "g", "x").collect()
+    }
+    by_g = {}
+    for g, k, x in rows:
+        if x is not None:
+            by_g.setdefault(g, []).append((k, x))
+    for g, kv in by_g.items():
+        xs = sorted(x for _, x in kv)
+        n = len(xs)
+        for k, x in kv:
+            below = sum(1 for y in xs if y < x)
+            cnt = xs.count(x)
+            exp = (2 * below + cnt) * 1_000_000 // (2 * n)
+            assert got[k] == exp, (g, k)
+    assert got[9999] is None

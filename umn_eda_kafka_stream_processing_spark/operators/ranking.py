@@ -649,3 +649,49 @@ def grouped_winsorize(
             F.col("winsorized") != F.col(value_col).cast("long"),
         )
     )
+
+
+def grouped_percentile_rank(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-group percentile-rank (quantile-normalization) transform —
+    the feature scaling that survives heavy tails where z-scores
+    don't: each row gets its group's exact MIDRANK percentile
+
+        pct_micro = (2*below + cnt) * 1_000_000 div (2 * N_g)
+
+    (ties share the average rank — the Mann-Whitney convention the
+    AUC operator already uses; exact BIGINT on both engines, uniform
+    on [0, 1e6] within every group by construction).
+
+    Scale shape: one distinct-value hash-agg, the grouped histogram
+    for ``below`` (no corpus window), per-group totals joined back,
+    then ONE (group, value)-keyed join attaches the rank to the rows
+    — the rows shuffle once, on the same key the dv frame already
+    carries. NULL values pass through with pct_micro NULL.
+    """
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    dv = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    r = _grouped_with_below(dv, groups, value_col, "cnt", n_buckets)
+    tot = dv.groupBy(*groups).agg(
+        F.sum("cnt").cast("long").alias("_nt")
+    )
+    ranks = r.join(tot, groups).select(
+        *groups,
+        value_col,
+        F.expr(
+            "CAST(((2 * below + cnt) * 1000000) div (2 * _nt) AS BIGINT)"
+        ).alias("pct_micro"),
+    )
+    return df.join(
+        ranks.hint("shuffle_hash"), [*groups, value_col], "left"
+    )

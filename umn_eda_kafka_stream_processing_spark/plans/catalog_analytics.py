@@ -4389,3 +4389,64 @@ def range_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").cast("long").alias("max_cents"),
         F.sum(F.col("k") % F.lit(1000003)).cast("long").alias("key_checksum"),
     )
+
+
+@_register(
+    "price_percentile_decile_census",
+    "Per-group percentile-rank transform (operators/ranking.py:"
+    "grouped_percentile_rank — quantile normalization, the feature "
+    "scaling that survives heavy tails): every order gets its "
+    "priority-group exact MIDRANK percentile ((2*below+cnt)*1e6 div "
+    "2N — the Mann-Whitney tie convention, exact BIGINT both "
+    "engines), then rows bucket into deciles. The equalization "
+    "property lands as data: decile populations are near-uniform "
+    "within each group. One distinct-value hash-agg + the grouped "
+    "histogram (no corpus window) + ONE (group,value)-keyed join "
+    "back. Census: per (priority, decile) row count + key checksum "
+    "— one row ranked into the wrong decile hash-mismatches. "
+    "Oracle: plain cumulative windows.",
+    """
+    WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS x
+               FROM orders),
+    dv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+    r AS (SELECT g, x, c,
+                 coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nb,
+                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nt
+          FROM dv),
+    p AS (SELECT g, x, ((2 * nb + c) * 1000000) // (2 * nt) AS pct
+          FROM r),
+    j AS (SELECT v.g, v.k, p.pct // 100000 AS decile
+          FROM v JOIN p ON p.g = v.g AND p.x = v.x)
+    SELECT g AS o_orderpriority,
+           CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k % 1000003) AS BIGINT) AS key_checksum
+    FROM j GROUP BY 1, 2
+    """,
+)
+def price_percentile_decile_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.ranking import (
+        grouped_percentile_rank,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("long")
+        .alias("x"),
+    )
+    ranked = grouped_percentile_rank(v, "g", "x")
+    return ranked.groupBy(
+        F.col("g").alias("o_orderpriority"),
+        F.expr("pct_micro div 100000").cast("long").alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("k") % F.lit(1000003)).cast("long").alias("key_checksum"),
+    )

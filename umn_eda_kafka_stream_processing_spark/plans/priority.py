@@ -484,7 +484,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r11, never driver-verified: distribution-drift monitor
     # (per-batch histogram registers -> exact integer-form PSI) ------
     "order_price_drift_census",
-    "event_transition_matrix",
+    # (event_transition_matrix rotated out in r11 for
+    # price_percentile_decile_census below: driver-verified r07-r10,
+    # four consecutive greens; the temporal family keeps
+    # incremental_scd2_census in-gate and funnel/retention/markov all
+    # carry overflow verdicts)
+    # -- new in r11, never driver-verified: per-group percentile-rank
+    # transform (midrank quantile normalization; decile equalization
+    # pinned as data) --------------------------------------------------
+    "price_percentile_decile_census",
     # (cosupply_triangle_stats rotated out in r11 for
     # image_phash_dedup_stats below: driver-verified r07+r08+r09+r10;
     # the graph family keeps cosupply_core_levels +
