@@ -94,7 +94,21 @@ def main() -> None:
     stable_stopped = 0
     timings: dict[str, float] = {}
     all_walls: dict[str, list[float]] = {}
-    for name, spec in REGISTRY.items():
+    # SPARK_GRAFT_BENCH_SHARD="i/n" runs every n-th query starting at
+    # i (stable registry order). The catalog outgrew what one budget
+    # window can measure WARM (r11: 69/200 medians escrowed to
+    # cold-only); two shard passes in quiet windows, merged via
+    # tools/bench_merge.py, give the committed BENCH_DETAIL full warm
+    # coverage while the driver's own single-pass run keeps its
+    # budget-degradation behavior unchanged.
+    shard = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+    if shard:
+        si, sn = (int(x) for x in shard.split("/"))
+        bench_names = [n for i, n in enumerate(REGISTRY) if i % sn == si]
+    else:
+        bench_names = list(REGISTRY)
+    for name in bench_names:
+        spec = REGISTRY[name]
         # per-query sampling plan (the shape that fits 163 queries
         # inside the budget):
         #   run 0 — WARMUP, recorded in the sidecar but excluded from
@@ -227,7 +241,9 @@ def main() -> None:
         "box_load": box,
         "noisy": noisy,
     }
-    detail_path = os.path.join(
+    if shard:
+        detail["shard"] = shard
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

@@ -713,6 +713,58 @@ def test_collapse_versioned_horizon(spark, tmp_path):
     assert state(2) == before[2]
 
 
+def test_versioned_batch_ids_is_metadata_only(spark, tmp_path, monkeypatch):
+    """Batch-id discovery is a Hadoop FS directory listing — zero
+    Spark jobs, zero data reads: it must succeed even with the
+    session's DataFrame reader disabled; a missing store lists []."""
+    from pyspark.sql import SparkSession
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        versioned_batch_ids,
+    )
+
+    path = str(tmp_path / "vmeta")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    append_versioned(df, path, 0)
+    append_versioned(df, path, 7)
+
+    def _no_read(self):
+        raise AssertionError("versioned_batch_ids attempted a data read")
+
+    monkeypatch.setattr(SparkSession, "read", property(_no_read))
+    assert versioned_batch_ids(spark, path) == [0, 7]
+    assert versioned_batch_ids(spark, str(tmp_path / "absent")) == []
+
+
+def test_collapse_versioned_clamps_overshooting_horizon(spark, tmp_path):
+    """upto_batch beyond the store's max ingested batch id clamps to
+    it — history is folded into the REAL newest batch, never a
+    phantom batch_id that was never ingested (round-11 advice)."""
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        collapse_versioned,
+        read_versioned_asof,
+        versioned_batch_ids,
+    )
+
+    path = str(tmp_path / "vclamp")
+    mk = lambda data: spark.createDataFrame(data, "k long, v string, seq long")  # noqa: E731
+    append_versioned(mk([(1, "a0", 0), (2, "b0", 0)]), path, 0)
+    append_versioned(mk([(1, "a1", 0)]), path, 1)
+
+    stats = collapse_versioned(spark, path, upto_batch=99, key_cols="k",
+                               seq_col="seq")
+    assert stats == {"batches_folded": 1, "keys": 2}
+    assert versioned_batch_ids(spark, path) == [1]  # no phantom 99
+
+    def state(asof):
+        return {r["k"]: r["v"] for r in read_versioned_asof(
+            spark, path, asof, "k", seq_col="seq").collect()}
+
+    assert state(1) == {1: "a1", 2: "b0"}
+    assert state(99) == state(1)
+
+
 def test_partition_checksums_detects_single_row_change(spark):
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         partition_checksums,
@@ -737,6 +789,40 @@ def test_partition_checksums_detects_single_row_change(spark):
           for r in partition_checksums(c, "part", ["k", "v"]).collect()}
     diff = [p for p in ca if ca[p] != cc[p]]
     assert diff == [57 % 4]
+
+    # delimiter-bearing values never alias across column boundaries:
+    # ('a|b','c') vs ('a','b|c') — per-column md5 fixes the width
+    d1 = spark.createDataFrame([(0, "a|b", "c")], "part long, k string, v string")
+    d2 = spark.createDataFrame([(0, "a", "b|c")], "part long, k string, v string")
+    s1 = partition_checksums(d1, "part", ["k", "v"]).collect()[0]["checksum"]
+    s2 = partition_checksums(d2, "part", ["k", "v"]).collect()[0]["checksum"]
+    assert s1 != s2
+
+
+def test_erase_keys_missing_vs_unreadable_store(spark, tmp_path):
+    """A never-written store path is a legitimate zero sweep; an
+    UNREADABLE store (here: a dir with no parquet schema) re-raises —
+    a compliance sweep must never report 'nothing to erase' against
+    a store it could not read."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        erase_keys,
+    )
+
+    keys = spark.createDataFrame([(1,)], "k long")
+    assert erase_keys(
+        spark, str(tmp_path / "never_written"), keys, "k", "bucket"
+    ) == {"partitions_touched": 0, "rows_removed": 0, "rows_kept": 0,
+          "partitions_emptied": 0}
+
+    # existing-but-schemaless dir: UNABLE_TO_INFER_SCHEMA — an
+    # AnalysisException that is NOT path-not-found must re-raise, not
+    # masquerade as a successful zero sweep
+    empty = tmp_path / "schemaless"
+    empty.mkdir()
+    with pytest.raises(AnalysisException):
+        erase_keys(spark, str(empty), keys, "k", "bucket")
 
 
 def test_erase_keys_prunes_and_idempotent(spark, tmp_path):

@@ -1328,6 +1328,105 @@ def test_histogram_drift_monitor_psi(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
 
 
+def test_category_drift_monitor_psi(spark, tmp_path):
+    """Categorical half of the contract monitor: per-batch
+    (col, category) registers land replay-safely; the census computes
+    the exact integer-form PSI over the occupied-category union —
+    pinned against a Python replica; a planted category-mix shift
+    alarms while an unshifted control column stays ~0; a replayed
+    batch is a byte-identical no-op; NULL is its own category; a
+    non-categorical column fails LOUD on max_categories."""
+    import math
+
+    import pytest
+
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        categorical_drift_census,
+        upsert_category_monitor,
+    )
+
+    cats = ["alpha", "beta", "gamma", "delta", None]
+    batches = {
+        0: [(cats[i % 5], cats[i % 3]) for i in range(300)],
+        1: [(cats[(i * 7) % 5], cats[i % 3]) for i in range(300)],
+        # planted mix shift: 60% of batch 2 collapses to 'alpha';
+        # ctl keeps its mix
+        2: [
+            ("alpha" if i % 5 < 3 else cats[i % 5], cats[i % 3])
+            for i in range(300)
+        ],
+    }
+    store = str(tmp_path / "cats")
+    for bid, rows in batches.items():
+        upsert_category_monitor(
+            spark, store,
+            spark.createDataFrame(rows, "cat string, ctl string"),
+            ["cat", "ctl"], bid,
+        )
+    got = {
+        r["col_name"]: r
+        for r in categorical_drift_census(
+            spark, store, (0, 1), (2, 2)
+        ).collect()
+    }
+
+    def psi(col_idx):
+        ref: dict = {}
+        cur: dict = {}
+        for bid, rows in batches.items():
+            tgt = ref if bid <= 1 else cur
+            for row in rows:
+                c = row[col_idx]
+                tgt[c] = tgt.get(c, 0) + 1
+        union = set(ref) | set(cur)
+        nc = len(union)
+        rt, ct = sum(ref.values()), sum(cur.values())
+        femto = 0
+        for c in union:
+            rc, cc = ref.get(c, 0), cur.get(c, 0)
+            ratio = (float(cc + 1) * float(rt + nc)) / (
+                float(rc + 1) * float(ct + nc)
+            )
+            lr = math.floor(math.log(ratio) * 1e6 + 0.5)
+            dq = math.floor(
+                (float(cc + 1) / float(ct + nc)
+                 - float(rc + 1) / float(rt + nc)) * 1e9 + 0.5
+            )
+            femto += dq * lr
+        return nc, rt, ct, femto
+
+    for col, idx in (("cat", 0), ("ctl", 1)):
+        nc, rt, ct, femto = psi(idx)
+        r = got[col]
+        assert (r["n_cats"], r["ref_total"], r["cur_total"]) == (nc, rt, ct)
+        assert r["psi_femto"] == femto, col
+        assert r["psi_femto"] >= 0
+    assert got["cat"]["psi_micro"] > 250_000
+    assert got["ctl"]["psi_micro"] < 100_000
+
+    # replay batch 1: latest-wins registers -> identical store
+    # (register keys are unique, so the SET pins byte-identity; a
+    # plain sort trips over the NULL category)
+    before = set(map(tuple, spark.read.parquet(store).collect()))
+    upsert_category_monitor(
+        spark, store,
+        spark.createDataFrame(batches[1], "cat string, ctl string"),
+        ["cat", "ctl"], 1,
+    )
+    after = set(map(tuple, spark.read.parquet(store).collect()))
+    assert after == before and len(after) == len(before)
+
+    # a high-cardinality column must raise, not grow the store
+    wide = spark.createDataFrame(
+        [(str(i), "x") for i in range(50)], "cat string, ctl string"
+    )
+    with pytest.raises(ValueError, match="max_categories"):
+        upsert_category_monitor(
+            spark, str(tmp_path / "wide"), wide, ["cat", "ctl"], 0,
+            max_categories=10,
+        )
+
+
 def test_pack_sequences_next_fit_semantics(spark):
     """Bins fill greedily in id order within a shard; a doc larger than
     capacity owns its bin; bin sums never exceed capacity otherwise."""
@@ -3319,6 +3418,49 @@ def test_audio_fingerprint_invariance_and_pairs(spark):
     got = {(r["media_id_a"], r["media_id_b"]): r["hamming"] for r in pairs}
     assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
     assert (1, 4) not in got or got[(1, 4)] > 3
+
+
+def test_partition_bloom_select_df_matches_collected(spark, tmp_path):
+    """The distributed selection path (needed-words filter + per-
+    partition all-words agg, O(|passing parts|) rows to the driver)
+    selects EXACTLY the partitions the collected-index path does, for
+    present and absent keys alike; the word filter reaches the stored
+    index's parquet scan as a pushed ``In(w, ...)`` and the frame
+    surviving it is bounded by |parts| × k_hashes rows."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators import (
+        runtime_filter as rf,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(8), rng.randrange(3000)) for _ in range(1500)]
+    df = spark.createDataFrame(rows, "part long, key long")
+    idx_path = str(tmp_path / "pbloom_idx")
+    rf.partition_bloom_index(
+        df, "part", "key", m_bits=4096, k_hashes=3
+    ).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    idx_rows = idx.collect()
+
+    probes = sorted({k for _, k in rows[:40]}) + [99_999, 88_888, -1]
+    for k in probes:
+        collected = rf.partition_bloom_select(
+            idx_rows, k, "part", m_bits=4096
+        )
+        distributed = rf.partition_bloom_select_df(
+            idx, k, "part", m_bits=4096
+        )
+        assert collected == distributed, k
+
+    # scale shape: the probe's word filter is pushed to the scan and
+    # the pre-aggregation frame is O(|parts| * k), never |parts| * m/32
+    need = rf.bloom_needed_words(rows[0][1], m_bits=4096)
+    filtered = idx.filter(F.col("w").isin(*[int(w) for w in need]))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(w" in plan.replace(" ", "")[
+        plan.replace(" ", "").find("PushedFilters"):]
+    assert filtered.count() <= 8 * len(need)
 
 
 def test_partition_bloom_index_no_false_negatives(spark):

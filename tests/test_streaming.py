@@ -882,7 +882,8 @@ def test_per_record_sink_retries_transient_failure(spark, tmp_path):
         q.processAllAvailable()
         assert _deliveries(outdir) == {"t1": 1, "t2": 1, "t3": 1}
         assert os.path.exists(os.path.join(markers, "t2.failed-once"))
-        assert [f for f in os.listdir(dead) if f.endswith(".json")] == []
+        from umn_eda_kafka_stream_processing_spark.streaming.runner import read_dead_letters
+        assert read_dead_letters(spark, dead).count() == 0
         assert q.isActive
     finally:
         q.stop()
@@ -914,22 +915,63 @@ def test_per_record_sink_dead_letters_permanent_failure(spark, tmp_path):
         dead_letter_dir=dead,
         output_mode="append",
     )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        read_dead_letters,
+    )
+
     try:
         q.processAllAvailable()
         assert _deliveries(outdir) == {"t1": 1}
-        letters = [f for f in os.listdir(dead) if f.endswith(".json")]
+        letters = read_dead_letters(spark, dead).collect()
         assert len(letters) == 1
-        body = _json.load(open(os.path.join(dead, letters[0])))
-        assert "permanently down for t2" in body["error"]
-        assert '"t2"' in body["record"]
+        assert "permanently down for t2" in letters[0]["error"]
+        assert '"t2"' in letters[0]["record"]
+        _json.loads(letters[0]["record"])  # payload is valid JSON
 
-        # stream continues past the failure: second burst delivers
+        # stream continues past the failure: second burst delivers,
+        # and its (failure-free) batch leaves batch 0's letters alone
         _pipe(spark, schemas.TICKET, [fx.ticket("t3", "c3", "e1")],
               src_dir, start_seq=2)
         q.processAllAvailable()
         assert _deliveries(outdir) == {"t1": 1, "t3": 1}
+        assert read_dead_letters(spark, dead).count() == 1
     finally:
         q.stop()
+
+
+def test_per_record_sink_replayed_batch_rewrites_dead_letters(spark, tmp_path):
+    """Dead letters are a batch_id-partitioned table: replaying a
+    batch (same batch_id — foreachBatch's at-least-once path)
+    REWRITES its own partition instead of duplicating letters, and
+    distinct batches accumulate side by side."""
+    import os
+
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        make_per_record_batch_fn,
+        read_dead_letters,
+    )
+
+    outdir, dead = str(tmp_path / "sent"), str(tmp_path / "dead")
+    os.makedirs(outdir)
+    batch_fn = make_per_record_batch_fn(
+        _sender(outdir, poison_id="t2"), max_attempts=2,
+        dead_letter_dir=dead,
+    )
+
+    b0 = fx.df(spark, "ticket",
+               [fx.ticket("t1", "c1", "e1"), fx.ticket("t2", "c2", "e1")])
+    batch_fn(b0, 0)
+    batch_fn(b0, 0)  # replay: same batch_id, same failures
+    letters = read_dead_letters(spark, dead).collect()
+    assert len(letters) == 1 and letters[0]["batch_id"] == 0
+    # a later batch with its own failure lands beside batch 0's
+    b1 = fx.df(spark, "ticket", [fx.ticket("t2", "c9", "e1")], start_seq=2)
+    batch_fn(b1, 1)
+    got = {(r["batch_id"], r["record_md5"])
+           for r in read_dead_letters(spark, dead).collect()}
+    assert len(got) == 2 and {b for b, _ in got} == {0, 1}
+    # deliveries still happened on every run (at-least-once for sends)
+    assert _deliveries(outdir)["t1"] == 2
 
 
 def test_per_record_sink_batch_replay_after_failure(spark, tmp_path):

@@ -1069,22 +1069,30 @@ def partition_checksums(
 ) -> DataFrame:
     """Anti-entropy partition digests — the replica-verification /
     corruption-sweep primitive: per partition value, a row count and
-    an order-independent content checksum (SUM of the first 32 md5
-    bits of the '|'-joined column strings; addition commutes, so any
-    partitioning/engine yields the same BIGINT). Two replicas (or a
-    store vs. its rebuild) compare with a |parts|-row join — the
-    Cassandra/Dynamo merkle-repair idea at table-partition
-    granularity, as auditable data.
+    an order-independent content checksum (SUM of the first 32 bits
+    of a per-row md5; addition commutes, so any partitioning/engine
+    yields the same BIGINT). Two replicas (or a store vs. its
+    rebuild) compare with a |parts|-row join — the Cassandra/Dynamo
+    merkle-repair idea at table-partition granularity, as auditable
+    data.
 
-    One column-pruned scan + one hash-agg. NULL columns hash as the
-    empty string (coalesce) so a NULL→'' flip IS detected as equal —
-    callers needing NULL-vs-empty discrimination should pre-tag.
-    Collision odds: forging an equal sum needs coordinated 32-bit
-    collisions; for corruption DETECTION (bit rot, a lost row, a
-    stale version) that is far beyond accidental.
+    The row hash is md5 over the CONCATENATION OF PER-COLUMN MD5s —
+    each inner digest is exactly 32 hex chars, so column boundaries
+    are fixed-width and a value containing any delimiter can never
+    alias across columns (a plain '|' join made ('a|b','c') and
+    ('a','b|c') identical — round-11 advice). One column-pruned scan
+    + one hash-agg.
+
+    NULL columns hash as the empty string (coalesce), so a NULL→''
+    flip in one column is NOT detected — callers needing
+    NULL-vs-empty discrimination should pre-tag (e.g. cast through
+    ``CASE WHEN x IS NULL THEN chr(0) ELSE x END``). Collision odds:
+    forging an equal sum needs coordinated 32-bit collisions; for
+    corruption DETECTION (bit rot, a lost row, a stale version) that
+    is far beyond accidental.
     """
-    joined = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    joined = F.concat(
+        *[F.md5(F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols]
     )
     h32 = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
     return df.groupBy(part_col).agg(
@@ -1121,6 +1129,12 @@ def erase_keys(
 
     Returns ``{"partitions_touched": p, "rows_removed": r,
     "rows_kept": k, "partitions_emptied": e}``.
+
+    Only a MISSING store path reports the all-zero "nothing to
+    erase" sweep (a never-written store is legitimately empty); any
+    other read failure — wrong schema, corrupt footer, permission —
+    RE-RAISES: a compliance sweep must never report success against
+    a store it could not actually read (round-11 advice).
     """
     parts = (
         [partition_cols]
@@ -1129,7 +1143,9 @@ def erase_keys(
     )
     try:
         store = spark.read.parquet(table_path)
-    except AnalysisException:
+    except AnalysisException as exc:
+        if exc.getErrorClass() != "PATH_NOT_FOUND":
+            raise
         return {
             "partitions_touched": 0,
             "rows_removed": 0,

@@ -322,8 +322,18 @@ def drift_census(
             .alias("cur_cnt"),
         )
     )
+    return _psi_from_counts(per_bin)
+
+
+def _psi_from_counts(per_bin: DataFrame, n_col: str = "n_bins") -> DataFrame:
+    """Shared PSI tail over a (col_name, ref_cnt, cur_cnt) frame of
+    occupied bins/categories — the exact-integer arithmetic both the
+    numeric (`drift_census`) and categorical
+    (`categorical_drift_census`) monitors reduce to. See
+    `drift_census` for the smoothing and rounding contract; ``n_col``
+    only renames the occupied-domain-size column."""
     tot = per_bin.groupBy("col_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.count(F.lit(1)).cast("long").alias(n_col),
         F.sum("ref_cnt").cast("long").alias("ref_total"),
         F.sum("cur_cnt").cast("long").alias("cur_total"),
     )
@@ -332,17 +342,17 @@ def drift_census(
     # p, q from exact BIGINTs; the ratio from integer PRODUCTS cast
     # individually (BIGINT->DOUBLE rounds nearest-even identically)
     p = (F.col("ref_cnt") + F.lit(1)).cast("double") / (
-        F.col("ref_total") + F.col("n_bins")
+        F.col("ref_total") + F.col(n_col)
     ).cast("double")
     q = (F.col("cur_cnt") + F.lit(1)).cast("double") / (
-        F.col("cur_total") + F.col("n_bins")
+        F.col("cur_total") + F.col(n_col)
     ).cast("double")
     ratio = (
         (F.col("cur_cnt") + F.lit(1)).cast("double")
-        * (F.col("ref_total") + F.col("n_bins")).cast("double")
+        * (F.col("ref_total") + F.col(n_col)).cast("double")
     ) / (
         (F.col("ref_cnt") + F.lit(1)).cast("double")
-        * (F.col("cur_total") + F.col("n_bins")).cast("double")
+        * (F.col("cur_total") + F.col(n_col)).cast("double")
     )
     lr_micro = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5)).cast(
         "long"
@@ -354,7 +364,7 @@ def drift_census(
         j.withColumn("_term", dq_nano * lr_micro)
         .groupBy("col_name")
         .agg(
-            F.min("n_bins").alias("n_bins"),
+            F.min(n_col).alias(n_col),
             F.min("ref_total").alias("ref_total"),
             F.min("cur_total").alias("cur_total"),
             F.sum("_term").cast("long").alias("psi_femto"),
@@ -364,6 +374,111 @@ def drift_census(
             F.expr("psi_femto div 1000000000").cast("long"),
         )
     )
+
+
+def upsert_category_monitor(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    cols: Sequence[str],
+    batch_id: int,
+    max_categories: int = 10_000,
+) -> None:
+    """CATEGORICAL half of the streaming contract monitor (the
+    round-11 verdict's gap: the 256-bin histogram registers cover
+    numeric columns; real contracts also pin categorical frequency
+    drift — event types, langs, domains). Per batch, one
+    (col_name, category) count register per watched column: the
+    table_profile stack-melt (one Generate, no shuffle) + ONE
+    hash-agg for any column count, stored keyed
+    (batch_id, col_name, category) through the latest-wins upsert —
+    a replayed batch recomputes IDENTICAL rows and the write is a
+    no-op; windows are summed across batch_ids at read
+    (`categorical_drift_census`), never read-modify-added.
+    Partitioned by batch_id (replays rewrite one directory, window
+    reads prune).
+
+    Values are counted as STRINGS (the melt's shared type); NULL is
+    its own category. ``max_categories`` makes the "categorical"
+    assumption fail LOUD: a batch where any watched column exceeds
+    it raises instead of silently growing the store corpus-sized
+    (a high-cardinality column belongs in the histogram monitor or
+    a KMV sketch, not a per-category register)."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_snapshot,
+    )
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = batch_df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, category)")
+    )
+    regs = (
+        melted.groupBy("col_name", "category")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # consumed by the guard AND the store write
+    )
+    burst = (
+        regs.groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_categories)
+        .collect()
+    )
+    if burst:
+        names = ", ".join(f"{r['col_name']}({r['n']})" for r in burst)
+        raise ValueError(
+            f"column(s) exceed max_categories={max_categories}: {names} "
+            "— not categorical; use the histogram monitor or a sketch"
+        )
+    upsert_snapshot(
+        spark,
+        store_path,
+        regs.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            "col_name",
+            "category",
+            "cnt",
+        ).withColumn("event_seq", F.lit(0)),
+        key_cols=["batch_id", "col_name", "category"],
+        partition_cols=["batch_id"],
+    )
+
+
+def categorical_drift_census(
+    spark,
+    store_path: str,
+    ref_batches: tuple,
+    cur_batches: tuple,
+) -> DataFrame:
+    """PSI drift per watched column between two batch windows of an
+    `upsert_category_monitor` store — identical smoothing and
+    exact-integer arithmetic as the numeric `drift_census`, with the
+    occupied-CATEGORY union in place of the occupied-bin union
+    (add-one smoothing keeps probabilities normalized without
+    storing empty categories; categories occupied in neither window
+    never surface, so the union is exactly the store's occupied
+    set). Returns (col_name, n_cats, ref_total, cur_total,
+    psi_femto, psi_micro)."""
+    rlo, rhi = int(ref_batches[0]), int(ref_batches[1])
+    clo, chi = int(cur_batches[0]), int(cur_batches[1])
+    st = spark.read.parquet(store_path)
+    in_ref = (F.col("batch_id") >= rlo) & (F.col("batch_id") <= rhi)
+    in_cur = (F.col("batch_id") >= clo) & (F.col("batch_id") <= chi)
+    per_cat = (
+        st.filter(in_ref | in_cur)
+        .groupBy("col_name", "category")
+        .agg(
+            F.sum(F.when(in_ref, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("ref_cnt"),
+            F.sum(F.when(in_cur, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cur_cnt"),
+        )
+    )
+    return _psi_from_counts(per_cat, n_col="n_cats")
 
 
 def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

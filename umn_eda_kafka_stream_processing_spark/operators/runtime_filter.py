@@ -225,6 +225,68 @@ def partition_bloom_select(
     )
 
 
+def bloom_needed_words(
+    value, m_bits: int = 4096, k_hashes: int = 3, salt: str = "pbloom"
+) -> dict[int, int]:
+    """The probe's word→mask requirement map: for each 32-bit word
+    the value's k positions touch, the OR of their bit masks (two
+    positions can share a word). Plan-time scalar — one value, at
+    most k entries."""
+    need: dict[int, int] = {}
+    for pos in py_bloom_positions(value, m_bits, k_hashes, salt):
+        w, b = pos // WORD_BITS, pos % WORD_BITS
+        need[w] = need.get(w, 0) | (1 << b)
+    return need
+
+
+def partition_bloom_select_df(
+    index_df: DataFrame,
+    value,
+    part_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "pbloom",
+) -> list:
+    """Partitions whose bloom MAY contain ``value`` — the DISTRIBUTED
+    selection path (the 100×-scale twin of `partition_bloom_select`,
+    which collects the whole index): a probe needs at most k_hashes
+    specific words per partition, so the index is filtered to those
+    words FIRST (`w IN (...)` — pushdown-eligible when the index is a
+    stored table), each surviving row is tested for its word's full
+    required mask, and a per-partition count-distinct demands every
+    needed word passed. Only the PASSING partition values reach the
+    driver — O(|passing parts|) rows, never |parts| × m_bits/32.
+
+    Contract: ``index_df`` must be a MERGED index (one row per
+    (partition, word) — `partition_bloom_index` / `read_bloom_index`
+    output). Raw per-batch register rows under-report bits and would
+    reject partitions the merged filter admits.
+
+    Same no-false-negative guarantee as the collected variant; the
+    two paths select identical partitions (property-tested).
+    """
+    need = bloom_needed_words(value, m_bits, k_hashes, salt)
+    match = None
+    for w, m in need.items():
+        c = (F.col("w") == F.lit(w)) & (
+            F.col("bits").bitwiseAND(F.lit(m).cast("long"))
+            == F.lit(m).cast("long")
+        )
+        match = c if match is None else (match | c)
+    passing = (
+        index_df.filter(F.col("w").isin(*[int(w) for w in need]))
+        .filter(match)
+        .groupBy(part_col)
+        # countDistinct guards a not-quite-merged index carrying
+        # duplicate (part, w) rows; on a merged index it is a count
+        .agg(F.countDistinct("w").alias("_n"))
+        .filter(F.col("_n") == F.lit(len(need)))
+        .select(part_col)
+        .collect()
+    )
+    return sorted(r[part_col] for r in passing)
+
+
 def upsert_bloom_registers(
     batch_df: DataFrame,
     store_path: str,

@@ -41,7 +41,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 BATCH_COL = "batch_id"
 
@@ -57,6 +56,14 @@ def append_versioned(
     overwrite of exactly this batch's partition, so re-running the
     batch replaces its directory with the same rows instead of
     doubling them (foreachBatch is at-least-once).
+
+    CONTRACT: ``(batch_id, seq)`` must be a TOTAL order per key —
+    when one batch carries several versions of a key, give them
+    distinct ``seq`` values (e.g. a per-key row_number in arrival
+    order). `read_versioned_asof`'s latest-wins ``max_by`` breaks a
+    duplicate (key, batch_id, seq) nondeterministically across
+    partitionings, so a violated contract means irreproducible
+    reads, not an error.
     """
     if BATCH_COL in batch_df.columns:
         raise ValueError(f"batch_df must not already carry {BATCH_COL!r}")
@@ -113,15 +120,25 @@ def read_versioned_asof(
 
 
 def versioned_batch_ids(spark: SparkSession, table_path: str) -> list[int]:
-    """Sorted batch ids present in the store (a partition-values
-    listing — one row per partition, never a data scan)."""
-    try:
-        df = spark.read.parquet(table_path)
-    except AnalysisException:
+    """Sorted batch ids present in the store — a TRUE metadata-only
+    operation: lists the ``batch_id=N`` partition directories through
+    the Hadoop FileSystem API (the same route the collapse deletes
+    use), zero Spark jobs and zero data reads. A distinct() over the
+    batch_id column would plan a (column-pruned) scan — Spark's
+    metadata-only-query optimization is off by default (round-11
+    verdict)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
         return []
-    return sorted(
-        r[BATCH_COL] for r in df.select(BATCH_COL).distinct().collect()
-    )
+    ids = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
 
 
 def collapse_versioned(
@@ -153,19 +170,24 @@ def collapse_versioned(
     beyond the stream's replay horizon — a replayed batch_id <= the
     horizon would otherwise re-append below the base.
 
+    ``upto_batch`` is CLAMPED to the store's max ingested batch id:
+    an over-shooting horizon would otherwise relabel ALL history
+    into a base partition at a batch_id that was never ingested —
+    destroying time travel to real recent batches and making
+    `versioned_batch_ids` report a phantom batch (round-11 advice).
+
     Returns ``{"batches_folded": n, "keys": k}``.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    try:
-        store = spark.read.parquet(table_path)
-    except AnalysisException:
+    all_ids = versioned_batch_ids(spark, table_path)
+    if not all_ids:
         return {"batches_folded": 0, "keys": 0}
-    old = store.filter(F.col(BATCH_COL) <= F.lit(int(upto_batch)))
-    batch_ids = [
-        r[BATCH_COL] for r in old.select(BATCH_COL).distinct().collect()
-    ]
+    upto_batch = min(int(upto_batch), max(all_ids))
+    batch_ids = [b for b in all_ids if b <= int(upto_batch)]
     if not batch_ids or batch_ids == [int(upto_batch)]:
         return {"batches_folded": 0, "keys": 0}
+    store = spark.read.parquet(table_path)
+    old = store.filter(F.col(BATCH_COL) <= F.lit(int(upto_batch)))
     order = (
         F.struct(F.col(BATCH_COL), F.col(seq_col))
         if seq_col

@@ -3072,19 +3072,20 @@ def store_maintenance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_psi_terms() -> str:
+def _duck_psi_terms(n: str = "n_bins") -> str:
     """PSI term SQL text — the identical fixed double-op chain as
-    operators/quality.py:drift_census (charlm ln rule: one ln per
+    operators/quality.py:_psi_from_counts (charlm ln rule: one ln per
     bin on a deterministic double ratio, micro-rounded to BIGINT;
-    probability gap nano-rounded; integer product, integer sum)."""
-    return """
+    probability gap nano-rounded; integer product, integer sum).
+    ``n`` is the occupied-domain-size column (n_bins / n_cats)."""
+    return f"""
       CAST(floor((
-          CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_total + n_bins AS DOUBLE)
-          - CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_total + n_bins AS DOUBLE)
+          CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_total + {n} AS DOUBLE)
+          - CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_total + {n} AS DOUBLE)
         ) * 1000000000.0 + 0.5) AS BIGINT)
       * CAST(floor(ln(
-          (CAST(cur_cnt + 1 AS DOUBLE) * CAST(ref_total + n_bins AS DOUBLE))
-          / (CAST(ref_cnt + 1 AS DOUBLE) * CAST(cur_total + n_bins AS DOUBLE))
+          (CAST(cur_cnt + 1 AS DOUBLE) * CAST(ref_total + {n} AS DOUBLE))
+          / (CAST(ref_cnt + 1 AS DOUBLE) * CAST(cur_total + {n} AS DOUBLE))
         ) * 1000000.0 + 0.5) AS BIGINT)"""
 
 
@@ -3190,6 +3191,118 @@ def order_price_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         specs, 1,
     )
     census = drift_census(spark, path, (0, 1), (2, 2))
+    store_rows = spark.read.parquet(path).count()
+    return census.withColumn(
+        "store_rows", F.lit(int(store_rows)).cast("long")
+    )
+
+
+@_register(
+    "category_mix_drift_census",
+    "CATEGORICAL drift monitor (operators/quality.py:"
+    "upsert_category_monitor + categorical_drift_census — the "
+    "frequency-mix alarm the numeric histogram registers can't "
+    "express: event types, langs, domains): three microbatches "
+    "(o_orderkey % 3) land per-batch (col, category) count "
+    "registers for two watched columns via the stack-melt + ONE "
+    "hash-agg, with batch 2's order PRIORITY deliberately shifted "
+    "(keys with o_orderkey%5 < 2 relabeled 1-URGENT — a planted "
+    "category-mix shift) while order STATUS keeps its mix. PSI of "
+    "window {2} vs reference {0,1} over the occupied-category "
+    "union with add-one smoothing, in the exact-integer form of "
+    "the numeric monitor (ln micro-rounded, gap nano-rounded, "
+    "psi_femto an exact BIGINT sum). Batch 1 is re-upserted "
+    "(replay) before reading: store_rows pins the latest-wins "
+    "no-op as data. The shifted column alarms; the control stays "
+    "~0. Oracle recomputes registers and PSI from the same "
+    "arithmetic.",
+    """
+    WITH raw AS (
+      SELECT o_orderkey % 3 AS bid,
+             CASE WHEN o_orderkey % 3 = 2 AND o_orderkey % 5 < 2
+                  THEN '1-URGENT' ELSE o_orderpriority END AS priority,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    melted AS (
+      SELECT bid, 'priority' AS col_name, priority AS category FROM raw
+      UNION ALL
+      SELECT bid, 'status', status FROM raw
+    ),
+    per_cat AS (
+      SELECT col_name, category,
+             CAST(sum(CASE WHEN bid <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ref_cnt,
+             CAST(sum(CASE WHEN bid = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cur_cnt
+      FROM melted GROUP BY col_name, category
+    ),
+    tot AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_cats,
+             CAST(sum(ref_cnt) AS BIGINT) AS ref_total,
+             CAST(sum(cur_cnt) AS BIGINT) AS cur_total
+      FROM per_cat GROUP BY col_name
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS store_rows
+      FROM (SELECT DISTINCT bid, col_name, category FROM melted)
+    )
+    SELECT p.col_name,
+           CAST(min(t.n_cats) AS BIGINT) AS n_cats,
+           CAST(min(t.ref_total) AS BIGINT) AS ref_total,
+           CAST(min(t.cur_total) AS BIGINT) AS cur_total,"""
+    f"""
+           CAST(sum({_duck_psi_terms("n_cats")}) AS BIGINT) AS psi_femto,
+           CAST(sum({_duck_psi_terms("n_cats")}) // 1000000000 AS BIGINT)
+               AS psi_micro,
+           CAST(min(st.store_rows) AS BIGINT) AS store_rows
+    FROM per_cat p JOIN tot t USING (col_name) CROSS JOIN st
+    GROUP BY p.col_name
+    """,
+)
+def category_mix_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        categorical_drift_census,
+        upsert_category_monitor,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 3).cast("long").alias("bid"),
+            (F.col("o_orderkey") % 5).alias("_m5"),
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("status"),
+        )
+        .withColumn(
+            "priority",
+            F.when(
+                (F.col("bid") == 2) & (F.col("_m5") < 2),
+                F.lit("1-URGENT"),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_catdrift_") + "/store"
+    for b in range(3):
+        upsert_category_monitor(
+            spark,
+            path,
+            base.where(F.col("bid") == b).select("priority", "status"),
+            ["priority", "status"],
+            b,
+        )
+    # replay batch 1: the latest-wins upsert must be a no-op —
+    # store_rows pins it as data
+    upsert_category_monitor(
+        spark,
+        path,
+        base.where(F.col("bid") == 1).select("priority", "status"),
+        ["priority", "status"],
+        1,
+    )
+    census = categorical_drift_census(spark, path, (0, 1), (2, 2))
     store_rows = spark.read.parquet(path).count()
     return census.withColumn(
         "store_rows", F.lit(int(store_rows)).cast("long")
@@ -3814,7 +3927,7 @@ def partition_bloom_skipping_census(
 
     from umn_eda_kafka_stream_processing_spark.operators.runtime_filter import (
         partition_bloom_index,
-        partition_bloom_select,
+        partition_bloom_select_df,
     )
 
     M, K = 65536, 3
@@ -3823,17 +3936,23 @@ def partition_bloom_skipping_census(
         "o_custkey",
         (F.col("o_orderkey") % F.lit(16)).cast("long").alias("bucket"),
     )
-    path = tempfile.mkdtemp(prefix="sparkgraft_pbloom_") + "/store"
+    root = tempfile.mkdtemp(prefix="sparkgraft_pbloom_")
+    path = root + "/store"
     base.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    idx = partition_bloom_index(
+    # the index is a STORED table (the production shape): each probe
+    # filters it to its <= k needed words — a pushdown-eligible
+    # `w IN (...)` over the parquet scan — and only passing partition
+    # values reach the driver (partition_bloom_select_df), never the
+    # |parts| x m/32 full index (the round-11 scale fix)
+    partition_bloom_index(
         base, "bucket", "o_custkey", m_bits=M, k_hashes=K
-    )
-    idx_rows = idx.collect()  # |parts| x m/32 rows — bounded planning data
+    ).write.mode("overwrite").parquet(root + "/index")
+    idx = spark.read.parquet(root + "/index")
     store = spark.read.parquet(path)
     out = []
     for ck in (1, 19, -5):
-        sel = partition_bloom_select(
-            idx_rows, ck, "bucket", m_bits=M, k_hashes=K
+        sel = partition_bloom_select_df(
+            idx, ck, "bucket", m_bits=M, k_hashes=K
         )
         sel_df = store.filter(
             F.col("bucket").isin(*sel) if sel else F.lit(False)
@@ -4116,12 +4235,12 @@ def cosupply_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM prim),
     cp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                   CAST(sum(CAST(concat('0x', substr(md5(
-                       concat(CAST(k AS VARCHAR), '|', p)), 1, 8))
+                       concat(md5(CAST(k AS VARCHAR)), md5(p))), 1, 8))
                        AS BIGINT)) AS BIGINT) AS checksum
            FROM prim GROUP BY 1),
     cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                   CAST(sum(CAST(concat('0x', substr(md5(
-                       concat(CAST(k AS VARCHAR), '|', p)), 1, 8))
+                       concat(md5(CAST(k AS VARCHAR)), md5(p))), 1, 8))
                        AS BIGINT)) AS BIGINT) AS checksum
            FROM repl GROUP BY 1),
     d AS (SELECT cp.bucket,

@@ -481,9 +481,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (funnel_conversion rotated out in r11 for order_price_drift_census
     # below: driver-verified r07+r08+r09+r10; the temporal family keeps
     # event_transition_matrix + weekly_retention_cohorts in-gate)
-    # -- new in r11, never driver-verified: distribution-drift monitor
-    # (per-batch histogram registers -> exact integer-form PSI) ------
-    "order_price_drift_census",
+    # (order_price_drift_census rotated out in r12 for
+    # category_mix_drift_census below: driver-verified r11, and the
+    # numeric half keeps its overflow verdict + the full-catalog
+    # artifacts; the drift-monitor family keeps the categorical half
+    # in-gate — same store machinery, same exact-integer PSI tail)
+    # -- new in r12, never driver-verified: CATEGORICAL drift monitor
+    # (per-batch (col, category) count registers -> occupied-union
+    # PSI with add-one smoothing; planted category-mix shift) --------
+    "category_mix_drift_census",
     # (event_transition_matrix rotated out in r11 for
     # price_percentile_decile_census below: driver-verified r07-r10,
     # four consecutive greens; the temporal family keeps

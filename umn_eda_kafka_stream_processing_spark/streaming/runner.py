@@ -21,11 +21,11 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -171,6 +171,113 @@ def start_exactly_once_batch_sink(
     )
 
 
+DEAD_LETTER_SCHEMA = "record_md5 string, record string, error string"
+
+
+def make_per_record_batch_fn(
+    send: Callable[[Row], None],
+    *,
+    max_attempts: int = 3,
+    dead_letter_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callable delivering each record via ``send`` with
+    the reference consumer's fault semantics (simple/
+    TicketConfirmationConsumer.java:77-131: each record triggers an
+    email send that may transiently fail; the failure is caught
+    record-level and the poll loop continues, offsets committed per
+    batch — at-least-once overall). Exposed standalone so tests can
+    drive replays with a pinned batch_id.
+
+    Delivery runs executor-side, fanned out across all partitions.
+    Each record gets up to ``max_attempts`` in-place tries. Failure
+    routing:
+
+    * no ``dead_letter_dir`` — the exhausted record re-raises,
+      failing the batch so Structured Streaming replays it from the
+      checkpoint on restart (the commitSync at-least-once path);
+    * with ``dead_letter_dir`` — failures come BACK AS DATA: the
+      batch runs through ``mapPartitions`` yielding one
+      (record_md5, record_json, error) row per exhausted record, and
+      the failures land as ONE DataFrame write under
+      ``dead_letter_dir/batch_id=N`` (JSON lines, dynamic partition
+      overwrite). The write goes through Spark's committers — it
+      works identically on file:/, HDFS, S3A, GCS — and a replayed
+      batch REWRITES its own batch_id partition instead of
+      duplicating letters (the batch-partitioned store rule). Never
+      executor-local ``open()``: on a real cluster those files land
+      on whichever node processed the record and vanish when it
+      recycles (round-11 verdict).
+
+    The single write action also triggers the deliveries themselves
+    (the mapPartitions is its lineage), so a zero-failure batch still
+    sends every record and writes nothing.
+    """
+
+    def deliver_partition(rows):
+        for row in rows:
+            last_err: Exception | None = None
+            for _ in range(max_attempts):
+                try:
+                    send(row)
+                    last_err = None
+                    break
+                except Exception as exc:  # noqa: BLE001 — sink boundary
+                    last_err = exc
+            if last_err is not None:
+                payload = json.dumps(
+                    row.asDict(recursive=True), sort_keys=True, default=str
+                )
+                yield (
+                    hashlib.md5(payload.encode()).hexdigest(),
+                    payload,
+                    str(last_err),
+                )
+
+    def deliver_or_raise(row: Row) -> None:
+        last_err: Exception | None = None
+        for _ in range(max_attempts):
+            try:
+                send(row)
+                return
+            except Exception as exc:  # noqa: BLE001 — sink boundary
+                last_err = exc
+        raise last_err
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if dead_letter_dir is None:
+            batch_df.foreach(deliver_or_raise)
+            return
+        spark = batch_df.sparkSession
+        failed = spark.createDataFrame(
+            batch_df.rdd.mapPartitions(deliver_partition),
+            DEAD_LETTER_SCHEMA,
+        )
+        (
+            failed.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .json(dead_letter_dir)
+        )
+
+    return batch_fn
+
+
+def read_dead_letters(spark: SparkSession, dead_letter_dir: str) -> DataFrame:
+    """The dead-letter table: (batch_id, record_md5, record, error).
+    Empty frame (not an error) when no letter has ever been written."""
+    try:
+        return spark.read.schema(
+            DEAD_LETTER_SCHEMA + ", batch_id long"
+        ).json(dead_letter_dir).select(
+            "batch_id", "record_md5", "record", "error"
+        )
+    except Exception:  # noqa: BLE001 — missing dir == no letters yet
+        return spark.createDataFrame(
+            [], DEAD_LETTER_SCHEMA + ", batch_id long"
+        ).select("batch_id", "record_md5", "record", "error")
+
+
 def start_per_record_sink(
     df: DataFrame,
     send: Callable[[Row], None],
@@ -180,46 +287,16 @@ def start_per_record_sink(
     output_mode: str = "update",
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
-    """Per-record side-effecting sink with the reference consumer's
-    fault semantics (simple/TicketConfirmationConsumer.java:77-131:
-    each record triggers an email send that may transiently fail; the
-    failure is caught record-level and the poll loop continues, offsets
-    committed per batch — at-least-once overall).
-
-    Delivery runs executor-side (``batch_df.foreach``), so at cluster
-    scale sends fan out across all partitions rather than serializing
-    through the driver. Each record gets up to ``max_attempts``
-    in-place tries. A record that exhausts its attempts is either
-    appended to ``dead_letter_dir`` as one JSON file (the reference's
-    catch-log-continue path, but durable) or, when no dead-letter dir
-    is given, re-raised — failing the batch so Structured Streaming
-    replays it from the checkpoint on restart (the commitSync
-    at-least-once path). Dead-letter filenames are the md5 of the row
-    payload, so a batch replay rewrites rather than duplicates.
-    """
-    if dead_letter_dir is not None:
-        os.makedirs(dead_letter_dir, exist_ok=True)
-
-    def deliver(row: Row) -> None:
-        last_err: Exception | None = None
-        for _ in range(max_attempts):
-            try:
-                send(row)
-                return
-            except Exception as exc:  # noqa: BLE001 — sink boundary
-                last_err = exc
-        if dead_letter_dir is None:
-            raise last_err
-        payload = json.dumps(row.asDict(recursive=True), sort_keys=True, default=str)
-        name = hashlib.md5(payload.encode()).hexdigest()
-        tmp = os.path.join(dead_letter_dir, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(json.dumps({"error": str(last_err), "record": payload}))
-        os.replace(tmp, os.path.join(dead_letter_dir, f"{name}.json"))
-
-    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.foreach(deliver)
-
+    """Per-record side-effecting sink — `make_per_record_batch_fn`
+    wired as a streaming foreachBatch sink (see it for the retry /
+    dead-letter / replay contract)."""
     return start_foreach_batch_sink(
-        df, batch_fn, output_mode=output_mode, checkpoint_dir=checkpoint_dir
+        df,
+        make_per_record_batch_fn(
+            send,
+            max_attempts=max_attempts,
+            dead_letter_dir=dead_letter_dir,
+        ),
+        output_mode=output_mode,
+        checkpoint_dir=checkpoint_dir,
     )
