@@ -713,6 +713,171 @@ def test_collapse_versioned_horizon(spark, tmp_path):
     assert state(2) == before[2]
 
 
+def test_versioned_store_soak_composition(spark, tmp_path):
+    """The full production loop in ONE test (round-11 verdict #6):
+    four streaming microbatches flow through append_versioned +
+    upsert_agg_view, a replay of the last batch is injected, then
+    maintain_store (compaction, idempotence pinned), a
+    collapse_versioned at horizon 1, and an erase_keys sweep — and
+    at EVERY surviving as-of point the store still reconstructs
+    exactly the from-scratch Python fold (latest-wins by (batch,
+    seq), tombstones dropped, erased keys gone), while the agg view
+    keeps its event totals (erasure of the KTable store does not
+    rewrite history aggregates)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from umn_eda_kafka_stream_processing_spark.operators.aggview import (
+        read_agg_view,
+        upsert_agg_view,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        erase_keys,
+        maintain_store,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        append_versioned,
+        collapse_versioned,
+        read_versioned_asof,
+        versioned_batch_ids,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        file_stream_source,
+        start_foreach_batch_sink,
+    )
+
+    vstore, astore = str(tmp_path / "vstore"), str(tmp_path / "aggview")
+    src = str(tmp_path / "changes")
+    def _fields():
+        return [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("del_flag", T.BooleanType()),
+        ]
+
+    schema = T.StructType(_fields())
+    stream_schema = T.StructType(_fields() + [T.StructField("g", T.LongType())])
+    batches = {
+        0: [(1, 10, 0, False), (2, 20, 0, False), (3, 30, 0, False)],
+        1: [(1, 11, 0, False), (4, 40, 0, False)],
+        2: [(3, None, 0, True), (5, 50, 0, False)],
+        3: [(2, 21, 0, False), (6, 60, 0, False), (6, 61, 1, False)],
+    }
+
+    def sink(batch_df, batch_id):
+        b = batch_df.localCheckpoint()
+        append_versioned(b, vstore, batch_id=batch_id)
+        upsert_agg_view(
+            spark, astore, b, "g",
+            [F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")],
+            batch_id,
+        )
+
+    def pipe(bid):
+        spark.createDataFrame(batches[bid], schema).withColumn(
+            "g", F.col("k") % 2
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    pipe(0)
+    q = start_foreach_batch_sink(
+        file_stream_source(
+            spark, src, stream_schema, max_files_per_trigger=None,
+        ),
+        sink, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        for bid in (1, 2, 3):
+            q.processAllAvailable()
+            pipe(bid)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # replay the last batch (at-least-once): both stores no-op
+    rows_before = spark.read.parquet(vstore).count()
+    agg_before = {
+        r["g"]: (r["s"], r["c"])
+        for r in read_agg_view(
+            spark, astore, "g",
+            [F.sum("s").alias("s"), F.sum("c").alias("c")],
+        ).collect()
+    }
+    sink(
+        spark.createDataFrame(batches[3], schema).withColumn(
+            "g", F.col("k") % 2
+        ),
+        3,
+    )
+    assert spark.read.parquet(vstore).count() == rows_before
+    assert {
+        r["g"]: (r["s"], r["c"])
+        for r in read_agg_view(
+            spark, astore, "g",
+            [F.sum("s").alias("s"), F.sum("c").alias("c")],
+        ).collect()
+    } == agg_before
+
+    # maintenance: compaction touches once, then replays to zero
+    maintain_store(spark, vstore, "batch_id", target_files=1)
+    again = maintain_store(spark, vstore, "batch_id", target_files=1)
+    assert again["partitions_rewritten"] == 0 and again["rows_expired"] == 0
+
+    # horizon collapse at batch 1, then a GDPR erasure of key 2
+    collapse_versioned(
+        spark, vstore, 1, "k", seq_col="seq", tombstone_col="del_flag"
+    )
+    assert versioned_batch_ids(spark, vstore) == [1, 2, 3]
+    stats = erase_keys(
+        spark, vstore,
+        spark.createDataFrame([(2,)], "k long"), "k", "batch_id",
+    )
+    assert stats["rows_removed"] == 2  # k=2 versions in base + batch 3
+
+    # from-scratch Python fold == store at EVERY surviving as-of
+    def truth(asof):
+        latest = {}
+        for bid in range(asof + 1):
+            for k, v, seq, dead in batches[bid]:
+                cur = latest.get(k)
+                if cur is None or (bid, seq) >= cur[0]:
+                    latest[k] = ((bid, seq), v, dead)
+        return {
+            k: v
+            for k, (_, v, dead) in latest.items()
+            if not dead and k != 2  # erased key gone at every point
+        }
+
+    for asof in (1, 2, 3):
+        got = {
+            r["k"]: r["v"]
+            for r in read_versioned_asof(
+                spark, vstore, asof, "k",
+                seq_col="seq", tombstone_col="del_flag",
+            ).collect()
+        }
+        assert got == truth(asof), asof
+    # below the horizon the history is gone (expire-snapshots floor)
+    assert read_versioned_asof(
+        spark, vstore, 0, "k", seq_col="seq", tombstone_col="del_flag"
+    ).count() == 0
+
+    # the agg view still carries every EVENT ever ingested: erasing
+    # the KTable store does not rewrite history aggregates
+    want_agg = {}
+    for rows in batches.values():
+        for k, v, _, _ in rows:
+            g = k % 2
+            s, c = want_agg.get(g, (0, 0))
+            want_agg[g] = (s + (v or 0), c + 1)
+    assert {
+        r["g"]: (r["s"], r["c"])
+        for r in read_agg_view(
+            spark, astore, "g",
+            [F.sum("s").alias("s"), F.sum("c").alias("c")],
+        ).collect()
+    } == want_agg
+
+
 def test_versioned_batch_ids_is_metadata_only(spark, tmp_path, monkeypatch):
     """Batch-id discovery is a Hadoop FS directory listing — zero
     Spark jobs, zero data reads: it must succeed even with the

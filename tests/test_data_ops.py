@@ -1328,6 +1328,101 @@ def test_histogram_drift_monitor_psi(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
 
 
+def test_rrf_fuse_bruteforce(spark):
+    """Fused scores equal the Python Σ 1000000 // (k + rank); docs in
+    both lists outrank single-list docs with comparable ranks; ties
+    break by doc id; topk truncates per query independently."""
+    from umn_eda_kafka_stream_processing_spark.operators.fusion import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "qid long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)],
+        "qid long, doc_id long, rank long",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): (r["fused_rank"], r["rrf_micro"], r["n_lists"])
+        for r in rrf_fuse([a, b], rrf_k=60, topk=3).collect()
+    }
+
+    def c(rank):
+        return 1_000_000 // (60 + rank)
+
+    # doc 11 (ranks 2+1) beats doc 10 (rank 1 in one list only)
+    assert got[(1, 11)] == (1, c(2) + c(1), 2)
+    assert got[(1, 10)] == (2, c(1), 1)
+    assert got[(1, 13)][1] == c(2)
+    # q1 truncated to topk=3: doc 12 (score c(3) < doc 13's c(2))
+    # falls off the fused list
+    assert len([k for k in got if k[0] == 1]) == 3
+    assert (1, 13) in got and (1, 12) not in got
+    assert got[(2, 20)] == (1, c(1) + c(2), 2)
+    assert got[(2, 21)] == (2, c(1), 1)
+
+
+def test_decontaminate_bruteforce(spark):
+    """Per-doc contamination counts equal a Python replica of the
+    token-8-gram overlap; short docs gram as their whole token
+    sequence; min_overlap raises the bar; the benchmark side always
+    self-flags; the non-broadcast path returns identical rows."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, bench_text),                                  # the benchmark doc
+        (2, "x0 " + " ".join(f"b{i}" for i in range(8)) + " x1"),  # 1 shared gram window
+        (3, " ".join(f"c{i}" for i in range(20))),        # clean
+        (4, "short doc"),                                 # < 8 tokens
+        (5, bench_text + " tail"),                        # superset: many hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+
+    def grams(text, n=8):
+        t = text.split()
+        if len(t) <= n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    bench_grams = grams(bench_text)
+    want = {}
+    for did, text in rows:
+        g = grams(text)
+        want[did] = (len(g), len(g & bench_grams))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(docs, bench).collect()
+    }
+    for did, (ng, nh) in want.items():
+        assert got[did] == (ng, nh, 1 if nh >= 1 else 0), did
+    assert got[1][2] == 1          # benchmark self-flags
+    assert got[3] == (13, 0, 0)    # clean doc untouched
+    assert got[4][0] == 1          # short doc = one whole-text gram
+
+    # min_overlap=2 clears the single-window doc but not the superset
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, min_overlap=2).collect()
+    }
+    assert strict[2] == 0 and strict[5] == 1
+
+    # shuffle-hash path (corpus-sized "benchmark") — identical rows
+    alt = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(
+            docs, bench, broadcast_benchmark=False
+        ).collect()
+    }
+    assert alt == got
+
+
 def test_category_drift_monitor_psi(spark, tmp_path):
     """Categorical half of the contract monitor: per-batch
     (col, category) registers land replay-safely; the census computes

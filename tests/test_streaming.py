@@ -1023,6 +1023,116 @@ def test_per_record_sink_batch_replay_after_failure(spark, tmp_path):
         q2.stop()
 
 
+def test_sketch_advised_enrichment_flips_strategy(spark, tmp_path):
+    """The advisor loop running INSIDE a pipeline: a fact stream
+    enriches against a growing dim via join_with_strategy, with both
+    sides' CMS registers maintained per batch. The decision FLIPS
+    broadcast → shuffle_hash (dim outgrows the broadcast bar) →
+    salted_shuffle_hash (a skewed fact burst pushes the cumulative
+    top-key share past the salting bar); every batch's enriched
+    output equals the plain join against the dim as of that batch;
+    a replayed batch rewrites its own output partition and leaves
+    the decision log unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from umn_eda_kafka_stream_processing_spark.streaming.advised import (
+        make_advised_enrichment_batch_fn,
+        make_dim_changelog_batch_fn,
+        read_decisions,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.runner import (
+        file_stream_source,
+        start_foreach_batch_sink,
+    )
+
+    p = lambda n: str(tmp_path / n)  # noqa: E731
+    dim_fn = make_dim_changelog_batch_fn(
+        spark, dim_snapshot_path=p("dim"), regs_path=p("rregs"),
+        key_cols="k",
+    )
+    fact_fn = make_advised_enrichment_batch_fn(
+        spark,
+        dim_snapshot_path=p("dim"),
+        left_regs_path=p("lregs"),
+        right_regs_path=p("rregs"),
+        out_path=p("out"),
+        decisions_path=p("decisions"),
+        on="k",
+        max_broadcast_rows=100,
+        max_share_micro=500_000,
+        salt_buckets=4,
+    )
+
+    def dim_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"d{i}") for i in range(lo, hi)], "k long, name string"
+        )
+
+    fact_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    src = p("facts")
+    bursts = {
+        0: [(i % 5, i) for i in range(50)],          # uniform, dim tiny
+        1: [(i % 5, 100 + i) for i in range(50)],    # uniform, dim big
+        2: [(3, 200 + i) for i in range(300)],       # heavy skew on k=3
+    }
+
+    def pipe(bid):
+        spark.createDataFrame(bursts[bid], fact_schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    dim_fn(dim_rows(0, 5), 0)          # dim: 5 keys (broadcastable)
+    pipe(0)
+    q = start_foreach_batch_sink(
+        file_stream_source(spark, src, fact_schema,
+                           max_files_per_trigger=None),
+        fact_fn, checkpoint_dir=p("ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        dim_fn(dim_rows(5, 205), 1)    # dim: 205 keys (> broadcast bar)
+        pipe(1)
+        q.processAllAvailable()
+        pipe(2)                        # skewed burst, dim unchanged
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    decisions = {
+        r["batch_id"]: r for r in read_decisions(spark, p("decisions")).collect()
+    }
+    assert decisions[0]["strategy"] == "broadcast"
+    assert decisions[1]["strategy"] == "shuffle_hash"
+    assert decisions[2]["strategy"] == "salted_shuffle_hash"
+    # the sketch scalars that drove the flips are exact/conservative
+    assert decisions[0]["rows_right"] == 5
+    assert decisions[1]["rows_right"] == 205
+    assert decisions[2]["rows_left"] == 400
+    assert decisions[2]["share_left_micro_ub"] > 500_000
+
+    # every batch's enriched rows == plain join vs the dim AS OF then
+    dim_asof = {0: 5, 1: 205, 2: 205}
+    out = spark.read.parquet(p("out"))
+    for bid, rows in bursts.items():
+        got = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in out.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            (k, v, f"d{k}") for k, v in rows if k < dim_asof[bid]
+        )
+        assert got == want, bid
+
+    # replay batch 2: output partition rewritten (not doubled), log
+    # unchanged — the at-least-once contract
+    fact_fn(spark.createDataFrame(bursts[2], fact_schema), 2)
+    out2 = spark.read.parquet(p("out"))
+    assert out2.filter(F.col("batch_id") == 2).count() == 300
+    assert read_decisions(spark, p("decisions")).count() == 3
+
+
 def test_incremental_simhash_near_dedup_across_batches(spark, tmp_path):
     """foreachBatch near-dedup with a durable bucket store: in-batch
     near-dups resolve to the min id; later batches drop SimHash

@@ -74,6 +74,93 @@ def _duck_stop_count(lang: str) -> str:
 # ---------------------------------------------------------------------------
 
 @_register(
+    "benchmark_decontamination_census",
+    "Benchmark DECONTAMINATION sweep (operators/decontam.py:"
+    "decontaminate — the Brown/Lee token-n-gram overlap rule: a "
+    "training doc sharing any 8-token gram with a benchmark doc is "
+    "flagged): documents with doc_id % 37 = 0 play the held-out "
+    "benchmark; every corpus doc's distinct 8-gram set (pure JVM "
+    "split -> windowed transform -> 60-bit md5 prefixes) joins the "
+    "BROADCAST benchmark gram set and the per-doc hit counts roll "
+    "into one census row — doc/bench totals, contaminated counts "
+    "split bench/non-bench (every benchmark doc must self-flag), "
+    "total hit grams, and the flagged-id checksum. The corpus never "
+    "shuffles (scan -> generate -> broadcast join -> hash-agg); "
+    "hash collisions only ever OVER-flag. Oracle regrows the grams "
+    "and the sweep from the same md5 text.",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+      FROM toks
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+                  array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS g
+      FROM pos
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM g0),
+    bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 37 = 0),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM dg GROUP BY 1),
+    hit AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM dg JOIN bg USING (g) GROUP BY 1),
+    per AS (
+      SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+             CASE WHEN coalesce(h.n_hit, 0) >= 1 THEN 1 ELSE 0 END AS c,
+             CASE WHEN t.doc_id % 37 = 0 THEN 1 ELSE 0 END AS isb
+      FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(isb) AS BIGINT) AS n_bench_docs,
+           CAST(sum(c) AS BIGINT) AS n_contaminated,
+           CAST(sum(c * isb) AS BIGINT) AS n_bench_contaminated,
+           CAST(sum(c * (1 - isb)) AS BIGINT) AS n_extra_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS total_hit_grams,
+           CAST(sum(CASE WHEN c = 1 THEN doc_id % 1000003 ELSE 0 END)
+                AS BIGINT) AS contaminated_id_checksum
+    FROM per
+    """,
+)
+def benchmark_decontamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    res = decontaminate(docs, bench, n=8).withColumn(
+        "isb", (F.col("doc_id") % 37 == 0).cast("long")
+    )
+    return res.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("isb").cast("long").alias("n_bench_docs"),
+        F.sum("contaminated").cast("long").alias("n_contaminated"),
+        F.sum(F.col("contaminated") * F.col("isb"))
+        .cast("long")
+        .alias("n_bench_contaminated"),
+        F.sum(F.col("contaminated") * (F.lit(1) - F.col("isb")))
+        .cast("long")
+        .alias("n_extra_contaminated"),
+        F.sum("n_hit_grams").cast("long").alias("total_hit_grams"),
+        F.sum(
+            F.when(
+                F.col("contaminated") == 1, F.col("doc_id") % 1000003
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("contaminated_id_checksum"),
+    )
+
+
+@_register(
     "dedup_exact_groups",
     "Exact dedup via hash-groupBy on normalized md5 fingerprint; keeper = min "
     "doc_id (operators/dedup.py:exact_dedup_groups).",
@@ -3618,21 +3705,10 @@ _BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 
 
-@_register(
-    "bm25_search_topk",
-    "BM25 keyword search (Lucene idf variant) — the retrieval "
-    "primitive curation stacks run next to embedding ANN for quality "
-    "probes / decontamination lookups / corpus slicing: distributed "
-    "inverted-index build (three hash-aggs over the token stream), "
-    "broadcast query terms, exact integer-micro per-term "
-    "contributions (idf is one ln per DISTINCT term; the tf "
-    "saturation is a fixed-order double chain, micro-rounded before "
-    "the per-doc SUM so scores are order-independent BIGINTs), "
-    "per-query top-10 by (score DESC, id ASC). At 100 TB the "
-    "postings table buckets by term so query lookups prune to the "
-    "queried terms' buckets (operators/bm25.py).",
-    r"""
-    WITH tok AS (
+# shared oracle text: BM25 per-query ranking CTEs (tok .. r) — used
+# by bm25_search_topk and the hybrid RRF census; {QVALUES} is the
+# (qid, term) literal list
+_DUCK_BM25_RANK_CTES = r"""tok AS (
       SELECT doc_id, term FROM (
         SELECT doc_id,
                lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
@@ -3678,14 +3754,32 @@ _BM25_QUERIES: tuple[tuple[int, str], ...] = (
              row_number() OVER (PARTITION BY qid
                                 ORDER BY score_micro DESC, doc_id ASC) AS rn
       FROM sc
+    )"""
+
+
+@_register(
+    "bm25_search_topk",
+    "BM25 keyword search (Lucene idf variant) — the retrieval "
+    "primitive curation stacks run next to embedding ANN for quality "
+    "probes / decontamination lookups / corpus slicing: distributed "
+    "inverted-index build (three hash-aggs over the token stream), "
+    "broadcast query terms, exact integer-micro per-term "
+    "contributions (idf is one ln per DISTINCT term; the tf "
+    "saturation is a fixed-order double chain, micro-rounded before "
+    "the per-doc SUM so scores are order-independent BIGINTs), "
+    "per-query top-10 by (score DESC, id ASC). At 100 TB the "
+    "postings table buckets by term so query lookups prune to the "
+    "queried terms' buckets (operators/bm25.py).",
+    "WITH "
+    + _DUCK_BM25_RANK_CTES.replace(
+        "{QVALUES}",
+        ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES),
     )
+    + """
     SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
            doc_id, score_micro
     FROM r WHERE rn <= 10
-    """.replace(
-        "{QVALUES}",
-        ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES),
-    ),
+    """,
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
@@ -3701,6 +3795,98 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         postings, doclens, n_docs, total_tokens, queries, k=10
     )
+
+
+@_register(
+    "hybrid_rrf_search_topk",
+    "Hybrid retrieval with Reciprocal Rank Fusion (operators/"
+    "fusion.py:rrf_fuse — Cormack/Clarke/Büttcher 2009, the "
+    "standard score-free fuser): two rankers answer the same "
+    "queries — BM25 (weighted lexical, operators/bm25.py) and "
+    "boolean term COVERAGE (distinct query terms matched — a "
+    "different ranking function with an incomparable score scale) "
+    "— each truncated to its top-10, then fused per query by "
+    "Σ 1000000 div (60 + rank): exact BIGINT contributions, "
+    "order-independent integer sum, ties (score DESC, id ASC). "
+    "n_lists pins the agreement signal. The fusion is dim-sized "
+    "work however large the corpus (|queries| × k rows in; one "
+    "union + hash-agg + per-query window). Oracle replays both "
+    "rankers and the identical integer fusion.",
+    "WITH "
+    + _DUCK_BM25_RANK_CTES.replace(
+        "{QVALUES}",
+        ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES),
+    )
+    + """,
+    cov AS (
+      SELECT q.qid, t.doc_id,
+             CAST(count(DISTINCT t.term) AS BIGINT) AS n_cov
+      FROM (SELECT DISTINCT doc_id, term FROM tok) t
+      JOIN q USING (term)
+      GROUP BY 1, 2
+    ),
+    covr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_cov DESC, doc_id ASC) AS rn
+      FROM cov
+    ),
+    lists AS (
+      SELECT qid, doc_id, rn FROM r WHERE rn <= 10
+      UNION ALL
+      SELECT qid, doc_id, rn FROM covr WHERE rn <= 10
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM lists GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT qid, doc_id, rrf_micro, n_lists,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS frn
+      FROM fused
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(frn AS BIGINT) AS fused_rank,
+           doc_id, rrf_micro, n_lists
+    FROM fr WHERE frn <= 10
+    """,
+)
+def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.fusion import (
+        rrf_fuse,
+    )
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "qid long, term string"
+    )
+    bm25 = bm25_search(
+        postings, doclens, n_docs, total_tokens, queries, k=10
+    )
+    cov = (
+        postings.join(F.broadcast(queries), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_cov"))
+    )
+    covw = Window.partitionBy("qid").orderBy(
+        F.col("n_cov").desc(), F.col("doc_id").asc()
+    )
+    coverage = (
+        cov.withColumn("rank", F.row_number().over(covw).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", "rank")
+    )
+    return rrf_fuse([bm25, coverage], rrf_k=60, topk=10)
 
 
 @_register(

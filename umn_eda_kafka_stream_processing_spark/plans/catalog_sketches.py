@@ -422,6 +422,190 @@ def sketch_advised_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADV_PIPE_MAX_BC = "(SELECT count(*) // 2 FROM customer)"
+_ADV_PIPE_MAX_SHARE = 200_000
+_ADV_PIPE_F2_KEY = (
+    "CASE WHEN o_orderkey % 4 <> 3 THEN 1 ELSE o_custkey END"
+)
+
+
+@_register(
+    "advised_enrichment_pipeline_census",
+    "The sketch-advised join running INSIDE a pipeline end-to-end "
+    "(streaming/advised.py — the round-11 verdict's missing "
+    "consumer): three dim deltas (customer thirds by custkey % 3) "
+    "and three fact batches (orders thirds by orderkey % 3) flow "
+    "through the foreachBatch pair — dim batches upsert the "
+    "snapshot + right CMS registers, fact batches upsert left "
+    "registers, collect the one-row decision from the standing "
+    "sketches (ZERO planning jobs on data), and execute the "
+    "enrichment via join_with_strategy. The decision FLIPS as the "
+    "stores evolve: batch 0 broadcasts (dim third < half the "
+    "customer count), batch 1 pins shuffle_hash (dim outgrew the "
+    "bar), batch 2 salts (75% of its planted custkeys collapse to "
+    "key 1, pushing the cumulative top-share past 20%). Fact batch "
+    "2 is REPLAYED before reading: the batch-partitioned output "
+    "rewrites and the latest-wins decision log no-ops, so the "
+    "per-batch join_rows/revenue pins replay safety as data. "
+    "Oracle rebuilds every register PREFIX from the same md5 text, "
+    "re-derives the identical BIGINT decision arithmetic, and "
+    "recomputes each batch's join against the dim as of that batch "
+    "(results are strategy-invariant — join_with_strategy's "
+    "property-tested contract).",
+    "WITH f0 AS (SELECT o_custkey AS k, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 0),\n"
+    "f1 AS (SELECT o_custkey AS k, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 1),\n"
+    f"f2 AS (SELECT {_ADV_PIPE_F2_KEY} AS k, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 2),\n    "
+    + ",\n    ".join(
+        [
+            _duck_cms_regs("(SELECT k FROM f0)", "k", "ra_b0"),
+            _duck_cms_regs(
+                "(SELECT k FROM f0 UNION ALL SELECT k FROM f1)",
+                "k",
+                "ra_b1",
+            ),
+            _duck_cms_regs(
+                "(SELECT k FROM f0 UNION ALL SELECT k FROM f1 "
+                "UNION ALL SELECT k FROM f2)",
+                "k",
+                "ra_b2",
+            ),
+            _duck_cms_regs(
+                "(SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)",
+                "c_custkey",
+                "rb_b0",
+            ),
+            _duck_cms_regs(
+                "(SELECT c_custkey FROM customer WHERE c_custkey % 3 <= 1)",
+                "c_custkey",
+                "rb_b1",
+            ),
+            _duck_cms_regs(
+                "(SELECT c_custkey FROM customer)", "c_custkey", "rb_b2"
+            ),
+        ]
+    )
+    + ",\n    dec AS ("
+    + "\nUNION ALL\n".join(
+        _duck_advise_case(
+            f"b{b}", "k", "c_custkey", _ADV_PIPE_MAX_BC, _ADV_PIPE_MAX_SHARE
+        )
+        for b in range(3)
+    )
+    + """),
+    j AS (
+      SELECT 0 AS bid, CAST(count(*) AS BIGINT) AS join_rows,
+             CAST(sum(CAST(floor(f.o_totalprice * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM f0 f JOIN customer c
+        ON c.c_custkey = f.k AND c.c_custkey % 3 = 0
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(floor(f.o_totalprice * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT)
+      FROM f1 f JOIN customer c
+        ON c.c_custkey = f.k AND c.c_custkey % 3 <= 1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(floor(f.o_totalprice * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT)
+      FROM f2 f JOIN customer c ON c.c_custkey = f.k
+    )
+    SELECT CAST(substr(dec.case_name, 2) AS BIGINT) AS batch_id,
+           dec.strategy,
+           dec.rows_left,
+           dec.rows_right,
+           dec.share_left_micro_ub,
+           dec.est_join_rows,
+           j.join_rows,
+           j.revenue_cents
+    FROM dec JOIN j ON j.bid = CAST(substr(dec.case_name, 2) AS BIGINT)
+    """,
+)
+def advised_enrichment_pipeline_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.streaming.advised import (
+        make_advised_enrichment_batch_fn,
+        make_dim_changelog_batch_fn,
+        read_decisions,
+    )
+
+    root = tempfile.mkdtemp(prefix="sparkgraft_advpipe_")
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    dim_fn = make_dim_changelog_batch_fn(
+        spark,
+        dim_snapshot_path=f"{root}/dim",
+        regs_path=f"{root}/rregs",
+        key_cols="k",
+    )
+    fact_fn = make_advised_enrichment_batch_fn(
+        spark,
+        dim_snapshot_path=f"{root}/dim",
+        left_regs_path=f"{root}/lregs",
+        right_regs_path=f"{root}/rregs",
+        out_path=f"{root}/out",
+        decisions_path=f"{root}/decisions",
+        on="k",
+        max_broadcast_rows=n_cust // 2,
+        max_share_micro=_ADV_PIPE_MAX_SHARE,
+        salt_buckets=8,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    def facts(b: int) -> DataFrame:
+        f = orders.filter(F.col("o_orderkey") % 3 == b)
+        key = (
+            F.expr(_ADV_PIPE_F2_KEY) if b == 2 else F.col("o_custkey")
+        )
+        return f.select(key.cast("long").alias("k"), "o_totalprice")
+
+    for b in range(3):
+        dim_fn(
+            cust.filter(F.col("c_custkey") % 3 == b).select(
+                F.col("c_custkey").alias("k"), "c_nationkey"
+            ),
+            b,
+        )
+        fact_fn(facts(b), b)
+    # replay the LAST fact batch (the Structured Streaming replay
+    # shape): output partition rewrites, decision log no-ops — the
+    # per-batch join_rows below pin both
+    fact_fn(facts(2), 2)
+
+    per_batch = (
+        spark.read.parquet(f"{root}/out")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("join_rows"),
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return read_decisions(spark, f"{root}/decisions").join(
+        per_batch, "batch_id"
+    ).select(
+        "batch_id",
+        "strategy",
+        "rows_left",
+        "rows_right",
+        "share_left_micro_ub",
+        "est_join_rows",
+        "join_rows",
+        "revenue_cents",
+    )
+
+
 @_register(
     "cms_join_size_census",
     "Join-cardinality estimate from two Count-Min register tables "

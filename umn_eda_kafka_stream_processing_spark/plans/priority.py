@@ -233,7 +233,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # the full-catalog artifact)
     # -- new in r08, never driver-verified: exact blockless
     # set-similarity join by AllPairs/PPJoin prefix filtering --------
-    "prefix_jaccard_pairs",
+    # (prefix_jaccard_pairs rotated out in r12 for
+    # benchmark_decontamination_census below: driver-verified
+    # r08+r09+r10+r11 — four consecutive greens; the exact-n-gram
+    # family keeps ngram_jaccard_pairs' overflow verdicts and the
+    # new decontamination census exercises the same gram machinery)
+    # -- new in r12, never driver-verified: benchmark decontamination
+    # (token-8-gram overlap vs a held-out set; broadcast gram join,
+    # bench self-flag + near-dup leak pinned as data) ----------------
+    "benchmark_decontamination_census",
     # (html_extract_stats rotated out in r07 for
     # purchase_graph_pagerank below: driver-verified r04+r05+r06; the
     # text family keeps gopher_quality_flags, url_canonical_stats,
@@ -469,10 +477,17 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (user_state_scd2 rotated out in r11 for sketch_advised_join_totals
     # below: driver-verified r07+r08+r09+r10; the SCD2 family keeps
     # incremental_scd2_census + scd2_asof_week_census in-gate)
-    # -- new in r11, never driver-verified: the sketch-planning loop
-    # end-to-end (advise from registers -> join_with_strategy ->
-    # strategy-invariant totals) -------------------------------------
-    "sketch_advised_join_totals",
+    # (sketch_advised_join_totals rotated out in r12 for
+    # advised_enrichment_pipeline_census below: driver-verified r11,
+    # and the advisor family keeps join_strategy_advisor_census
+    # in-gate; the pipeline census subsumes the totals query — same
+    # advise -> join_with_strategy chain, now with per-batch register
+    # maintenance and the strategy flip pinned as data)
+    # -- new in r12, never driver-verified: the advisor loop INSIDE a
+    # foreachBatch pipeline (dim changelog + fact stream upsert CMS
+    # registers; decision flips broadcast -> shuffle_hash -> salted
+    # as the stores evolve; replayed last batch pins idempotence) ----
+    "advised_enrichment_pipeline_census",
     # -- new in r07 (second batch), never driver-verified: ordered
     # funnel + Markov transition matrix (temporal), lift-thresholded
     # co-supply triangle census (graph), global exact quantiles via
@@ -514,7 +529,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r10, never driver-verified: fully distributed PER-GROUP
     # exact quantiles (no driver collect, per-group histogram) --------
     "doc_length_quantiles_by_lang",
-    "charlm_langid_auc",
+    # (charlm_langid_auc rotated out in r12 for hybrid_rrf_search_topk
+    # below: driver-verified r07-r11, five consecutive greens; the
+    # charlm/text family keeps nb_train_model in-gate plus deep
+    # overflow verdicts)
+    # -- new in r12, never driver-verified: hybrid retrieval with
+    # reciprocal-rank fusion (BM25 + term-coverage rankers fused by
+    # exact-integer 1e6 div (60+rank) sums) --------------------------
+    "hybrid_rrf_search_topk",
     # -- new in r07 (third batch), never driver-verified: blocked
     # fuzzy-join entity resolution, PMI word association, cohort
     # retention, Z-order layout locality --------------------------------
