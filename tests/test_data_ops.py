@@ -1328,6 +1328,129 @@ def test_histogram_drift_monitor_psi(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
 
 
+def test_incremental_decontaminate_equals_batch(spark, tmp_path):
+    """The benchmark gram store grows per batch (replay-safe
+    latest-wins registers); sweeping a corpus batch against the
+    merged store equals the from-scratch batch sweep against the
+    union benchmark — and an eval set added later catches docs the
+    earlier store missed."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+        incremental_decontaminate,
+        read_benchmark_grams,
+        upsert_benchmark_grams,
+        word_ngram_hashes,
+    )
+
+    bench0 = spark.createDataFrame(
+        [(100, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    bench1 = spark.createDataFrame(
+        [(101, " ".join(f"c{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(9))),   # hits bench0
+            (2, " ".join(f"c{i}" for i in range(9))),   # hits bench1 only
+            (3, " ".join(f"z{i}" for i in range(9))),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "benchgrams")
+    upsert_benchmark_grams(spark, store, bench0, 0)
+
+    def sweep():
+        return {
+            r["doc_id"]: r["contaminated"]
+            for r in incremental_decontaminate(
+                spark, store, corpus
+            ).collect()
+        }
+
+    assert sweep() == {1: 1, 2: 0, 3: 0}
+    # a later eval set lands: doc 2 now flags; replay of batch 1 is
+    # a no-op (store row count pinned)
+    upsert_benchmark_grams(spark, store, bench1, 1)
+    n_rows = spark.read.parquet(store).count()
+    upsert_benchmark_grams(spark, store, bench1, 1)
+    assert spark.read.parquet(store).count() == n_rows
+    assert sweep() == {1: 1, 2: 1, 3: 0}
+
+    # merged store == from-scratch union gram set, and the sweep ==
+    # the batch operator against the union benchmark
+    union_bench = bench0.unionByName(bench1)
+    want_grams = {
+        g
+        for row in union_bench.select(
+            word_ngram_hashes("text")
+        ).collect()
+        for g in row[0]
+    }
+    got_grams = {
+        r["g"] for r in read_benchmark_grams(spark, store).collect()
+    }
+    assert got_grams == want_grams
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(corpus, union_bench).collect()
+    }
+    incr = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in incremental_decontaminate(spark, store, corpus).collect()
+    }
+    assert incr == batch
+
+
+def test_cluster_safe_split_no_cross_split_pairs(spark):
+    """Every member of a near-dup component lands in the SAME split;
+    docs outside any component split exactly as split_assign would;
+    determinism holds across calls; the naive per-doc assignment
+    demonstrably splits at least one component on the same fixture."""
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        cluster_safe_split,
+        split_assign,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    # components: {0..9}, {100..104}, {200, 201} — rest singletons
+    comps = [list(range(10)), list(range(100, 105)), [200, 201]]
+    clusters = spark.createDataFrame(
+        [(d, min(c)) for c in comps for d in c],
+        "doc_id long, cluster_id long",
+    )
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(
+            ids, clusters, val_rate=0.3, test_rate=0.3
+        ).collect()
+    }
+    for c in comps:
+        assert len({safe[d] for d in c}) == 1, c
+    # singletons match plain split_assign exactly
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            ids, "doc_id", val_rate=0.3, test_rate=0.3
+        ).collect()
+    }
+    clustered = {d for c in comps for d in c}
+    for d in set(safe) - clustered:
+        assert safe[d] == naive[d], d
+    # and the naive assignment DOES split some component (the bug
+    # this operator exists to prevent)
+    assert any(len({naive[d] for d in c}) > 1 for c in comps)
+    # deterministic: a second call reproduces the assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(
+            ids, clusters, val_rate=0.3, test_rate=0.3
+        ).collect()
+    }
+    assert again == safe
+
+
 def test_rrf_fuse_bruteforce(spark):
     """Fused scores equal the Python Σ 1000000 // (k + rank); docs in
     both lists outrank single-list docs with comparable ranks; ties

@@ -1144,7 +1144,8 @@ def erase_keys(
     try:
         store = spark.read.parquet(table_path)
     except AnalysisException as exc:
-        if exc.getErrorClass() != "PATH_NOT_FOUND":
+        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        if cond != "PATH_NOT_FOUND":
             raise
         return {
             "partitions_touched": 0,

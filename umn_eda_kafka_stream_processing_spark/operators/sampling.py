@@ -801,6 +801,45 @@ def split_assign(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    val_rate: float = 0.01,
+    test_rate: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """`split_assign` keyed by the near-dup CLUSTER representative —
+    the leakage guard a per-document split lacks: hashing each doc's
+    own id routes near-duplicates independently, so ~2·p·(1−p) of
+    every near-dup pair STRADDLES the train/held-out boundary and
+    the test set leaks into training through its duplicates (the
+    classic contamination-by-near-dup bug; Lee et al. 2022 §6.1).
+    Keying the hash on ``coalesce(cluster_id, own id)`` sends every
+    member of a component — and every doc with no near-dup, exactly
+    as `split_assign` would — to the SAME split, making cross-split
+    near-dup pairs zero BY CONSTRUCTION (the census pins it).
+
+    ``clusters`` is `near_dup_clusters` output (id_col, cluster_id)
+    — only docs appearing in >= 1 near-dup pair; everything else
+    keys on itself via the left join's NULL. One shuffle join on the
+    id (shuffle_hash pinned — the cluster frame is checkpoint-built
+    and stats-free, an unhinted plan falls to SMJ); the split hash
+    itself stays narrow. ``df`` must not already carry
+    ``cluster_id`` or ``split``.
+    """
+    keyed = df.join(
+        clusters.select(F.col(id_col), "cluster_id").hint("shuffle_hash"),
+        id_col,
+        "left",
+    ).withColumn(
+        "_skey", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return split_assign(
+        keyed, "_skey", val_rate=val_rate, test_rate=test_rate, salt=salt
+    ).drop("_skey", "cluster_id")
+
+
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,

@@ -161,6 +161,115 @@ def benchmark_decontamination_census(
 
 
 @_register(
+    "incremental_decontamination_census",
+    "STREAMING half of the decontamination sweep (operators/"
+    "decontam.py:upsert_benchmark_grams/incremental_decontaminate): "
+    "evaluation suites GROW, so the benchmark gram set is a "
+    "replay-safe register store — two benchmark batches land "
+    "(doc_id % 74 = 0, then = 37; union = the batch census's "
+    "% 37 = 0 set), batch 1 is re-upserted (replay) before the "
+    "sweep, and the corpus sweeps against the MERGED store (distinct "
+    "across batch registers == the from-scratch gram set — set "
+    "union is associative). Census = the identical aggregate row as "
+    "benchmark_decontamination_census PLUS store_rows pinning the "
+    "per-batch register layout and the replay no-op. Oracle regrows "
+    "both batches' gram registers and the sweep from the same md5 "
+    "text.",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+      FROM toks
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+                  array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS g
+      FROM pos
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM g0),
+    bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 37 = 0),
+    regs AS (
+      SELECT 0 AS batch_id, g FROM
+        (SELECT DISTINCT g FROM dg WHERE doc_id % 74 = 0)
+      UNION ALL
+      SELECT 1, g FROM
+        (SELECT DISTINCT g FROM dg WHERE doc_id % 74 = 37)
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM dg GROUP BY 1),
+    hit AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM dg JOIN bg USING (g) GROUP BY 1),
+    per AS (
+      SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+             CASE WHEN coalesce(h.n_hit, 0) >= 1 THEN 1 ELSE 0 END AS c,
+             CASE WHEN t.doc_id % 37 = 0 THEN 1 ELSE 0 END AS isb
+      FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(isb) AS BIGINT) AS n_bench_docs,
+           CAST(sum(c) AS BIGINT) AS n_contaminated,
+           CAST(sum(c * isb) AS BIGINT) AS n_bench_contaminated,
+           CAST(sum(c * (1 - isb)) AS BIGINT) AS n_extra_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS total_hit_grams,
+           CAST(sum(CASE WHEN c = 1 THEN doc_id % 1000003 ELSE 0 END)
+                AS BIGINT) AS contaminated_id_checksum,
+           (SELECT CAST(count(*) AS BIGINT) FROM regs) AS store_rows
+    FROM per
+    """,
+)
+def incremental_decontamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        incremental_decontaminate,
+        upsert_benchmark_grams,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    store = tempfile.mkdtemp(prefix="sparkgraft_decontam_") + "/grams"
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0
+    )
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+    )
+    # replay batch 1: latest-wins registers — store_rows pins the no-op
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+    )
+    res = incremental_decontaminate(spark, store, docs).withColumn(
+        "isb", (F.col("doc_id") % 37 == 0).cast("long")
+    )
+    store_rows = spark.read.parquet(store).count()
+    return res.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("isb").cast("long").alias("n_bench_docs"),
+        F.sum("contaminated").cast("long").alias("n_contaminated"),
+        F.sum(F.col("contaminated") * F.col("isb"))
+        .cast("long")
+        .alias("n_bench_contaminated"),
+        F.sum(F.col("contaminated") * (F.lit(1) - F.col("isb")))
+        .cast("long")
+        .alias("n_extra_contaminated"),
+        F.sum("n_hit_grams").cast("long").alias("total_hit_grams"),
+        F.sum(
+            F.when(
+                F.col("contaminated") == 1, F.col("doc_id") % 1000003
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("contaminated_id_checksum"),
+    ).withColumn("store_rows", F.lit(int(store_rows)).cast("long"))
+
+
+@_register(
     "dedup_exact_groups",
     "Exact dedup via hash-groupBy on normalized md5 fingerprint; keeper = min "
     "doc_id (operators/dedup.py:exact_dedup_groups).",
@@ -434,6 +543,166 @@ def _near_dup_clusters_oracle() -> str:
     SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
     FROM walk GROUP BY id
     """
+
+
+def _leakage_safe_split_oracle(
+    val_rate: float = 0.2, test_rate: float = 0.2, salt: str = "split"
+) -> str:
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        rate_threshold,
+    )
+
+    test_cut = rate_threshold(test_rate)
+    val_cut = test_cut + rate_threshold(val_rate)
+    ctes, pair_select = _minhash_parts()
+
+    def keyed(src: str, key: str) -> str:
+        return (
+            f"SELECT doc_id, CASE "
+            f"WHEN CAST(concat('0x', substr(md5('{salt}|' || "
+            f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) < {test_cut} "
+            f"THEN 'test' "
+            f"WHEN CAST(concat('0x', substr(md5('{salt}|' || "
+            f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) < {val_cut} "
+            f"THEN 'val' ELSE 'train' END AS split FROM {src}"
+        )
+
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({pair_select}),
+    und AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs),
+    walk(id, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY id),
+    rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rk
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+    safe AS ({keyed('rep', 'rk')}),
+    naive AS ({keyed('documents', 'doc_id')}),
+    cx AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         JOIN naive a ON a.doc_id = p.doc_id_a
+         JOIN naive b ON b.doc_id = p.doc_id_b
+         WHERE a.split <> b.split) AS naive_cross_pairs,
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         JOIN safe a ON a.doc_id = p.doc_id_a
+         JOIN safe b ON b.doc_id = p.doc_id_b
+         WHERE a.split <> b.split) AS safe_cross_pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp) AS n_clustered_docs,
+           (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM safe) AS n_train,
+           (SELECT CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM safe) AS n_val,
+           (SELECT CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM safe) AS n_test,
+           cx.naive_cross_pairs,
+           cx.safe_cross_pairs,
+           (SELECT CAST(coalesce(sum(doc_id % 1000003), 0) AS BIGINT)
+            FROM safe WHERE split = 'test') AS test_id_checksum
+    FROM cx
+    """
+
+
+@_register(
+    "leakage_safe_split_census",
+    "Cluster-safe train/val/test split (operators/sampling.py:"
+    "cluster_safe_split — the LEAKAGE GUARD a per-document split "
+    "lacks): hashing each doc's own id routes near-duplicates "
+    "independently, so near-dup pairs straddle the train/held-out "
+    "boundary and the test set leaks into training through its "
+    "copies (Lee et al. 2022 §6.1). Keying the md5 split hash on "
+    "the near-dup CLUSTER representative (min-label component id, "
+    "coalesced to the own id for singletons) sends whole components "
+    "to one split — cross-split near-dup pairs are zero BY "
+    "CONSTRUCTION, pinned as data NEXT TO the naive assignment's "
+    "nonzero count on the same pair set. One shuffle join on the "
+    "doc id; the split hash stays narrow. Oracle: WITH RECURSIVE "
+    "component fixpoint + identical md5/cut-point arithmetic.",
+    _leakage_safe_split_oracle(),
+)
+def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).localCheckpoint()
+    clusters = dd.near_dup_clusters(pairs, pairs_materialized=True)
+    ids = docs.select("doc_id")
+    safe = smp.cluster_safe_split(
+        ids, clusters, val_rate=0.2, test_rate=0.2
+    ).localCheckpoint()  # joined twice below (pair ends) — no re-derive
+    naive = smp.split_assign(
+        ids, "doc_id", val_rate=0.2, test_rate=0.2
+    ).localCheckpoint()
+
+    def cross_pairs(assign: DataFrame, out: str) -> DataFrame:
+        # the assignment frames are localCheckpointed (stats stripped)
+        # — pin the hash build or the static planner SMJ-sorts both
+        # sides of each lookup join (the r11 checkpoint rule)
+        a = assign.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("split").alias("_sa")
+        ).hint("shuffle_hash")
+        b = assign.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("split").alias("_sb")
+        ).hint("shuffle_hash")
+        return (
+            pairs.join(a, "doc_id_a")
+            .join(b, "doc_id_b")
+            .filter(F.col("_sa") != F.col("_sb"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    sizes = safe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("split") == "test", F.col("doc_id") % 1000003
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("test_id_checksum"),
+    )
+    counts = (
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(
+            clusters.agg(
+                F.count(F.lit(1)).cast("long").alias("n_clustered_docs")
+            )
+        )
+        .crossJoin(cross_pairs(naive, "naive_cross_pairs"))
+        .crossJoin(cross_pairs(safe, "safe_cross_pairs"))
+    )
+    return sizes.crossJoin(counts).select(
+        "n_docs",
+        "n_pairs",
+        "n_clustered_docs",
+        "n_train",
+        "n_val",
+        "n_test",
+        "naive_cross_pairs",
+        "safe_cross_pairs",
+        "test_id_checksum",
+    )
 
 
 @_register(

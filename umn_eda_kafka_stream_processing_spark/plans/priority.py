@@ -311,7 +311,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # projection 64->16 with the distance-preservation ratio pinned as
     # exact-integer data -----------------------------------------------
     "jl_distance_preservation_census",
-    "q22_dormant_customers",
+    # (q22_dormant_customers rotated out in r12 for
+    # leakage_safe_split_census below: driver-verified r04-r11, eight
+    # consecutive greens; the TPC-H family keeps ~16 members in-gate)
+    # -- new in r12, never driver-verified: cluster-safe train/test
+    # split (split hash keyed on the near-dup component representative;
+    # zero cross-split pairs pinned NEXT TO the naive split's leak
+    # count on the same pair set) ------------------------------------
+    "leakage_safe_split_census",
     # the five partsupp-adapted shapes (lineitem-mediated relation)
     # (q2_min_cost_supplier rotated out in r09 for
     # quantity_weighted_price_quantiles below: driver-verified r04+
@@ -423,7 +430,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r07, never driver-verified: variable-length
     # exact-substring dedup (Lee et al. min-run threshold), NB
     # classifier train + score ----------------------------------------
-    "span_dedup_minrun_stats",
+    # (span_dedup_minrun_stats rotated out in r12 for
+    # incremental_decontamination_census below: driver-verified
+    # r07-r11, five consecutive greens; the span/line-dedup family
+    # keeps deep overflow verdicts and the dedup family stays
+    # heavily represented in-gate)
+    # -- new in r12, never driver-verified: streaming decontamination
+    # (benchmark gram register store + merged-store sweep; replay
+    # pinned via store_rows) -----------------------------------------
+    "incremental_decontamination_census",
     "nb_train_model",
     # (nb_quality_flags rotated out in r11 for
     # incremental_event_totals_view below: driver-verified r07+r08+
