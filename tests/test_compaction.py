@@ -929,6 +929,23 @@ def test_collapse_versioned_clamps_overshooting_horizon(spark, tmp_path):
     assert state(1) == {1: "a1", 2: "b0"}
     assert state(99) == state(1)
 
+    # MID-RANGE gap: a horizon between ingested ids folds into the
+    # largest REAL batch <= it, never a phantom id (r12 review)
+    path2 = str(tmp_path / "vgap")
+    append_versioned(mk([(1, "x0", 0)]), path2, 0)
+    append_versioned(mk([(2, "y0", 0)]), path2, 2)
+    append_versioned(mk([(1, "x1", 0)]), path2, 5)
+    stats2 = collapse_versioned(spark, path2, upto_batch=3, key_cols="k",
+                                seq_col="seq")
+    assert stats2 == {"batches_folded": 1, "keys": 2}
+    assert versioned_batch_ids(spark, path2) == [2, 5]  # no phantom 3
+    got2 = {r["k"]: r["v"] for r in read_versioned_asof(
+        spark, path2, 2, "k", seq_col="seq").collect()}
+    assert got2 == {1: "x0", 2: "y0"}
+    # a horizon below every ingested id is a no-op
+    assert collapse_versioned(spark, path2, 1, "k", seq_col="seq") == {
+        "batches_folded": 0, "keys": 0}
+
 
 def test_partition_checksums_detects_single_row_change(spark):
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (

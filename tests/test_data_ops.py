@@ -1643,6 +1643,28 @@ def test_category_drift_monitor_psi(spark, tmp_path):
             spark, str(tmp_path / "wide"), wide, ["cat", "ctl"], 0,
             max_categories=10,
         )
+    # ... and the guard is CUMULATIVE: a column drifting a few new
+    # categories per batch trips it once the store union crosses the
+    # bound, even though each batch alone stays under it
+    drift_store = str(tmp_path / "drift")
+    for b, n_new in ((0, 6), (1, 4)):  # cumulative 6, then 10 (<= bound)
+        upsert_category_monitor(
+            spark, drift_store,
+            spark.createDataFrame(
+                [(f"v{b}_{i}", "x") for i in range(n_new)],
+                "cat string, ctl string",
+            ),
+            ["cat", "ctl"], b, max_categories=10,
+        )
+    with pytest.raises(ValueError, match="max_categories"):
+        upsert_category_monitor(
+            spark, drift_store,
+            spark.createDataFrame(
+                [(f"v2_{i}", "x") for i in range(6)],
+                "cat string, ctl string",
+            ),
+            ["cat", "ctl"], 2, max_categories=10,
+        )
 
 
 def test_pack_sequences_next_fit_semantics(spark):

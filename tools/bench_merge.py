@@ -45,6 +45,21 @@ def merge(paths: list[str]) -> dict:
             f"queries: {missing[:5]} ...",
             file=sys.stderr,
         )
+    # queries no longer in the registry (renamed/removed since the
+    # shard ran) are DROPPED entirely — keeping them in `value` but
+    # not in `families` would break the documented
+    # sum(families) == value reconciliation
+    stale = sorted(n for n in queries if n not in REGISTRY)
+    if stale:
+        print(
+            f"WARNING: dropping {len(stale)} stale queries absent "
+            f"from the registry: {stale[:5]} ...",
+            file=sys.stderr,
+        )
+        for n in stale:
+            queries.pop(n)
+            walls.pop(n, None)
+        cold_only = [n for n in cold_only if n in queries]
     cold_set = set(cold_only)
     warm_total = round(
         sum(v for n, v in queries.items() if n not in cold_set), 3

@@ -400,10 +400,12 @@ def upsert_category_monitor(
 
     Values are counted as STRINGS (the melt's shared type); NULL is
     its own category. ``max_categories`` makes the "categorical"
-    assumption fail LOUD: a batch where any watched column exceeds
-    it raises instead of silently growing the store corpus-sized
-    (a high-cardinality column belongs in the histogram monitor or
-    a KMV sketch, not a per-category register)."""
+    assumption fail LOUD — and it bounds the CUMULATIVE occupied set
+    (store union batch), so a column drifting a few new categories
+    per batch trips it too, instead of silently growing the store
+    corpus-sized over time (a high-cardinality column belongs in the
+    histogram monitor or a KMV sketch, not a per-category
+    register)."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
@@ -420,8 +422,24 @@ def upsert_category_monitor(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()  # consumed by the guard AND the store write
     )
+    # the guard bounds the CUMULATIVE occupied-category set (store
+    # union batch), not just this batch's: an ID-like column drifting
+    # <max new categories per batch would otherwise grow the store
+    # corpus-sized without ever tripping a per-batch check (round-12
+    # review). The store read is register-sized when the contract
+    # holds — exactly what the guard protects.
+    occupied = regs.select("col_name", "category")
+    try:
+        occupied = occupied.unionByName(
+            spark.read.parquet(store_path).select("col_name", "category")
+        )
+    except Exception as exc:  # noqa: BLE001 — first batch: no store yet
+        cond = getattr(exc, "getCondition", lambda: None)()
+        if cond != "PATH_NOT_FOUND":
+            raise
     burst = (
-        regs.groupBy("col_name")
+        occupied.distinct()
+        .groupBy("col_name")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_categories)
         .collect()

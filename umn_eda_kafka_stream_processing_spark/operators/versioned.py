@@ -170,20 +170,23 @@ def collapse_versioned(
     beyond the stream's replay horizon — a replayed batch_id <= the
     horizon would otherwise re-append below the base.
 
-    ``upto_batch`` is CLAMPED to the store's max ingested batch id:
-    an over-shooting horizon would otherwise relabel ALL history
-    into a base partition at a batch_id that was never ingested —
-    destroying time travel to real recent batches and making
-    `versioned_batch_ids` report a phantom batch (round-11 advice).
+    ``upto_batch`` is CLAMPED to the largest INGESTED batch id that
+    is <= it: a horizon that was never ingested (beyond the max, or
+    in a gap between batch ids) would otherwise relabel history into
+    a base partition at a phantom batch_id — destroying time travel
+    to real batches and making `versioned_batch_ids` report a batch
+    that never existed (round-11 advice; gap case round-12 review).
+    A horizon below every ingested batch is a no-op.
 
     Returns ``{"batches_folded": n, "keys": k}``.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     all_ids = versioned_batch_ids(spark, table_path)
-    if not all_ids:
+    eligible = [b for b in all_ids if b <= int(upto_batch)]
+    if not eligible:
         return {"batches_folded": 0, "keys": 0}
-    upto_batch = min(int(upto_batch), max(all_ids))
-    batch_ids = [b for b in all_ids if b <= int(upto_batch)]
+    upto_batch = max(eligible)  # fold INTO a real ingested batch
+    batch_ids = eligible
     if not batch_ids or batch_ids == [int(upto_batch)]:
         return {"batches_folded": 0, "keys": 0}
     store = spark.read.parquet(table_path)

@@ -600,7 +600,9 @@ def advised_enrichment_pipeline_census(
         "rows_left",
         "rows_right",
         "share_left_micro_ub",
-        "est_join_rows",
+        # the log keeps est DECIMAL(38,0) (generic consumer); this
+        # census KNOWS its scale — cast to match the BIGINT oracle
+        F.col("est_join_rows").cast("long").alias("est_join_rows"),
         "join_rows",
         "revenue_cents",
     )

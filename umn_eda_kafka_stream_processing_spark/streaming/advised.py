@@ -113,7 +113,15 @@ def make_advised_enrichment_batch_fn(
 
     ``how`` must be left-preserving (inner/left/semi/anti) — the
     salted branch explodes the right side per salt (salted_join's
-    contract)."""
+    contract).
+
+    PRECONDITION: the dim changelog must land its FIRST batch before
+    the fact stream processes one — a fact batch against a
+    never-written dim store fails its read (the dim's schema cannot
+    be fabricated) and the batch FAILS, which is the safe outcome:
+    Structured Streaming replays it from the checkpoint, and the
+    replay succeeds once the dim lands. Recoverable by design, never
+    silent fact loss."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
@@ -148,6 +156,11 @@ def make_advised_enrichment_batch_fn(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_path)
         )
+        # est stays DECIMAL(38,0) end-to-end: two ~1e12-row registers
+        # dot past BIGINT, and this log is a generic consumer that
+        # does NOT know the scale (the r11 advisor rule)
+        from decimal import Decimal
+
         log = spark.createDataFrame(
             [
                 (
@@ -157,12 +170,12 @@ def make_advised_enrichment_batch_fn(
                     int(decision["rows_right"]),
                     int(decision["top_cnt_left_ub"]),
                     int(decision["share_left_micro_ub"]),
-                    int(decision["est_join_rows"]),
+                    Decimal(decision["est_join_rows"]),
                 )
             ],
             "batch_id long, strategy string, rows_left long, "
             "rows_right long, top_cnt_left_ub long, "
-            "share_left_micro_ub long, est_join_rows long",
+            "share_left_micro_ub long, est_join_rows decimal(38,0)",
         )
         upsert_snapshot(
             spark,

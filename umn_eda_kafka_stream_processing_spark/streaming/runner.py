@@ -265,14 +265,23 @@ def make_per_record_batch_fn(
 
 def read_dead_letters(spark: SparkSession, dead_letter_dir: str) -> DataFrame:
     """The dead-letter table: (batch_id, record_md5, record, error).
-    Empty frame (not an error) when no letter has ever been written."""
+    A NEVER-WRITTEN dir is an empty frame (zero failures is the
+    normal state); any other read failure — permissions, corruption
+    — re-raises: a failure audit must never report 'no failures'
+    against a store it could not actually read (the erase_keys
+    rule)."""
+    from pyspark.sql.utils import AnalysisException
+
     try:
         return spark.read.schema(
             DEAD_LETTER_SCHEMA + ", batch_id long"
         ).json(dead_letter_dir).select(
             "batch_id", "record_md5", "record", "error"
         )
-    except Exception:  # noqa: BLE001 — missing dir == no letters yet
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        if cond != "PATH_NOT_FOUND":
+            raise
         return spark.createDataFrame(
             [], DEAD_LETTER_SCHEMA + ", batch_id long"
         ).select("batch_id", "record_md5", "record", "error")
