@@ -138,6 +138,21 @@ EXHIBITS = [
      "<=1024-row register aggregate (hash-aggs + one tiny register "
      "equi-join per case) — the joined tables themselves appear only "
      "as one-pass register builds, never as a join or sort"),
+    ("benchmark_decontamination_census",
+     "decontamination sweep: the benchmark gram set rides ONE "
+     "BroadcastExchange into a left join over the exploded corpus "
+     "grams, and totals + hits fold in a single map-side-combined "
+     "hash-agg — one gram pass, no corpus-vs-corpus join"),
+    ("hybrid_rrf_search_topk",
+     "RRF fusion is dim-sized work: query terms broadcast into the "
+     "postings join, both rankers' top-k windows partition by qid "
+     "(never a global sort), and the fused score is one hash-agg "
+     "over |queries| x k rows"),
+    ("leakage_safe_split_census",
+     "cluster-safe split: the checkpoint-built assignment lookups "
+     "pin ShuffledHashJoin (stats-free frames never fall to SMJ), "
+     "and the split hash itself is a narrow projection — no "
+     "corpus-wide sort anywhere"),
 ]
 
 KEEP = re.compile(
