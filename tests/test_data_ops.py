@@ -1067,6 +1067,65 @@ def test_token_budget_mixture_matches_python_reference(
     assert by_dom["b"][1] == 20 and by_dom["b"][0] == {100, 101, 102, 103}
 
 
+def test_repeat_mixture_matches_python_reference(spark):
+    """Upsampling with repeat factors: per-doc n_repeats equals the
+    Python replica (full epochs = target div avail; remainder filled
+    by the A-Res prefix, salt 'rep'); realized mass lands within one
+    doc of the target; an exact-multiple target has a zero remainder
+    (uniform repeats); target < avail degrades to {0,1} downsampling;
+    target 0 drops the domain; non-positive sizes drop."""
+    from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
+
+    rows = (
+        [(i, "up", (i % 7) + 2) for i in range(20)]    # avail 100
+        + [(100 + i, "ex", 10) for i in range(5)]      # avail 50
+        + [(200 + i, "dn", (i % 4) + 1) for i in range(12)]
+        + [(300, "z", 8)]                               # zero target
+        + [(400, "up", 0), (401, "dn", -2)]             # dropped rows
+    )
+    df = spark.createDataFrame(rows, "k long, dom string, sz long")
+    avail = {"up": sum(sz for _, d, sz in rows if d == "up" and sz > 0),
+             "ex": 50,
+             "dn": sum(sz for _, d, sz in rows if d == "dn" and sz > 0)}
+    targets = {"up": 3 * avail["up"] + 17, "ex": 150, "dn": 9, "z": 0}
+
+    def replica(dom):
+        t, a = targets[dom], avail[dom]
+        full, rem = t // a, t % a
+        order = sorted(
+            (_py_budget_prio(k, sz, salt="rep"), k, sz)
+            for k, d, sz in rows if d == dom and sz > 0
+        )
+        reps, cum = {}, 0
+        for _, k, sz in order:
+            reps[k] = full + (1 if cum < rem else 0)
+            cum += sz
+        return {k: r for k, r in reps.items() if r >= 1}
+
+    want = {}
+    for dom in ("up", "ex", "dn"):
+        for k, r in replica(dom).items():
+            want[k] = r
+    got = {
+        r["k"]: r["n_repeats"]
+        for r in smp.repeat_mixture_sample(
+            df, "dom", "k", "sz", targets
+        ).collect()
+    }
+    assert got == want
+    # exact multiple: uniform repeats, zero remainder
+    assert {got[100 + i] for i in range(5)} == {3}
+    # upsample realized mass within one doc of the target
+    realized = sum(
+        got[k] * sz for k, d, sz in rows if d == "up" and sz > 0
+    )
+    assert targets["up"] <= realized < targets["up"] + 8
+    # downsample: repeats are exactly 1 on the kept prefix
+    assert all(v == 1 for k, v in got.items() if 200 <= k < 300)
+    # zero-target domain and non-positive sizes never appear
+    assert 300 not in got and 400 not in got and 401 not in got
+
+
 def test_token_budget_histogram_path_large_domain(spark):
     """The round-10 scale gap, exercised: >1e5 candidate docs funnel
     through ONE domain with a large budget — the histogram path must

@@ -322,6 +322,109 @@ def temperature_mixture_sample(
     )
 
 
+def repeat_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    size_col: str,
+    targets: Mapping[str, int],
+    salt: str = "rep",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """UPSAMPLING mixture with repeat factors — the other half of
+    `token_budget_mixture_sample`: when a domain's target EXCEEDS its
+    available mass, the curation recipe repeats the domain for
+    multiple epochs (the published LLaMA/Gopher mixture tables show
+    small high-quality sources repeated 2-3×; public literature).
+    Per domain d with available token mass A_d and target T_d:
+
+    * every doc gets ``full_epochs = T_d div A_d`` base repeats;
+    * the remainder ``T_d mod A_d`` is filled by the SAME A-Res
+      token-mass admission as the budget sampler — the shortest
+      md5-priority prefix whose mass reaches the remainder gets one
+      extra repeat (`_histogram_budget_admit`: the distributed
+      histogram cut, no per-domain total-order window).
+
+    Realized mass = full_epochs·A_d + (remainder within one doc), so
+    it lands within ONE DOC of T_d. ``T_d < A_d`` degrades to pure
+    downsampling (repeats ∈ {0, 1}); ``T_d = 0`` drops the domain.
+    Deterministic md5 priorities: retries/engines repeat the same
+    docs. Returns the targeted domains' (positive-size) rows with an
+    ``n_repeats`` column, FILTERED to n_repeats >= 1 — the training
+    manifest; expand with `epoch_shuffle` per epoch downstream.
+
+    Plan: one |domains|-sized plan frame (avail/full/remainder)
+    broadcast back; admission is the shared histogram tail; the flag
+    rides one renamed-key join — the corpus shuffles once on the
+    admission key and once on the flag join, never sorts globally.
+    CONTRACT: ``key_col`` must be unique across the whole frame (the
+    usual doc-id), or the flag join cross-marks rows.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    spark = df.sparkSession
+    ttab = spark.createDataFrame(
+        [(d, int(t)) for d, t in sorted(targets.items())],
+        ["_rep_domain", "target_tokens"],
+    )
+    base = (
+        df.where(F.col(size_col) > 0)
+        .join(
+            F.broadcast(ttab),
+            F.col(domain_col) == F.col("_rep_domain"),
+            "inner",
+        )
+        .drop("_rep_domain")
+    )
+    plan = (
+        base.groupBy(domain_col)
+        .agg(
+            F.sum(F.col(size_col).cast("long")).alias("avail_tokens"),
+            F.min("target_tokens").alias("_t"),
+        )
+        .select(
+            domain_col,
+            F.expr("_t div avail_tokens").cast("long").alias("full_epochs"),
+            (F.col("_t") % F.col("avail_tokens"))
+            .cast("long")
+            .alias("domain_budget"),
+        )
+    )
+    u = (
+        sample_key_u32(key_col, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(KEY_SPACE))
+    prio = F.floor(
+        (-F.log(u))
+        / F.col(size_col).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    based = base.join(F.broadcast(plan), domain_col).withColumn(
+        "priority_micro", prio
+    )
+    admitted = _histogram_budget_admit(
+        based, domain_col, key_col, size_col, "domain_budget", n_buckets
+    )
+    adm = admitted.select(
+        F.col(key_col).alias("_adm_key"), F.lit(1).alias("_adm")
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        based.join(
+            adm.hint("shuffle_hash"),
+            F.col(key_col) == F.col("_adm_key"),
+            "left",
+        )
+        .withColumn(
+            "n_repeats",
+            (F.col("full_epochs") + F.coalesce(F.col("_adm"), F.lit(0)))
+            .cast("long"),
+        )
+        .filter(F.col("n_repeats") >= 1)
+        .select(*out_cols, "n_repeats")
+    )
+
+
 def _budget_table(
     spark, weights: Mapping, total_budget: int, min_budget: int = 0
 ) -> tuple[DataFrame, int]:

@@ -305,6 +305,88 @@ def token_budget_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPEAT_TARGETS = {"src1": 1_000_000, "src2": 3_000, "src3": 0}
+
+
+@_register(
+    "repeat_mixture_census",
+    "UPSAMPLING mixture with repeat factors (operators/sampling.py:"
+    "repeat_mixture_sample — the published-recipe case the budget "
+    "sampler can't express: a domain's target EXCEEDS its available "
+    "mass, so docs repeat for multiple epochs): src1 targets 1M "
+    "chars (>> avail at every SF -> every doc repeats full_epochs = "
+    "target div avail times, remainder filled by the A-Res "
+    "histogram-cut prefix with ONE extra repeat), src2 targets 3k "
+    "(< avail -> pure downsample, repeats in {0,1}), src3 targets 0 "
+    "(drops entirely — no output row). Census per source: docs "
+    "emitted, repeat sum/min/max, realized char mass (lands within "
+    "one doc of the target). Oracle re-derives avail/full/remainder "
+    "and the same md5 A-Res prefix via a plain running-sum window.",
+    f"""
+    WITH t(source, target) AS (VALUES
+      ('src1', CAST(1000000 AS BIGINT)),
+      ('src2', CAST(3000 AS BIGINT)),
+      ('src3', CAST(0 AS BIGINT))),
+    d AS (
+      SELECT doc_id, source, n_chars FROM documents
+      JOIN t USING (source) WHERE n_chars > 0
+    ),
+    a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+          FROM d GROUP BY 1),
+    p AS (
+      SELECT t.source,
+             CAST(t.target // a.avail AS BIGINT) AS fep,
+             CAST(t.target % a.avail AS BIGINT) AS rem
+      FROM t JOIN a USING (source)
+    ),
+    pr AS (
+      SELECT d.source, d.doc_id, d.n_chars, p.fep, p.rem,
+             CAST(floor(
+               (-ln((CAST({_duck_key('doc_id', 'rep')} AS DOUBLE) + 0.5)
+                    / 4294967296.0))
+               / CAST(d.n_chars AS DOUBLE) * 1000000.0 + 0.5
+             ) AS BIGINT) AS prio
+      FROM d JOIN p USING (source)
+    ),
+    rk AS (
+      SELECT *, sum(n_chars) OVER (
+               PARTITION BY source ORDER BY prio, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM pr
+    ),
+    rep AS (
+      SELECT source, doc_id, n_chars,
+             fep + (CASE WHEN cum - n_chars < rem THEN 1 ELSE 0 END)
+                 AS n_repeats
+      FROM rk
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_out,
+           CAST(sum(n_repeats) AS BIGINT) AS sum_repeats,
+           CAST(min(n_repeats) AS BIGINT) AS min_repeats,
+           CAST(max(n_repeats) AS BIGINT) AS max_repeats,
+           CAST(sum(n_repeats * n_chars) AS BIGINT) AS realized_tokens
+    FROM rep WHERE n_repeats >= 1
+    GROUP BY source
+    """,
+)
+def repeat_mixture_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = smp.repeat_mixture_sample(
+        docs, "source", "doc_id", "n_chars", _REPEAT_TARGETS
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_out"),
+        F.sum("n_repeats").cast("long").alias("sum_repeats"),
+        F.min("n_repeats").cast("long").alias("min_repeats"),
+        F.max("n_repeats").cast("long").alias("max_repeats"),
+        F.sum(F.col("n_repeats") * F.col("n_chars").cast("long"))
+        .cast("long")
+        .alias("realized_tokens"),
+    )
+
+
 @_register(
     "weighted_doc_sample",
     "Weighted random sampling WITHOUT replacement, 20 docs per lang "

@@ -472,7 +472,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # new budget query in-gate)
     # -- new in r10, never driver-verified: token-BUDGET-constrained
     # mixture sampling (A-Res order, shortest prefix to budget) ------
-    "token_budget_mixture_stats",
+    # (token_budget_mixture_stats rotated out in r12 for
+    # repeat_mixture_census below: driver-verified r10+r11; the
+    # budget family keeps token_budget_hist_stats — the harder
+    # distributed-cut claim — in-gate, and the new census exercises
+    # the same admission tail)
+    # -- new in r12, never driver-verified: UPSAMPLING mixture with
+    # repeat factors (full epochs = target div avail + A-Res
+    # remainder prefix; up/down/zero-target regimes pinned) ----------
+    "repeat_mixture_census",
     # (purchase_pagerank_directed rotated out in r11 for
     # incremental_hll_user_census below: driver-verified r08+r09+r10;
     # the graph family keeps cosupply_core_levels +
