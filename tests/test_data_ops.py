@@ -227,6 +227,32 @@ def test_lsh_hot_bucket_cap_drops_mass_dups_keeps_near_dups(spark):
     assert {(r["doc_id_a"], r["doc_id_b"]) for r in full.collect()} > got
 
 
+def test_sig_near_pairs_capless_guard_fails_loud(spark):
+    # capless-with-guard (round-12 advice): a degenerate signature
+    # bucket above the guard must RAISE, never silently explode
+    # B²/2 pairs — and never silently drop (the capless-oracle rule)
+    import pytest
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        _sig_near_pairs,
+    )
+
+    rows = [(i, 7, 7, 7, 7) for i in range(6)]  # one 6-doc bucket ×4
+    sigs = spark.createDataFrame(
+        rows, "media_id long, c0 long, c1 long, c2 long, c3 long"
+    )
+    ok = _sig_near_pairs(
+        sigs, "media_id", max_hamming=64,
+        hot_bucket_cap=None, hot_bucket_guard=6,
+    )
+    assert ok.count() == 15  # guard not exceeded: exact capless pairs
+    bad = _sig_near_pairs(
+        sigs, "media_id", max_hamming=64,
+        hot_bucket_cap=None, hot_bucket_guard=5,
+    )
+    with pytest.raises(Exception, match="exceeds guard"):
+        bad.count()
+
+
 def test_lsh_bucket_stats_census(spark):
     rows = [(i, "identical boilerplate text repeated here") for i in range(5)]
     rows += [(10, "something else entirely unrelated first"),
@@ -2012,6 +2038,62 @@ def test_incremental_cms_registers_replay_safe(spark, tmp_path):
     got2 = {(r["row"], r["bucket"]): r["cnt"]
             for r in sk.read_cms_registers(spark, store).collect()}
     assert got2 == want
+
+
+def test_collapse_cms_registers(spark, tmp_path):
+    """Horizon collapse of a CMS register store (round-12 verdict
+    task): batches <= the horizon fold into ONE base batch whose
+    counts are the summed history — `read_cms_registers` is
+    bit-identical before/after (CMS merge IS the register sum), the
+    folded batch ids are gone, the marker carries the horizon, a
+    straggler replay at/below the horizon NO-OPS, and the batch
+    above the horizon is untouched. Gap rule: a horizon between
+    ingested ids clamps down to a real batch."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    batches = {
+        0: [(f"k{i % 7}",) for i in range(200)],
+        1: [(f"k{i % 11}",) for i in range(150)],
+        3: [(f"k{i % 5}",) for i in range(100)],  # gap at 2
+        4: [(f"k{i % 3}",) for i in range(80)],
+    }
+    store = str(tmp_path / "cms_store")
+    for bid, rows in sorted(batches.items()):
+        sk.upsert_cms_registers(
+            spark, store, spark.createDataFrame(rows, "k string"), "k", bid
+        )
+    before = {(r["row"], r["bucket"]): r["cnt"]
+              for r in sk.read_cms_registers(spark, store).collect()}
+    # horizon 2 lands in the gap: clamps to batch 1 (never a phantom)
+    res = sk.collapse_cms_registers(spark, store, 2)
+    assert res["batches_folded"] == 1
+    assert sk.read_cms_collapse_horizon(spark, store) == 1
+    ids = sorted({r["batch_id"] for r in
+                  spark.read.parquet(store).select("batch_id").collect()})
+    assert ids == [1, 3, 4]  # 0 folded into base 1; 3 and 4 untouched
+    after = {(r["row"], r["bucket"]): r["cnt"]
+             for r in sk.read_cms_registers(spark, store).collect()}
+    assert after == before  # merged registers identical -> decision too
+    # straggler replay of folded batch 0 (and of base 1): both no-op
+    for bid in (0, 1):
+        sk.upsert_cms_registers(
+            spark, store,
+            spark.createDataFrame(batches[bid], "k string"), "k", bid,
+        )
+        assert {(r["row"], r["bucket"]): r["cnt"]
+                for r in sk.read_cms_registers(spark, store).collect()
+                } == before
+    # second collapse, deeper horizon: folds {1, 3} into base 4
+    res2 = sk.collapse_cms_registers(spark, store, 4)
+    assert res2["batches_folded"] == 2
+    assert sk.read_cms_collapse_horizon(spark, store) == 4
+    assert {(r["row"], r["bucket"]): r["cnt"]
+            for r in sk.read_cms_registers(spark, store).collect()
+            } == before
+    # idempotent: same horizon again no-ops
+    assert sk.collapse_cms_registers(spark, store, 4) == {
+        "batches_folded": 0, "register_rows": 0,
+    }
 
 
 def test_incremental_hll_registers_replay_safe(spark, tmp_path):

@@ -972,6 +972,15 @@ def test_per_record_sink_replayed_batch_rewrites_dead_letters(spark, tmp_path):
     assert len(got) == 2 and {b for b, _ in got} == {0, 1}
     # deliveries still happened on every run (at-least-once for sends)
     assert _deliveries(outdir)["t1"] == 2
+    # a replay whose previously-poisoned records now SUCCEED clears
+    # the batch's stale letters (dynamic overwrite alone would leave
+    # them: zero failed rows rewrite nothing — round-12 advice)
+    healed_fn = make_per_record_batch_fn(
+        _sender(outdir), max_attempts=2, dead_letter_dir=dead,
+    )
+    healed_fn(b1, 1)
+    left = read_dead_letters(spark, dead).collect()
+    assert len(left) == 1 and left[0]["batch_id"] == 0
 
 
 def test_per_record_sink_batch_replay_after_failure(spark, tmp_path):

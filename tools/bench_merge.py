@@ -59,7 +59,18 @@ def merge(paths: list[str]) -> dict:
         for n in stale:
             queries.pop(n)
             walls.pop(n, None)
-        cold_only = [n for n in cold_only if n in queries]
+    # always filter cold_only to names present in the merged queries
+    # (not just in the stale branch): a shard whose cold_only lists a
+    # query absent from its own queries map must warn, not KeyError
+    # in cold_only_sec below (round-12 advice)
+    dropped = sorted(n for n in set(cold_only) if n not in queries)
+    if dropped:
+        print(
+            f"WARNING: dropping {len(dropped)} cold_only entries "
+            f"absent from merged queries: {dropped[:5]} ...",
+            file=sys.stderr,
+        )
+    cold_only = [n for n in cold_only if n in queries]
     cold_set = set(cold_only)
     warm_total = round(
         sum(v for n, v in queries.items() if n not in cold_set), 3

@@ -989,6 +989,7 @@ def _sig_near_pairs(
     id_col: str,
     max_hamming: int,
     hot_bucket_cap: int | None = 10_000,
+    hot_bucket_guard: int | None = None,
 ) -> DataFrame:
     """Candidate+verify tail over pre-built simhash signatures —
     shared by the batch pair-finder and the incremental dedup.
@@ -998,7 +999,16 @@ def _sig_near_pairs(
     (template/boilerplate corpora cluster HARD in simhash space)
     yields B²/2 candidates from one bucket; buckets above the cap are
     dropped before the self-join. Mass-identical docs are exact
-    dedup's job upstream."""
+    dedup's job upstream.
+
+    ``hot_bucket_guard`` (only with ``hot_bucket_cap=None``): the
+    capless-with-guard shape for callers whose oracle is the exact
+    capless twin — instead of silently dropping hot buckets (which
+    would diverge from a capless oracle) OR silently exploding
+    B²/2 pairs, a bucket above the guard FAILS LOUD via a runtime
+    assert riding the same window count the cap path pays (an
+    ``assert_true`` inside a filter — a plain dropped column would
+    be pruned away by the optimizer)."""
     chunk_cols = [f"c{c}" for c in range(4)]
     melted = sigs.select(
         F.col(id_col), *chunk_cols,
@@ -1016,6 +1026,36 @@ def _sig_near_pairs(
             "_bsz",
             F.count(F.lit(1)).over(Window.partitionBy("chunk_idx", "chunk_key")),
         ).filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
+    elif hot_bucket_guard is not None:
+        from pyspark.sql.window import Window
+
+        melted = (
+            melted.withColumn(
+                "_bsz",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("chunk_idx", "chunk_key")
+                ),
+            )
+            .filter(
+                F.assert_true(
+                    F.col("_bsz") <= F.lit(int(hot_bucket_guard)),
+                    F.concat(
+                        F.lit(
+                            "_sig_near_pairs: capless signature bucket "
+                            "exceeds guard "
+                        ),
+                        F.lit(str(int(hot_bucket_guard))),
+                        F.lit(" (chunk_idx="),
+                        F.col("chunk_idx").cast("string"),
+                        F.lit(", size="),
+                        F.col("_bsz").cast("string"),
+                        F.lit(") — B²/2 pair blowup; dedup the "
+                              "mass-identical docs upstream"),
+                    ),
+                ).isNull()
+            )
+            .drop("_bsz")
+        )
     a = melted.select(
         F.col(id_col).alias(f"{id_col}_a"),
         *[F.col(c).alias(f"a_{c}") for c in chunk_cols],

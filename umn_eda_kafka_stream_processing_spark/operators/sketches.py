@@ -402,10 +402,26 @@ def upsert_cms_registers(
     replayed batch recomputes IDENTICAL rows and the upsert is a
     no-op; `read_cms_registers` sums across batch_ids at read (the
     count-at-read rule). Store stays tiny: ≤1024 rows per batch,
-    hash-partitioned on `row` so point queries prune."""
+    hash-partitioned on `row` so point queries prune.
+
+    A batch at or below the store's collapse horizon (the
+    `collapse_cms_registers` marker) is a NO-OP: after a collapse
+    folded history into a base batch, a straggler replay of a folded
+    batch would otherwise re-ADD counts the fold already contains
+    (sum-at-read double count — the one replay shape latest-wins
+    keying cannot absorb once the original keyed rows are gone), and
+    a replay of the base batch itself would latest-wins OVERWRITE
+    the folded sums with single-batch counts. The guard is
+    metadata-only (one Hadoop FS listing, no Spark job — the
+    `versioned_batch_ids` rule), so the normal no-collapse path pays
+    nothing."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
+
+    horizon = read_cms_collapse_horizon(spark, store_path)
+    if horizon is not None and int(batch_id) <= horizon:
+        return  # at/below the collapse horizon: already in the fold
 
     regs = cms_registers(batch_df, key_col, salt).select(
         F.lit(int(batch_id)).alias("batch_id"),
@@ -432,6 +448,104 @@ def read_cms_registers(spark, store_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+_CMS_HORIZON_MARKER = "_cms_collapse_horizon"
+
+
+def read_cms_collapse_horizon(spark, store_path: str) -> int | None:
+    """The store's collapse horizon (largest batch id folded into the
+    base by `collapse_cms_registers`), or None if never collapsed.
+    Metadata-only: the horizon is encoded in an underscore-prefixed
+    marker FILENAME (`_cms_collapse_horizon_N` — underscore-prefixed,
+    hidden from Spark's parquet scans; a `name=value` filename would
+    be partition-discovered and break the scan), read via one Hadoop
+    FS directory listing, zero
+    Spark jobs (the `versioned_batch_ids` rule)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    horizons = [
+        int(st.getPath().getName()[len(_CMS_HORIZON_MARKER) + 1:])
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith(f"{_CMS_HORIZON_MARKER}_")
+    ]
+    return max(horizons) if horizons else None
+
+
+def collapse_cms_registers(
+    spark, store_path: str, upto_batch: int
+) -> dict:
+    """Horizon collapse for a CMS register store — the retention step
+    that keeps the advisor's per-batch decision read O(1024 + window)
+    instead of O(1024 × batches) forever (round-12 verdict: at 10⁶
+    microbatches the decision read is a 10⁹-row scan to produce one
+    row). CMS registers are ADDITIVE, so the merge is the documented
+    register sum: every batch with ``batch_id <= upto_batch`` folds
+    into ONE base batch whose (row, bucket) counts are the summed
+    history — `read_cms_registers` (sum across batch_ids) returns
+    bit-identical registers before and after, so the advisor's
+    decision cannot move (test-pinned).
+
+    ``upto_batch`` is CLAMPED to the largest INGESTED batch id <= it
+    (the `collapse_versioned` gap rule: never mint a phantom batch).
+    The fold rewrites the store (it is ≤1024 rows per batch — tiny by
+    construction) and drops a `_cms_collapse_horizon_N` marker whose
+    FILENAME carries the horizon, so `upsert_cms_registers` can
+    no-op straggler replays at/below it with one metadata listing.
+
+    CONTRACT: collapse only batches at/below the stream's replay
+    horizon (Structured Streaming replays the LAST batch — callers
+    pass ``current_batch - 1`` or older). The marker guard makes a
+    violating replay a silent no-op rather than a double count: the
+    folded sums already contain that batch.
+
+    Returns ``{"batches_folded": n, "register_rows": k}``.
+    """
+    store = spark.read.parquet(store_path)
+    ids = sorted(
+        r[0] for r in store.select("batch_id").distinct().collect()
+    )
+    eligible = [b for b in ids if b <= int(upto_batch)]
+    if len(eligible) <= 1:
+        return {"batches_folded": 0, "register_rows": 0}
+    base = max(eligible)  # fold INTO a real ingested batch
+    folded = (
+        store.filter(F.col("batch_id") <= F.lit(int(base)))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(
+            F.lit(int(base)).cast("long").alias("batch_id"),
+            "row",
+            "bucket",
+            "cnt",
+            F.lit(0).cast("long").alias("event_seq"),
+        )
+    )
+    keep = store.filter(F.col("batch_id") > F.lit(int(base))).select(
+        "batch_id", "row", "bucket", "cnt", "event_seq"
+    )
+    out = folded.unionByName(keep).localCheckpoint()  # reads the
+    # partitions the overwrite below replaces
+    n_rows = out.count()
+    out.write.mode("overwrite").partitionBy("row").parquet(store_path)
+    spark.catalog.refreshByPath(store_path)
+    # marker AFTER the rewrite (the full overwrite deletes the dir);
+    # crash between write and marker only weakens the straggler guard
+    # back to the documented caller contract — never corrupts data
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path}/{_CMS_HORIZON_MARKER}_{int(base)}"
+    )
+    marker.getFileSystem(conf).create(marker, True).close()
+    return {
+        "batches_folded": len(eligible) - 1,
+        "register_rows": int(n_rows),
+    }
 
 
 def duck_cms(table_expr: str, key_col: str, salt: str = "cms") -> str:

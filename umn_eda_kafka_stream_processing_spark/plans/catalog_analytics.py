@@ -4235,12 +4235,14 @@ def cosupply_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM prim),
     cp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                   CAST(sum(CAST(concat('0x', substr(md5(
-                       concat(md5(CAST(k AS VARCHAR)), md5(p))), 1, 8))
+                       concat(md5(coalesce(CAST(k AS VARCHAR), '')),
+                       md5(coalesce(p, '')))), 1, 8))
                        AS BIGINT)) AS BIGINT) AS checksum
            FROM prim GROUP BY 1),
     cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                   CAST(sum(CAST(concat('0x', substr(md5(
-                       concat(md5(CAST(k AS VARCHAR)), md5(p))), 1, 8))
+                       concat(md5(coalesce(CAST(k AS VARCHAR), '')),
+                       md5(coalesce(p, '')))), 1, 8))
                        AS BIGINT)) AS BIGINT) AS checksum
            FROM repl GROUP BY 1),
     d AS (SELECT cp.bucket,

@@ -1909,11 +1909,13 @@ def image_phash_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one decode pass: the signatures feed both the census counts and
     # the banded pair join (materialize before the self-join)
     sigs = mm.image_dhash(media).localCheckpoint()
-    # capless: the oracle is the exact capless twin (round-11 advice
-    # on the audio twin — same hazard here); production callers use
-    # image_dhash_pairs with its default cap
+    # capless-with-guard: the oracle is the exact capless twin
+    # (round-11 advice on the audio twin — same hazard here), and a
+    # degenerate bucket FAILS LOUD instead of exploding B²/2 pairs
+    # (round-12 advice); production callers use image_dhash_pairs
+    # with its default cap
     cands = _sig_near_pairs(sigs, "media_id", max_hamming=64,
-                            hot_bucket_cap=None)
+                            hot_bucket_cap=None, hot_bucket_guard=10_000)
     sig_stats = sigs.agg(
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.countDistinct(F.struct("c0", "c1", "c2", "c3"))
@@ -4613,12 +4615,15 @@ def audio_fp_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     media = mm.synth_media(docs, "audio")
     sigs = mm.audio_fingerprint(media).localCheckpoint()
-    # capless: the oracle is the exact capless twin, so a bucket ever
-    # crossing a cap at larger SF would silently diverge the engines
-    # (round-11 advice); production callers use audio_fp_pairs with
-    # its default cap + an lsh_bucket_stats-style census
+    # capless-with-guard: the oracle is the exact capless twin, so a
+    # bucket ever crossing a cap at larger SF would silently diverge
+    # the engines (round-11 advice) — and a degenerate bucket FAILS
+    # LOUD instead of exploding B²/2 pairs (round-12 advice);
+    # production callers use audio_fp_pairs with its default cap +
+    # an lsh_bucket_stats-style census
     cands = _sig_near_pairs(
-        sigs, "media_id", max_hamming=64, hot_bucket_cap=None
+        sigs, "media_id", max_hamming=64, hot_bucket_cap=None,
+        hot_bucket_guard=10_000,
     )
     sig_stats = sigs.agg(
         F.count(F.lit(1)).cast("long").alias("n_clips"),

@@ -52,17 +52,29 @@ def make_dim_changelog_batch_fn(
     regs_path: str,
     key_cols: str | Sequence[str],
     sketch_key: str | None = None,
+    collapse_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callable for the DIMENSION changelog: upsert the
     batch into the latest-wins dim snapshot (the GlobalKTable
     materialization, `operators/compaction.py:upsert_snapshot`) and
     land the batch's CMS registers for the join key — the build
     side's standing size/skew sketch. Both writes are replay-safe
-    (latest-wins keying), so the pair replays to a no-op."""
+    (latest-wins keying), so the pair replays to a no-op.
+
+    ``collapse_every=N`` folds register batches at/below
+    ``batch_id - 1`` into one base every N batches
+    (`sketches.collapse_cms_registers` — CMS sum-merge, decision-
+    invariant), bounding the advisor's per-batch register read to
+    O(1024 + N) rows instead of growing one batch forever. The
+    horizon is THIS stream's own batch ids (never another stream's
+    clock), and ``batch_id - 1`` keeps the only replayable batch
+    (the last — Structured Streaming's replay shape) out of the
+    fold; the marker guard no-ops deeper stragglers."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        collapse_cms_registers,
         upsert_cms_registers,
     )
 
@@ -78,6 +90,8 @@ def make_dim_changelog_batch_fn(
             key_cols=keys,
         )
         upsert_cms_registers(spark, regs_path, b, sketch_key, batch_id)
+        if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
+            collapse_cms_registers(spark, regs_path, int(batch_id) - 1)
 
     return fn
 
@@ -95,6 +109,7 @@ def make_advised_enrichment_batch_fn(
     max_broadcast_rows: int = BROADCAST_MAX_ROWS,
     max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
     salt_buckets: int = 16,
+    collapse_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callable for the FACT stream: per microbatch,
 
@@ -121,11 +136,17 @@ def make_advised_enrichment_batch_fn(
     be fabricated) and the batch FAILS, which is the safe outcome:
     Structured Streaming replays it from the checkpoint, and the
     replay succeeds once the dim lands. Recoverable by design, never
-    silent fact loss."""
+    silent fact loss.
+
+    ``collapse_every=N`` folds the LEFT (fact) register store's
+    batches at/below ``batch_id - 1`` every N batches — see
+    `make_dim_changelog_batch_fn` (the dim side collapses on its own
+    clock there; this side never touches the right store's ids)."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_snapshot,
     )
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        collapse_cms_registers,
         read_cms_registers,
         upsert_cms_registers,
     )
@@ -135,6 +156,8 @@ def make_advised_enrichment_batch_fn(
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.localCheckpoint()
         upsert_cms_registers(spark, left_regs_path, b, keys[0], batch_id)
+        if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
+            collapse_cms_registers(spark, left_regs_path, int(batch_id) - 1)
         decision = (
             advise_join_strategy(
                 read_cms_registers(spark, left_regs_path),

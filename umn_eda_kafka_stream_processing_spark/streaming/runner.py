@@ -252,6 +252,21 @@ def make_per_record_batch_fn(
             batch_df.rdd.mapPartitions(deliver_partition),
             DEAD_LETTER_SCHEMA,
         )
+        # clear this batch's previous letters FIRST: dynamic overwrite
+        # only rewrites batch_id=N when the replay produces >= 1
+        # failed row, so a replay whose previously-poisoned records
+        # now all succeed would otherwise leave the first attempt's
+        # stale letters reporting failures for records that were
+        # actually delivered (round-12 advice). Hadoop FS (resolved
+        # from the batch's own session — survives a driver move, works
+        # on file:/, HDFS, S3A alike); at-least-once covers the crash
+        # window between delete and write — the batch replays whole.
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        part = jvm.org.apache.hadoop.fs.Path(
+            f"{dead_letter_dir}/batch_id={int(batch_id)}"
+        )
+        part.getFileSystem(conf).delete(part, True)
         (
             failed.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .write.mode("overwrite")
@@ -259,6 +274,7 @@ def make_per_record_batch_fn(
             .option("partitionOverwriteMode", "dynamic")
             .json(dead_letter_dir)
         )
+        spark.catalog.refreshByPath(dead_letter_dir)
 
     return batch_fn
 
