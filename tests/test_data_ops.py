@@ -1488,6 +1488,128 @@ def test_incremental_decontaminate_equals_batch(spark, tmp_path):
     assert incr == batch
 
 
+def test_resweep_decontaminate_delta_equals_full(spark, tmp_path):
+    """Late-arriving benchmark remedy (round-12 verdict task 2): a
+    corpus swept against the batch-0 store, then a LATE benchmark
+    batch lands — the delta re-sweep (novel grams of batches >
+    since only) merged with the standing census equals a
+    from-scratch full sweep COLUMN-FOR-COLUMN, including hit
+    counts: the delta gram set is anti-joined disjoint, so a gram
+    shared by both benchmark batches is never double counted."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+        incremental_decontaminate,
+        merge_decontam_censuses,
+        resweep_decontaminate,
+        upsert_benchmark_grams,
+    )
+
+    # bench1 SHARES grams with bench0 (b-prefix overlap) — the
+    # double-count trap the anti-join must defuse
+    bench0 = spark.createDataFrame(
+        [(100, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    bench1 = spark.createDataFrame(
+        [
+            (101, " ".join(f"b{i}" for i in range(10))),  # subset of b0
+            (102, " ".join(f"c{i}" for i in range(10))),  # novel grams
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(9))),   # hits both
+            (2, " ".join(f"c{i}" for i in range(9))),   # hits bench1 only
+            (3, " ".join(f"z{i}" for i in range(9))),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "benchgrams")
+    upsert_benchmark_grams(spark, store, bench0, 0)
+    standing = incremental_decontaminate(spark, store, corpus)
+    standing_rows = {r["doc_id"]: r["contaminated"]
+                     for r in standing.collect()}
+    assert standing_rows == {1: 1, 2: 0, 3: 0}
+    standing = standing.localCheckpoint()  # frozen BEFORE the store grows
+    # the late batch lands after the corpus was admitted
+    upsert_benchmark_grams(spark, store, bench1, 1)
+    delta = resweep_decontaminate(spark, store, corpus, since_batch=0)
+    merged = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in merge_decontam_censuses(standing, delta).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(
+            corpus, bench0.unionByName(bench1)
+        ).collect()
+    }
+    assert merged == full
+    # and doc 1's shared-gram hits were counted exactly once: its
+    # delta contribution is zero (every gram it hits was in batch 0)
+    assert {r["doc_id"]: r["n_hit_grams"] for r in delta.collect()}[1] == 0
+
+
+def test_training_manifest_permutation_invariant(spark):
+    """The composed curation chain (round-12 verdict task 1): the
+    manifest is a pure function of the input SET — permuting row
+    order and partitioning reproduces it byte-identically — and its
+    invariants hold: no admitted doc is contaminated, no near-dup
+    pair survives among admitted docs, every n_repeats >= 1."""
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        training_manifest,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    targets = {f"src{i}": (50_000 if i % 5 == 0 else 3_000)
+               for i in range(20)}
+
+    def manifest_rows(frame):
+        m = training_manifest(frame, bench, targets)
+        return sorted(
+            (r["doc_id"], r["source"], r["n_chars"], r["n_repeats"])
+            for r in m.select(
+                "doc_id", "source", "n_chars", "n_repeats"
+            ).collect()
+        )
+
+    base = manifest_rows(docs)
+    assert base and all(r[3] >= 1 for r in base)
+    # permute: reverse-ish order + different partitioning — a pure
+    # set function must not notice
+    permuted = docs.orderBy(F.md5(F.col("doc_id").cast("string"))
+                            ).repartition(7)
+    assert manifest_rows(permuted) == base
+    # invariants as data: zero contaminated admits, zero surviving
+    # near-dup pairs among the admitted ids
+    ids = {r[0] for r in base}
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench).filter(
+            F.col("contaminated") == 1
+        ).collect()
+    }
+    assert not (ids & flagged)
+    pair_rows = minhash_lsh_pairs(docs).collect()
+    assert pair_rows  # the fixture really has near-dup pairs
+    assert not [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in pair_rows
+        if r["doc_id_a"] in ids and r["doc_id_b"] in ids
+    ]
+
+
 def test_cluster_safe_split_no_cross_split_pairs(spark):
     """Every member of a near-dup component lands in the SAME split;
     docs outside any component split exactly as split_assign would;

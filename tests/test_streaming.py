@@ -1142,6 +1142,97 @@ def test_sketch_advised_enrichment_flips_strategy(spark, tmp_path):
     assert read_decisions(spark, p("decisions")).count() == 3
 
 
+def test_advised_pipeline_soak_collapse_and_replay(spark, tmp_path):
+    """Decision-log SOAK for the advised pipeline (round-12 verdict
+    task 7): 9 fact batches + 9 dim deltas with dim growth, skew
+    onset, register-store collapse every 3 batches (task 3), and
+    last-batch replays injected mid-stream (the Structured Streaming
+    replay shape — an older batch's replay would see evolved
+    registers and is out of contract). The full decision sequence
+    AND every batch's enriched output must equal a from-scratch
+    rerun with NO collapse and NO replays — collapse is
+    decision-invariant (CMS sum-merge) and replays are no-ops."""
+    from pyspark.sql import functions as F
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        read_cms_collapse_horizon,
+    )
+    from umn_eda_kafka_stream_processing_spark.streaming.advised import (
+        make_advised_enrichment_batch_fn,
+        make_dim_changelog_batch_fn,
+        read_decisions,
+    )
+
+    def dim_rows(b):
+        return spark.createDataFrame(
+            [(i, f"d{i}") for i in range(b * 40, (b + 1) * 40)],
+            "k long, name string",
+        )
+
+    def fact_rows(b):
+        if b >= 6:  # skew onset: the whole burst hits key 1
+            return spark.createDataFrame(
+                [(1, b * 1000 + i) for i in range(300)], "k long, v long"
+            )
+        return spark.createDataFrame(
+            [(i % 40, b * 1000 + i) for i in range(200)], "k long, v long"
+        )
+
+    def run(root, collapse_every, replay_at):
+        p = lambda n: str(tmp_path / root / n)  # noqa: E731
+        dim_fn = make_dim_changelog_batch_fn(
+            spark, dim_snapshot_path=p("dim"), regs_path=p("rregs"),
+            key_cols="k", collapse_every=collapse_every,
+        )
+        fact_fn = make_advised_enrichment_batch_fn(
+            spark,
+            dim_snapshot_path=p("dim"),
+            left_regs_path=p("lregs"),
+            right_regs_path=p("rregs"),
+            out_path=p("out"),
+            decisions_path=p("decisions"),
+            on="k",
+            max_broadcast_rows=100,
+            max_share_micro=150_000,
+            salt_buckets=4,
+            collapse_every=collapse_every,
+        )
+        for b in range(9):
+            dim_fn(dim_rows(b), b)
+            fact_fn(fact_rows(b), b)
+            if b in replay_at:  # replay the LAST batch mid-stream
+                dim_fn(dim_rows(b), b)
+                fact_fn(fact_rows(b), b)
+        decisions = sorted(
+            (tuple(r) for r in read_decisions(spark, p("decisions"))
+             .collect()),
+        )
+        out = sorted(
+            tuple(r)
+            for r in spark.read.parquet(p("out"))
+            .select("batch_id", "k", "v", "name").collect()
+        )
+        return p, decisions, out
+
+    p, decisions, out = run("soak", collapse_every=3, replay_at={2, 3, 6})
+    _, decisions2, out2 = run("fresh", collapse_every=None, replay_at=set())
+    assert decisions == decisions2      # collapse + replay invisible
+    assert out == out2
+    # the sequence actually exercised all three strategies
+    strat = {d[0]: d[1] for d in decisions}
+    assert strat[0] == "broadcast"            # dim 40 <= 100
+    assert strat[2] == "shuffle_hash"         # dim 120 > 100
+    assert strat[8] == "salted_shuffle_hash"  # skew pushed the share
+    assert len({s for s in strat.values()}) == 3
+    # collapse really folded: only the bases + tail batches remain,
+    # and the marker carries the last horizon
+    assert versioned_batch_ids(spark, p("lregs")) == [5, 6, 7, 8]
+    assert read_cms_collapse_horizon(spark, p("lregs")) == 5
+    assert versioned_batch_ids(spark, p("rregs")) == [5, 6, 7, 8]
+
+
 def test_incremental_simhash_near_dedup_across_batches(spark, tmp_path):
     """foreachBatch near-dedup with a durable bucket store: in-batch
     near-dups resolve to the min id; later batches drop SimHash

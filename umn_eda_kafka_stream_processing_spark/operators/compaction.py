@@ -64,6 +64,47 @@ def compact_changelog(
     return compacted.drop("_src")
 
 
+def upsert_batch_partition(
+    spark: SparkSession,
+    table_path: str,
+    batch_rows: DataFrame,
+    batch_id: int,
+    write_coalesce: int | None = 1,
+) -> None:
+    """Replay-safe write for BATCH-KEYED stores — stores whose rows
+    are a pure function of their batch (CMS/HLL registers, benchmark
+    gram sets, decision logs): the batch's rows land under
+    ``batch_id=N`` via dynamic partition overwrite, NO read and NO
+    merge. A foreachBatch replay recomputes IDENTICAL rows and
+    rewrites the same directory — the latest-wins upsert's no-op
+    outcome without ever reading the store (the general
+    `upsert_snapshot` pays a touched-partition read + merge +
+    checkpoint per batch for latest-wins semantics these stores
+    cannot need: there is nothing older under the same key to lose).
+    A crash mid-write leaves a partial directory the replay
+    overwrites wholesale. ``batch_rows`` must NOT already carry
+    batch_id/event_seq (added here; event_seq=0 keeps the schema
+    interchangeable with upsert_snapshot-managed stores)."""
+    out = batch_rows.select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        "*",
+        F.lit(0).cast("long").alias("event_seq"),
+    )
+    if write_coalesce:
+        # repartition, NOT coalesce: coalesce(1) over a local
+        # relation/small plan folds all upstream slices into one
+        # task that stalls ~5-7 s in the scheduler (measured r13);
+        # a 1-partition shuffle of <= ~1024 rows is ~free
+        out = out.repartition(int(write_coalesce))
+    (
+        out.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+    spark.catalog.refreshByPath(table_path)
+
+
 def upsert_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -71,6 +112,7 @@ def upsert_snapshot(
     key_cols: str | Sequence[str],
     order_col: str = "event_seq",
     partition_cols: Sequence[str] = (),
+    write_coalesce: int | None = None,
 ) -> DataFrame:
     """Upsert a changelog into the parquet snapshot at table_path.
 
@@ -113,6 +155,14 @@ def upsert_snapshot(
         # the merge first or the overwrite would delete its own input
         compacted = compacted.localCheckpoint()
 
+    if write_coalesce:
+        # register/decision-sized stores (<= ~1024 rows per batch):
+        # without this the merge's shuffle partitioning writes ~32
+        # near-empty files per upsert — task and file-count floor,
+        # not data (round-12 verdict on the advised census's wall).
+        # repartition, not coalesce (the ~5-7 s one-task stall).
+        # NEVER set for data-sized stores: it serializes the write.
+        compacted = compacted.repartition(int(write_coalesce))
     writer = compacted.write.mode("overwrite")
     if partition_cols:
         # dynamic mode replaces ONLY the partitions this job writes

@@ -1,0 +1,147 @@
+"""The full curation recipe, end to end: the TRAINING MANIFEST.
+
+Every stage of an LLM-data curation pipeline exists in this engine as
+a separate oracle-checked operator — near-dup clustering
+(`operators/dedup.py`), benchmark decontamination
+(`operators/decontam.py`), leakage-safe splitting and repeat-factor
+mixtures (`operators/sampling.py`) — but a 100-TB pipeline ships
+their COMPOSITION: the manifest of (document, repeat-count) rows a
+training run actually reads (round-12 verdict task 1). This module
+is that composition, one call:
+
+    near-dup keepers → decontaminate → cluster-safe split(train)
+        → repeat mixture
+
+Ordering rationale (the published recipe order — Lee et al. 2022,
+Brown et al. 2020 appendix C):
+
+* dedup FIRST: contamination flags and split hashes are per-document
+  — sweeping duplicates first means each surviving text is examined
+  once, and the mixture's availability mass is not inflated by
+  copies;
+* decontaminate SECOND, against the FULL benchmark (never the
+  deduped one — the benchmark is an external held-out suite);
+* split THIRD, keyed on the near-dup cluster representative
+  (leakage guard), keeping only train;
+* mixture LAST: repeat factors are computed over exactly the mass a
+  training run may legally touch.
+
+Scale shape: the composition adds nothing beyond its stages' own
+documented plans — two anti-joins (contaminated ids out, non-train
+out is a filter) and one split hash ride between them; every stage
+is bucketed/blocked (LSH bands, broadcast benchmark grams, md5
+split cuts, histogram-cut admission), no all-pairs joins, no
+corpus-sized broadcasts, no driver-side data paths.
+
+Determinism: every stage keys on md5 of stable ids, so the manifest
+is a pure function of the input SET — re-ingestion order, partition
+count, retries, and engine swaps reproduce it byte-identically
+(test-pinned by permuting the input).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def training_manifest(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    targets: Mapping[str, int],
+    *,
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    size_col: str = "n_chars",
+    n: int = 8,
+    min_overlap: int = 1,
+    return_stages: bool = False,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+):
+    """Compose the curation chain into the training manifest.
+
+    Returns the manifest frame — ``docs``' columns plus
+    ``n_repeats >= 1`` for every admitted document — or, with
+    ``return_stages=True``, ``(manifest, stages)`` where ``stages``
+    maps stage names to the intermediate frames
+    (``pairs, clusters, keepers, decontam, clean, train``) for
+    censuses that pin per-stage counts. ``docs`` must not already
+    carry ``cluster_id`` or ``split`` (cluster_safe_split's
+    contract); ``id_col`` must be unique (repeat_mixture_sample's
+    contract).
+
+    ``pairs`` / ``clusters`` inject precomputed (MATERIALIZED —
+    they are consumed multiple times) near-dup substrates: the pair
+    graph is the chain's most expensive stage and is shared with
+    the standalone dedup censuses, so callers session-cache it
+    (the train-once/serve-many rule) instead of regrowing it here."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        cluster_safe_split,
+        repeat_mixture_sample,
+    )
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs, id_col=id_col, text_col=text_col
+        ).localCheckpoint()  # feeds clustering AND the census's pins
+    if clusters is None:
+        clusters = near_dup_clusters(
+            pairs, pairs_materialized=True, id_col=id_col
+        ).localCheckpoint()  # joined twice (keepers, split)
+    # keepers: the component representative (min-label == own id) and
+    # every doc outside any near-dup pair
+    keepers = (
+        docs.join(clusters.hint("shuffle_hash"), id_col, "left")
+        .filter(
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            == F.col(id_col)
+        )
+        .drop("cluster_id")
+    )
+    # decontaminate against the FULL benchmark (an external suite —
+    # never the deduped corpus's view of it). Checkpoint the RESULT:
+    # it is the compressed per-doc census (4 skinny columns — the
+    # checkpoint-the-compressed-frames rule, never the corpus), and
+    # it feeds the anti-join here plus two census pins downstream —
+    # unmaterialized, each consumer would regrow the full gram pass
+    decontam = decontaminate(
+        keepers,
+        benchmark,
+        n=n,
+        min_overlap=min_overlap,
+        id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint()
+    flagged = decontam.filter(F.col("contaminated") == 1).select(id_col)
+    clean = keepers.join(flagged.hint("shuffle_hash"), id_col, "left_anti")
+    split = cluster_safe_split(
+        clean, clusters, id_col=id_col,
+        val_rate=val_rate, test_rate=test_rate,
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    manifest = repeat_mixture_sample(
+        train, domain_col, id_col, size_col, targets
+    )
+    if return_stages:
+        return manifest, {
+            "pairs": pairs,
+            "clusters": clusters,
+            "keepers": keepers,
+            "decontam": decontam,
+            "clean": clean,
+            "train": train,
+        }
+    return manifest

@@ -53,12 +53,16 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Broadcast the queries (small side) against the corpus scan, rank
     per query by (similarity DESC, neighbor id ASC — deterministic),
-    keep k. Self-matches excluded.
+    keep k. Self-matches excluded by default; pass
+    ``exclude_self=False`` for query-by-example retrieval where the
+    exemplar itself is a legitimate hit (the PRF shape — the
+    query id is then a label, not a corpus row to hide).
     Output: (query_id, neighbor_id, sim, rank).
     """
     q = queries.select(
@@ -69,8 +73,13 @@ def cosine_topk(
     ).withColumn("c_norm", l2_norm("c_vec"))
     # norms precomputed per row (not per pair): corpus norms cost one
     # pass over the scan instead of one per query
+    pair_cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"), "inner")
+        c.join(F.broadcast(q), pair_cond, "inner")
         .withColumn(
             "sim",
             round_half_up(

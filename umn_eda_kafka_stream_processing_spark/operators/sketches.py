@@ -200,26 +200,25 @@ def upsert_hll_registers(
 ) -> None:
     """Incrementally maintain per-group HLL register stores from a
     streaming changelog (foreachBatch shape) — the distinct-count
-    twin of `upsert_cms_registers`, same replay-safety rule: each
-    batch's registers land keyed (batch_id, g, bucket) latest-wins
-    (a replayed batch recomputes IDENTICAL rows — no-op), and the
-    current sketch is the MAX over batch registers at read
-    (`read_hll_registers` — HLL merge is register-wise max, so
-    batch-union == from-scratch exactly, not approximately). Store:
-    <= m rows per group per batch, partitioned by batch_id."""
+    twin of `upsert_cms_registers`, same replay-safety rule: the
+    store is BATCH-KEYED (a batch's registers are a pure function of
+    the batch), so each batch's registers rewrite their own
+    ``batch_id=N`` partition via dynamic overwrite — a replay
+    recomputes IDENTICAL rows, no store read, no merge
+    (`compaction.upsert_batch_partition`). The current sketch is the
+    MAX over batch registers at read (`read_hll_registers` — HLL
+    merge is register-wise max, so batch-union == from-scratch
+    exactly, not approximately). Store: <= m rows per group per
+    batch, partitioned by batch_id."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
 
-    regs = hll_registers(batch_df, group_col, key_col, salt).select(
-        F.lit(int(batch_id)).alias("batch_id"), "g", "bucket", "r"
-    )
-    upsert_snapshot(
+    upsert_batch_partition(
         spark,
         store_path,
-        regs.withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", "g", "bucket"],
-        partition_cols=["batch_id"],
+        hll_registers(batch_df, group_col, key_col, salt),
+        batch_id,
     )
 
 
@@ -397,44 +396,38 @@ def upsert_cms_registers(
     — but that is EXACTLY the non-idempotent shape the round-9 BM25
     df store was removed for: under foreachBatch's at-least-once
     delivery a replayed batch adds its counts twice. Replay-safe
-    form: each batch's registers are written keyed by
-    (batch_id, row, bucket) through the latest-wins upsert — a
-    replayed batch recomputes IDENTICAL rows and the upsert is a
-    no-op; `read_cms_registers` sums across batch_ids at read (the
-    count-at-read rule). Store stays tiny: ≤1024 rows per batch,
-    hash-partitioned on `row` so point queries prune.
+    form: the store is BATCH-KEYED (a batch's registers are a pure
+    function of the batch), so each batch's registers land under
+    their own ``batch_id=N`` partition via dynamic overwrite — a
+    replayed batch recomputes IDENTICAL rows and rewrites its own
+    directory, no store read and no merge
+    (`compaction.upsert_batch_partition`); `read_cms_registers`
+    sums across batch_ids at read (the count-at-read rule). Store
+    stays tiny: one ≤1024-row coalesced file per batch, and the
+    horizon collapse folds and deletes exact directories.
 
     A batch at or below the store's collapse horizon (the
     `collapse_cms_registers` marker) is a NO-OP: after a collapse
     folded history into a base batch, a straggler replay of a folded
     batch would otherwise re-ADD counts the fold already contains
-    (sum-at-read double count — the one replay shape latest-wins
-    keying cannot absorb once the original keyed rows are gone), and
-    a replay of the base batch itself would latest-wins OVERWRITE
-    the folded sums with single-batch counts. The guard is
-    metadata-only (one Hadoop FS listing, no Spark job — the
-    `versioned_batch_ids` rule), so the normal no-collapse path pays
-    nothing."""
+    (sum-at-read double count), and a replay of the base batch
+    itself would OVERWRITE the folded sums with single-batch counts.
+    The guard is metadata-only (one Hadoop FS listing, no Spark job
+    — the `versioned_batch_ids` rule), so the normal no-collapse
+    path pays nothing."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
 
     horizon = read_cms_collapse_horizon(spark, store_path)
     if horizon is not None and int(batch_id) <= horizon:
         return  # at/below the collapse horizon: already in the fold
 
-    regs = cms_registers(batch_df, key_col, salt).select(
-        F.lit(int(batch_id)).alias("batch_id"),
-        "row",
-        "bucket",
-        "cnt",
-    )
-    upsert_snapshot(
+    upsert_batch_partition(
         spark,
         store_path,
-        regs.withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", "row", "bucket"],
-        partition_cols=["row"],
+        cms_registers(batch_df, key_col, salt),
+        batch_id,
     )
 
 
@@ -492,9 +485,12 @@ def collapse_cms_registers(
 
     ``upto_batch`` is CLAMPED to the largest INGESTED batch id <= it
     (the `collapse_versioned` gap rule: never mint a phantom batch).
-    The fold rewrites the store (it is ≤1024 rows per batch — tiny by
-    construction) and drops a `_cms_collapse_horizon_N` marker whose
-    FILENAME carries the horizon, so `upsert_cms_registers` can
+    Partition-pruned end to end: ingested ids come from the Hadoop
+    directory listing (metadata-only, zero jobs), the fold READS
+    only the eligible ``batch_id=N`` directories, dynamically
+    overwrites the base partition, deletes exactly the folded-away
+    directories, and drops a `_cms_collapse_horizon_N` marker whose
+    FILENAME carries the horizon so `upsert_cms_registers` can
     no-op straggler replays at/below it with one metadata listing.
 
     CONTRACT: collapse only batches at/below the stream's replay
@@ -505,16 +501,18 @@ def collapse_cms_registers(
 
     Returns ``{"batches_folded": n, "register_rows": k}``.
     """
-    store = spark.read.parquet(store_path)
-    ids = sorted(
-        r[0] for r in store.select("batch_id").distinct().collect()
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
     )
+
+    ids = versioned_batch_ids(spark, store_path)
     eligible = [b for b in ids if b <= int(upto_batch)]
     if len(eligible) <= 1:
         return {"batches_folded": 0, "register_rows": 0}
     base = max(eligible)  # fold INTO a real ingested batch
     folded = (
-        store.filter(F.col("batch_id") <= F.lit(int(base)))
+        spark.read.parquet(store_path)
+        .filter(F.col("batch_id").isin([int(b) for b in eligible]))
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
         .select(
@@ -524,24 +522,35 @@ def collapse_cms_registers(
             "cnt",
             F.lit(0).cast("long").alias("event_seq"),
         )
+        .repartition(1)  # never coalesce(1): the one-task stall
+        .localCheckpoint()  # reads the base partition the dynamic
+        # overwrite below replaces
     )
-    keep = store.filter(F.col("batch_id") > F.lit(int(base))).select(
-        "batch_id", "row", "bucket", "cnt", "event_seq"
+    n_rows = folded.count()
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store_path)
     )
-    out = folded.unionByName(keep).localCheckpoint()  # reads the
-    # partitions the overwrite below replaces
-    n_rows = out.count()
-    out.write.mode("overwrite").partitionBy("row").parquet(store_path)
-    spark.catalog.refreshByPath(store_path)
-    # marker AFTER the rewrite (the full overwrite deletes the dir);
-    # crash between write and marker only weakens the straggler guard
-    # back to the documented caller contract — never corrupts data
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(conf)
+    for b in eligible:
+        if int(b) == int(base):
+            continue
+        gone = jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/batch_id={int(b)}"
+        )
+        fs.delete(gone, True)
+    spark.catalog.refreshByPath(store_path)
+    # marker AFTER the rewrite; a crash between write and marker only
+    # weakens the straggler guard back to the documented caller
+    # contract — never corrupts data
     marker = jvm.org.apache.hadoop.fs.Path(
         f"{store_path}/{_CMS_HORIZON_MARKER}_{int(base)}"
     )
-    marker.getFileSystem(conf).create(marker, True).close()
+    fs.create(marker, True).close()
     return {
         "batches_folded": len(eligible) - 1,
         "register_rows": int(n_rows),

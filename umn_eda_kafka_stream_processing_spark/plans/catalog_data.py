@@ -270,6 +270,138 @@ def incremental_decontamination_census(
 
 
 @_register(
+    "decontamination_resweep_census",
+    "DELTA re-sweep for LATE-ARRIVING benchmarks (operators/"
+    "decontam.py:resweep_decontaminate + merge_decontam_censuses — "
+    "round-12 verdict task 2): the corpus is swept and admitted "
+    "against benchmark batch 0 (doc_id % 74 = 0), THEN batch 1 "
+    "(% 74 = 37) lands late. The remedy is no longer a full "
+    "re-sweep: the delta sweeps only batch 1's NOVEL grams "
+    "(partition-pruned store read, grams already in batch 0 "
+    "anti-joined out — both sides benchmark-sized), and because "
+    "the delta gram set is disjoint the merge ADDS hit counts "
+    "exactly — merged census == from-scratch full sweep column-for-"
+    "column (test-pinned). Census: novel-gram count, initial / "
+    "newly / merged contaminated counts, merged hit-gram total and "
+    "flagged-id checksum. Oracle regrows both gram sets and the "
+    "disjoint-delta arithmetic from the same md5 text.",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+      FROM toks
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+                  array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS g
+      FROM pos
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM g0),
+    bg0 AS (SELECT DISTINCT g FROM dg WHERE doc_id % 74 = 0),
+    bgd AS (
+      SELECT g FROM (SELECT DISTINCT g FROM dg WHERE doc_id % 74 = 37)
+      WHERE g NOT IN (SELECT g FROM bg0)
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM dg GROUP BY 1),
+    h0 AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n0
+           FROM dg JOIN bg0 USING (g) GROUP BY 1),
+    hd AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS nd
+           FROM dg JOIN bgd USING (g) GROUP BY 1),
+    per AS (
+      SELECT t.doc_id,
+             coalesce(h0.n0, 0) AS n0,
+             coalesce(hd.nd, 0) AS nd
+      FROM tot t
+      LEFT JOIN h0 ON h0.doc_id = t.doc_id
+      LEFT JOIN hd ON hd.doc_id = t.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM bgd) AS delta_grams,
+           CAST(sum(CASE WHEN n0 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_initial,
+           CAST(sum(CASE WHEN n0 + nd >= 1 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN n0 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_newly_contaminated,
+           CAST(sum(CASE WHEN n0 + nd >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_merged,
+           CAST(sum(n0 + nd) AS BIGINT) AS total_hit_grams_merged,
+           CAST(sum(CASE WHEN n0 + nd >= 1 THEN doc_id % 1000003
+                    ELSE 0 END) AS BIGINT) AS merged_id_checksum
+    FROM per
+    """,
+)
+def decontamination_resweep_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        incremental_decontaminate,
+        merge_decontam_censuses,
+        resweep_decontaminate,
+        upsert_benchmark_grams,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    store = tempfile.mkdtemp(prefix="sparkgraft_resweep_") + "/grams"
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0
+    )
+    # the standing sweep runs (and MATERIALIZES — a lazy frame would
+    # silently read the grown store below) before the late batch
+    standing = incremental_decontaminate(spark, store, docs).localCheckpoint()
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+    )
+    delta = resweep_decontaminate(spark, store, docs, since_batch=0)
+    merged = merge_decontam_censuses(standing, delta)
+    sstore = spark.read.parquet(store)
+    delta_grams = (
+        sstore.filter(F.col("batch_id") > 0)
+        .select("g")
+        .distinct()
+        .join(
+            sstore.filter(F.col("batch_id") <= 0).select("g").distinct(),
+            "g",
+            "left_anti",
+        )
+        .count()
+    )
+    initial = standing.agg(
+        F.sum("contaminated").cast("long").alias("n_contaminated_initial")
+    )
+    mstats = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("contaminated").cast("long").alias("n_contaminated_merged"),
+        F.sum("n_hit_grams").cast("long").alias("total_hit_grams_merged"),
+        F.sum(
+            F.when(
+                F.col("contaminated") == 1, F.col("doc_id") % 1000003
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("merged_id_checksum"),
+    )
+    return initial.crossJoin(mstats).select(
+        "n_docs",
+        F.lit(int(delta_grams)).cast("long").alias("delta_grams"),
+        "n_contaminated_initial",
+        (F.col("n_contaminated_merged") - F.col("n_contaminated_initial"))
+        .cast("long")
+        .alias("n_newly_contaminated"),
+        "n_contaminated_merged",
+        "total_hit_grams_merged",
+        "merged_id_checksum",
+    )
+
+
+@_register(
     "dedup_exact_groups",
     "Exact dedup via hash-groupBy on normalized md5 fingerprint; keeper = min "
     "doc_id (operators/dedup.py:exact_dedup_groups).",
@@ -304,6 +436,37 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached MinHash-LSH near-dup pair graph over the
+    documents corpus — the shared substrate of the clustering,
+    leakage-split, and training-manifest censuses (train-once/
+    serve-many: the first call pays the signature+band+verify
+    pipeline, hits are parquet scans)."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+
+    return materialized(
+        spark,
+        f"minhash_pairs|{sf_dir}",
+        lambda: dd.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
+def cached_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached min-label components over `cached_minhash_pairs`
+    — the iterative propagation loop runs once per session."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+
+    return materialized(
+        spark,
+        f"near_dup_clusters|{sf_dir}",
+        lambda: dd.near_dup_clusters(
+            cached_minhash_pairs(spark, sf_dir), pairs_materialized=True
+        ),
+    )
 
 
 def _cached_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +796,10 @@ def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators import sampling as smp
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs).localCheckpoint()
-    clusters = dd.near_dup_clusters(pairs, pairs_materialized=True)
+    # session-cached substrates (shared with near_dup_clusters and
+    # the training-manifest census — train-once/serve-many)
+    pairs = cached_minhash_pairs(spark, sf_dir)
+    clusters = cached_near_dup_clusters(spark, sf_dir)
     ids = docs.select("doc_id")
     safe = smp.cluster_safe_split(
         ids, clusters, val_rate=0.2, test_rate=0.2
@@ -715,8 +880,7 @@ def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     _near_dup_clusters_oracle(),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.near_dup_clusters(dd.minhash_lsh_pairs(docs))
+    return cached_near_dup_clusters(spark, sf_dir)
 
 
 @_register(
@@ -728,7 +892,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_oracle(16, 2, 8, 0.5),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return cached_minhash_pairs(spark, sf_dir)
 
 
 def _lsh_bucket_stats_oracle(k: int = 16, r: int = 2, cap: int = 3) -> str:
@@ -931,6 +1095,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DUCK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+# e-aliased twin for oracles that join `embeddings e` next to other
+# tables carrying their own embedding-free columns
+_DUCK_DVEC_E = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
 
 
 @_register(
@@ -4160,6 +4327,176 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm25, coverage], rrf_k=60, topk=10)
 
 
+@_register(
+    "hybrid_rrf3_search_topk",
+    "THREE-ranker hybrid retrieval — the standard lexical+semantic "
+    "stack RRF was designed for (round-12 verdict task 4): BM25 "
+    "(weighted lexical), boolean term COVERAGE (distinct terms "
+    "matched, total-tf tiebreak), and the engine's own exact "
+    "embedding ranker (operators/similarity.py:cosine_topk, "
+    "exclude_self=False) seeded by PSEUDO-RELEVANCE FEEDBACK: the "
+    "query vector is the embedding of the top lexically-AGREED "
+    "document (lowest-bm25-rank member of bm25-top50 ∩ "
+    "coverage-top50, falling back to the bm25 top-1) — the "
+    "query-by-example shape real hybrid stacks run when queries "
+    "carry no embedding. Per-ranker lists go 50 deep (the RRF "
+    "paper fuses deep lists; top-10 lists from heterogeneous "
+    "rankers rarely intersect), fused per query by Σ 1000000 div "
+    "(60 + rank) into a top-10 — exact BIGINT contributions, no "
+    "score calibration across micros/counts/cosines. n_lists pins "
+    "cross-ranker agreement (3 = retrieved by all — present in "
+    "output at every SF). Fusion work stays dim-sized; the "
+    "semantic list is the exact brute-force baseline (IVF/PQ are "
+    "the scale substitutes, same output shape). Oracle replays all "
+    "three rankers, the exemplar selection, and the identical "
+    "integer fusion.",
+    "WITH "
+    + _DUCK_BM25_RANK_CTES.replace(
+        "{QVALUES}",
+        ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES),
+    )
+    + f""",
+    cov AS (
+      SELECT q.qid, tok.doc_id,
+             CAST(count(DISTINCT tok.term) AS BIGINT) AS n_cov,
+             CAST(count(*) AS BIGINT) AS tf_total
+      FROM tok JOIN q USING (term)
+      GROUP BY 1, 2
+    ),
+    covr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_cov DESC, tf_total DESC, doc_id ASC) AS rn
+      FROM cov
+    ),
+    common AS (
+      SELECT r.qid, r.doc_id, r.rn
+      FROM r JOIN covr ON covr.qid = r.qid AND covr.doc_id = r.doc_id
+      WHERE r.rn <= 50 AND covr.rn <= 50
+    ),
+    exc AS (
+      SELECT c.qid, CAST(min(c.doc_id) AS BIGINT) AS exemplar
+      FROM common c
+      JOIN (SELECT qid, min(rn) AS mrn FROM common GROUP BY qid) m
+        ON m.qid = c.qid AND c.rn = m.mrn
+      GROUP BY c.qid
+    ),
+    ex AS (
+      SELECT b1.qid, coalesce(exc.exemplar, b1.doc_id) AS exemplar
+      FROM (SELECT qid, doc_id FROM r WHERE rn = 1) b1
+      LEFT JOIN exc ON exc.qid = b1.qid
+    ),
+    qv AS (SELECT ex.qid, {_DUCK_DVEC_E} AS v
+           FROM ex JOIN embeddings e ON e.vec_id = ex.exemplar),
+    cv AS (SELECT vec_id AS doc_id, {_DUCK_DVEC} AS v FROM embeddings),
+    sem0 AS (
+      SELECT qv.qid, cv.doc_id,
+             floor(list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(cv.v, cv.v)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM qv CROSS JOIN cv
+    ),
+    semr AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, doc_id ASC) AS rn
+      FROM sem0
+    ),
+    lists AS (
+      SELECT qid, doc_id, rn FROM r WHERE rn <= 50
+      UNION ALL
+      SELECT qid, doc_id, rn FROM covr WHERE rn <= 50
+      UNION ALL
+      SELECT qid, doc_id, rn FROM semr WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM lists GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT qid, doc_id, rrf_micro, n_lists,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS frn
+      FROM fused
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(frn AS BIGINT) AS fused_rank,
+           doc_id, rrf_micro, n_lists
+    FROM fr WHERE frn <= 10
+    """,
+)
+def hybrid_rrf3_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.fusion import (
+        rrf_fuse,
+    )
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "qid long, term string"
+    )
+    bm25 = bm25_search(
+        postings, doclens, n_docs, total_tokens, queries, k=50
+    ).localCheckpoint()  # feeds the fusion AND the exemplar seed
+    cov = (
+        postings.join(F.broadcast(queries), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_cov"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+    )
+    covw = Window.partitionBy("qid").orderBy(
+        F.col("n_cov").desc(), F.col("tf_total").desc(),
+        F.col("doc_id").asc(),
+    )
+    coverage = (
+        cov.withColumn("rank", F.row_number().over(covw).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("qid", "doc_id", "rank")
+        .localCheckpoint()  # feeds the fusion AND the exemplar seed
+    )
+    # PRF exemplar: lowest-bm25-rank doc BOTH lexical rankers agree
+    # on (min rank, then min doc_id — min(struct) argmax rule over
+    # exact integers), falling back to the bm25 top-1
+    # both lists are localCheckpointed (stats stripped) |q|*50-row
+    # frames — broadcast or the static planner SMJ-sorts the pair
+    common = bm25.select("qid", "doc_id", F.col("rank").alias("rn")).join(
+        F.broadcast(coverage.select("qid", "doc_id")), ["qid", "doc_id"]
+    )
+    exc = common.groupBy("qid").agg(
+        F.min(F.struct("rn", "doc_id")).alias("_best")
+    ).select("qid", F.col("_best.doc_id").alias("_exc"))
+    ex = (
+        bm25.filter(F.col("rank") == 1)
+        .select("qid", F.col("doc_id").alias("_b1"))
+        .join(F.broadcast(exc), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("_exc"), F.col("_b1")).alias("exemplar"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(ex).join(
+        emb, emb["vec_id"] == ex["exemplar"]
+    ).select(F.col("qid").alias("vec_id"), "embedding")
+    semantic = sim.cosine_topk(
+        qv, emb, k=50, exclude_self=False
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([bm25, coverage, semantic], rrf_k=60, topk=10)
 @_register(
     "temperature_mixture_stats",
     "Temperature-weighted training-mixture construction (the "

@@ -314,11 +314,18 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # (q22_dormant_customers rotated out in r12 for
     # leakage_safe_split_census below: driver-verified r04-r11, eight
     # consecutive greens; the TPC-H family keeps ~16 members in-gate)
-    # -- new in r12, never driver-verified: cluster-safe train/test
-    # split (split hash keyed on the near-dup component representative;
-    # zero cross-split pairs pinned NEXT TO the naive split's leak
-    # count on the same pair set) ------------------------------------
-    "leakage_safe_split_census",
+    # (leakage_safe_split_census rotated out in r13 for
+    # training_manifest_census below: driver-verified r12, and the
+    # manifest census SUBSUMES its claim — the same cluster-keyed
+    # split runs inside the chain and pairs_among_admitted pins zero
+    # surviving near-dup pairs as data; the split family also keeps
+    # repeat_mixture_census + split-bias queries in-gate)
+    # -- new in r13, never driver-verified: the FULL curation recipe
+    # end-to-end — near-dup keepers -> decontaminate -> cluster-safe
+    # split(train) -> repeat mixture, producing the actual training
+    # MANIFEST with zero-leak/zero-contamination pins and an
+    # id-checksum; oracle recomputes the whole chain -----------------
+    "training_manifest_census",
     # the five partsupp-adapted shapes (lineitem-mediated relation)
     # (q2_min_cost_supplier rotated out in r09 for
     # quantity_weighted_price_quantiles below: driver-verified r04+
@@ -435,10 +442,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r07-r11, five consecutive greens; the span/line-dedup family
     # keeps deep overflow verdicts and the dedup family stays
     # heavily represented in-gate)
-    # -- new in r12, never driver-verified: streaming decontamination
-    # (benchmark gram register store + merged-store sweep; replay
-    # pinned via store_rows) -----------------------------------------
-    "incremental_decontamination_census",
+    # (incremental_decontamination_census rotated out in r13 for
+    # decontamination_resweep_census below: driver-verified r12; the
+    # decontamination family keeps benchmark_decontamination_census
+    # in-gate, and the resweep census exercises the same register
+    # store plus the late-benchmark delta merge)
+    # -- new in r13, never driver-verified: DELTA re-sweep for
+    # late-arriving benchmarks (partition-pruned novel-gram read,
+    # anti-joined disjoint, additive merge == full sweep) ------------
+    "decontamination_resweep_census",
     "nb_train_model",
     # (nb_quality_flags rotated out in r11 for
     # incremental_event_totals_view below: driver-verified r07+r08+
@@ -556,10 +568,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # below: driver-verified r07-r11, five consecutive greens; the
     # charlm/text family keeps nb_train_model in-gate plus deep
     # overflow verdicts)
-    # -- new in r12, never driver-verified: hybrid retrieval with
-    # reciprocal-rank fusion (BM25 + term-coverage rankers fused by
-    # exact-integer 1e6 div (60+rank) sums) --------------------------
-    "hybrid_rrf_search_topk",
+    # (hybrid_rrf_search_topk rotated out in r13 for
+    # hybrid_rrf3_search_topk below: driver-verified r12, and the
+    # 3-ranker census SUBSUMES it — same BM25 + coverage lists plus
+    # the embedding ranker the r12 verdict asked for)
+    # -- new in r13, never driver-verified: THREE-ranker hybrid RRF
+    # (BM25 + coverage + PRF-seeded exact embedding ranker, 50-deep
+    # lists, n_lists=3 agreement visible) ----------------------------
+    "hybrid_rrf3_search_topk",
     # -- new in r07 (third batch), never driver-verified: blocked
     # fuzzy-join entity resolution, PMI word association, cohort
     # retention, Z-order layout locality --------------------------------

@@ -82,14 +82,20 @@ def make_dim_changelog_batch_fn(
     sketch_key = sketch_key or keys[0]
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.localCheckpoint()
+        # no localCheckpoint: a microbatch frame comes from the
+        # SOURCE, never from the stores this fn writes, so the
+        # checkpoint bought nothing but a job per batch (round-12
+        # verdict on the census's job floor); upsert_snapshot still
+        # checkpoints internally when a merge reads its own path. A
+        # caller feeding frames DERIVED from these stores must
+        # checkpoint them itself (the GlobalKTable lineage rule).
         upsert_snapshot(
             spark,
             dim_snapshot_path,
-            b.withColumn("event_seq", F.lit(int(batch_id))),
+            batch_df.withColumn("event_seq", F.lit(int(batch_id))),
             key_cols=keys,
         )
-        upsert_cms_registers(spark, regs_path, b, sketch_key, batch_id)
+        upsert_cms_registers(spark, regs_path, batch_df, sketch_key, batch_id)
         if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
             collapse_cms_registers(spark, regs_path, int(batch_id) - 1)
 
@@ -143,7 +149,7 @@ def make_advised_enrichment_batch_fn(
     `make_dim_changelog_batch_fn` (the dim side collapses on its own
     clock there; this side never touches the right store's ids)."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
         collapse_cms_registers,
@@ -154,7 +160,12 @@ def make_advised_enrichment_batch_fn(
     keys = [on] if isinstance(on, str) else list(on)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.localCheckpoint()
+        # no localCheckpoint — the source-derived microbatch never
+        # reads the stores written here (see make_dim_changelog_
+        # batch_fn); the frame's lineage is recomputed once for the
+        # register upsert and once for the enrichment write, both
+        # cheaper than materializing every batch
+        b = batch_df
         upsert_cms_registers(spark, left_regs_path, b, keys[0], batch_id)
         if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
             collapse_cms_registers(spark, left_regs_path, int(batch_id) - 1)
@@ -187,7 +198,6 @@ def make_advised_enrichment_batch_fn(
         log = spark.createDataFrame(
             [
                 (
-                    int(batch_id),
                     decision["strategy"],
                     int(decision["rows_left"]),
                     int(decision["rows_right"]),
@@ -196,25 +206,27 @@ def make_advised_enrichment_batch_fn(
                     Decimal(decision["est_join_rows"]),
                 )
             ],
-            "batch_id long, strategy string, rows_left long, "
+            "strategy string, rows_left long, "
             "rows_right long, top_cnt_left_ub long, "
             "share_left_micro_ub long, est_join_rows decimal(38,0)",
         )
-        upsert_snapshot(
-            spark,
-            decisions_path,
-            log.withColumn("event_seq", F.lit(0)),
-            key_cols=["batch_id"],
-        )
+        # one row per batch, BATCH-KEYED: dynamic overwrite of its
+        # own batch_id=N directory — a replay (only ever the LAST
+        # batch — the Structured Streaming replay shape, so the
+        # register state it reads is unchanged) rewrites the same
+        # one-row partition; no log read, no merge
+        upsert_batch_partition(spark, decisions_path, log, batch_id)
 
     return fn
 
 
 def read_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
     """The pipeline's decision log: one row per fact batch with the
-    strategy it executed and the sketch scalars that chose it."""
+    strategy it executed and the sketch scalars that chose it.
+    batch_id is cast back to long — it is a PARTITION column now and
+    partition-type inference reads small values as int32."""
     return spark.read.parquet(decisions_path).select(
-        "batch_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
         "strategy",
         "rows_left",
         "rows_right",
