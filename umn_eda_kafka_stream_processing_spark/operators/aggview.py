@@ -52,26 +52,18 @@ def upsert_agg_view(
     """Land one microbatch's PARTIAL aggregates (foreachBatch shape).
 
     ``partial_aggs`` run per group within this batch only; their
-    aliases are the store's value columns. Keyed latest-wins by
-    (batch_id, groups) and partitioned by batch_id — a replay
-    rewrites only its own directory with identical rows (no-op)."""
+    aliases are the store's value columns. BATCH-KEYED (partials are
+    a pure function of the batch): each batch's rows rewrite their
+    own ``batch_id=N`` partition via dynamic overwrite — a replay
+    recomputes identical rows, no store read, no merge
+    (`compaction.upsert_batch_partition`)."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    part = (
-        batch_df.groupBy(*groups)
-        .agg(*partial_aggs)
-        .withColumn("batch_id", F.lit(int(batch_id)))
-    )
-    upsert_snapshot(
-        spark,
-        store_path,
-        part.withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", *groups],
-        partition_cols=["batch_id"],
-    )
+    part = batch_df.groupBy(*groups).agg(*partial_aggs)
+    upsert_batch_partition(spark, store_path, part, batch_id)
 
 
 def read_agg_view(

@@ -196,23 +196,21 @@ def upsert_constraint_census(
     tiny long-frame history: one row per (batch, constraint),
     diffable across batches for drift alerts."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
 
     census = check_constraints(batch_df, checks, dims=dims).select(
-        F.lit(int(batch_id)).alias("batch_id"),
         "check",
         "target",
         "n_rows",
         "n_violations",
         "ok",
     )
-    upsert_snapshot(
-        spark,
-        store_path,
-        census.withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", "check", "target"],
-    )
+    # BATCH-KEYED store (the census is a pure function of the batch):
+    # dynamic overwrite of batch_id=N, replay no-op, no merge — and
+    # no more whole-store rewrite per batch (the old unpartitioned
+    # upsert reread and rewrote the full history every append)
+    upsert_batch_partition(spark, store_path, census, batch_id)
 
 
 def read_constraint_history(spark, store_path: str) -> DataFrame:
@@ -242,7 +240,7 @@ def upsert_histogram_monitor(
     read-modify-added. ``specs``: {column: (lo, hi, bins)}. Store
     size: <= Σ bins rows per batch, however large the batches."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
         histogram_registers,
@@ -256,21 +254,16 @@ def upsert_histogram_monitor(
             batch_df.select(F.lit(col).alias("_col"), F.col(col)),
             "_col", col, float(lo), float(hi), int(bins),
         ).select(
-            F.lit(int(batch_id)).alias("batch_id"),
             F.col("g").alias("col_name"),
             "bin",
             "cnt",
         )
         regs = r if regs is None else regs.unionByName(r)
-    upsert_snapshot(
-        spark,
-        store_path,
-        regs.withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", "col_name", "bin"],
-        # each upsert touches only its own batch directory; replays
-        # rewrite one partition, and drift windows prune on batch_id
-        partition_cols=["batch_id"],
-    )
+    # BATCH-KEYED store: registers are a pure function of the batch —
+    # the batch's rows rewrite their own directory (dynamic
+    # overwrite, replay no-op), no store read, no merge; drift
+    # windows prune on batch_id
+    upsert_batch_partition(spark, store_path, regs, batch_id)
 
 
 def drift_census(
@@ -407,7 +400,7 @@ def upsert_category_monitor(
     histogram monitor or a KMV sketch, not a per-category
     register)."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
-        upsert_snapshot,
+        upsert_batch_partition,
     )
 
     cols = list(cols)
@@ -450,17 +443,13 @@ def upsert_category_monitor(
             f"column(s) exceed max_categories={max_categories}: {names} "
             "— not categorical; use the histogram monitor or a sketch"
         )
-    upsert_snapshot(
+    # BATCH-KEYED store (counts are a pure function of the batch):
+    # dynamic overwrite of batch_id=N, replay no-op, no merge
+    upsert_batch_partition(
         spark,
         store_path,
-        regs.select(
-            F.lit(int(batch_id)).alias("batch_id"),
-            "col_name",
-            "category",
-            "cnt",
-        ).withColumn("event_seq", F.lit(0)),
-        key_cols=["batch_id", "col_name", "category"],
-        partition_cols=["batch_id"],
+        regs.select("col_name", "category", "cnt"),
+        batch_id,
     )
 
 
