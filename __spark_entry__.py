@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 211 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 212 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -32,7 +32,7 @@ register horizon collapse, and the categorical drift monitor), where
 every operator
 family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
-synthetic tables with a DuckDB oracle twin — 211 of 211, including
+synthetic tables with a DuckDB oracle twin — 212 of 212, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
 oracles unroll their iterations in generated SQL).
 """

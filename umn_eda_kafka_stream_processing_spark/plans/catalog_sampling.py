@@ -506,14 +506,14 @@ _MANIFEST_TARGETS = {
 }
 
 
-def _training_manifest_oracle() -> str:
-    """Composed twin of operators/curation.py:training_manifest —
-    the WHOLE chain in one SQL text: minhash pairs → WITH RECURSIVE
-    components → keepers → gram sweep (benchmark = doc_id % 37 = 0
-    of the FULL corpus) → md5 split on the cluster representative
-    (train only) → repeat-factor mixture; plus the global pins
-    (zero pairs among admitted docs, zero contaminated admits, the
-    manifest id-checksum)."""
+def _manifest_ctes() -> str:
+    """Shared WITH-RECURSIVE body recomputing the whole curation
+    chain of operators/curation.py:training_manifest in SQL: minhash
+    pairs → components → keepers → gram sweep (benchmark =
+    doc_id % 37 = 0 of the FULL corpus) → md5 split on the cluster
+    representative (train only) → repeat-factor mixture ending in a
+    MATERIALIZED ``manifest`` CTE — two oracles build their final
+    SELECTs on it."""
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
         _minhash_parts,
     )
@@ -612,7 +612,14 @@ def _training_manifest_oracle() -> str:
                  AS n_repeats
       FROM rk2
       WHERE fep + (CASE WHEN cum - n_chars < rem THEN 1 ELSE 0 END) >= 1
-    ),
+    )"""
+
+
+def _training_manifest_oracle() -> str:
+    """Manifest-census twin: the shared chain CTEs plus the global
+    pins (zero pairs among admitted docs, zero contaminated admits,
+    stage counts, the manifest id-checksum)."""
+    return _manifest_ctes() + """,
     gstats AS (
       SELECT
         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input_docs,
@@ -763,4 +770,106 @@ def training_manifest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pairs_among_admitted",
         "contaminated_admits",
         "manifest_id_checksum",
+    )
+
+
+def _manifest_epoch_oracle() -> str:
+    """Epoch-expansion twin: the shared chain CTEs, each manifest row
+    expanded to its n_repeats instances, keyed (doc_id '#' rep_idx),
+    then the identical epoch_shuffle md5 arithmetic (u = md5 of
+    'shuf-e1|key', batch = u % 16, pos = row_number by (u, key))."""
+    ukey = _duck_key("rep_key", "shuf-e1")
+    return _manifest_ctes() + f""",
+    expd AS (
+      SELECT m.doc_id, m.n_chars,
+             unnest(generate_series(1, m.n_repeats)) AS rep_idx
+      FROM manifest m
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             concat(CAST(doc_id AS VARCHAR), '#',
+                    CAST(rep_idx AS VARCHAR)) AS rep_key
+      FROM expd
+    ),
+    uu AS (SELECT *, {ukey} AS u FROM keyed),
+    asg AS (
+      SELECT doc_id, n_chars,
+             CAST(u % 16 AS BIGINT) AS batch_id,
+             row_number() OVER (PARTITION BY u % 16
+                                ORDER BY u, rep_key) AS pos
+      FROM uu
+    )
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS pos_checksum
+    FROM asg GROUP BY batch_id
+    """
+
+
+@_register(
+    "manifest_epoch_batches_census",
+    "The manifest BECOMES training batches (the consumption step the "
+    "repeat mixture's docstring promises): each manifest row expands "
+    "to its n_repeats instances (mass-bounded — Σ n_repeats·chars ≈ "
+    "the mixture targets however large the corpus), every instance "
+    "gets its own shuffle identity (doc_id '#' rep_idx — copies of a "
+    "doc land in DIFFERENT batches, the point of shuffling repeats), "
+    "and operators/sampling.py:epoch_shuffle assigns a reproducible "
+    "epoch-1 permutation: batch = md5-key % 16, position = rank "
+    "inside the batch — one shuffle, 16 parallel partition-local "
+    "sorts, never a global sort. The manifest itself is the "
+    "session-cached train-once artifact (operators/curation.py:"
+    "training_manifest — the census that PINS its construction is "
+    "training_manifest_census). Census per batch: rows, distinct "
+    "docs, char mass, exact position checksum. Oracle recomputes "
+    "the full chain + expansion + identical md5 shuffle.",
+    _manifest_epoch_oracle(),
+)
+def manifest_epoch_batches_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        training_manifest,
+    )
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_minhash_pairs,
+        cached_near_dup_clusters,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return training_manifest(
+            docs,
+            docs.filter(F.col("doc_id") % 37 == 0),
+            _MANIFEST_TARGETS,
+            val_rate=0.1,
+            test_rate=0.1,
+            pairs=cached_minhash_pairs(spark, sf_dir),
+            clusters=cached_near_dup_clusters(spark, sf_dir),
+        ).select("doc_id", "source", "n_chars", "n_repeats")
+
+    manifest = materialized(spark, f"training_manifest|{sf_dir}", build)
+    expanded = manifest.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr("sequence(1, n_repeats)")).alias("rep_idx"),
+    ).withColumn(
+        "rep_key",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("rep_idx").cast("string"),
+        ),
+    )
+    shuf = smp.epoch_shuffle(expanded, "rep_key", n_batches=16, epoch=1)
+    return shuf.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.col("pos_in_batch") * (F.col("doc_id") % 1000003))
+        .cast("long")
+        .alias("pos_checksum"),
     )

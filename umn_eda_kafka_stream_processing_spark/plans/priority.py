@@ -561,9 +561,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # doc_length_quantiles_by_lang below: driver-verified r07+r08+r09;
     # the exact-quantile family keeps quantity_weighted_price_quantiles
     # plus the new per-group query in-gate)
-    # -- new in r10, never driver-verified: fully distributed PER-GROUP
-    # exact quantiles (no driver collect, per-group histogram) --------
-    "doc_length_quantiles_by_lang",
+    # (doc_length_quantiles_by_lang rotated out in r13 for
+    # manifest_epoch_batches_census below: driver-verified r10+r11+
+    # r12, three consecutive greens; the exact-quantile family keeps
+    # quantity_weighted_price_quantiles + price_percentile_decile_
+    # census in-gate)
+    # -- new in r13, never driver-verified: the training manifest
+    # expanded into actual epoch batches (per-instance shuffle keys,
+    # md5 epoch permutation, per-batch mass + position checksums) ----
+    "manifest_epoch_batches_census",
     # (charlm_langid_auc rotated out in r12 for hybrid_rrf_search_topk
     # below: driver-verified r07-r11, five consecutive greens; the
     # charlm/text family keeps nb_train_model in-gate plus deep
