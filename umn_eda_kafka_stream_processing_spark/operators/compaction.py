@@ -85,6 +85,12 @@ def upsert_batch_partition(
     overwrites wholesale. ``batch_rows`` must NOT already carry
     batch_id/event_seq (added here; event_seq=0 keeps the schema
     interchangeable with upsert_snapshot-managed stores)."""
+    clash = {"batch_id", "event_seq"} & set(batch_rows.columns)
+    if clash:
+        raise ValueError(
+            f"batch_rows already carries reserved column(s) {sorted(clash)}"
+            " — they are added here (pass the payload columns only)"
+        )
     out = batch_rows.select(
         F.lit(int(batch_id)).cast("long").alias("batch_id"),
         "*",
