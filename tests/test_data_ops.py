@@ -2162,6 +2162,42 @@ def test_incremental_cms_registers_replay_safe(spark, tmp_path):
     assert got2 == want
 
 
+def test_upsert_batch_partition_guards_reserved_columns(spark, tmp_path):
+    """The batch-keyed fast path adds batch_id/event_seq itself — a
+    payload frame already carrying either must fail loud, not write
+    a store with duplicate column names."""
+    import pytest
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_batch_partition,
+    )
+
+    ok = spark.createDataFrame([(1, 2)], "k long, v long")
+    upsert_batch_partition(spark, str(tmp_path / "s"), ok, 0)
+    got = spark.read.parquet(str(tmp_path / "s"))
+    assert {r["k"] for r in got.collect()} == {1}
+    assert set(got.columns) == {"batch_id", "k", "v", "event_seq"}
+    bad = spark.createDataFrame([(1, 2)], "batch_id long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_batch_partition(spark, str(tmp_path / "s"), bad, 1)
+
+
+def test_cms_collapse_horizon_absent_store(spark, tmp_path):
+    """No store / never-collapsed store -> horizon None (the guard's
+    zero-cost normal path)."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+
+    assert sk.read_cms_collapse_horizon(
+        spark, str(tmp_path / "nope")
+    ) is None
+    sk.upsert_cms_registers(
+        spark, str(tmp_path / "cms"),
+        spark.createDataFrame([("a",)], "k string"), "k", 0,
+    )
+    assert sk.read_cms_collapse_horizon(
+        spark, str(tmp_path / "cms")
+    ) is None
+
+
 def test_collapse_cms_registers(spark, tmp_path):
     """Horizon collapse of a CMS register store (round-12 verdict
     task): batches <= the horizon fold into ONE base batch whose
