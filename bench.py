@@ -74,12 +74,11 @@ def main() -> None:
     # wall-clock budget: if the full catalog at n runs would blow the
     # harness timeout, degrade remaining queries to a single run
     # rather than get killed with no output at all
-    # 420, not 480 (r11): the budget caps MEASUREMENT time, but the
-    # process total adds session startup + the guaranteed single run
-    # for every budget-skipped query — at 199 queries a 480 budget
-    # pushed the total past 590 s and a timeout killed the run with
-    # NO stdout line at all (worse than any degradation). 420 keeps
-    # the observed worst-case total ~520 s.
+    # 360, not 420 (r13): the soft budget caps MEASUREMENT time, but
+    # at 212 queries even the all-singles tail after it can overrun —
+    # 360 leaves the tail ~160 s of headroom under the 520 s HARD cap
+    # below, which outright skips whatever still doesn't fit so the
+    # stdout line always prints before any harness timeout.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
     # HARD wall: at 212 queries even the all-singles tail after the
     # soft budget can push the process past the harness timeout (r13:
@@ -256,9 +255,7 @@ def main() -> None:
     }
     if shard:
         detail["shard"] = shard
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail_path = resolve_detail_path(detail)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"detail -> {detail_path}", file=sys.stderr)
@@ -293,6 +290,35 @@ def main() -> None:
         obj["queries"] = {}
         line = json.dumps(obj, separators=(",", ":"))
     print(line)
+
+
+def resolve_detail_path(detail: dict, environ: dict | None = None) -> str:
+    """Where to write the detail sidecar — with a no-clobber rule.
+
+    The committed BENCH_DETAIL.json is the repo's full-coverage warm
+    artifact (every query measured post-warmup, quiet window). Twice
+    now (r12 advice, repeated at r13 commit fd79063) a smoke / capped /
+    noisy pass silently overwrote it. Rule: an INCOMPLETE run — any
+    skipped or cold-only queries, the noisy self-flag, or a shard
+    pass — is written to BENCH_DETAIL.partial.json instead, unless
+    SPARK_GRAFT_BENCH_COMMIT=1 explicitly overrides. An explicit
+    SPARK_GRAFT_BENCH_DETAIL path is always honored verbatim (the
+    shard-merge workflow points each pass at its own /tmp file).
+    """
+    env = os.environ if environ is None else environ
+    explicit = env.get("SPARK_GRAFT_BENCH_DETAIL")
+    if explicit:
+        return explicit
+    here = os.path.dirname(os.path.abspath(__file__))
+    complete = (
+        not detail.get("skipped")
+        and not detail.get("cold_only")
+        and not detail.get("noisy")
+        and "shard" not in detail
+    )
+    if complete or env.get("SPARK_GRAFT_BENCH_COMMIT") == "1":
+        return os.path.join(here, "BENCH_DETAIL.json")
+    return os.path.join(here, "BENCH_DETAIL.partial.json")
 
 
 def _box_load() -> dict:

@@ -251,6 +251,13 @@ def test_sig_near_pairs_capless_guard_fails_loud(spark):
     )
     with pytest.raises(Exception, match="exceeds guard"):
         bad.count()
+    # cap and guard are mutually exclusive (round-13 advice): passing
+    # both used to silently take cap semantics and ignore the guard
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _sig_near_pairs(
+            sigs, "media_id", max_hamming=64,
+            hot_bucket_cap=100, hot_bucket_guard=5,
+        )
 
 
 def test_lsh_bucket_stats_census(spark):
@@ -2090,10 +2097,14 @@ def test_constraint_monitor_store_replay_safe(spark, tmp_path):
         (1, "not_null", "v"): (1, 0, 1),
         (1, "range", "v"): (1, 1, 0),
     }
+    hist = read_constraint_history(spark, store)
+    # batch_id is a partition column (int32 by inference); the reader
+    # contract is a LONG history frame (round-13 advice)
+    assert dict(hist.dtypes)["batch_id"] == "bigint"
     got = {
         (r["batch_id"], r["check"], r["target"]):
             (r["n_rows"], r["n_violations"], r["ok"])
-        for r in read_constraint_history(spark, store).collect()
+        for r in hist.collect()
     }
     assert got == want
     upsert_constraint_census(spark, store, b1, checks, 1)  # replay
@@ -2252,6 +2263,58 @@ def test_collapse_cms_registers(spark, tmp_path):
     assert sk.collapse_cms_registers(spark, store, 4) == {
         "batches_folded": 0, "register_rows": 0,
     }
+
+
+def test_collapse_cms_registers_crash_recovery(spark, tmp_path):
+    """A collapse that crashed BETWEEN its marker write and its
+    directory deletes (round-13 advice) leaves folded sums in the base
+    AND the original batch directories on disk. Readers must exclude
+    the stale sub-horizon directories (no double count), and the next
+    collapse must sweep them instead of re-folding them into a
+    permanent double count."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_batch_partition,
+    )
+
+    batches = {
+        0: [(f"k{i % 7}",) for i in range(200)],
+        1: [(f"k{i % 11}",) for i in range(150)],
+        2: [(f"k{i % 5}",) for i in range(100)],
+    }
+    store = str(tmp_path / "cms_store")
+    for bid, rows in sorted(batches.items()):
+        sk.upsert_cms_registers(
+            spark, store, spark.createDataFrame(rows, "k string"), "k", bid
+        )
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sk.read_cms_registers(spark, store).collect()}
+    res = sk.collapse_cms_registers(spark, store, 1)  # folds 0 into base 1
+    assert res["batches_folded"] == 1
+    # simulate the crash window: resurrect batch 0's ORIGINAL registers
+    # below the recorded horizon (exactly what an interrupted delete
+    # loop leaves behind) — bypass the upsert guard deliberately
+    upsert_batch_partition(
+        spark, store,
+        sk.cms_registers(spark.createDataFrame(batches[0], "k string"), "k"),
+        0,
+    )
+    ids = sorted({r["batch_id"] for r in
+                  spark.read.parquet(store).select("batch_id").collect()})
+    assert 0 in ids  # the stale directory is really on disk
+    # 1) readers ignore the stale sub-horizon directory
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in sk.read_cms_registers(spark, store).collect()}
+    assert got == want
+    # 2) the next collapse sweeps it and still reads identically
+    res2 = sk.collapse_cms_registers(spark, store, 2)  # folds 1 into base 2
+    assert res2["batches_folded"] == 1
+    ids2 = sorted({r["batch_id"] for r in
+                   spark.read.parquet(store).select("batch_id").collect()})
+    assert ids2 == [2]  # stale 0 swept, 1 folded, base 2 remains
+    got2 = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sk.read_cms_registers(spark, store).collect()}
+    assert got2 == want
 
 
 def test_incremental_hll_registers_replay_safe(spark, tmp_path):

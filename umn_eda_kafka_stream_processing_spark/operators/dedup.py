@@ -1009,6 +1009,13 @@ def _sig_near_pairs(
     assert riding the same window count the cap path pays (an
     ``assert_true`` inside a filter — a plain dropped column would
     be pruned away by the optimizer)."""
+    if hot_bucket_cap is not None and hot_bucket_guard is not None:
+        raise ValueError(
+            "_sig_near_pairs: hot_bucket_cap and hot_bucket_guard are "
+            "mutually exclusive (cap silently DROPS hot buckets, guard "
+            "FAILS LOUD on them) — pass exactly one, or cap=None for "
+            "the guarded capless shape"
+        )
     chunk_cols = [f"c{c}" for c in range(4)]
     melted = sigs.select(
         F.col(id_col), *chunk_cols,

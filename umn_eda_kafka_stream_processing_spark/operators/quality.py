@@ -216,9 +216,19 @@ def upsert_constraint_census(
 def read_constraint_history(spark, store_path: str) -> DataFrame:
     """The monitor's history: (batch_id, check, target, n_rows,
     n_violations, ok) per batch — plus use a groupBy over it for
-    totals or a window per (check, target) for drift."""
+    totals or a window per (check, target) for drift.
+
+    batch_id is cast to long explicitly: it is a PARTITION column
+    (upsert_batch_partition) and partition-type inference reads it as
+    int32, which would silently break downstream BIGINT comparisons
+    and schema pins (mirror of advised.read_decisions)."""
     return spark.read.parquet(store_path).select(
-        "batch_id", "check", "target", "n_rows", "n_violations", "ok"
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "check",
+        "target",
+        "n_rows",
+        "n_violations",
+        "ok",
     )
 
 

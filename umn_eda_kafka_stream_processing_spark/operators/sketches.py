@@ -435,11 +435,21 @@ def read_cms_registers(spark, store_path: str) -> DataFrame:
     """Current register table of an `upsert_cms_registers` store:
     counts summed across batch_ids (one ≤1024·n_batches-row agg).
     Output matches `cms_registers` over the concatenated batches —
-    feed it to `cms_estimate` / `cms_join_size`."""
-    return (
-        spark.read.parquet(store_path)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    feed it to `cms_estimate` / `cms_join_size`.
+
+    Batches BELOW the collapse horizon are excluded: after a collapse,
+    the base batch (== the horizon) carries the folded sums, so any
+    ``batch_id < horizon`` directory still on disk is a stale leftover
+    of a collapse that crashed between its marker write and its
+    directory deletes — summing it would double count. The filter is
+    on the partition column, so the pruned scan never lists the stale
+    directories' footers either way."""
+    df = spark.read.parquet(store_path)
+    horizon = read_cms_collapse_horizon(spark, store_path)
+    if horizon is not None:
+        df = df.filter(F.col("batch_id") >= int(horizon))
+    return df.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
     )
 
 
@@ -499,13 +509,42 @@ def collapse_cms_registers(
     violating replay a silent no-op rather than a double count: the
     folded sums already contain that batch.
 
+    CRASH SAFETY (round-13 advice): the marker is written IMMEDIATELY
+    after the base-partition overwrite, BEFORE the folded directories
+    are deleted, and both `read_cms_registers` and this function's own
+    eligible set exclude ``batch_id < horizon`` directories. A crash
+    mid-deletes therefore leaves stale directories that every reader
+    ignores and the NEXT collapse call sweeps (self-healing), instead
+    of a permanent double count. The residual window is the single
+    driver-side marker create after the overwrite job commits — no
+    Spark job and no directory loop inside it (the old design ran all
+    the deletes there).
+
     Returns ``{"batches_folded": n, "register_rows": k}``.
     """
     from umn_eda_kafka_stream_processing_spark.operators.versioned import (
         versioned_batch_ids,
     )
 
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(conf)
+
+    def _delete_batch_dir(b: int) -> None:
+        gone = jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={int(b)}")
+        fs.delete(gone, True)
+
     ids = versioned_batch_ids(spark, store_path)
+    prior = read_cms_collapse_horizon(spark, store_path)
+    if prior is not None:
+        # finish a crashed predecessor's deletes: anything below the
+        # recorded horizon is already folded into its base — stale
+        stale = [b for b in ids if b < prior]
+        for b in stale:
+            _delete_batch_dir(b)
+        if stale:
+            spark.catalog.refreshByPath(store_path)
+        ids = [b for b in ids if b >= prior]
     eligible = [b for b in ids if b <= int(upto_batch)]
     if len(eligible) <= 1:
         return {"batches_folded": 0, "register_rows": 0}
@@ -533,24 +572,17 @@ def collapse_cms_registers(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(store_path)
     )
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(conf)
-    for b in eligible:
-        if int(b) == int(base):
-            continue
-        gone = jvm.org.apache.hadoop.fs.Path(
-            f"{store_path}/batch_id={int(b)}"
-        )
-        fs.delete(gone, True)
-    spark.catalog.refreshByPath(store_path)
-    # marker AFTER the rewrite; a crash between write and marker only
-    # weakens the straggler guard back to the documented caller
-    # contract — never corrupts data
+    # marker FIRST (immediately after the overwrite commits), deletes
+    # second: from this point every reader excludes batch_id < base,
+    # so the not-yet-deleted folded directories are invisible
     marker = jvm.org.apache.hadoop.fs.Path(
         f"{store_path}/{_CMS_HORIZON_MARKER}_{int(base)}"
     )
     fs.create(marker, True).close()
+    for b in eligible:
+        if int(b) != int(base):
+            _delete_batch_dir(b)
+    spark.catalog.refreshByPath(store_path)
     return {
         "batches_folded": len(eligible) - 1,
         "register_rows": int(n_rows),
