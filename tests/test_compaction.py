@@ -429,18 +429,28 @@ def test_incremental_agg_view_replay_and_collapse(spark, tmp_path):
         "k", partials, 1,
     )
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
-    # collapse batches <= 1 into the -1 baseline: view unchanged,
-    # folded partitions gone, idempotent
+    # collapse batches <= 1 into the real base batch 1 (the generic
+    # collapse_batch_registers shape): view unchanged, folded
+    # partition gone, idempotent
     st = collapse_agg_view(spark, store, "k", finals, upto_batch_id=1)
-    assert st == {"batches_folded": 2, "groups": 3}
+    assert st == {"batches_folded": 1, "groups": 3}  # 0 folded into 1
     assert view() == expect()
     ids = {
         r["batch_id"]
         for r in spark.read.parquet(store).select("batch_id").distinct().collect()
     }
-    assert ids == {-1, 2}
+    assert ids == {1, 2}
     st2 = collapse_agg_view(spark, store, "k", finals, upto_batch_id=1)
     assert st2 == {"batches_folded": 0, "groups": 0}
+    # a straggler replay at/below the horizon NO-OPS (the marker
+    # guard): re-adding batch 1's mass would double count now that
+    # the baseline at batch 1 carries batch 0 too
+    upsert_agg_view(
+        spark, store,
+        spark.createDataFrame(batches[1], "k string, v long"),
+        "k", partials, 1,
+    )
+    assert view() == expect()
     # new batches compose on top of the baseline; a later collapse
     # folds the baseline together with them
     seen.extend([("a", 100), ("d", 1)])
@@ -451,8 +461,63 @@ def test_incremental_agg_view_replay_and_collapse(spark, tmp_path):
     )
     assert view() == expect()
     st3 = collapse_agg_view(spark, store, "k", finals, upto_batch_id=3)
-    assert st3["batches_folded"] == 2  # batch 2 + batch 3 (baseline rewritten)
+    assert st3["batches_folded"] == 2  # baseline 1 + batch 2 into base 3
     assert view() == expect()
+
+
+def test_agg_view_collapse_crash_recovery(spark, tmp_path):
+    """A collapse that crashed between its marker write and its
+    directory deletes leaves the folded baseline AND the original
+    batch directories on disk: readers must exclude the stale
+    sub-horizon directories and the next collapse must sweep them
+    (the generic collapse_batch_registers crash-safety contract)."""
+    from umn_eda_kafka_stream_processing_spark.operators.aggview import (
+        collapse_agg_view,
+        read_agg_view,
+        upsert_agg_view,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        upsert_batch_partition,
+    )
+
+    store = str(tmp_path / "view")
+    partials = [F.sum("v").cast("long").alias("s")]
+    finals = [F.sum("s").cast("long").alias("s")]
+    batches = [[("a", 3), ("b", 1)], [("a", 2)], [("b", 7)]]
+    for bid, rows in enumerate(batches):
+        upsert_agg_view(
+            spark, store,
+            spark.createDataFrame(rows, "k string, v long"),
+            "k", partials, bid,
+        )
+
+    def view():
+        return {r["k"]: r["s"]
+                for r in read_agg_view(spark, store, "k", finals).collect()}
+
+    want = {"a": 5, "b": 8}
+    assert view() == want
+    assert collapse_agg_view(
+        spark, store, "k", finals, upto_batch_id=1
+    ) == {"batches_folded": 1, "groups": 2}
+    # simulate the crash window: resurrect batch 0's ORIGINAL partials
+    # below the recorded horizon (what an interrupted delete leaves)
+    upsert_batch_partition(
+        spark, store,
+        spark.createDataFrame(batches[0], "k string, v long")
+        .groupBy("k").agg(*partials),
+        0,
+    )
+    ids = {r["batch_id"] for r in
+           spark.read.parquet(store).select("batch_id").distinct().collect()}
+    assert 0 in ids  # stale directory really on disk
+    assert view() == want  # reader ignores it
+    res = collapse_agg_view(spark, store, "k", finals, upto_batch_id=2)
+    assert res["batches_folded"] == 1  # 1 into base 2; stale 0 swept
+    ids2 = {r["batch_id"] for r in
+            spark.read.parquet(store).select("batch_id").distinct().collect()}
+    assert ids2 == {2}
+    assert view() == want
 
 
 def test_snapshot_diff_cdc_statuses(spark):

@@ -1617,6 +1617,72 @@ def test_training_manifest_permutation_invariant(spark):
     ]
 
 
+def test_patch_training_manifest_equals_from_scratch(spark, tmp_path):
+    """Incremental manifest maintenance (round-13 verdict task 2): a
+    manifest shipped against the initial benchmark suites, patched
+    after LATE suites land in the gram store, equals the from-scratch
+    `training_manifest` against the grown benchmark byte-for-byte —
+    without re-running the pair graph or the full gram sweep. Also
+    pins: flags only ADD (newly == grown-flagged minus standing-
+    flagged), and the patch re-admits freed mass (repeat factors can
+    RISE for surviving docs when a heavy doc is retracted)."""
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        patch_training_manifest,
+        training_manifest,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        read_benchmark_grams,
+        upsert_benchmark_grams,
+    )
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    suite0 = docs.filter(F.col("doc_id") % 37 == 0)
+    late = docs.filter(F.col("doc_id") % 41 == 0)
+    targets = {f"src{i}": (50_000 if i % 5 == 0 else 3_000)
+               for i in range(20)}
+    store = str(tmp_path / "grams")
+    upsert_benchmark_grams(spark, store, suite0, 0)
+
+    def rows(m):
+        return sorted(
+            (r["doc_id"], r["source"], r["n_chars"], r["n_repeats"])
+            for r in m.select(
+                "doc_id", "source", "n_chars", "n_repeats"
+            ).collect()
+        )
+
+    shipped, st0 = training_manifest(
+        docs, None, targets, return_stages=True,
+        bench_grams=read_benchmark_grams(spark, store),
+    )
+    shipped_rows = rows(shipped)
+    # the late suite lands AFTER the manifest shipped
+    upsert_benchmark_grams(spark, store, late, 1)
+    patched, pst = patch_training_manifest(
+        spark, docs, store, 0, st0["decontam"], st0["clusters"],
+        targets, return_stages=True,
+    )
+    scratch = training_manifest(
+        docs, None, targets,
+        pairs=st0["pairs"], clusters=st0["clusters"],
+        bench_grams=read_benchmark_grams(spark, store),
+    )
+    patched_rows = rows(patched)
+    assert patched_rows == rows(scratch)  # the equality pin
+    assert patched_rows != shipped_rows  # the late suite really bit
+    # retraction set: exactly the shipped-manifest docs that the late
+    # suite newly flagged
+    newly = {r["doc_id"] for r in pst["newly"].collect()}
+    assert newly  # fixture really has newly-contaminated keepers
+    shipped_ids = {r[0] for r in shipped_rows}
+    patched_ids = {r[0] for r in patched_rows}
+    assert shipped_ids - patched_ids <= newly
+    assert not (patched_ids & newly)
+
+
 def test_cluster_safe_split_no_cross_split_pairs(spark):
     """Every member of a near-dup component lands in the SAME split;
     docs outside any component split exactly as split_assign would;
@@ -2116,6 +2182,72 @@ def test_constraint_monitor_store_replay_safe(spark, tmp_path):
     assert got2 == want
 
 
+def test_monitor_store_retention(spark, tmp_path):
+    """Retention for monitor stores (round-13 verdict task 6): expire
+    drops partitions below the floor, window censuses over RETAINED
+    batches are unchanged, expired batches read zero rows, a
+    straggler replay of an expired batch no-ops instead of
+    resurrecting the partition, and a crash mid-delete self-heals
+    (readers exclude, next expire sweeps)."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        expire_batch_partitions,
+        read_retention_floor,
+        upsert_batch_partition,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        categorical_drift_census,
+        upsert_category_monitor,
+    )
+
+    store = str(tmp_path / "catmon")
+    batches = {
+        0: [("a",), ("a",), ("b",)],
+        1: [("a",), ("b",), ("b",)],
+        2: [("b",), ("b",), ("b",)],
+        3: [("a",), ("c",), ("c",)],
+    }
+    for bid, rows in sorted(batches.items()):
+        upsert_category_monitor(
+            spark, store, spark.createDataFrame(rows, "lang string"),
+            ["lang"], bid,
+        )
+    want = {r["col_name"]: (r["psi_femto"], r["ref_total"], r["cur_total"])
+            for r in categorical_drift_census(
+                spark, store, (2, 2), (3, 3)).collect()}
+    # expire batches 0 and 1 (outside the drift window)
+    res = expire_batch_partitions(spark, store, keep_from_batch=2)
+    assert res == {"batches_expired": 2}
+    assert read_retention_floor(spark, store) == 2
+    assert spark.read.parquet(store).filter("batch_id < 2").count() == 0
+    got = {r["col_name"]: (r["psi_femto"], r["ref_total"], r["cur_total"])
+           for r in categorical_drift_census(
+               spark, store, (2, 2), (3, 3)).collect()}
+    assert got == want  # retained-window census unchanged
+    # straggler replay of expired batch 0: no-op, partition stays gone
+    upsert_category_monitor(
+        spark, store, spark.createDataFrame(batches[0], "lang string"),
+        ["lang"], 0,
+    )
+    assert spark.read.parquet(store).filter("batch_id < 2").count() == 0
+    # crash simulation: a stale sub-floor directory reappears (expire
+    # crashed mid-delete) — readers exclude it, next expire sweeps it
+    upsert_batch_partition(
+        spark, store,
+        spark.createDataFrame([("a", "x", 9)], "col_name string, category string, cnt long"),
+        1,
+    )
+    assert {r["col_name"]: (r["psi_femto"], r["ref_total"], r["cur_total"])
+            for r in categorical_drift_census(
+                spark, store, (2, 2), (3, 3)).collect()} == want
+    assert expire_batch_partitions(spark, store, 2) == {"batches_expired": 1}
+    ids = sorted({r["batch_id"] for r in
+                  spark.read.parquet(store).select("batch_id").collect()})
+    assert ids == [2, 3]
+    # monotone: a smaller keep_from never re-lowers the floor
+    assert expire_batch_partitions(spark, store, 0) == {"batches_expired": 0}
+    assert read_retention_floor(spark, store) == 2
+
+
 def test_cms_overestimates_never_under(spark):
     """Count-Min guarantee: est >= exact for EVERY key (collisions only
     add); with 1024 registers over 300 keys the error stays small; and
@@ -2362,6 +2494,70 @@ def test_incremental_hll_registers_replay_safe(spark, tmp_path):
     got2 = {(r["g"], r["bucket"]): r["r"]
             for r in sk.read_hll_registers(spark, store).collect()}
     assert got2 == want
+    # horizon collapse (round-13 verdict task 3): fold batches <= 1
+    # into base 1 by register-wise MAX — read identical before/after,
+    # folded partition gone, replay at/below the horizon NO-OPS (a
+    # base-batch replay would shrink the folded maxes)
+    res = sk.collapse_hll_registers(spark, store, 1)
+    assert res["batches_folded"] == 1
+    ids = sorted({r["batch_id"] for r in
+                  spark.read.parquet(store).select("batch_id").collect()})
+    assert ids == [1, 2]
+    assert {(r["g"], r["bucket"]): r["r"]
+            for r in sk.read_hll_registers(spark, store).collect()} == want
+    for bid in (0, 1):
+        sk.upsert_hll_registers(
+            spark, store,
+            spark.createDataFrame(batches[bid], "g string, u string"),
+            "g", "u", bid,
+        )
+        assert {(r["g"], r["bucket"]): r["r"]
+                for r in sk.read_hll_registers(spark, store).collect()
+                } == want
+    # idempotent
+    assert sk.collapse_hll_registers(spark, store, 1) == {
+        "batches_folded": 0, "register_rows": 0,
+    }
+
+
+def test_collapse_benchmark_grams(spark, tmp_path):
+    """Gram-store horizon collapse (round-13 verdict task 3): set
+    union — folding batches <= the horizon into one DISTINCT base
+    keeps the merged gram set identical, dedupes cross-suite shared
+    grams, and the marker no-ops straggler replays (a base-batch
+    replay would drop every other folded suite's grams)."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        collapse_benchmark_grams,
+        read_benchmark_grams,
+        upsert_benchmark_grams,
+    )
+
+    store = str(tmp_path / "grams")
+    suites = {
+        0: [("shared boilerplate question answer pair one two three four",)],
+        1: [("shared boilerplate question answer pair one two three four",),
+            ("a wholly different benchmark sentence with eight plus words",)],
+        2: [("late suite sentence number three with extra padding words here",)],
+    }
+    for bid, rows in sorted(suites.items()):
+        upsert_benchmark_grams(
+            spark, store, spark.createDataFrame(rows, "text string"), bid
+        )
+    want = {r["g"] for r in read_benchmark_grams(spark, store).collect()}
+    stored_before = spark.read.parquet(store).count()
+    res = collapse_benchmark_grams(spark, store, 1)
+    assert res["batches_folded"] == 1
+    # the duplicate suite-0/suite-1 shared grams stored twice are now
+    # stored once: the fold physically shrank the store
+    assert spark.read.parquet(store).count() < stored_before
+    assert {r["g"] for r in read_benchmark_grams(spark, store).collect()} == want
+    # straggler replays of folded batch 0 and base batch 1: both no-op
+    for bid in (0, 1):
+        upsert_benchmark_grams(
+            spark, store, spark.createDataFrame(suites[bid], "text string"), bid
+        )
+        assert {r["g"] for r in
+                read_benchmark_grams(spark, store).collect()} == want
 
 
 def test_histogram_quantile_within_one_bin_of_exact(spark):

@@ -19,11 +19,13 @@ stores established:
   the `salted_agg` partial/final split signature, so sum→sum,
   count→sum, min→min, max→max, avg→(sum, count) partials compose;
 * unbounded batch history is folded by `collapse_agg_view`: batches
-  at or below a horizon merge into ONE synthetic baseline row per
-  group (batch_id = the collapse target, default -1). Safe once the
-  horizon is beyond the stream's replay window (a replay of a
-  collapsed batch_id would re-add its mass — the caller's contract,
-  same as checkpoint retention).
+  at or below a horizon merge into ONE baseline row per group in the
+  newest folded batch's partition (the generic
+  `compaction.collapse_batch_registers` shape shared with the
+  CMS/HLL/benchmark-gram stores: clamp to a real ingested batch,
+  marker written before the deletes, upsert guard no-ops straggler
+  replays at/below the horizon, readers exclude stale sub-horizon
+  directories so a crashed collapse self-heals).
 
 Scale shape: the store holds |batches| x |groups| partial rows,
 hive-partitioned by batch_id so each upsert touches ONLY its own
@@ -38,8 +40,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
-
 
 def upsert_agg_view(
     spark: SparkSession,
@@ -56,10 +56,22 @@ def upsert_agg_view(
     a pure function of the batch): each batch's rows rewrite their
     own ``batch_id=N`` partition via dynamic overwrite — a replay
     recomputes identical rows, no store read, no merge
-    (`compaction.upsert_batch_partition`)."""
+    (`compaction.upsert_batch_partition`).
+
+    A batch at or below the store's collapse horizon
+    (`collapse_agg_view`) NO-OPS: a replay of a folded batch would
+    re-add mass the baseline already contains, and a replay of the
+    base batch itself would overwrite the folded baseline with
+    single-batch partials. Metadata-only guard (one FS listing),
+    same as the CMS/HLL/gram stores."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
         upsert_batch_partition,
     )
+
+    horizon = read_collapse_horizon(spark, store_path)
+    if horizon is not None and int(batch_id) <= horizon:
+        return  # at/below the collapse horizon: already in the fold
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     part = batch_df.groupBy(*groups).agg(*partial_aggs)
@@ -76,13 +88,20 @@ def read_agg_view(
     per-batch partials across all batch_ids (one map-side-combined
     hash-agg over the store). ``final_aggs`` reference the partials'
     aliases (partial ``sum(x) AS s`` → final ``sum(s) AS s`` — the
-    salted_agg contract)."""
-    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    return (
-        spark.read.parquet(store_path)
-        .groupBy(*groups)
-        .agg(*final_aggs)
+    salted_agg contract). Batches below the collapse horizon are
+    excluded: they are stale leftovers of a collapse that crashed
+    between its marker write and its directory deletes — summing
+    them would double-count (the CMS crash-recovery rule)."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
     )
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    df = spark.read.parquet(store_path)
+    horizon = read_collapse_horizon(spark, store_path)
+    if horizon is not None:
+        df = df.filter(F.col("batch_id") >= int(horizon))
+    return df.groupBy(*groups).agg(*final_aggs)
 
 
 def collapse_agg_view(
@@ -91,72 +110,43 @@ def collapse_agg_view(
     group_cols: str | Sequence[str],
     merge_aggs: Sequence[Column],
     upto_batch_id: int,
-    into_batch_id: int = -1,
 ) -> dict:
-    """Fold all batches with ``batch_id <= upto_batch_id`` (including
-    a previous collapse row at ``into_batch_id``) into ONE baseline
-    partial row per group at ``into_batch_id`` — the state-retention
-    step that keeps the store O(|groups|) + O(window) instead of
+    """Fold all batches with ``batch_id <= upto_batch_id`` into ONE
+    baseline partial row per group — the state-retention step that
+    keeps the store O(|groups|) + O(window) instead of
     O(|batches|·|groups|).
 
     ``merge_aggs`` re-combine partials into partials of the same
     aliases (for distributive aggregates they are the final aggs:
-    sum(s) AS s, min(mn) AS mn, ...). Only folded batch_id
-    partitions are read (partition-pruned) and deleted; untouched
-    batches' files are never opened. Idempotent: a second collapse
-    with the same horizon reads just the baseline row and rewrites
-    it identically.
+    sum(s) AS s, min(mn) AS mn, ...). One
+    `compaction.collapse_batch_registers` call — which supplies the
+    shape shared with the CMS/HLL/benchmark-gram stores: the horizon
+    clamps to the largest INGESTED batch <= it and the fold lands in
+    that REAL batch's partition (no synthetic ``-1`` baseline: a
+    synthetic id below every real id cannot carry the horizon marker
+    the crash-safety ordering needs); only folded partitions are read
+    (partition-pruned) and deleted; the ``_collapse_horizon_N`` marker
+    lands BEFORE the deletes so a crashed collapse self-heals
+    (readers and the next collapse ignore/sweep stale sub-horizon
+    directories); `upsert_agg_view` no-ops straggler replays at/below
+    the horizon. Idempotent: a second collapse with the same horizon
+    is a no-op.
 
     CONTRACT: collapse only batches beyond the stream's replay
     horizon — a replayed batch_id <= the horizon would re-add its
-    mass (exactly the checkpoint-retention contract).
+    mass (exactly the checkpoint-retention contract); the marker
+    guard downgrades a violating replay to a no-op.
 
     Returns stats: ``batches_folded``, ``groups``."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        collapse_batch_registers,
+    )
+
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    if into_batch_id > upto_batch_id:
-        raise ValueError(
-            f"into_batch_id {into_batch_id} must be <= upto_batch_id "
-            f"{upto_batch_id} (the baseline row must fold into itself "
-            "on the next collapse)"
-        )
-    try:
-        store = spark.read.parquet(store_path)
-    except AnalysisException:
-        return {"batches_folded": 0, "groups": 0}
-    old = store.filter(F.col("batch_id") <= int(upto_batch_id))
-    batch_ids = [
-        r["batch_id"]
-        for r in old.select("batch_id").distinct().collect()
-    ]
-    if not batch_ids or batch_ids == [int(into_batch_id)]:
-        return {"batches_folded": 0, "groups": 0}
-    folded = (
-        old.groupBy(*groups)
-        .agg(*merge_aggs)
-        .withColumn("batch_id", F.lit(int(into_batch_id)))
-        # keep the upsert_snapshot store schema (event_seq column) so
-        # post-collapse upserts and reads see one consistent footer
-        .withColumn("event_seq", F.lit(0))
-        .localCheckpoint()  # reads the partitions the write replaces
+    res = collapse_batch_registers(
+        spark,
+        store_path,
+        upto_batch_id,
+        lambda df: df.groupBy(*groups).agg(*merge_aggs),
     )
-    n_groups = folded.count()
-    (
-        folded.write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
-    )
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for b in batch_ids:
-        if int(b) == int(into_batch_id):
-            continue  # just rewritten with the folded baseline
-        p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={b}")
-        p.getFileSystem(conf).delete(p, True)
-    spark.catalog.refreshByPath(store_path)
-    return {
-        "batches_folded": len(
-            [b for b in batch_ids if int(b) != int(into_batch_id)]
-        ),
-        "groups": int(n_groups),
-    }
+    return {"batches_folded": res["batches_folded"], "groups": res["rows"]}

@@ -111,6 +111,209 @@ def upsert_batch_partition(
     spark.catalog.refreshByPath(table_path)
 
 
+_COLLAPSE_MARKER = "_collapse_horizon"
+
+
+def read_collapse_horizon(
+    spark: SparkSession, table_path: str, marker_name: str = _COLLAPSE_MARKER
+) -> int | None:
+    """A batch-keyed store's collapse horizon (largest batch id folded
+    into the base by `collapse_batch_registers`), or None if never
+    collapsed. Metadata-only: the horizon is the suffix of an
+    underscore-prefixed marker FILENAME (`<marker_name>_N` —
+    underscore-prefixed files are hidden from Spark's parquet scans;
+    a `name=value` filename would be partition-discovered and break
+    the scan), read via one Hadoop FS directory listing, zero Spark
+    jobs (the `versioned_batch_ids` rule)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    horizons = [
+        int(st.getPath().getName()[len(marker_name) + 1:])
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith(f"{marker_name}_")
+    ]
+    return max(horizons) if horizons else None
+
+
+def collapse_batch_registers(
+    spark: SparkSession,
+    table_path: str,
+    upto_batch: int,
+    merge,
+    marker_name: str = _COLLAPSE_MARKER,
+    write_coalesce: int | None = 1,
+) -> dict:
+    """Horizon collapse for ANY batch-keyed register store — the
+    retention step that keeps reads O(registers + window) instead of
+    O(registers × batches) forever. Generalizes the CMS shape
+    (round-13 verdict task 3): CMS registers fold by SUM, HLL
+    registers by register-wise MAX, benchmark gram sets by set UNION
+    (distinct), agg-view partials by their merge aggregates — the
+    store-specific half is the ``merge`` callable, everything else
+    (clamping, crash safety, marker, deletes) is this function.
+
+    ``merge(df) -> DataFrame``: df is the eligible batches' PAYLOAD
+    rows (batch_id/event_seq dropped); the result must be the folded
+    payload whose read-semantics equal reading the originals (the
+    mergeable-state contract each store documents).
+
+    ``upto_batch`` is CLAMPED to the largest INGESTED batch id <= it
+    (the `collapse_versioned` gap rule: never mint a phantom batch);
+    the fold lands in that REAL base batch's partition via dynamic
+    overwrite.
+
+    CRASH SAFETY (the round-13-advice ordering): the
+    ``<marker_name>_<base>`` marker is written IMMEDIATELY after the
+    base-partition overwrite, BEFORE the folded directories are
+    deleted. Store readers must exclude ``batch_id < horizon`` (each
+    store's read_* helper does), so a crash mid-deletes leaves stale
+    directories every reader ignores and the NEXT collapse call
+    sweeps — self-healing, never a double count. Upserts must no-op
+    for ``batch_id <= horizon`` (each store's upsert guard): after a
+    collapse, a straggler replay of a folded batch would re-add mass
+    the fold already contains, and a replay of the base itself would
+    overwrite folded state with single-batch state.
+
+    CONTRACT: collapse only batches at/below the stream's replay
+    horizon (Structured Streaming replays the LAST batch — callers
+    pass ``current_batch - 1`` or older).
+
+    Returns ``{"batches_folded": n, "rows": k}``."""
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
+    )
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(conf)
+
+    def _delete_batch_dir(b: int) -> None:
+        gone = jvm.org.apache.hadoop.fs.Path(f"{table_path}/batch_id={int(b)}")
+        fs.delete(gone, True)
+
+    ids = versioned_batch_ids(spark, table_path)
+    prior = read_collapse_horizon(spark, table_path, marker_name)
+    if prior is not None:
+        # finish a crashed predecessor's deletes: anything below the
+        # recorded horizon is already folded into its base — stale
+        stale = [b for b in ids if b < prior]
+        for b in stale:
+            _delete_batch_dir(b)
+        if stale:
+            spark.catalog.refreshByPath(table_path)
+        ids = [b for b in ids if b >= prior]
+    eligible = [b for b in ids if b <= int(upto_batch)]
+    if len(eligible) <= 1:
+        return {"batches_folded": 0, "rows": 0}
+    base = max(eligible)  # fold INTO a real ingested batch
+    payload = (
+        spark.read.parquet(table_path)
+        .filter(F.col("batch_id").isin([int(b) for b in eligible]))
+        .drop("batch_id", "event_seq")
+    )
+    folded = merge(payload).select(
+        F.lit(int(base)).cast("long").alias("batch_id"),
+        "*",
+        F.lit(0).cast("long").alias("event_seq"),
+    )
+    if write_coalesce:
+        # repartition, NOT coalesce: the one-task scheduler stall
+        folded = folded.repartition(int(write_coalesce))
+    # localCheckpoint: the fold READS the base partition the dynamic
+    # overwrite below replaces
+    folded = folded.localCheckpoint()
+    n_rows = folded.count()
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_path)
+    )
+    # marker FIRST (immediately after the overwrite commits), deletes
+    # second: from this point every reader excludes batch_id < base,
+    # so the not-yet-deleted folded directories are invisible
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{marker_name}_{int(base)}"
+    )
+    fs.create(marker, True).close()
+    for b in eligible:
+        if int(b) != int(base):
+            _delete_batch_dir(b)
+    spark.catalog.refreshByPath(table_path)
+    return {"batches_folded": len(eligible) - 1, "rows": int(n_rows)}
+
+
+_RETENTION_MARKER = "_retention_floor"
+
+
+def read_retention_floor(
+    spark: SparkSession, table_path: str, marker_name: str = _RETENTION_MARKER
+) -> int | None:
+    """A batch-keyed store's retention floor (smallest batch id still
+    retained after `expire_batch_partitions`), or None if never
+    expired. Same metadata-only marker mechanics as
+    `read_collapse_horizon` (one FS listing, zero Spark jobs) under a
+    different marker name — the two can coexist on one store."""
+    return read_collapse_horizon(spark, table_path, marker_name)
+
+
+def expire_batch_partitions(
+    spark: SparkSession,
+    table_path: str,
+    keep_from_batch: int,
+    marker_name: str = _RETENTION_MARKER,
+) -> dict:
+    """RETENTION for batch-keyed monitor stores (round-13 verdict task
+    6): drop every ``batch_id < keep_from_batch`` partition outright.
+    The collapse (`collapse_batch_registers`) is for stores whose old
+    batches still carry mass a read needs (sketch registers, agg-view
+    partials); monitor stores (histogram/category drift, constraint
+    censuses) read bounded batch WINDOWS — folding old batches into a
+    base would corrupt any window crossing the fold, so beyond the
+    drift window the history is simply EXPIRED.
+
+    Metadata-only end to end: ingested ids from one FS listing, exact
+    directory deletes, zero Spark jobs. Crash-safe in the same
+    marker-first order as the collapse: the ``<marker_name>_N`` marker
+    (N = keep_from_batch) lands BEFORE the deletes, store readers
+    exclude ``batch_id < floor``, and the next expire call sweeps any
+    directories a crash left behind. Store upserts no-op below the
+    floor — a straggler replay of an expired batch must not resurrect
+    a partition every census already treats as gone.
+
+    Idempotent and monotone: re-running with the same or a smaller
+    ``keep_from_batch`` deletes nothing new (the floor only rises).
+
+    Returns ``{"batches_expired": n}``."""
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
+    )
+
+    floor = read_retention_floor(spark, table_path, marker_name)
+    keep = max(int(keep_from_batch), floor if floor is not None else 0)
+    ids = versioned_batch_ids(spark, table_path)
+    doomed = [b for b in ids if b < keep]
+    if not doomed:
+        return {"batches_expired": 0}
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(conf)
+    if floor is None or keep > floor:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{marker_name}_{keep}"
+        )
+        fs.create(marker, True).close()
+    for b in doomed:
+        gone = jvm.org.apache.hadoop.fs.Path(f"{table_path}/batch_id={int(b)}")
+        fs.delete(gone, True)
+    spark.catalog.refreshByPath(table_path)
+    return {"batches_expired": len(doomed)}
+
+
 def upsert_snapshot(
     spark: SparkSession,
     table_path: str,

@@ -63,6 +63,7 @@ def training_manifest(
     return_stages: bool = False,
     pairs: DataFrame | None = None,
     clusters: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ):
     """Compose the curation chain into the training manifest.
 
@@ -80,7 +81,13 @@ def training_manifest(
     they are consumed multiple times) near-dup substrates: the pair
     graph is the chain's most expensive stage and is shared with
     the standalone dedup censuses, so callers session-cache it
-    (the train-once/serve-many rule) instead of regrowing it here."""
+    (the train-once/serve-many rule) instead of regrowing it here.
+
+    ``bench_grams`` replaces ``benchmark`` (pass None there) with a
+    pre-hashed gram frame — the `upsert_benchmark_grams` store shape,
+    so a manifest can sweep against the standing gram STORE exactly
+    as the streaming sweep does (`read_benchmark_grams` == the gram
+    set of all suites at once, test-pinned)."""
     from umn_eda_kafka_stream_processing_spark.operators.decontam import (
         decontaminate,
     )
@@ -120,6 +127,7 @@ def training_manifest(
     decontam = decontaminate(
         keepers,
         benchmark,
+        bench_grams=bench_grams,
         n=n,
         min_overlap=min_overlap,
         id_col=id_col,
@@ -141,6 +149,128 @@ def training_manifest(
             "clusters": clusters,
             "keepers": keepers,
             "decontam": decontam,
+            "clean": clean,
+            "train": train,
+        }
+    return manifest
+
+
+def patch_training_manifest(
+    spark,
+    docs: DataFrame,
+    gram_store_path: str,
+    since_batch: int,
+    standing_decontam: DataFrame,
+    clusters: DataFrame,
+    targets: Mapping[str, int],
+    *,
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    size_col: str = "n_chars",
+    n: int = 8,
+    min_overlap: int = 1,
+    return_stages: bool = False,
+):
+    """PATCH a shipped training manifest for LATE-ARRIVING benchmarks
+    (round-13 verdict task 2) — the incremental-maintenance half of
+    `training_manifest`: when benchmark batches land in the gram
+    store AFTER a manifest shipped, produce the manifest the
+    from-scratch chain would build against the GROWN benchmark —
+    newly-contaminated docs retracted, the mixture re-admitted from
+    the freed mass — WITHOUT re-running the pair graph or the full
+    gram sweep.
+
+    What the patch pays vs. the full chain:
+
+    * NO pair graph — ``clusters`` is the shipped run's substrate
+      (near-dup structure is benchmark-independent);
+    * NO full gram sweep — `decontam.resweep_decontaminate` sweeps
+      only against the NOVEL grams of store batches >
+      ``since_batch`` (partition-pruned read, suite-sized
+      anti-join), and `decontam.merge_decontam_censuses` adds the
+      delta into ``standing_decontam`` — exactly equal to a
+      from-scratch sweep against the grown store (the disjoint-gram
+      merge, test-pinned);
+    * the split hash rides the cluster representative, so every
+      surviving doc keeps its shipped split — the only re-run stages
+      are the O(affected) retraction anti-join and the mixture
+      admission pass over the (slightly smaller) train mass, whose
+      repeat factors legitimately change when mass is freed.
+
+    ``standing_decontam`` is the shipped run's per-doc census over
+    its KEEPERS (``stages["decontam"]``); flags only ever ADD as the
+    benchmark grows, so the patched flag set is a superset and the
+    patched manifest equals `training_manifest` against the grown
+    benchmark byte-for-byte (oracle-pinned by the catalog census).
+
+    Returns the patched manifest — or with ``return_stages=True``
+    ``(manifest, stages)`` where stages adds ``delta`` (the resweep
+    census), ``merged`` (the patched full census) and ``newly`` (ids
+    newly contaminated by the late batches — the retraction set)."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        merge_decontam_censuses,
+        resweep_decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        cluster_safe_split,
+        repeat_mixture_sample,
+    )
+
+    # keepers from the shipped cluster substrate: one join, no pair
+    # graph — identical to the shipped run's keepers frame
+    keepers = (
+        docs.join(clusters.hint("shuffle_hash"), id_col, "left")
+        .filter(
+            F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)
+        )
+        .drop("cluster_id")
+    )
+    # delta sweep: keepers vs ONLY the late batches' novel grams.
+    # Checkpoint: skinny per-doc census consumed by the merge AND the
+    # newly-set (the checkpoint-the-compressed-frames rule)
+    delta = resweep_decontaminate(
+        spark,
+        gram_store_path,
+        keepers,
+        since_batch,
+        n=n,
+        min_overlap=min_overlap,
+        id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint()
+    merged = merge_decontam_censuses(
+        standing_decontam, delta, min_overlap=min_overlap, id_col=id_col
+    ).localCheckpoint()  # feeds the anti-join + census pins
+    newly = (
+        merged.filter(F.col("contaminated") == 1)
+        .select(id_col)
+        .join(
+            standing_decontam.filter(F.col("contaminated") == 1)
+            .select(id_col)
+            .hint("shuffle_hash"),
+            id_col,
+            "left_anti",
+        )
+    )
+    flagged = merged.filter(F.col("contaminated") == 1).select(id_col)
+    clean = keepers.join(flagged.hint("shuffle_hash"), id_col, "left_anti")
+    split = cluster_safe_split(
+        clean, clusters, id_col=id_col,
+        val_rate=val_rate, test_rate=test_rate,
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    manifest = repeat_mixture_sample(
+        train, domain_col, id_col, size_col, targets
+    )
+    if return_stages:
+        return manifest, {
+            "keepers": keepers,
+            "delta": delta,
+            "merged": merged,
+            "newly": newly,
             "clean": clean,
             "train": train,
         }

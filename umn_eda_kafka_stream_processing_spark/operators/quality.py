@@ -179,6 +179,29 @@ def check_constraints(
     )
 
 
+def _monitor_floor(spark, store_path: str) -> "int | None":
+    """The monitor store's retention floor (see
+    `compaction.expire_batch_partitions`) — shared by the three
+    monitor upsert guards and the three window readers."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_retention_floor,
+    )
+
+    return read_retention_floor(spark, store_path)
+
+
+def _floor_filtered(spark, store_path: str) -> DataFrame:
+    """Monitor store scan excluding expired batches: rows below the
+    retention floor are either gone or stale leftovers of an expire
+    call that crashed mid-delete — a window read must never see them
+    (partition-column filter, so the scan prunes directories)."""
+    df = spark.read.parquet(store_path)
+    floor = _monitor_floor(spark, store_path)
+    if floor is not None:
+        df = df.filter(F.col("batch_id") >= int(floor))
+    return df
+
+
 def upsert_constraint_census(
     spark,
     store_path: str,
@@ -194,7 +217,13 @@ def upsert_constraint_census(
     IDENTICAL rows and the write is a no-op (the replay-safe
     per-batch keying rule — never read-modify-add). The store is a
     tiny long-frame history: one row per (batch, constraint),
-    diffable across batches for drift alerts."""
+    diffable across batches for drift alerts. A batch below the
+    retention floor (`compaction.expire_batch_partitions`) NO-OPS —
+    a straggler replay must not resurrect an expired partition."""
+    if (floor := _monitor_floor(spark, store_path)) is not None and int(
+        batch_id
+    ) < floor:
+        return  # below the retention floor: expired history
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_batch_partition,
     )
@@ -221,8 +250,9 @@ def read_constraint_history(spark, store_path: str) -> DataFrame:
     batch_id is cast to long explicitly: it is a PARTITION column
     (upsert_batch_partition) and partition-type inference reads it as
     int32, which would silently break downstream BIGINT comparisons
-    and schema pins (mirror of advised.read_decisions)."""
-    return spark.read.parquet(store_path).select(
+    and schema pins (mirror of advised.read_decisions). Expired
+    batches (below the retention floor) are excluded."""
+    return _floor_filtered(spark, store_path).select(
         F.col("batch_id").cast("long").alias("batch_id"),
         "check",
         "target",
@@ -248,7 +278,11 @@ def upsert_histogram_monitor(
     IDENTICAL register rows and the write is a no-op; windows are
     summed across batch_ids at read (`drift_census`), never
     read-modify-added. ``specs``: {column: (lo, hi, bins)}. Store
-    size: <= Σ bins rows per batch, however large the batches."""
+    size: <= Σ bins rows per batch, however large the batches; beyond
+    the drift window the history is EXPIRED
+    (`compaction.expire_batch_partitions`) — a batch below the
+    retention floor NO-OPS here so a straggler replay cannot
+    resurrect an expired partition."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_batch_partition,
     )
@@ -258,6 +292,10 @@ def upsert_histogram_monitor(
 
     if not specs:
         raise ValueError("specs must be non-empty")
+    if (floor := _monitor_floor(spark, store_path)) is not None and int(
+        batch_id
+    ) < floor:
+        return  # below the retention floor: expired history
     regs = None
     for col, (lo, hi, bins) in sorted(specs.items()):
         r = histogram_registers(
@@ -307,10 +345,13 @@ def drift_census(
 
     Plan: the store is tiny (≤ bins rows per batch per column) —
     one scan, conditional window sums, one per-column agg. Returns
-    (col_name, n_bins, ref_total, cur_total, psi_femto, psi_micro)."""
+    (col_name, n_bins, ref_total, cur_total, psi_femto, psi_micro).
+    Expired batches (below the retention floor) are excluded — a
+    window referencing them reads zero mass there, the documented
+    retention contract."""
     rlo, rhi = int(ref_batches[0]), int(ref_batches[1])
     clo, chi = int(cur_batches[0]), int(cur_batches[1])
-    st = spark.read.parquet(store_path)
+    st = _floor_filtered(spark, store_path)
     in_ref = (F.col("batch_id") >= rlo) & (F.col("batch_id") <= rhi)
     in_cur = (F.col("batch_id") >= clo) & (F.col("batch_id") <= chi)
     per_bin = (
@@ -408,7 +449,8 @@ def upsert_category_monitor(
     per batch trips it too, instead of silently growing the store
     corpus-sized over time (a high-cardinality column belongs in the
     histogram monitor or a KMV sketch, not a per-category
-    register)."""
+    register). A batch below the retention floor
+    (`compaction.expire_batch_partitions`) NO-OPS."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
         upsert_batch_partition,
     )
@@ -416,6 +458,10 @@ def upsert_category_monitor(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
+    if (floor := _monitor_floor(spark, store_path)) is not None and int(
+        batch_id
+    ) < floor:
+        return  # below the retention floor: expired history
     pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
     melted = batch_df.select(
         F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, category)")
@@ -477,10 +523,11 @@ def categorical_drift_census(
     storing empty categories; categories occupied in neither window
     never surface, so the union is exactly the store's occupied
     set). Returns (col_name, n_cats, ref_total, cur_total,
-    psi_femto, psi_micro)."""
+    psi_femto, psi_micro). Expired batches (below the retention
+    floor) are excluded."""
     rlo, rhi = int(ref_batches[0]), int(ref_batches[1])
     clo, chi = int(cur_batches[0]), int(cur_batches[1])
-    st = spark.read.parquet(store_path)
+    st = _floor_filtered(spark, store_path)
     in_ref = (F.col("batch_id") >= rlo) & (F.col("batch_id") <= rhi)
     in_cur = (F.col("batch_id") >= clo) & (F.col("batch_id") <= chi)
     per_cat = (

@@ -209,10 +209,22 @@ def upsert_hll_registers(
     MAX over batch registers at read (`read_hll_registers` — HLL
     merge is register-wise max, so batch-union == from-scratch
     exactly, not approximately). Store: <= m rows per group per
-    batch, partitioned by batch_id."""
+    batch, partitioned by batch_id.
+
+    A batch at or below the store's collapse horizon
+    (`collapse_hll_registers`) NO-OPS — for max-merged registers a
+    folded-batch replay would be harmless (max is idempotent), but a
+    replay of the BASE batch itself would overwrite the folded maxes
+    with single-batch registers, silently shrinking every distinct
+    count. Same metadata-only guard as the CMS store."""
     from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
         upsert_batch_partition,
     )
+
+    horizon = read_collapse_horizon(spark, store_path)
+    if horizon is not None and int(batch_id) <= horizon:
+        return  # at/below the collapse horizon: already in the fold
 
     upsert_batch_partition(
         spark,
@@ -226,12 +238,46 @@ def read_hll_registers(spark, store_path: str) -> DataFrame:
     """Current merged register table of an `upsert_hll_registers`
     store: register-wise max across batch_ids (one small agg).
     Output matches `hll_registers` over the concatenated batches
-    EXACTLY — feed to `hll_estimate_from_registers`."""
-    return (
-        spark.read.parquet(store_path)
-        .groupBy("g", "bucket")
-        .agg(F.max("r").alias("r"))
+    EXACTLY — feed to `hll_estimate_from_registers`. Batches below
+    the collapse horizon are excluded (stale leftovers of a crashed
+    collapse — harmless for max-merge, but skipping them keeps the
+    scan partition-pruned and the crash-recovery story uniform with
+    the CMS store)."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
     )
+
+    df = spark.read.parquet(store_path)
+    horizon = read_collapse_horizon(spark, store_path)
+    if horizon is not None:
+        df = df.filter(F.col("batch_id") >= int(horizon))
+    return df.groupBy("g", "bucket").agg(F.max("r").alias("r"))
+
+
+def collapse_hll_registers(spark, store_path: str, upto_batch: int) -> dict:
+    """Horizon collapse for an HLL register store — the distinct-count
+    twin of `collapse_cms_registers` (round-13 verdict task 3: the HLL
+    store accreted one partition per batch forever). HLL registers
+    merge by register-wise MAX (the union-of-sets property), so
+    folding batches <= the horizon into one base batch keeps
+    `read_hll_registers` bit-identical before/after. Same clamping,
+    crash safety, marker guard, and caller contract as the CMS
+    collapse — one `compaction.collapse_batch_registers` call with
+    the max merge. Returns ``{"batches_folded": n, "register_rows": k}``."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        collapse_batch_registers,
+    )
+
+    res = collapse_batch_registers(
+        spark,
+        store_path,
+        upto_batch,
+        lambda df: df.groupBy("g", "bucket").agg(F.max("r").alias("r")),
+    )
+    return {
+        "batches_folded": res["batches_folded"],
+        "register_rows": res["rows"],
+    }
 
 
 def duck_hll(table_expr: str, group_col: str, key_col: str, salt: str = "hll") -> str:
@@ -459,24 +505,14 @@ _CMS_HORIZON_MARKER = "_cms_collapse_horizon"
 def read_cms_collapse_horizon(spark, store_path: str) -> int | None:
     """The store's collapse horizon (largest batch id folded into the
     base by `collapse_cms_registers`), or None if never collapsed.
-    Metadata-only: the horizon is encoded in an underscore-prefixed
-    marker FILENAME (`_cms_collapse_horizon_N` — underscore-prefixed,
-    hidden from Spark's parquet scans; a `name=value` filename would
-    be partition-discovered and break the scan), read via one Hadoop
-    FS directory listing, zero
-    Spark jobs (the `versioned_batch_ids` rule)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = p.getFileSystem(conf)
-    if not fs.exists(p):
-        return None
-    horizons = [
-        int(st.getPath().getName()[len(_CMS_HORIZON_MARKER) + 1:])
-        for st in fs.listStatus(p)
-        if st.getPath().getName().startswith(f"{_CMS_HORIZON_MARKER}_")
-    ]
-    return max(horizons) if horizons else None
+    Metadata-only (one Hadoop FS listing, zero Spark jobs) — the
+    generic `compaction.read_collapse_horizon` with this store
+    family's marker name."""
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
+    )
+
+    return read_collapse_horizon(spark, store_path, _CMS_HORIZON_MARKER)
 
 
 def collapse_cms_registers(
@@ -511,7 +547,7 @@ def collapse_cms_registers(
 
     CRASH SAFETY (round-13 advice): the marker is written IMMEDIATELY
     after the base-partition overwrite, BEFORE the folded directories
-    are deleted, and both `read_cms_registers` and this function's own
+    are deleted, and both `read_cms_registers` and the collapse's own
     eligible set exclude ``batch_id < horizon`` directories. A crash
     mid-deletes therefore leaves stale directories that every reader
     ignores and the NEXT collapse call sweeps (self-healing), instead
@@ -520,72 +556,27 @@ def collapse_cms_registers(
     Spark job and no directory loop inside it (the old design ran all
     the deletes there).
 
+    Thin wrapper over the generic `compaction.collapse_batch_registers`
+    with the CMS merge (register SUM) and this family's marker name.
+
     Returns ``{"batches_folded": n, "register_rows": k}``.
     """
-    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
-        versioned_batch_ids,
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        collapse_batch_registers,
     )
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(conf)
-
-    def _delete_batch_dir(b: int) -> None:
-        gone = jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={int(b)}")
-        fs.delete(gone, True)
-
-    ids = versioned_batch_ids(spark, store_path)
-    prior = read_cms_collapse_horizon(spark, store_path)
-    if prior is not None:
-        # finish a crashed predecessor's deletes: anything below the
-        # recorded horizon is already folded into its base — stale
-        stale = [b for b in ids if b < prior]
-        for b in stale:
-            _delete_batch_dir(b)
-        if stale:
-            spark.catalog.refreshByPath(store_path)
-        ids = [b for b in ids if b >= prior]
-    eligible = [b for b in ids if b <= int(upto_batch)]
-    if len(eligible) <= 1:
-        return {"batches_folded": 0, "register_rows": 0}
-    base = max(eligible)  # fold INTO a real ingested batch
-    folded = (
-        spark.read.parquet(store_path)
-        .filter(F.col("batch_id").isin([int(b) for b in eligible]))
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .select(
-            F.lit(int(base)).cast("long").alias("batch_id"),
-            "row",
-            "bucket",
-            "cnt",
-            F.lit(0).cast("long").alias("event_seq"),
-        )
-        .repartition(1)  # never coalesce(1): the one-task stall
-        .localCheckpoint()  # reads the base partition the dynamic
-        # overwrite below replaces
+    res = collapse_batch_registers(
+        spark,
+        store_path,
+        upto_batch,
+        lambda df: df.groupBy("row", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
+        marker_name=_CMS_HORIZON_MARKER,
     )
-    n_rows = folded.count()
-    (
-        folded.write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
-    )
-    # marker FIRST (immediately after the overwrite commits), deletes
-    # second: from this point every reader excludes batch_id < base,
-    # so the not-yet-deleted folded directories are invisible
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{store_path}/{_CMS_HORIZON_MARKER}_{int(base)}"
-    )
-    fs.create(marker, True).close()
-    for b in eligible:
-        if int(b) != int(base):
-            _delete_batch_dir(b)
-    spark.catalog.refreshByPath(store_path)
     return {
-        "batches_folded": len(eligible) - 1,
-        "register_rows": int(n_rows),
+        "batches_folded": res["batches_folded"],
+        "register_rows": res["rows"],
     }
 
 

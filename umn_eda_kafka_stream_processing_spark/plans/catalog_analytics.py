@@ -3309,6 +3309,115 @@ def category_mix_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "monitor_retention_census",
+    "RETENTION for monitor stores (operators/compaction.py:"
+    "expire_batch_partitions — round-13 verdict task 6: the drift "
+    "monitors' per-batch partitions grew forever; their censuses "
+    "read bounded WINDOWS, so beyond the drift window history is "
+    "EXPIRED, not collapsed — a fold would corrupt any window "
+    "crossing it): four microbatches (o_orderkey % 4) land "
+    "categorical registers for priority+status, batches below the "
+    "drift window {2,3} are expired (marker-first crash-safe "
+    "deletes, floor recorded in the _retention_floor marker "
+    "filename), then an expired batch is REPLAYED — the retention "
+    "guard must no-op instead of resurrecting the partition. The "
+    "PSI census over the RETAINED window rides the same "
+    "exact-integer arithmetic as the drift censuses; "
+    "batches_expired / floor_batch / sub_floor_rows (post-replay) "
+    "/ store_batches pin the expiry, the crash-safety floor, the "
+    "no-op replay, and the surviving store as data. Oracle "
+    "recomputes the retained-window PSI from orders alone — any "
+    "mass lost from (or resurrected into) the retained window "
+    "would hash-mismatch every PSI number.",
+    """
+    WITH raw AS (
+      SELECT o_orderkey % 4 AS bid,
+             o_orderpriority AS priority,
+             o_orderstatus AS status
+      FROM orders
+      WHERE o_orderkey % 4 IN (2, 3)
+    ),
+    melted AS (
+      SELECT bid, 'priority' AS col_name, priority AS category FROM raw
+      UNION ALL
+      SELECT bid, 'status', status FROM raw
+    ),
+    per_cat AS (
+      SELECT col_name, category,
+             CAST(sum(CASE WHEN bid = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ref_cnt,
+             CAST(sum(CASE WHEN bid = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cur_cnt
+      FROM melted GROUP BY col_name, category
+    ),
+    tot AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_cats,
+             CAST(sum(ref_cnt) AS BIGINT) AS ref_total,
+             CAST(sum(cur_cnt) AS BIGINT) AS cur_total
+      FROM per_cat GROUP BY col_name
+    )
+    SELECT p.col_name,
+           CAST(min(t.n_cats) AS BIGINT) AS n_cats,
+           CAST(min(t.ref_total) AS BIGINT) AS ref_total,
+           CAST(min(t.cur_total) AS BIGINT) AS cur_total,"""
+    f"""
+           CAST(sum({_duck_psi_terms("n_cats")}) AS BIGINT) AS psi_femto,
+           CAST(2 AS BIGINT) AS batches_expired,
+           CAST(2 AS BIGINT) AS floor_batch,
+           CAST(0 AS BIGINT) AS sub_floor_rows,
+           CAST(2 AS BIGINT) AS store_batches
+    FROM per_cat p JOIN tot t USING (col_name)
+    GROUP BY p.col_name
+    """,
+)
+def monitor_retention_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        expire_batch_partitions,
+        read_retention_floor,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.quality import (
+        categorical_drift_census,
+        upsert_category_monitor,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).cast("long").alias("bid"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = tempfile.mkdtemp(prefix="sparkgraft_retention_") + "/store"
+    for b in range(4):
+        upsert_category_monitor(
+            spark, path,
+            base.where(F.col("bid") == b).select("priority", "status"),
+            ["priority", "status"], b,
+        )
+    # expire everything below the drift window {2, 3}
+    res = expire_batch_partitions(spark, path, keep_from_batch=2)
+    # straggler replay of EXPIRED batch 0: the retention guard must
+    # no-op — sub_floor_rows below pins the partition stayed gone
+    upsert_category_monitor(
+        spark, path,
+        base.where(F.col("bid") == 0).select("priority", "status"),
+        ["priority", "status"], 0,
+    )
+    census = categorical_drift_census(spark, path, (2, 2), (3, 3))
+    store = spark.read.parquet(path)
+    sub_floor = store.filter(F.col("batch_id") < 2).count()
+    n_batches = store.select("batch_id").distinct().count()
+    return census.select(
+        "col_name", "n_cats", "ref_total", "cur_total", "psi_femto",
+    ).withColumns({
+        "batches_expired": F.lit(int(res["batches_expired"])).cast("long"),
+        "floor_batch": F.lit(int(read_retention_floor(spark, path))).cast("long"),
+        "sub_floor_rows": F.lit(int(sub_floor)).cast("long"),
+        "store_batches": F.lit(int(n_batches)).cast("long"),
+    })
+
+
 def _kcore_oracle(k: int = 8, rounds: int = 6) -> str:
     # every e{r} is referenced 3x by round r+1 (FROM + two IN
     # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the

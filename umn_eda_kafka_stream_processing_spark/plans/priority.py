@@ -447,10 +447,19 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # decontamination family keeps benchmark_decontamination_census
     # in-gate, and the resweep census exercises the same register
     # store plus the late-benchmark delta merge)
-    # -- new in r13, never driver-verified: DELTA re-sweep for
-    # late-arriving benchmarks (partition-pruned novel-gram read,
-    # anti-joined disjoint, additive merge == full sweep) ------------
-    "decontamination_resweep_census",
+    # (decontamination_resweep_census rotated out in r14 for
+    # manifest_patch_census below: driver-verified r13; the resweep +
+    # merge machinery keeps driver coverage THROUGH the patch census,
+    # which composes exactly those two operators into the manifest
+    # chain, and the decontamination family also keeps
+    # benchmark_decontamination_census in-gate)
+    # -- new in r14, never driver-verified: INCREMENTAL manifest
+    # maintenance for late benchmarks (delta resweep + disjoint-gram
+    # merge -> retract newly-contaminated, re-admit freed mass; the
+    # oracle recomputes the from-scratch manifest against the grown
+    # benchmark, so the hash compare IS the patched == from-scratch
+    # pin) -----------------------------------------------------------
+    "manifest_patch_census",
     "nb_train_model",
     # (nb_quality_flags rotated out in r11 for
     # incremental_event_totals_view below: driver-verified r07+r08+
@@ -536,10 +545,17 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # numeric half keeps its overflow verdict + the full-catalog
     # artifacts; the drift-monitor family keeps the categorical half
     # in-gate — same store machinery, same exact-integer PSI tail)
-    # -- new in r12, never driver-verified: CATEGORICAL drift monitor
-    # (per-batch (col, category) count registers -> occupied-union
-    # PSI with add-one smoothing; planted category-mix shift) --------
-    "category_mix_drift_census",
+    # (category_mix_drift_census rotated out in r14 for
+    # monitor_retention_census below: driver-verified r13; the
+    # retention census drives the SAME categorical monitor machinery
+    # (upsert_category_monitor + categorical_drift_census + the
+    # exact-integer PSI tail) plus the expiry path, so the family
+    # keeps driver coverage with a strictly larger surface)
+    # -- new in r14, never driver-verified: RETENTION for monitor
+    # stores (expire_batch_partitions: marker-first crash-safe
+    # partition deletes, retention-floor guard no-ops expired-batch
+    # replays, retained-window PSI unchanged) ------------------------
+    "monitor_retention_census",
     # (event_transition_matrix rotated out in r11 for
     # price_percentile_decile_census below: driver-verified r07-r10,
     # four consecutive greens; the temporal family keeps
