@@ -51,6 +51,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from umn_eda_kafka_stream_processing_spark.caching import drain_build_events
 from umn_eda_kafka_stream_processing_spark.plans import REGISTRY
 from umn_eda_kafka_stream_processing_spark.session import get_spark
 
@@ -101,6 +102,14 @@ def main() -> None:
     stable_stopped = 0
     timings: dict[str, float] = {}
     all_walls: dict[str, list[float]] = {}
+    # cache attribution (round-13 verdict task 5): which query's runs
+    # BUILT a session-cache substrate this pass. A build landing in a
+    # measured (post-warmup) run makes that query's median
+    # incomparable with a pass where a different query paid the build
+    # — bench_diff labels such shifts instead of reporting a phantom
+    # regression. Keys are split by warmup (run 0, excluded from the
+    # value) vs measured runs.
+    substrate_cold: dict[str, dict[str, list[str]]] = {}
     # SPARK_GRAFT_BENCH_SHARD="i/n" runs every n-th query starting at
     # i (stable registry order). The catalog outgrew what one budget
     # window can measure WARM (r11: 69/200 medians escrowed to
@@ -140,6 +149,8 @@ def main() -> None:
         walls = []
         heavy_break = False
         stable_break = False
+        builds: dict[str, list[str]] = {}
+        drain_build_events()  # anything a PREVIOUS query left behind
         for i in range(n_runs):
             # re-check INSIDE the loop too: one slow query can cross
             # the budget mid-repetition, and finishing its remaining
@@ -157,6 +168,11 @@ def main() -> None:
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
+            built = drain_build_events()
+            if built:
+                builds.setdefault("warmup" if i == 0 else "measured", []).extend(
+                    built
+                )
             # release the checkpointed/cached RDDs a query materialized
             # (the dedup pipelines localCheckpoint signatures) before
             # the next run: explicit unpersist beats waiting on the
@@ -184,6 +200,8 @@ def main() -> None:
         measured = walls[1:] if len(walls) > 1 else walls
         timings[name] = round(statistics.median(measured), 3)
         all_walls[name] = [round(w, 3) for w in walls]
+        if builds:
+            substrate_cold[name] = builds
 
     # queries whose ONLY wall is the warmup run (budget truncation or
     # SPARK_GRAFT_BENCH_RUNS=1): their value is cold semantics — keep
@@ -247,6 +265,7 @@ def main() -> None:
         "cold_only_sec": cold_total,
         "families": families,
         "walls": all_walls,
+        "substrate_cold": substrate_cold,
         "sf": sf,
         "box_load_pre": box_pre,
         "box_load": box,

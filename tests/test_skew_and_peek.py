@@ -412,6 +412,59 @@ def test_advise_join_strategy_from_standing_registers_flips(spark, tmp_path):
     assert d2["share_left_micro_ub"] >= (1_000_000 * 101 + 150) // 300
     true_join = 101 * 1  # key 7 appears 101x left, 1x right
     assert d2["est_join_rows"] >= true_join
+
+
+def test_advise_join_strategy_rows_equals_dataframe(spark):
+    """The pure-Python advisor twin (the advised pipeline's
+    zero-job decision path) is integer-exact identical to the
+    DataFrame version on randomized register tables across all three
+    strategy regimes — every scalar, not just the strategy."""
+    import random
+
+    from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        cms_registers,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_join_strategy,
+        advise_join_strategy_rows,
+    )
+
+    rng = random.Random(14)
+    fixtures = [
+        # (left keys, right keys) spanning broadcast / hash / salted
+        ([rng.randrange(500) for _ in range(800)],
+         [rng.randrange(100) for _ in range(40)]),
+        ([rng.randrange(500) for _ in range(800)],
+         list(range(700))),
+        ([7] * 600 + [rng.randrange(10_000) for _ in range(200)],
+         list(range(900))),
+        ([], list(range(10))),           # empty left
+        ([1, 2, 3], []),                 # empty right
+    ]
+    seen = set()
+    for lkeys, rkeys in fixtures:
+        lregs = cms_registers(
+            spark.createDataFrame([(k,) for k in lkeys], "k long")
+            if lkeys else spark.createDataFrame([], "k long"),
+            "k",
+        )
+        rregs = cms_registers(
+            spark.createDataFrame([(k,) for k in rkeys], "k long")
+            if rkeys else spark.createDataFrame([], "k long"),
+            "k",
+        )
+        want = advise_join_strategy(
+            lregs, rregs, max_broadcast_rows=100, max_share_micro=50_000
+        ).collect()[0].asDict()
+        got = advise_join_strategy_rows(
+            [(r["row"], r["bucket"], r["cnt"]) for r in lregs.collect()],
+            [(r["row"], r["bucket"], r["cnt"]) for r in rregs.collect()],
+            max_broadcast_rows=100, max_share_micro=50_000,
+        )
+        want["est_join_rows"] = int(want["est_join_rows"])
+        assert got == want
+        seen.add(got["strategy"])
+    assert seen == {"broadcast", "shuffle_hash", "salted_shuffle_hash"}
     # serve side: every chosen strategy returns the identical rows
     left = spark.createDataFrame(
         [(i % 10, i) for i in range(60)], "k long, lv long"

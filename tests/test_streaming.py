@@ -1233,6 +1233,66 @@ def test_advised_pipeline_soak_collapse_and_replay(spark, tmp_path):
     assert versioned_batch_ids(spark, p("rregs")) == [5, 6, 7, 8]
 
 
+def test_hll_register_store_soak_collapse_and_replay(spark, tmp_path):
+    """HLL-store SOAK (round-13 verdict task 3: collapse generalized
+    beyond CMS): 9 batches of per-group user activity with collapse
+    every 3 batches and last-batch replays injected mid-stream —
+    merged registers AND the distinct-count estimates must equal a
+    from-scratch run with NO collapse and NO replays (max-merge is
+    fold-invariant), the folded partitions must really be gone, and
+    a post-collapse BASE-batch replay must no-op (it would otherwise
+    overwrite folded maxes with single-batch registers)."""
+    from umn_eda_kafka_stream_processing_spark.operators import sketches as sk
+    from umn_eda_kafka_stream_processing_spark.operators.compaction import (
+        read_collapse_horizon,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
+    )
+
+    def batch_rows(b):
+        # overlapping user sets across batches: max-merge is exercised
+        return spark.createDataFrame(
+            [("a", f"u{(b * 17 + i) % 150}") for i in range(120)]
+            + [("b", f"v{i}") for i in range(b * 10, b * 10 + 30)],
+            "g string, u string",
+        )
+
+    def run(root, collapse_every, replay_at):
+        store = str(tmp_path / root)
+        for b in range(9):
+            sk.upsert_hll_registers(spark, store, batch_rows(b), "g", "u", b)
+            if b in replay_at:
+                sk.upsert_hll_registers(spark, store, batch_rows(b), "g", "u", b)
+            if collapse_every and b > 0 and b % collapse_every == 0:
+                sk.collapse_hll_registers(spark, store, b - 1)
+        regs = sorted(
+            (r["g"], r["bucket"], r["r"])
+            for r in sk.read_hll_registers(spark, store).collect()
+        )
+        est = {
+            r["g"]: (r["s_scaled"], r["hll_est"])
+            for r in sk.hll_estimate_from_registers(
+                sk.read_hll_registers(spark, store), "g"
+            ).collect()
+        }
+        return store, regs, est
+
+    store, regs, est = run("soak", collapse_every=3, replay_at={2, 6})
+    _, regs2, est2 = run("fresh", collapse_every=None, replay_at=set())
+    assert regs == regs2  # collapse + replays invisible to the merge
+    assert est == est2
+    # collapse really folded: base 5 + tail batches remain
+    assert versioned_batch_ids(spark, store) == [5, 6, 7, 8]
+    assert read_collapse_horizon(spark, store) == 5
+    # straggler replay of the BASE batch after collapse: no-op
+    sk.upsert_hll_registers(spark, store, batch_rows(5), "g", "u", 5)
+    assert sorted(
+        (r["g"], r["bucket"], r["r"])
+        for r in sk.read_hll_registers(spark, store).collect()
+    ) == regs
+
+
 def test_incremental_simhash_near_dedup_across_batches(spark, tmp_path):
     """foreachBatch near-dedup with a durable bucket store: in-batch
     near-dups resolve to the min id; later batches drop SimHash

@@ -26,8 +26,23 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
-    old = json.loads(Path(args[0]).read_text())["queries"]
-    new = json.loads(Path(args[1]).read_text())["queries"]
+    old_doc = json.loads(Path(args[0]).read_text())
+    new_doc = json.loads(Path(args[1]).read_text())
+    old, new = old_doc["queries"], new_doc["queries"]
+
+    def _measured_builds(doc: dict, q: str) -> list[str]:
+        return doc.get("substrate_cold", {}).get(q, {}).get("measured", [])
+
+    def _cache_label(q: str) -> str:
+        # a query whose MEASURED runs built a session-cache substrate
+        # in one pass but not the other moved because cache
+        # attribution shifted, not because its plan changed
+        ob, nb = _measured_builds(old_doc, q), _measured_builds(new_doc, q)
+        if ob == nb:
+            return ""
+        side = "new" if nb else "old"
+        keys = ", ".join(sorted(set(nb or ob)))[:80]
+        return f"  [cache-shifted: {side} pass built {keys}]"
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -58,10 +73,16 @@ def main() -> int:
     ]
     print(f"regressions >{thr}x (+0.3s): {len(regs)}")
     for r, q in sorted(regs, reverse=True)[:15]:
-        print(f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}")
+        print(
+            f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}"
+            f"{_cache_label(q)}"
+        )
     print(f"improvements >{thr}x (-0.3s): {len(imps)}")
     for r, q in sorted(imps)[:15]:
-        print(f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}")
+        print(
+            f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}"
+            f"{_cache_label(q)}"
+        )
     return 0
 
 

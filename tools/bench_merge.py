@@ -31,6 +31,7 @@ def merge(paths: list[str]) -> dict:
     queries: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
     cold_only: list[str] = []
+    substrate_cold: dict[str, dict] = {}
     for s in shards:
         dup = set(s["queries"]) & set(queries)
         if dup:
@@ -38,6 +39,7 @@ def merge(paths: list[str]) -> dict:
         queries.update(s["queries"])
         walls.update(s["walls"])
         cold_only.extend(s.get("cold_only", []))
+        substrate_cold.update(s.get("substrate_cold", {}))
     missing = [n for n in REGISTRY if n not in queries]
     if missing:
         print(
@@ -98,6 +100,11 @@ def merge(paths: list[str]) -> dict:
         "cold_only_sec": round(sum(queries[n] for n in cold_only), 3),
         "families": {k: round(v, 2) for k, v in sorted(families.items())},
         "walls": dict(sorted(walls.items())),
+        "substrate_cold": {
+            k: substrate_cold[k]
+            for k in sorted(substrate_cold)
+            if k in queries
+        },
         "sf": base["sf"],
         "merged_from": [
             {

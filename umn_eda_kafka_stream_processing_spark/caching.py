@@ -47,6 +47,20 @@ CACHE_DIR_CONF = "spark.sparkgraft.cacheDir"
 _FRAMES: dict[tuple[str, str], DataFrame] = {}
 _SCALARS: dict[tuple[str, str], object] = {}
 _DIRS: dict[str, str] = {}
+_BUILD_EVENTS: list[str] = []
+
+
+def drain_build_events() -> list[str]:
+    """Cache keys BUILT (i.e. missed) since the last drain — the
+    bench harness's cache-attribution probe (round-13 verdict task
+    5): a query whose timed runs triggered a substrate build is not
+    wall-comparable with a pass where another query paid that build
+    first, so the harness drains this after every run and flags the
+    query `substrate_cold` in the detail artifact instead of letting
+    the shift read as a plan regression."""
+    out = list(_BUILD_EVENTS)
+    _BUILD_EVENTS.clear()
+    return out
 
 
 def _slug(key: str) -> str:
@@ -86,6 +100,7 @@ def materialized(spark, cache_key: str, build) -> DataFrame:
     if hit is not None:
         return hit
     path = os.path.join(_base_dir(spark, app), _slug(cache_key))
+    _BUILD_EVENTS.append(cache_key)
     build().write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     for k in [k for k in _FRAMES if k[0] != app]:

@@ -440,6 +440,76 @@ def advise_join_strategy(
     )
 
 
+def advise_join_strategy_rows(
+    left_rows,
+    right_rows,
+    max_broadcast_rows: int = BROADCAST_MAX_ROWS,
+    max_share_micro: int = ADVISOR_MAX_SHARE_MICRO,
+) -> dict:
+    """Pure-Python twin of `advise_join_strategy` over COLLECTED
+    register rows — the driver-cached fast path for per-batch
+    pipelines: CMS registers are ≤1024 rows by construction, so a
+    streaming consumer that already holds them (the advised pipeline
+    folds its own upserts; the dim side re-collects only when the
+    store's batch listing changes) can price the join with ZERO Spark
+    jobs instead of scheduling a multi-stage plan per microbatch
+    (~0.8 s of pure scheduling at local[32], the round-13 carried
+    target's dominant term).
+
+    ``left_rows`` / ``right_rows``: iterables of (row, bucket, cnt)
+    tuples (or Rows). Arithmetic is integer-exact and IDENTICAL to
+    the DataFrame version (Python ints are unbounded, mirroring the
+    DECIMAL(38,0) dot and BIGINT div) — equality is unit-test-pinned
+    on randomized registers, and the advised census's oracle pins it
+    against DuckDB per batch. Returns the same dict shape a
+    `collect()[0].asDict()` of the DataFrame version yields, with
+    ``est_join_rows`` an int (castable to DECIMAL(38,0))."""
+    def side_stats(rows):
+        per_row: dict[int, list[int]] = {}
+        for r, b, c in rows:
+            tot_mx = per_row.setdefault(int(r), [0, 0])
+            tot_mx[0] += int(c)
+            tot_mx[1] = max(tot_mx[1], int(c))
+        if not per_row:
+            return 0, 0
+        return (
+            min(t for t, _ in per_row.values()),
+            min(m for _, m in per_row.values()),
+        )
+
+    left = [(int(r), int(b), int(c)) for r, b, c in left_rows]
+    right = [(int(r), int(b), int(c)) for r, b, c in right_rows]
+    rows_left, top_left = side_stats(left)
+    rows_right, top_right = side_stats(right)
+    rb = {(r, b): c for r, b, c in right}
+    dots = [0, 0, 0, 0]  # min over ALL d rows: missing rows stay 0
+    for r, b, c in left:
+        other = rb.get((r, b))
+        if other is not None:
+            dots[r] += c * other
+    est = min(dots)
+    share_left = (
+        0
+        if rows_left == 0
+        else (1000000 * top_left + rows_left // 2) // rows_left
+    )
+    if rows_right <= int(max_broadcast_rows):
+        strategy = "broadcast"
+    elif share_left > int(max_share_micro):
+        strategy = "salted_shuffle_hash"
+    else:
+        strategy = "shuffle_hash"
+    return {
+        "rows_left": rows_left,
+        "rows_right": rows_right,
+        "top_cnt_left_ub": top_left,
+        "top_cnt_right_ub": top_right,
+        "share_left_micro_ub": share_left,
+        "est_join_rows": est,
+        "strategy": strategy,
+    }
+
+
 def join_with_strategy(
     left: DataFrame,
     right: DataFrame,

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from umn_eda_kafka_stream_processing_spark.operators.skew import (
     ADVISOR_MAX_SHARE_MICRO,
     BROADCAST_MAX_ROWS,
-    advise_join_strategy,
     join_with_strategy,
 )
 
@@ -89,13 +88,26 @@ def make_dim_changelog_batch_fn(
         # checkpoints internally when a merge reads its own path. A
         # caller feeding frames DERIVED from these stores must
         # checkpoint them itself (the GlobalKTable lineage rule).
-        upsert_snapshot(
-            spark,
-            dim_snapshot_path,
-            batch_df.withColumn("event_seq", F.lit(int(batch_id))),
-            key_cols=keys,
-        )
-        upsert_cms_registers(spark, regs_path, batch_df, sketch_key, batch_id)
+        #
+        # The two writes touch DISJOINT stores and neither reads the
+        # other's path, so they submit as concurrent Spark jobs (one
+        # helper thread): at local[32] each tiny store write is
+        # mostly scheduler latency, and overlapping them takes the
+        # per-batch wall from the SUM to the MAX of the two.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            snap = pool.submit(
+                upsert_snapshot,
+                spark,
+                dim_snapshot_path,
+                batch_df.withColumn("event_seq", F.lit(int(batch_id))),
+                key_cols=keys,
+            )
+            upsert_cms_registers(
+                spark, regs_path, batch_df, sketch_key, batch_id
+            )
+            snap.result()  # propagate failures before the batch commits
         if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
             collapse_cms_registers(spark, regs_path, int(batch_id) - 1)
 
@@ -122,8 +134,12 @@ def make_advised_enrichment_batch_fn(
     1. land the batch's CMS registers for the probe key (the
        stream's cumulative key distribution — what the salting
        decision prices);
-    2. collect the ONE-ROW decision from the two register stores
-       (`advise_join_strategy` — zero jobs touch fact or dim data);
+    2. price the ONE-ROW decision from the register state
+       (`advise_join_strategy_rows` over the driver-cached fold —
+       zero Spark jobs touch fact or dim data, and the decision
+       itself schedules NO job at all: the fact fold rides the
+       upsert's own aggregation, the dim rows re-collect only when
+       the right store's batch listing changes);
     3. enrich the batch against a FRESH dim snapshot read (the
        GlobalKTable refresh rule: never cache the dim across
        batches) via `join_with_strategy` under the decided shape;
@@ -152,12 +168,44 @@ def make_advised_enrichment_batch_fn(
         upsert_batch_partition,
     )
     from umn_eda_kafka_stream_processing_spark.operators.sketches import (
+        cms_registers,
         collapse_cms_registers,
+        read_cms_collapse_horizon,
         read_cms_registers,
-        upsert_cms_registers,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.skew import (
+        advise_join_strategy_rows,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.versioned import (
+        versioned_batch_ids,
     )
 
     keys = [on] if isinstance(on, str) else list(on)
+    # DRIVER-CACHED register state (the per-batch decision fast path):
+    # CMS registers are <= 1024 rows by construction, so the fact
+    # side folds its own upserts into a driver dict and the dim side
+    # re-collects ONLY when the right store's batch listing changes
+    # (one metadata FS listing per batch, the versioned_batch_ids
+    # rule). The decision then runs in pure Python
+    # (advise_join_strategy_rows — integer-exact twin, test-pinned)
+    # instead of scheduling a multi-stage Spark plan per microbatch;
+    # the register STORES stay the recovery/audit source: a fresh
+    # driver (restart, failover) rebuilds the fold from one store
+    # read, and every downstream census still reads the stores.
+    state: dict = {"cum": None, "last_id": None, "last_regs": None,
+                   "right_ids": None, "right_rows": None}
+
+    def _store_rows(path: str):
+        try:
+            return [
+                (r["row"], r["bucket"], r["cnt"])
+                for r in read_cms_registers(spark, path).collect()
+            ]
+        except Exception as exc:  # noqa: BLE001 — store not written yet
+            cond = getattr(exc, "getCondition", lambda: None)()
+            if cond != "PATH_NOT_FOUND":
+                raise
+            return []
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         # no localCheckpoint — the source-derived microbatch never
@@ -166,46 +214,96 @@ def make_advised_enrichment_batch_fn(
         # register upsert and once for the enrichment write, both
         # cheaper than materializing every batch
         b = batch_df
-        upsert_cms_registers(spark, left_regs_path, b, keys[0], batch_id)
+        if state["cum"] is None:
+            # first call on this driver: rebuild the fold from the
+            # store (empty store -> empty fold)
+            state["cum"] = {}
+            for r, bk, c in _store_rows(left_regs_path):
+                state["cum"][(r, bk)] = state["cum"].get((r, bk), 0) + c
+        horizon = read_cms_collapse_horizon(spark, left_regs_path)
+        if horizon is None or int(batch_id) > horizon:
+            # ONE aggregation job yields the batch registers for BOTH
+            # consumers: the driver fold (decision input) and the
+            # store write (replay-safe batch-keyed partition, written
+            # from the collected rows as a 1-partition local frame —
+            # no second aggregation, no repartition shuffle)
+            regs = [
+                (r["row"], r["bucket"], r["cnt"])
+                for r in cms_registers(b, keys[0]).collect()
+            ]
+            if state["last_id"] == int(batch_id):
+                # replay of the last batch (the Structured Streaming
+                # replay shape): replace its contribution, not re-add
+                for (r, bk), c in state["last_regs"].items():
+                    state["cum"][(r, bk)] -= c
+            new = {(r, bk): c for r, bk, c in regs}
+            for (r, bk), c in new.items():
+                state["cum"][(r, bk)] = state["cum"].get((r, bk), 0) + c
+            state["last_id"], state["last_regs"] = int(batch_id), new
+            upsert_batch_partition(
+                spark,
+                left_regs_path,
+                spark.createDataFrame(
+                    spark.sparkContext.parallelize(regs, 1),
+                    "row int, bucket long, cnt long",
+                ),
+                batch_id,
+                write_coalesce=None,
+            )
         if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
             collapse_cms_registers(spark, left_regs_path, int(batch_id) - 1)
-        decision = (
-            advise_join_strategy(
-                read_cms_registers(spark, left_regs_path),
-                read_cms_registers(spark, right_regs_path),
-                max_broadcast_rows=max_broadcast_rows,
-                max_share_micro=max_share_micro,
-            )
-            .collect()[0]
-            .asDict()
+            # the fold is sum-preserving: the driver cum is unchanged
+        right_ids = tuple(versioned_batch_ids(spark, right_regs_path))
+        if right_ids != state["right_ids"]:
+            state["right_rows"] = _store_rows(right_regs_path)
+            state["right_ids"] = right_ids
+        decision = advise_join_strategy_rows(
+            [(r, bk, c) for (r, bk), c in state["cum"].items() if c],
+            state["right_rows"],
+            max_broadcast_rows=max_broadcast_rows,
+            max_share_micro=max_share_micro,
         )
         dim = spark.read.parquet(dim_snapshot_path)
         enriched = join_with_strategy(
             b, dim, keys, decision, how=how, salt_buckets=salt_buckets
         )
-        (
-            enriched.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out_path)
-        )
+
+        def write_enriched() -> None:
+            (
+                enriched.withColumn(
+                    "batch_id", F.lit(int(batch_id)).cast("long")
+                )
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_path)
+            )
         # est stays DECIMAL(38,0) end-to-end: two ~1e12-row registers
         # dot past BIGINT, and this log is a generic consumer that
         # does NOT know the scale (the r11 advisor rule)
         from decimal import Decimal
 
+        # ONE-partition local frame: a bare createDataFrame slices
+        # one row across defaultParallelism (32) empty partitions,
+        # and the repartition(1) the store write would then need is a
+        # 32-task shuffle costing ~3 s of pure scheduling per batch
+        # (measured r14 — the dominant term of the census wall).
+        # parallelize([row], 1) starts at one partition, so the write
+        # needs no coalesce at all (~0.4 s).
         log = spark.createDataFrame(
-            [
-                (
-                    decision["strategy"],
-                    int(decision["rows_left"]),
-                    int(decision["rows_right"]),
-                    int(decision["top_cnt_left_ub"]),
-                    int(decision["share_left_micro_ub"]),
-                    Decimal(decision["est_join_rows"]),
-                )
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (
+                        decision["strategy"],
+                        int(decision["rows_left"]),
+                        int(decision["rows_right"]),
+                        int(decision["top_cnt_left_ub"]),
+                        int(decision["share_left_micro_ub"]),
+                        Decimal(decision["est_join_rows"]),
+                    )
+                ],
+                1,
+            ),
             "strategy string, rows_left long, "
             "rows_right long, top_cnt_left_ub long, "
             "share_left_micro_ub long, est_join_rows decimal(38,0)",
@@ -214,8 +312,20 @@ def make_advised_enrichment_batch_fn(
         # own batch_id=N directory — a replay (only ever the LAST
         # batch — the Structured Streaming replay shape, so the
         # register state it reads is unchanged) rewrites the same
-        # one-row partition; no log read, no merge
-        upsert_batch_partition(spark, decisions_path, log, batch_id)
+        # one-row partition; no log read, no merge.
+        #
+        # Enriched-output and decision-log writes touch DISJOINT
+        # stores: submit them as concurrent jobs (one helper thread)
+        # so the per-batch wall pays the MAX, not the sum, of two
+        # mostly-scheduler-latency writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            out_fut = pool.submit(write_enriched)
+            upsert_batch_partition(
+                spark, decisions_path, log, batch_id, write_coalesce=None
+            )
+            out_fut.result()  # propagate failures before batch commit
 
     return fn
 
