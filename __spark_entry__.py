@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` / ``oracle_sql()`` delegate to the engine's query
-catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 212 queries: the
+catalog (umn_eda_kafka_stream_processing_spark/plans/catalog*.py — 215 queries: the
 reference-pipeline family, the readme scenario catalog incl. every
 BONUS scenario, the LLM-data ops (dedup + hot-bucket census,
 similarity incl. PQ ANN with exact re-rank, IVFADC (residual PQ
@@ -25,14 +25,19 @@ fused one-call store maintenance, continuously-maintained aggregate
 views with horizon collapse, the incremental HLL register
 store, benchmark decontamination (batch, streaming-store, and the
 late-benchmark DELTA re-sweep), leakage-safe cluster splits, repeat-
-factor mixtures and the composed end-to-end TRAINING MANIFEST,
+factor mixtures and the composed end-to-end TRAINING MANIFEST with
+incremental maintenance for BOTH growth axes (late benchmarks:
+patch; appended corpus batches: extend via the delta pair graph and
+affected-subgraph re-clustering),
 reciprocal-rank fusion (2- and 3-ranker hybrids incl. the PRF-seeded
 embedding list), the sketch-ADVISED enrichment pipeline with CMS
-register horizon collapse, and the categorical drift monitor), where
+register horizon collapse (generalized to HLL/gram/agg-view stores)
+and zero-job driver-cached decisions, monitor-store retention, and
+the categorical drift monitor), where
 every operator
 family
 from SURVEY.md §2 (see PARITY.md) is expressed over the driver's
-synthetic tables with a DuckDB oracle twin — 212 of 212, including
+synthetic tables with a DuckDB oracle twin — 215 of 215, including
 the iterative ones (the k-means ANN, PQ-codebook, and BPE-training
 oracles unroll their iterations in generated SQL).
 """

@@ -1683,6 +1683,94 @@ def test_patch_training_manifest_equals_from_scratch(spark, tmp_path):
     assert not (patched_ids & newly)
 
 
+def test_extend_training_manifest_equals_from_scratch(spark):
+    """Append-only corpus growth (the growing-corpus twin of the
+    benchmark patch): a manifest shipped over the old corpus,
+    EXTENDED when a new doc batch lands, equals the from-scratch
+    `training_manifest` over the grown corpus byte-for-byte — with
+    the pair graph grown by `minhash_lsh_pairs_delta` (no old
+    self-join), clustering re-run only on the affected subgraph, and
+    one batch-only decontamination sweep. The split threshold is
+    chosen from the fixture's own pair list so at least one pair
+    SPANS old/new (the cluster-merge path really executes)."""
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        extend_training_manifest,
+        training_manifest,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from umn_eda_kafka_stream_processing_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    targets = {f"src{i}": (50_000 if i % 5 == 0 else 3_000)
+               for i in range(20)}
+    full_pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    pair_rows = full_pairs.collect()
+    assert pair_rows
+    # split right below some pair's larger endpoint: that pair spans
+    T = max(r["doc_id_b"] for r in pair_rows)
+    old = docs.filter(F.col("doc_id") < T)
+    batch = docs.filter(F.col("doc_id") >= T)
+    assert batch.count() >= 1
+    # the shipped run's substrates over the OLD corpus (pairs derive
+    # by restriction — pairwise predicates — clusters/census rebuilt)
+    old_pairs = full_pairs.filter(F.col("doc_id_b") < T).localCheckpoint()
+    old_clusters = near_dup_clusters(
+        old_pairs, pairs_materialized=True
+    ).localCheckpoint()
+    old_keepers = (
+        old.join(old_clusters, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        )
+        .drop("cluster_id")
+    )
+    standing = decontaminate(old_keepers, bench).localCheckpoint()
+
+    def rows(m):
+        return sorted(
+            (r["doc_id"], r["source"], r["n_chars"], r["n_repeats"])
+            for r in m.select(
+                "doc_id", "source", "n_chars", "n_repeats"
+            ).collect()
+        )
+
+    ext, st = extend_training_manifest(
+        spark, old, batch, old_pairs, old_clusters, standing, targets,
+        benchmark=bench, return_stages=True,
+    )
+    scratch = training_manifest(docs, bench, targets, pairs=full_pairs)
+    assert rows(ext) == rows(scratch)
+    # the grown cluster table equals from-scratch components too
+    want_clusters = sorted(
+        map(tuple, near_dup_clusters(
+            full_pairs, pairs_materialized=True
+        ).collect())
+    )
+    assert sorted(map(tuple, st["clusters"].collect())) == want_clusters
+    # the chosen T really made a spanning pair: some grown cluster
+    # holds docs on both sides of the boundary
+    spans = (
+        st["clusters"]
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        )
+        .filter((F.col("mn") < T) & (F.col("mx") >= T))
+        .count()
+    )
+    assert spans >= 1
+
+
 def test_cluster_safe_split_no_cross_split_pairs(spark):
     """Every member of a near-dup component lands in the SAME split;
     docs outside any component split exactly as split_assign would;

@@ -284,7 +284,7 @@ def search_bm25_index(
         raise ValueError(
             f"BM25 index at {index_dir!r} is empty or uninitialized "
             "(no documents ingested yet) — cannot score against "
-            f"n_docs=0 ({e.getErrorClass()})"
+            f"n_docs=0 ({getattr(e, 'getCondition', e.getErrorClass)()})"
         ) from e
     stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

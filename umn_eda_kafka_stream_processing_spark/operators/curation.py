@@ -275,3 +275,166 @@ def patch_training_manifest(
             "train": train,
         }
     return manifest
+
+
+def extend_training_manifest(
+    spark,
+    old_docs: DataFrame,
+    batch: DataFrame,
+    old_pairs: DataFrame,
+    old_clusters: DataFrame,
+    standing_decontam: DataFrame,
+    targets: Mapping[str, int],
+    *,
+    benchmark: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    size_col: str = "n_chars",
+    n: int = 8,
+    min_overlap: int = 1,
+    old_sigs: DataFrame | None = None,
+    return_stages: bool = False,
+):
+    """EXTEND a shipped training manifest for a GROWING corpus — the
+    append-only twin of `patch_training_manifest` (which handles a
+    growing BENCHMARK): when a new document batch lands after a
+    manifest shipped, produce the manifest the from-scratch chain
+    would build over ``old_docs ∪ batch`` WITHOUT re-self-joining the
+    history's pair graph or re-sweeping the old corpus.
+
+    What the extension pays vs. the full chain:
+
+    * pair graph: `dedup.minhash_lsh_pairs_delta` — only pairs
+      TOUCHING the batch (old×new band join + new×new), exact
+      decomposition pairs(old ∪ batch) = old_pairs ∪ delta;
+    * clustering: min-label components re-run ONLY on the AFFECTED
+      subgraph — the delta pairs plus the old pairs of clusters a
+      delta endpoint touches. Every grown component either has no
+      delta endpoint (old cluster unchanged, anti-joined through) or
+      decomposes into old clusters each touching a delta pair, so
+      the subgraph carries all its edges. APPEND-ONLY ids keep the
+      min-label representative of any surviving old cluster stable;
+      a component formed by a batch BRIDGE between two old clusters
+      takes the smaller old representative — exactly what
+      from-scratch min-label yields;
+    * decontamination: ONE sweep of the batch against the benchmark
+      grams; old keepers reuse ``standing_decontam`` rows
+      (contamination is per-document, corpus-independent);
+    * split/mixture re-run linearly over the grown keeper mass
+      (split hashes ride the cluster representative, so docs in
+      merged clusters legitimately re-split; the mixture's repeat
+      factors re-balance over the grown availability).
+
+    Equality with `training_manifest(old ∪ batch, ...)` is
+    byte-for-byte (unit- and oracle-pinned), with the hot-bucket-cap
+    caveat documented on `minhash_lsh_pairs_delta`.
+
+    ``standing_decontam`` is the shipped run's census over its
+    keepers; ``old_pairs`` / ``old_clusters`` its pair/cluster
+    substrates; ``old_sigs`` optionally injects the standing
+    signature table so history is never re-hashed.
+
+    Returns the extended manifest — or with ``return_stages=True``
+    ``(manifest, stages)`` adding ``delta_pairs``, ``clusters`` (the
+    grown cluster table), ``batch_decontam`` and ``keepers``."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs_delta,
+        near_dup_clusters,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.sampling import (
+        cluster_safe_split,
+        repeat_mixture_sample,
+    )
+
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    delta_pairs = minhash_lsh_pairs_delta(
+        old_docs, batch, text_col=text_col, id_col=id_col,
+        old_sigs=old_sigs,
+    ).localCheckpoint()  # feeds affected-set, subgraph AND census pins
+    # affected old clusters: clusters of any OLD endpoint of a delta
+    # pair (batch endpoints are not clustered yet; an old endpoint
+    # outside any cluster was previously unpaired and rides into the
+    # subgraph through its delta pair alone)
+    ends = (
+        delta_pairs.select(F.col(a).alias(id_col))
+        .unionByName(delta_pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    affected = (
+        old_clusters.join(F.broadcast(ends), id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    # the affected subgraph: delta pairs + old pairs inside affected
+    # clusters (old pairs' endpoints share a cluster, so one side
+    # suffices for membership)
+    old_aff_pairs = (
+        old_pairs.join(
+            old_clusters.join(F.broadcast(affected), "cluster_id", "left_semi")
+            .select(F.col(id_col).alias(a)),
+            a,
+            "left_semi",
+        )
+    )
+    sub_edges = delta_pairs.select(a, b).unionByName(
+        old_aff_pairs.select(a, b)
+    )
+    comp_new = near_dup_clusters(sub_edges, id_col=id_col)
+    clusters2 = (
+        old_clusters.join(F.broadcast(affected), "cluster_id", "left_anti")
+        # the key join puts cluster_id first — restore (id, cluster)
+        .select(id_col, "cluster_id")
+        .unionByName(comp_new.select(id_col, "cluster_id"))
+        .localCheckpoint()  # joined by keepers AND split AND census
+    )
+    docs_all = old_docs.unionByName(batch)
+    keepers = (
+        docs_all.join(clusters2.hint("shuffle_hash"), id_col, "left")
+        .filter(
+            F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)
+        )
+        .drop("cluster_id")
+    )
+    # one sweep of the batch only; old keepers reuse the standing rows
+    batch_decontam = decontaminate(
+        batch,
+        benchmark,
+        bench_grams=bench_grams,
+        n=n,
+        min_overlap=min_overlap,
+        id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint()
+    decontam2 = standing_decontam.select(
+        id_col, "n_grams", "n_hit_grams", "contaminated"
+    ).unionByName(
+        batch_decontam.select(id_col, "n_grams", "n_hit_grams", "contaminated")
+    )
+    flagged = decontam2.filter(F.col("contaminated") == 1).select(id_col)
+    clean = keepers.join(flagged.hint("shuffle_hash"), id_col, "left_anti")
+    split = cluster_safe_split(
+        clean, clusters2, id_col=id_col,
+        val_rate=val_rate, test_rate=test_rate,
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    manifest = repeat_mixture_sample(
+        train, domain_col, id_col, size_col, targets
+    )
+    if return_stages:
+        return manifest, {
+            "delta_pairs": delta_pairs,
+            "clusters": clusters2,
+            "keepers": keepers,
+            "batch_decontam": batch_decontam,
+            "decontam": decontam2,
+            "clean": clean,
+            "train": train,
+        }
+    return manifest

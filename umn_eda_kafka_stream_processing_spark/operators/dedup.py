@@ -843,6 +843,153 @@ def minhash_lsh_pairs(
     return verified.select(f"{id_col}_a", f"{id_col}_b", "jaccard")
 
 
+def minhash_lsh_pairs_delta(
+    old_docs: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 8,
+    threshold: float = 0.8,
+    estimate_gate: float = 0.5,
+    old_sigs: DataFrame | None = None,
+    hot_bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """DELTA near-dup pairs for an APPEND-ONLY corpus: exactly the
+    `minhash_lsh_pairs` pairs of ``old_docs ∪ batch`` that TOUCH the
+    batch (old×new and new×new) — the incremental-ingest half of the
+    pair graph, so a growing corpus never re-self-joins its history.
+
+    Decomposition correctness: signatures are per-document (identical
+    whichever run computes them), band collision / estimate gate /
+    exact-jaccard verification are all PAIRWISE predicates — so
+    pairs(old ∪ batch) = pairs(old) ∪ delta EXACTLY, and a standing
+    pair store plus this delta reproduces the from-scratch graph
+    (unit- and oracle-pinned via `extend_training_manifest`). The one
+    non-pairwise knob is ``hot_bucket_cap``: a band bucket can cross
+    the cap only once the batch lands, in which case the from-scratch
+    run also drops the bucket's OLD pairs — run the incremental chain
+    capless (or monitor `lsh_bucket_stats` and re-baseline when a
+    bucket crosses) if byte-equality with from-scratch matters.
+
+    APPEND-ONLY CONTRACT: every ``batch`` id must exceed every
+    ``old_docs`` id. This is what keeps min-label cluster
+    representatives stable under growth (a merged component's min is
+    always an OLD doc's id — `extend_training_manifest` relies on it)
+    and makes "pair touches the batch" equal to "larger endpoint is a
+    batch id".
+
+    ``old_sigs`` injects the standing signature table (the shipped
+    run's `minhash_signatures`, session-cacheable) so history is not
+    re-hashed; omitted, old signatures are recomputed (still no old
+    self-join). Plan shape: melt(all) ⋈ melt(batch) on
+    (band_idx, band_key) — the candidate join's right side is
+    batch-sized, verification shingles only candidate docs.
+    Output: (id_a, id_b, jaccard), id_a < id_b."""
+    spark = batch.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sigs_new = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()  # read by the all-side melt AND the new-side melt
+    sigs_old = (
+        old_sigs
+        if old_sigs is not None
+        else minhash_signatures(old_docs, text_col, id_col, num_hashes, shingle_n)
+    )
+    bands = num_hashes // rows_per_band
+
+    def melt(sigs: DataFrame) -> DataFrame:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)],
+            *band_cols,
+        ).select(
+            F.col(id_col),
+            *[F.col(f"h{i}") for i in range(num_hashes)],
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(
+            id_col, *[f"h{i}" for i in range(num_hashes)],
+            "bk.band_idx", "bk.band_key",
+        )
+
+    melt_all = melt(sigs_old.unionByName(sigs_new))
+    if hot_bucket_cap is not None:
+        # same hazard, same remedy as minhash_lsh_pairs — sized on the
+        # GROWN bucket (the cap's at-scale semantics)
+        from pyspark.sql.window import Window
+
+        melt_all = melt_all.withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key")),
+        ).filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
+    ma = melt_all.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band_idx", "band_key",
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    mb = melt(sigs_new).select(
+        F.col(id_col).alias(f"{id_col}_b"), "band_idx", "band_key",
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / float(num_hashes)
+    # a < b keeps old×new (old ids are smaller by contract) and
+    # orients new×new; new×old duplicates are excluded by it too
+    cands = ma.join(mb, ["band_idx", "band_key"], "inner").filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    )
+    if estimate_gate > 0.0:
+        cands = cands.filter(est >= estimate_gate)
+    cands = (
+        cands.select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+        .repartition(par, F.col(f"{id_col}_a"))
+        .localCheckpoint()  # feeds the id-prune AND the verify join
+    )
+    docs_all = old_docs.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    cand_ids = (
+        cands.select(F.col(f"{id_col}_a").alias(id_col))
+        .unionByName(cands.select(F.col(f"{id_col}_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs_all.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), char_shingles(text_col, shingle_n).alias("sh"))
+        .localCheckpoint()  # both verify sides read this projection
+    )
+    a = sh.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("b_sh"))
+    verified = (
+        cands.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
+        .withColumn("jaccard", _jaccard("a_sh", "b_sh"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     text_col: str = "text",

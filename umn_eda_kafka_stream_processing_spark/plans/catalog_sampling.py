@@ -963,6 +963,177 @@ def manifest_patch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_extend_oracle() -> str:
+    """Extension-census twin: the shared chain CTEs over the FULL
+    (grown) corpus — the from-scratch manifest the incremental
+    extension must reproduce — plus the growth stats: the append
+    boundary t = (max doc_id * 9) div 10, the delta pair count (a
+    pair touches the batch iff its LARGER endpoint is >= t — ids are
+    append-only), and how many grown components SPAN the boundary
+    (the cluster-merge path's visibility pin)."""
+    return _manifest_ctes() + """,
+    tmax AS (SELECT CAST((max(doc_id) * 9) // 10 AS BIGINT) AS t
+             FROM documents),
+    gstats AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents, tmax
+         WHERE doc_id >= t) AS n_new_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs, tmax
+         WHERE doc_id_b >= t) AS n_delta_pairs,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+           SELECT c.cluster_id FROM comp c, tmax
+           GROUP BY c.cluster_id, tmax.t
+           HAVING sum(CASE WHEN c.doc_id < tmax.t THEN 1 ELSE 0 END) > 0
+              AND sum(CASE WHEN c.doc_id >= tmax.t THEN 1 ELSE 0 END) > 0
+         )) AS n_spanning_clusters,
+        (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train_extended,
+        (SELECT CAST(coalesce(sum((doc_id % 1000003) * n_repeats), 0)
+                AS BIGINT) FROM manifest) AS extended_id_checksum
+    )
+    SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_docs_out,
+           CAST(sum(m.n_repeats) AS BIGINT) AS sum_repeats,
+           CAST(sum(m.n_repeats * m.n_chars) AS BIGINT)
+               AS realized_tokens,
+           g.n_new_docs, g.n_delta_pairs, g.n_spanning_clusters,
+           g.n_train_extended, g.extended_id_checksum
+    FROM manifest m, gstats g
+    GROUP BY m.source, g.n_new_docs, g.n_delta_pairs,
+             g.n_spanning_clusters, g.n_train_extended,
+             g.extended_id_checksum
+    """
+
+
+@_register(
+    "manifest_extend_census",
+    "INCREMENTAL manifest maintenance for a GROWING corpus "
+    "(operators/curation.py:extend_training_manifest — the "
+    "append-only twin of the benchmark patch): the corpus splits at "
+    "t = (max doc_id * 9) div 10 into the shipped corpus and a late "
+    "doc batch. The extension grows the pair graph with "
+    "dedup.minhash_lsh_pairs_delta (old x new band join + new x new "
+    "— NO old self-join; pairwise predicates make pairs(old ∪ new) "
+    "= old ∪ delta exactly), re-runs min-label components ONLY on "
+    "the affected subgraph (delta pairs + old pairs of clusters a "
+    "delta endpoint touches — append-only ids keep surviving "
+    "representatives stable), sweeps ONLY the batch against the "
+    "benchmark (contamination is per-doc), and re-splits/re-mixes "
+    "linearly. The oracle recomputes the FROM-SCRATCH manifest over "
+    "the grown corpus: the hash compare IS the extended == "
+    "from-scratch pin (also unit-test-pinned, including a forced "
+    "cluster merge). Growth stats ride as data: new docs, delta "
+    "pairs, boundary-spanning clusters, extended train size and "
+    "manifest id-checksum.",
+    _manifest_extend_oracle(),
+)
+def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from umn_eda_kafka_stream_processing_spark.caching import (
+        cached_scalar,
+        materialized,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        extend_training_manifest,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        decontaminate,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = cached_scalar(
+        spark,
+        f"extend_t|{sf_dir}",
+        lambda: (docs.agg(F.max("doc_id")).collect()[0][0] * 9) // 10,
+    )
+    old = docs.filter(F.col("doc_id") < t)
+    batch = docs.filter(F.col("doc_id") >= t)
+    full_pairs = cached_minhash_pairs(spark, sf_dir)
+    # the shipped run's substrates: pairs restrict by the boundary
+    # (pairwise predicates), clusters/census rebuild once per session
+    old_pairs = full_pairs.filter(F.col("doc_id_b") < t)
+    old_clusters = materialized(
+        spark,
+        f"extend_old_clusters|{sf_dir}",
+        lambda: near_dup_clusters(old_pairs),
+    )
+
+    def build_standing() -> DataFrame:
+        keepers = (
+            old.join(old_clusters.hint("shuffle_hash"), "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            )
+            .drop("cluster_id")
+        )
+        return decontaminate(keepers, docs.filter(F.col("doc_id") % 37 == 0))
+
+    standing = materialized(
+        spark, f"extend_old_decontam|{sf_dir}", build_standing
+    )
+    ext, st = extend_training_manifest(
+        spark, old, batch, old_pairs, old_clusters, standing,
+        _MANIFEST_TARGETS,
+        benchmark=docs.filter(F.col("doc_id") % 37 == 0),
+        return_stages=True,
+    )
+    ext = ext.localCheckpoint()  # feeds per-source + checksum
+    per_source = ext.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_out"),
+        F.sum("n_repeats").cast("long").alias("sum_repeats"),
+        F.sum(F.col("n_repeats") * F.col("n_chars"))
+        .cast("long")
+        .alias("realized_tokens"),
+    )
+    spanning = (
+        st["clusters"]
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter((F.col("_mn") < t) & (F.col("_mx") >= t))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spanning_clusters"))
+    )
+    glob = (
+        batch.agg(F.count(F.lit(1)).cast("long").alias("n_new_docs"))
+        .crossJoin(
+            st["delta_pairs"].agg(
+                F.count(F.lit(1)).cast("long").alias("n_delta_pairs")
+            )
+        )
+        .crossJoin(spanning)
+        .crossJoin(
+            st["train"].agg(
+                F.count(F.lit(1)).cast("long").alias("n_train_extended")
+            )
+        )
+        .crossJoin(
+            ext.agg(
+                F.coalesce(
+                    F.sum((F.col("doc_id") % 1000003) * F.col("n_repeats")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("extended_id_checksum")
+            )
+        )
+    )
+    return per_source.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs_out",
+        "sum_repeats",
+        "realized_tokens",
+        "n_new_docs",
+        "n_delta_pairs",
+        "n_spanning_clusters",
+        "n_train_extended",
+        "extended_id_checksum",
+    )
+
+
 def _manifest_epoch_oracle() -> str:
     """Epoch-expansion twin: the shared chain CTEs, each manifest row
     expanded to its n_repeats instances, keyed (doc_id '#' rep_idx),

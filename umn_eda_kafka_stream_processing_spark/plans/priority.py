@@ -582,10 +582,17 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # r12, three consecutive greens; the exact-quantile family keeps
     # quantity_weighted_price_quantiles + price_percentile_decile_
     # census in-gate)
-    # -- new in r13, never driver-verified: the training manifest
-    # expanded into actual epoch batches (per-instance shuffle keys,
-    # md5 epoch permutation, per-batch mass + position checksums) ----
-    "manifest_epoch_batches_census",
+    # (manifest_epoch_batches_census rotated out in r14 for
+    # manifest_extend_census below: driver-verified r13; the manifest
+    # family keeps training_manifest_census + manifest_patch_census
+    # in-gate, and the epoch expansion keeps its overflow verdict +
+    # the 3-SF full-catalog artifacts)
+    # -- new in r14, never driver-verified: INCREMENTAL manifest
+    # maintenance for a GROWING corpus (delta pair graph, affected-
+    # subgraph clustering with forced merges, batch-only decontam
+    # sweep; oracle = from-scratch manifest over the grown corpus,
+    # so the hash compare IS the extended == from-scratch pin) -------
+    "manifest_extend_census",
     # (charlm_langid_auc rotated out in r12 for hybrid_rrf_search_topk
     # below: driver-verified r07-r11, five consecutive greens; the
     # charlm/text family keeps nb_train_model in-gate plus deep
