@@ -64,6 +64,7 @@ def training_manifest(
     pairs: DataFrame | None = None,
     clusters: DataFrame | None = None,
     bench_grams: DataFrame | None = None,
+    keeper_grams: DataFrame | None = None,
 ):
     """Compose the curation chain into the training manifest.
 
@@ -132,6 +133,7 @@ def training_manifest(
         min_overlap=min_overlap,
         id_col=id_col,
         text_col=text_col,
+        docs_grams=keeper_grams,
     ).localCheckpoint()
     flagged = decontam.filter(F.col("contaminated") == 1).select(id_col)
     clean = keepers.join(flagged.hint("shuffle_hash"), id_col, "left_anti")
@@ -172,6 +174,7 @@ def patch_training_manifest(
     size_col: str = "n_chars",
     n: int = 8,
     min_overlap: int = 1,
+    keeper_grams: DataFrame | None = None,
     return_stages: bool = False,
 ):
     """PATCH a shipped training manifest for LATE-ARRIVING benchmarks
@@ -240,6 +243,7 @@ def patch_training_manifest(
         min_overlap=min_overlap,
         id_col=id_col,
         text_col=text_col,
+        corpus_grams=keeper_grams,
     ).localCheckpoint()
     merged = merge_decontam_censuses(
         standing_decontam, delta, min_overlap=min_overlap, id_col=id_col
@@ -297,6 +301,7 @@ def extend_training_manifest(
     n: int = 8,
     min_overlap: int = 1,
     old_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
     return_stages: bool = False,
 ):
     """EXTEND a shipped training manifest for a GROWING corpus — the
@@ -356,7 +361,7 @@ def extend_training_manifest(
     a, b = f"{id_col}_a", f"{id_col}_b"
     delta_pairs = minhash_lsh_pairs_delta(
         old_docs, batch, text_col=text_col, id_col=id_col,
-        old_sigs=old_sigs,
+        old_sigs=old_sigs, batch_sigs=batch_sigs,
     ).localCheckpoint()  # feeds affected-set, subgraph AND census pins
     # affected old clusters: clusters of any OLD endpoint of a delta
     # pair (batch endpoints are not clustered yet; an old endpoint

@@ -854,6 +854,7 @@ def minhash_lsh_pairs_delta(
     threshold: float = 0.8,
     estimate_gate: float = 0.5,
     old_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
     hot_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """DELTA near-dup pairs for an APPEND-ONLY corpus: exactly the
@@ -883,15 +884,21 @@ def minhash_lsh_pairs_delta(
     ``old_sigs`` injects the standing signature table (the shipped
     run's `minhash_signatures`, session-cacheable) so history is not
     re-hashed; omitted, old signatures are recomputed (still no old
-    self-join). Plan shape: melt(all) ⋈ melt(batch) on
+    self-join). ``batch_sigs`` likewise injects the batch's own
+    signatures when the caller already has them (must be
+    materialized — both melts read it). Plan shape: melt(all) ⋈ melt(batch) on
     (band_idx, band_key) — the candidate join's right side is
     batch-sized, verification shingles only candidate docs.
     Output: (id_a, id_b, jaccard), id_a < id_b."""
     spark = batch.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sigs_new = minhash_signatures(
-        batch, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint()  # read by the all-side melt AND the new-side melt
+    sigs_new = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint()  # read by the all-side AND new-side melts
+    )
     sigs_old = (
         old_sigs
         if old_sigs is not None

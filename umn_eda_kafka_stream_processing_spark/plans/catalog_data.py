@@ -455,6 +455,23 @@ def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached MinHash signature table over the documents
+    corpus (`dedup.minhash_signatures`, default 16 hashes / 8-char
+    shingles) — the per-doc half of the pair pipeline, shared by the
+    incremental-extension census (its delta band join re-reads the
+    OLD corpus's signatures every run; one row per doc, tiny)."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+
+    return materialized(
+        spark,
+        f"minhash_sigs|{sf_dir}",
+        lambda: dd.minhash_signatures(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
 def cached_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached min-label components over `cached_minhash_pairs`
     — the iterative propagation loop runs once per session."""

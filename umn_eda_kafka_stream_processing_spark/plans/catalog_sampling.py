@@ -694,6 +694,7 @@ def training_manifest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_rate=0.1, test_rate=0.1, return_stages=True,
         pairs=cached_minhash_pairs(spark, sf_dir),
         clusters=cached_near_dup_clusters(spark, sf_dir),
+        keeper_grams=cached_manifest_keeper_grams(spark, sf_dir),
     )
     manifest = manifest.localCheckpoint()  # feeds 3 aggs + 2 pin joins
     per_source = manifest.groupBy("source").agg(
@@ -774,6 +775,39 @@ def training_manifest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_manifest_keeper_grams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-cached corpus-side gram table of the manifest chain's
+    KEEPERS (`decontam.corpus_gram_table` — one row per (doc, gram),
+    n_grams alongside): the gram explode is every sweep's dominant
+    cost and THREE censuses sweep the same keepers (the standing
+    manifest sweep, the patch chain's delta resweep, the standing
+    census builder) — materialize once, inject via docs_grams."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        corpus_gram_table,
+    )
+    from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_near_dup_clusters,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        clusters = cached_near_dup_clusters(spark, sf_dir)
+        keepers = (
+            docs.join(clusters.hint("shuffle_hash"), "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            )
+            .drop("cluster_id")
+        )
+        return corpus_gram_table(keepers)
+
+    return materialized(spark, f"manifest_keeper_grams|{sf_dir}", build)
+
+
 def cached_manifest_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached STANDING decontamination census — the per-doc
     (doc_id, n_grams, n_hit_grams, contaminated) frame of the
@@ -803,7 +837,9 @@ def cached_manifest_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("cluster_id")
         )
         return decontaminate(
-            keepers, docs.filter(F.col("doc_id") % 37 == 0)
+            keepers,
+            docs.filter(F.col("doc_id") % 37 == 0),
+            docs_grams=cached_manifest_keeper_grams(spark, sf_dir),
         )
 
     return materialized(spark, f"manifest_decontam37|{sf_dir}", build)
@@ -913,7 +949,9 @@ def manifest_patch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     patched, pst = patch_training_manifest(
         spark, docs, store, 0,
         cached_manifest_decontam(spark, sf_dir),
-        clusters, _MANIFEST_TARGETS, return_stages=True,
+        clusters, _MANIFEST_TARGETS,
+        keeper_grams=cached_manifest_keeper_grams(spark, sf_dir),
+        return_stages=True,
     )
     patched = patched.localCheckpoint()  # feeds per-source + checksum
     newly = pst["newly"].localCheckpoint()  # feeds count + split join
@@ -1042,6 +1080,7 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
         cached_minhash_pairs,
+        cached_minhash_signatures,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1080,6 +1119,12 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, old, batch, old_pairs, old_clusters, standing,
         _MANIFEST_TARGETS,
         benchmark=docs.filter(F.col("doc_id") % 37 == 0),
+        old_sigs=cached_minhash_signatures(spark, sf_dir).filter(
+            F.col("doc_id") < t
+        ),
+        batch_sigs=cached_minhash_signatures(spark, sf_dir).filter(
+            F.col("doc_id") >= t
+        ),
         return_stages=True,
     )
     ext = ext.localCheckpoint()  # feeds per-source + checksum
