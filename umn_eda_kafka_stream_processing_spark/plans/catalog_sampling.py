@@ -683,17 +683,21 @@ def training_manifest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_bench_grams,
         cached_minhash_pairs,
         cached_near_dup_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 37 == 0)
     manifest, stages = training_manifest(
-        docs, bench, _MANIFEST_TARGETS,
+        docs, None, _MANIFEST_TARGETS,
         val_rate=0.1, test_rate=0.1, return_stages=True,
         pairs=cached_minhash_pairs(spark, sf_dir),
         clusters=cached_near_dup_clusters(spark, sf_dir),
+        # the % 37 suite is a corpus slice: its gram set filters the
+        # session-cached corpus gram table instead of re-exploding
+        # the suite's text every run (per-doc purity)
+        bench_grams=cached_bench_grams(spark, sf_dir, 37),
         keeper_grams=cached_manifest_keeper_grams(spark, sf_dir),
     )
     manifest = manifest.localCheckpoint()  # feeds 3 aggs + 2 pin joins
@@ -785,25 +789,29 @@ def cached_manifest_keeper_grams(
     manifest sweep, the patch chain's delta resweep, the standing
     census builder) — materialize once, inject via docs_grams."""
     from umn_eda_kafka_stream_processing_spark.caching import materialized
-    from umn_eda_kafka_stream_processing_spark.operators.decontam import (
-        corpus_gram_table,
-    )
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_corpus_grams,
         cached_near_dup_clusters,
     )
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         clusters = cached_near_dup_clusters(spark, sf_dir)
-        keepers = (
-            docs.join(clusters.hint("shuffle_hash"), "doc_id", "left")
+        keeper_ids = (
+            docs.select("doc_id")
+            .join(clusters.hint("shuffle_hash"), "doc_id", "left")
             .filter(
                 F.coalesce(F.col("cluster_id"), F.col("doc_id"))
                 == F.col("doc_id")
             )
-            .drop("cluster_id")
+            .select("doc_id")
         )
-        return corpus_gram_table(keepers)
+        # per-doc purity: the keepers' gram table is a doc_id
+        # restriction of the session-cached CORPUS gram table — a
+        # semi-join on the id instead of a second text explode
+        return cached_corpus_grams(spark, sf_dir).join(
+            keeper_ids, "doc_id", "semi"
+        )
 
     return materialized(spark, f"manifest_keeper_grams|{sf_dir}", build)
 
@@ -822,23 +830,18 @@ def cached_manifest_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
-        cached_near_dup_clusters,
+        cached_bench_grams,
     )
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        clusters = cached_near_dup_clusters(spark, sf_dir)
-        keepers = (
-            docs.join(clusters.hint("shuffle_hash"), "doc_id", "left")
-            .filter(
-                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-                == F.col("doc_id")
-            )
-            .drop("cluster_id")
-        )
+        # both sides ride standing gram tables: the corpus side is
+        # the keeper gram cache, the % 37 suite's gram set a filter
+        # of the corpus gram cache — zero text explodes in this build
         return decontaminate(
-            keepers,
-            docs.filter(F.col("doc_id") % 37 == 0),
+            docs,  # ids/columns unused beyond the injected gram table
+            benchmark=None,
+            bench_grams=cached_bench_grams(spark, sf_dir, 37),
             docs_grams=cached_manifest_keeper_grams(spark, sf_dir),
         )
 
@@ -937,14 +940,24 @@ def manifest_patch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_safe_split,
     )
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_bench_grams,
         cached_near_dup_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     store = tempfile.mkdtemp(prefix="sparkgraft_patch_") + "/grams"
-    upsert_benchmark_grams(spark, store, docs.filter(F.col("doc_id") % 37 == 0), 0)
+    # both suites are corpus slices: their gram registers filter the
+    # session-cached corpus gram table (grams= injection) instead of
+    # re-exploding suite text on every run
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 37 == 0), 0,
+        grams=cached_bench_grams(spark, sf_dir, 37),
+    )
     # the late suite lands AFTER the manifest shipped
-    upsert_benchmark_grams(spark, store, docs.filter(F.col("doc_id") % 41 == 0), 1)
+    upsert_benchmark_grams(
+        spark, store, docs.filter(F.col("doc_id") % 41 == 0), 1,
+        grams=cached_bench_grams(spark, sf_dir, 41),
+    )
     clusters = cached_near_dup_clusters(spark, sf_dir)
     patched, pst = patch_training_manifest(
         spark, docs, store, 0,
@@ -1079,6 +1092,8 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_clusters,
     )
     from umn_eda_kafka_stream_processing_spark.plans.catalog_data import (
+        cached_bench_grams,
+        cached_corpus_grams,
         cached_minhash_pairs,
         cached_minhash_signatures,
     )
@@ -1102,15 +1117,27 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_standing() -> DataFrame:
-        keepers = (
-            old.join(old_clusters.hint("shuffle_hash"), "doc_id", "left")
+        keeper_ids = (
+            old.select("doc_id")
+            .join(old_clusters.hint("shuffle_hash"), "doc_id", "left")
             .filter(
                 F.coalesce(F.col("cluster_id"), F.col("doc_id"))
                 == F.col("doc_id")
             )
-            .drop("cluster_id")
+            .select("doc_id")
         )
-        return decontaminate(keepers, docs.filter(F.col("doc_id") % 37 == 0))
+        # both sweep sides filter the session-cached corpus gram
+        # table (per-doc purity): the old keepers' grams are a
+        # boundary filter + keeper semi-join, the % 37 suite a
+        # doc_id filter — no text explode in this build
+        return decontaminate(
+            old,  # unused beyond the injected gram table
+            benchmark=None,
+            bench_grams=cached_bench_grams(spark, sf_dir, 37),
+            docs_grams=cached_corpus_grams(spark, sf_dir)
+            .filter(F.col("doc_id") < t)
+            .join(keeper_ids, "doc_id", "semi"),
+        )
 
     standing = materialized(
         spark, f"extend_old_decontam|{sf_dir}", build_standing
@@ -1118,7 +1145,7 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext, st = extend_training_manifest(
         spark, old, batch, old_pairs, old_clusters, standing,
         _MANIFEST_TARGETS,
-        benchmark=docs.filter(F.col("doc_id") % 37 == 0),
+        bench_grams=cached_bench_grams(spark, sf_dir, 37),
         old_sigs=cached_minhash_signatures(spark, sf_dir).filter(
             F.col("doc_id") < t
         ),
