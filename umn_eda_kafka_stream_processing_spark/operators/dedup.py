@@ -169,6 +169,16 @@ def ngram_jaccard_pairs(
         if shingle_n * 21 <= 63
         else char_shingles(text_col, shingle_n)
     )
+    # spread the CORPUS before any shingle work: every consumer below
+    # (lite sizes on both candidate sides, the two verification
+    # shingle projections) computes the per-row shingle HOF, and on a
+    # one-file scan all four passes would run on ONE task (r14 PERF:
+    # 8-core == 32-core wall, ratio 1.01 — the whole operator was
+    # single-threaded). One id-keyed shuffle of (id, text, block,
+    # length) rows up front parallelizes every pass; downstream
+    # id-keyed exchanges reuse the partitioning where aliases allow.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         *([F.col(length_col)] if length_col else []),
@@ -228,13 +238,11 @@ def ngram_jaccard_pairs(
             F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
         )
         cond = cond & (a["salt"] == b["salt"])
-    # repartition the probe side by id: a single-file scan would
-    # otherwise run the whole candidate generation on one task (the
-    # lite rows are tiny, so this shuffle is ~free at any scale)
-    # explicit partition count: repartition(col) alone lets AQE
-    # coalesce the tiny lite-row shuffle to ~1 partition, which would
-    # serialize the quadratic candidate work that hangs off it
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # repartition the probe side by id: explicit partition count keeps
+    # AQE from coalescing the tiny lite-row shuffle to ~1 partition,
+    # which would serialize the quadratic candidate work that hangs
+    # off it (the corpus spread above parallelizes the shingle MAP
+    # work; this one pins the JOIN-probe parallelism)
     # NOTE deliberately LAZY end to end (unlike minhash_lsh_pairs'
     # checkpointed verification): this operator's candidate sets are
     # large relative to the corpus (blocked quadratic), so
