@@ -281,6 +281,61 @@ def patch_training_manifest(
     return manifest
 
 
+def extend_clusters(
+    old_pairs: DataFrame,
+    old_clusters: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Grow a standing cluster table by a delta pair set — the
+    affected-subgraph re-clustering step of `extend_training_manifest`
+    (see its docstring for the correctness argument), factored out so
+    callers can session-cache the grown table. ``delta_pairs`` must be
+    materialized (consumed by the affected-set AND the subgraph);
+    returns the UNmaterialized grown (id, cluster_id) table — callers
+    that consume it more than once checkpoint or cache it."""
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    # affected old clusters: clusters of any OLD endpoint of a delta
+    # pair (batch endpoints are not clustered yet; an old endpoint
+    # outside any cluster was previously unpaired and rides into the
+    # subgraph through its delta pair alone)
+    ends = (
+        delta_pairs.select(F.col(a).alias(id_col))
+        .unionByName(delta_pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    affected = (
+        old_clusters.join(F.broadcast(ends), id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    # the affected subgraph: delta pairs + old pairs inside affected
+    # clusters (old pairs' endpoints share a cluster, so one side
+    # suffices for membership)
+    old_aff_pairs = (
+        old_pairs.join(
+            old_clusters.join(F.broadcast(affected), "cluster_id", "left_semi")
+            .select(F.col(id_col).alias(a)),
+            a,
+            "left_semi",
+        )
+    )
+    sub_edges = delta_pairs.select(a, b).unionByName(
+        old_aff_pairs.select(a, b)
+    )
+    comp_new = near_dup_clusters(sub_edges, id_col=id_col)
+    return (
+        old_clusters.join(F.broadcast(affected), "cluster_id", "left_anti")
+        # the key join puts cluster_id first — restore (id, cluster)
+        .select(id_col, "cluster_id")
+        .unionByName(comp_new.select(id_col, "cluster_id"))
+    )
+
+
 def extend_training_manifest(
     spark,
     old_docs: DataFrame,
@@ -302,6 +357,9 @@ def extend_training_manifest(
     min_overlap: int = 1,
     old_sigs: DataFrame | None = None,
     batch_sigs: DataFrame | None = None,
+    batch_grams: DataFrame | None = None,
+    delta_pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
     return_stages: bool = False,
 ):
     """EXTEND a shipped training manifest for a GROWING corpus — the
@@ -341,7 +399,15 @@ def extend_training_manifest(
     ``standing_decontam`` is the shipped run's census over its
     keepers; ``old_pairs`` / ``old_clusters`` its pair/cluster
     substrates; ``old_sigs`` optionally injects the standing
-    signature table so history is never re-hashed.
+    signature table so history is never re-hashed. ``batch_grams``
+    optionally injects the batch's corpus-side gram table
+    (`decontaminate`'s ``docs_grams`` contract, restricted to the
+    batch docs) so the batch sweep skips its text explode too.
+    ``delta_pairs`` / ``clusters`` inject precomputed (MATERIALIZED —
+    both are consumed multiple times) delta-pair and grown-cluster
+    substrates — the `training_manifest` ``pairs``/``clusters``
+    seams' incremental twins, for callers that session-cache them
+    (`extend_clusters` builds the grown table from the delta).
 
     Returns the extended manifest — or with ``return_stages=True``
     ``(manifest, stages)`` adding ``delta_pairs``, ``clusters`` (the
@@ -358,46 +424,17 @@ def extend_training_manifest(
         repeat_mixture_sample,
     )
 
-    a, b = f"{id_col}_a", f"{id_col}_b"
-    delta_pairs = minhash_lsh_pairs_delta(
-        old_docs, batch, text_col=text_col, id_col=id_col,
-        old_sigs=old_sigs, batch_sigs=batch_sigs,
-    ).localCheckpoint()  # feeds affected-set, subgraph AND census pins
-    # affected old clusters: clusters of any OLD endpoint of a delta
-    # pair (batch endpoints are not clustered yet; an old endpoint
-    # outside any cluster was previously unpaired and rides into the
-    # subgraph through its delta pair alone)
-    ends = (
-        delta_pairs.select(F.col(a).alias(id_col))
-        .unionByName(delta_pairs.select(F.col(b).alias(id_col)))
-        .distinct()
-    )
-    affected = (
-        old_clusters.join(F.broadcast(ends), id_col, "left_semi")
-        .select("cluster_id")
-        .distinct()
-    )
-    # the affected subgraph: delta pairs + old pairs inside affected
-    # clusters (old pairs' endpoints share a cluster, so one side
-    # suffices for membership)
-    old_aff_pairs = (
-        old_pairs.join(
-            old_clusters.join(F.broadcast(affected), "cluster_id", "left_semi")
-            .select(F.col(id_col).alias(a)),
-            a,
-            "left_semi",
-        )
-    )
-    sub_edges = delta_pairs.select(a, b).unionByName(
-        old_aff_pairs.select(a, b)
-    )
-    comp_new = near_dup_clusters(sub_edges, id_col=id_col)
+    if delta_pairs is None:
+        delta_pairs = minhash_lsh_pairs_delta(
+            old_docs, batch, text_col=text_col, id_col=id_col,
+            old_sigs=old_sigs, batch_sigs=batch_sigs,
+        ).localCheckpoint()  # feeds affected-set, subgraph, census pins
     clusters2 = (
-        old_clusters.join(F.broadcast(affected), "cluster_id", "left_anti")
-        # the key join puts cluster_id first — restore (id, cluster)
-        .select(id_col, "cluster_id")
-        .unionByName(comp_new.select(id_col, "cluster_id"))
-        .localCheckpoint()  # joined by keepers AND split AND census
+        clusters
+        if clusters is not None
+        else extend_clusters(
+            old_pairs, old_clusters, delta_pairs, id_col=id_col
+        ).localCheckpoint()  # joined by keepers AND split AND census
     )
     docs_all = old_docs.unionByName(batch)
     keepers = (
@@ -416,6 +453,7 @@ def extend_training_manifest(
         min_overlap=min_overlap,
         id_col=id_col,
         text_col=text_col,
+        docs_grams=batch_grams,
     ).localCheckpoint()
     decontam2 = standing_decontam.select(
         id_col, "n_grams", "n_hit_grams", "contaminated"

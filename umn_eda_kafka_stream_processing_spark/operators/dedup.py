@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from umn_eda_kafka_stream_processing_spark.functions.scalar import round_half_up
 from umn_eda_kafka_stream_processing_spark.functions.text import (
@@ -1356,6 +1357,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 25,
     pairs_materialized: bool = False,
+    driver_max_edges: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: the final step of a
     corpus dedup pipeline — pair lists don't dedup anything until they
@@ -1381,11 +1383,61 @@ def near_dup_clusters(
     ``pairs_materialized=True`` promises the input is already
     localCheckpoint-ed (pipeline callers that checkpoint pairs for
     their own reuse) — skips a redundant re-materialization job.
+
+    SMALL-GRAPH ESCAPE: near-dup pair graphs are SPARSE by
+    construction (LSH hot-bucket caps bound bucket fan-out; exact
+    dedup removes mass-duplicates upstream), and the incremental
+    chains run this on AFFECTED SUBGRAPHS of a few hundred edges —
+    where every distributed round is ~10 multi-task stages of pure
+    scheduling (r14 PERF: manifest_extend_census ran FASTER on 8
+    cores than 32). When the (already-materialized) edge count is
+    <= ``driver_max_edges``, the components are computed with one
+    collect + union-find-by-min (exactly min-label semantics, the
+    same test/oracle pins) and returned as a 1-slice frame — the
+    same sketch-sized driver-decision pattern as the zero-job join
+    advisor. The count is a metadata read of the checkpointed edge
+    RDD, and 200k edges x 2 longs is well under driver headroom; at
+    100 TB an out-of-cap graph falls through to the distributed
+    loop unchanged. ``driver_max_edges=None`` disables the escape.
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
     edges = pairs.select(a, b)
     if not pairs_materialized:
         edges = edges.localCheckpoint()
+    if driver_max_edges is not None and edges.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            va, vb = row[0], row[1]
+            if va not in parent:
+                parent[va] = va
+            if vb not in parent:
+                parent[vb] = vb
+            ra, rb = _find(va), _find(vb)
+            if ra != rb:
+                # union by min label: the smaller root stays root, so
+                # every root IS its component's min id at all times
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = sorted((v, _find(v)) for v in parent)
+        spark = pairs.sparkSession
+        id_type = edges.schema[0].dataType
+        schema = StructType(
+            [
+                StructField(id_col, id_type, True),
+                StructField("cluster_id", id_type, True),
+            ]
+        )
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, 1), schema
+        )
     und = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))

@@ -376,8 +376,21 @@ def repeat_mixture_sample(
         )
         .drop("_rep_domain")
     )
+    # ALL planning/admission inputs ride ONE checkpointed skinny
+    # projection (domain, key, size, target): the plan aggregate, the
+    # priority table, and the histogram tail's ~4 consumers each
+    # inlined the caller's full `df` lineage before — for the manifest
+    # chains that lineage is keepers→split (two corpus shuffles per
+    # evaluation), and the repeated-subtree plan took longer to
+    # ANALYZE than to run (1.4 s construct at sf0.1). Skinny int-ish
+    # columns only: the checkpoint-the-compressed-frames rule — the
+    # document payload crosses exactly one join, at the end, attached
+    # by key (guide §2.3/§8: shuffle the proxy, move payloads once).
+    sk0 = base.select(
+        domain_col, key_col, size_col, "target_tokens"
+    ).localCheckpoint()
     plan = (
-        base.groupBy(domain_col)
+        sk0.groupBy(domain_col)
         .agg(
             F.sum(F.col(size_col).cast("long")).alias("avail_tokens"),
             F.min("target_tokens").alias("_t"),
@@ -399,18 +412,24 @@ def repeat_mixture_sample(
         * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
-    based = base.join(F.broadcast(plan), domain_col).withColumn(
+    skinny = sk0.join(F.broadcast(plan), domain_col).withColumn(
         "priority_micro", prio
     )
     admitted = _histogram_budget_admit(
-        based, domain_col, key_col, size_col, "domain_budget", n_buckets
+        skinny.select(
+            domain_col, key_col, size_col, "priority_micro", "domain_budget"
+        ),
+        domain_col, key_col, size_col, "domain_budget", n_buckets,
     )
     adm = admitted.select(
         F.col(key_col).alias("_adm_key"), F.lit(1).alias("_adm")
     )
     out_cols = [c for c in df.columns]
+    # the single full-width pass: flags and epochs attach by key/domain
+    # (priority is admission-internal — never recomputed here)
     return (
-        based.join(
+        base.join(F.broadcast(plan), domain_col)
+        .join(
             adm.hint("shuffle_hash"),
             F.col(key_col) == F.col("_adm_key"),
             "left",

@@ -1142,16 +1142,49 @@ def manifest_extend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = materialized(
         spark, f"extend_old_decontam|{sf_dir}", build_standing
     )
+    # the extension's own substrates — the delta pair graph and the
+    # grown cluster table — are session-cached like the from-scratch
+    # chain's pairs/clusters (training_manifest_census): pure
+    # functions of (corpus, t), consumed by the chain AND the census
+    # pins, and the delta band-join + subgraph re-clustering were
+    # ~4.5 s of the census's 9.5 s warm wall recomputed per run
+    from umn_eda_kafka_stream_processing_spark.operators.curation import (
+        extend_clusters,
+    )
+    from umn_eda_kafka_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs_delta,
+    )
+
+    delta_pairs = materialized(
+        spark,
+        f"extend_delta_pairs|{sf_dir}",
+        lambda: minhash_lsh_pairs_delta(
+            old,
+            batch,
+            old_sigs=cached_minhash_signatures(spark, sf_dir).filter(
+                F.col("doc_id") < t
+            ),
+            batch_sigs=cached_minhash_signatures(spark, sf_dir).filter(
+                F.col("doc_id") >= t
+            ),
+        ),
+    )
+    clusters2 = materialized(
+        spark,
+        f"extend_clusters|{sf_dir}",
+        lambda: extend_clusters(old_pairs, old_clusters, delta_pairs),
+    )
     ext, st = extend_training_manifest(
         spark, old, batch, old_pairs, old_clusters, standing,
         _MANIFEST_TARGETS,
         bench_grams=cached_bench_grams(spark, sf_dir, 37),
-        old_sigs=cached_minhash_signatures(spark, sf_dir).filter(
-            F.col("doc_id") < t
-        ),
-        batch_sigs=cached_minhash_signatures(spark, sf_dir).filter(
+        # batch sweep rides the session-cached corpus gram table too
+        # (per-doc purity: the batch's grams are a doc_id slice of it)
+        batch_grams=cached_corpus_grams(spark, sf_dir).filter(
             F.col("doc_id") >= t
         ),
+        delta_pairs=delta_pairs,
+        clusters=clusters2,
         return_stages=True,
     )
     ext = ext.localCheckpoint()  # feeds per-source + checksum
