@@ -332,6 +332,13 @@ def cms_registers(
     pure md5 functions, so they are mergeable across partitions,
     engines, and incremental runs (counts add).
     Output: (row, bucket, cnt).
+
+    Deliberately NO pre-spread of a one-partition input (unlike
+    minhash_signatures): 4 md5 over the bare key column is trivial
+    per row, and an extra round-robin exchange measured ~2x SLOWER
+    than the single-task hash at sf0.1 (0.55 s -> 1.0 s) — the
+    map-side partial agg already compacts each input partition to
+    <=1024 rows before the only shuffle.
     """
     rows = df.select(
         *[_cms_bucket(key_col, r, salt) for r in range(_CMS_D)]

@@ -220,6 +220,10 @@ def make_advised_enrichment_batch_fn(
             state["cum"] = {}
             for r, bk, c in _store_rows(left_regs_path):
                 state["cum"][(r, bk)] = state["cum"].get((r, bk), 0) + c
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(2)
+        regs_fut = None
         horizon = read_cms_collapse_horizon(spark, left_regs_path)
         if horizon is None or int(batch_id) > horizon:
             # ONE aggregation job yields the batch registers for BOTH
@@ -240,7 +244,14 @@ def make_advised_enrichment_batch_fn(
             for (r, bk), c in new.items():
                 state["cum"][(r, bk)] = state["cum"].get((r, bk), 0) + c
             state["last_id"], state["last_regs"] = int(batch_id), new
-            upsert_batch_partition(
+            # the register STORE write is independent of everything
+            # else in the batch (the decision reads the driver fold,
+            # never this store): submit it concurrently so it overlaps
+            # the decision + enrichment + log writes below, and join
+            # it before the batch commits (same disjoint-stores rule
+            # as the dim fn's concurrent pair)
+            regs_fut = pool.submit(
+                upsert_batch_partition,
                 spark,
                 left_regs_path,
                 spark.createDataFrame(
@@ -251,6 +262,9 @@ def make_advised_enrichment_batch_fn(
                 write_coalesce=None,
             )
         if collapse_every and batch_id > 0 and batch_id % collapse_every == 0:
+            if regs_fut is not None:
+                regs_fut.result()  # the fold must see a settled store
+                regs_fut = None
             collapse_cms_registers(spark, left_regs_path, int(batch_id) - 1)
             # the fold is sum-preserving: the driver cum is unchanged
         right_ids = tuple(versioned_batch_ids(spark, right_regs_path))
@@ -315,17 +329,19 @@ def make_advised_enrichment_batch_fn(
         # one-row partition; no log read, no merge.
         #
         # Enriched-output and decision-log writes touch DISJOINT
-        # stores: submit them as concurrent jobs (one helper thread)
-        # so the per-batch wall pays the MAX, not the sum, of two
-        # mostly-scheduler-latency writes.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(1) as pool:
+        # stores: submit them as concurrent jobs so the per-batch
+        # wall pays the MAX, not the sum, of mostly-scheduler-latency
+        # writes; every future joins before the batch commits.
+        try:
             out_fut = pool.submit(write_enriched)
             upsert_batch_partition(
                 spark, decisions_path, log, batch_id, write_coalesce=None
             )
             out_fut.result()  # propagate failures before batch commit
+            if regs_fut is not None:
+                regs_fut.result()
+        finally:
+            pool.shutdown()
 
     return fn
 
