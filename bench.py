@@ -123,6 +123,16 @@ def main() -> None:
         bench_names = [n for i, n in enumerate(REGISTRY) if i % sn == si]
     else:
         bench_names = list(REGISTRY)
+    # measure COSTLIEST-first (by the committed detail's last-known
+    # medians; never-benched queries first of all): at 215 queries the
+    # driver's single budgeted pass cannot measure everything (r14:
+    # 79 skipped, and the registry-order cut dropped 8 of the 10
+    # slowest from the PERF comparison), so when the hard cap lands it
+    # must land on the CHEAP tail — the slow queries are the signal
+    # the stdout top-10 and the round-over-round diff read. Per-query
+    # methodology is unchanged; shard passes also reorder, which only
+    # permutes within a shard (the merge is order-free).
+    bench_names = order_by_prior_cost(bench_names)
     skipped: list[str] = []
     for name in bench_names:
         if (time.time() - bench_start) >= hard_cap_s:
@@ -309,6 +319,33 @@ def main() -> None:
         obj["queries"] = {}
         line = json.dumps(obj, separators=(",", ":"))
     print(line)
+
+
+def order_by_prior_cost(
+    names: list[str], prior: dict[str, float] | None = None
+) -> list[str]:
+    """Order queries costliest-first by last-known committed medians
+    (BENCH_DETAIL.json next to this script); queries with no prior
+    median (new this round) sort first of all so they are always
+    measured. Falls back to the input order when no detail artifact
+    exists. Deterministic: ties break on the input order."""
+    if prior is None:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_DETAIL.json",
+                )
+            ) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
+    if not prior:
+        return list(names)
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names, key=lambda n: (-prior.get(n, float("inf")), pos[n])
+    )
 
 
 def resolve_detail_path(detail: dict, environ: dict | None = None) -> str:

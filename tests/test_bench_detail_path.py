@@ -56,3 +56,18 @@ def test_explicit_env_path_always_honored():
         d, environ={"SPARK_GRAFT_BENCH_DETAIL": "/tmp/bd0.json"}
     )
     assert p == "/tmp/bd0.json"
+
+
+def test_order_by_prior_cost_costliest_first_new_first():
+    """Hard-cap skips must land on the cheap tail: costliest-first by
+    last-known median, never-benched queries first of all, ties and
+    the no-artifact case keep the input order."""
+    out = bench.order_by_prior_cost(
+        ["a", "b", "c", "d"], {"a": 1.0, "b": 5.0, "d": 2.0}
+    )
+    assert out == ["c", "b", "d", "a"]
+    assert bench.order_by_prior_cost(["x", "y"], {}) == ["x", "y"]
+    # equal medians keep input order (deterministic shard merges)
+    assert bench.order_by_prior_cost(
+        ["p", "q"], {"p": 1.0, "q": 1.0}
+    ) == ["p", "q"]

@@ -622,6 +622,12 @@ def incremental_scd2(
         key_cols=ident,
         order_col="_seq",
         partition_cols=("_vb",),
+        # cluster the write by bucket: one file per touched _vb dir
+        # instead of (shuffle partitions x dirs) near-empty files —
+        # the next batch's partition-pruned read lists O(buckets)
+        # files, not O(batches x tasks) (measured 48 files after 3
+        # batches at sf0.1 without this)
+        write_coalesce=n_buckets,
     )
     return recomputed.drop("_vb", "_seq")
 

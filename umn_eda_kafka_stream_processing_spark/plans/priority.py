@@ -310,7 +310,14 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r11, never driver-verified: Johnson-Lindenstrauss sign
     # projection 64->16 with the distance-preservation ratio pinned as
     # exact-integer data -----------------------------------------------
-    "jl_distance_preservation_census",
+    # (jl_distance_preservation_census rotated out in r15 for
+    # ngram_jaccard_pairs below: driver-verified r11-r14, four
+    # consecutive greens; the embedding family keeps
+    # embedding_int8_quant_census in-gate. ngram_jaccard_pairs'
+    # physical plan changed this round — the corpus spread before the
+    # shingle passes — so it returns for one round of driver
+    # verification, per the changed-path re-gate rule)
+    "ngram_jaccard_pairs",
     # (q22_dormant_customers rotated out in r12 for
     # leakage_safe_split_census below: driver-verified r04-r11, eight
     # consecutive greens; the TPC-H family keeps ~16 members in-gate)
@@ -339,7 +346,15 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r11, never driver-verified: per-group robust outlier
     # screen (exact integer median/MAD, Hampel threshold, both
     # medians from the distinct-value frame) -------------------------
-    "price_mad_outlier_census",
+    # (price_mad_outlier_census rotated out in r15 for
+    # near_dup_clusters below: driver-verified r11-r14, four
+    # consecutive greens; the exact-order-statistics family keeps
+    # price_winsorize_census + price_mass_quantiles_by_flag +
+    # price_percentile_decile_census + split_length_bias_auc in-gate.
+    # near_dup_clusters gained the small-graph driver union-find
+    # escape this round — back in-gate for one round of driver
+    # verification of the escape path)
+    "near_dup_clusters",
     # (q9_product_profit rotated out in r09 for qty_price_slope_by_flag
     # below: driver-verified r04+r05+r06+r07+r08; TPC-H keeps
     # q22_dormant_customers in-gate, plus the whole family in the
@@ -378,7 +393,16 @@ DRIVER_GATE_PRIORITY: tuple[str, ...] = (
     # -- new in r11, never driver-verified: time-travel reads over
     # the batch-partitioned versioned store (latest-wins as-of batch
     # N, tombstones, replayed-batch idempotence) ---------------------
-    "store_time_travel_census",
+    # (store_time_travel_census rotated out in r15 for
+    # decontamination_resweep_census below: driver-verified r11-r14,
+    # four consecutive greens; the versioned-store family keeps
+    # time_travel_diff_census + order_snapshot_diff_census +
+    # store_antientropy_census + store_ttl_census in-gate. The
+    # resweep census's implementation changed in r14 (rides the
+    # session-cached gram substrates) in the same round it was
+    # rotated out — r14 verdict item 6: back in-gate for one round of
+    # driver verification of the changed path)
+    "decontamination_resweep_census",
     # (span_dup_doc_fraction rotated out in r10 for
     # price_mass_quantiles_by_flag below: driver-verified r05+r06+r07+
     # r08+r09; the span family keeps span_dedup_rewrite_stats +
